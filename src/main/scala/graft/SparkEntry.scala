@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.operators.{BoletiaQueries, CoreQueries, DedupQueries, TextQueries, VectorQueries}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Every declared query (SURVEY.md §2.1): name → builder + oracle. */
+  val declared: Seq[Query] =
+    CoreQueries.all ++ BoletiaQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ VectorQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way broadcast-join enrichment + aggregation (survey Q16). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.table(spark, d, "customer")
+      .join(broadcast(Tables.table(spark, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.table(spark, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("custs"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for probabilistic ops (rows-only
+    * driver check). */
+  def oracleSql: Map[String, String] =
+    declared.collect { case Query(n, _, Some(sql)) => n -> sql }.toMap
 }

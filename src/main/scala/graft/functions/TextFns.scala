@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for the training-data-pipeline surface:
+ * tokenization, shingling, language-ID scoring, rolling-hash
+ * fingerprints and hex-digit decoding for hash-derived features.
+ *
+ * Everything here is a pure Catalyst `Column` expression (no UDFs): the
+ * whole pipeline stays inside whole-stage codegen and the same logic is
+ * mirrored 1:1 in the DuckDB oracle SQL (ascii/substr/md5 arithmetic is
+ * portable across both engines).
+ */
+object TextFns {
+
+  /** Whitespace tokenization. Fixture docs are single-space separated;
+    * a production corpus would normalize with regexp_replace first. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Number of tokens, as BIGINT for oracle type parity. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("bigint")
+
+  /** Distinct word n-gram shingles (default 3) over a token array. */
+  def shingles(ts: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(ts) - lit(n)),
+      i => concat_ws(" ", (1 to n).map(k => element_at(ts, i + lit(k))): _*)))
+
+  /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
+  def hexDigit(hexStr: Column, i: Int): Column = {
+    val a = ascii(substring(hexStr, i, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** First 16 bits of md5(s) as an integer in [0, 65536). */
+  def md5Bits16(s: Column): Column = {
+    val m = md5(s)
+    hexDigit(m, 1) * 4096 + hexDigit(m, 2) * 256 +
+      hexDigit(m, 3) * 16 + hexDigit(m, 4)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the token stream, mod 1e9+7.
+    * Token code = 131*len + first-char codepoint; the fold is sequential
+    * (order-sensitive), which is the point of a document fingerprint. */
+  val FpMod = 1000000007L
+  def fingerprint(ts: Column): Column =
+    aggregate(
+      transform(ts, t => (length(t) * 131 + ascii(t)).cast("bigint")),
+      lit(0L),
+      (acc, v) => (acc * 131 + v) % FpMod)
+
+  /** Per-language marker tokens (top-frequency tokens per lang in the
+    * fixture corpus). A real system would ship n-gram profiles; the
+    * operator shape (score per language → argmax) is the same. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row"),
+    "en" -> Seq("hash", "order", "table", "window"),
+    "es" -> Seq("slow", "agg", "hash", "merge"),
+    "fr" -> Seq("scan", "data", "batch", "query"),
+    "zh" -> Seq("join", "small", "customer", "row"))
+
+  /** Occurrence count of marker tokens in a token array. */
+  def markerScore(ts: Column, markers: Seq[String]): Column =
+    size(filter(ts, t => t.isin(markers: _*)))
+
+  /** Predicted language: argmax of marker scores, ties resolved in
+    * alphabetical language order (same CASE ordering as the oracle). */
+  def langPredict(ts: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerScore(ts, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === maxScore, scores.head._1)) {
+      case (acc, (l, sc)) => acc.when(sc === maxScore, l)
+    }
+  }
+
+  /** DuckDB SQL fragments mirroring the expressions above (kept next to
+    * the Scala so the two stay in lockstep). */
+  object Sql {
+    def tokenCount(text: String): String =
+      s"CAST(len(string_split($text, ' ')) AS BIGINT)"
+
+    def shingles(ts: String, n: Int = 3): String = {
+      val parts = (1 to n).map(k => s"$ts[i+$k]").mkString(" || ' ' || ")
+      s"list_distinct(list_transform(range(len($ts) - ${n - 1}), i -> $parts))"
+    }
+
+    def hexDigit(m: String, i: Int): String =
+      s"(CASE WHEN ascii(substr($m, $i, 1)) >= 97 THEN ascii(substr($m, $i, 1)) - 87 " +
+        s"ELSE ascii(substr($m, $i, 1)) - 48 END)"
+
+    def md5Bits16(m: String): String =
+      s"(${hexDigit(m, 1)} * 4096 + ${hexDigit(m, 2)} * 256 + " +
+        s"${hexDigit(m, 3)} * 16 + ${hexDigit(m, 4)})"
+
+    def fingerprint(ts: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($ts, " +
+        s"t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))), " +
+        s"(a, b) -> (a * 131 + b) % $FpMod)"
+
+    def markerScore(ts: String, markers: Seq[String]): String =
+      s"len(list_filter($ts, t -> t IN (${markers.map("'" + _ + "'").mkString(", ")})))"
+
+    def langPredict(ts: String): String = {
+      val scores = langMarkers.map { case (l, ms) => l -> markerScore(ts, ms) }
+      val maxS = s"greatest(${scores.map(_._2).mkString(", ")})"
+      "CASE " + scores.map { case (l, sc) =>
+        s"WHEN $sc = $maxS THEN '$l'"
+      }.mkString(" ") + " END"
+    }
+  }
+}

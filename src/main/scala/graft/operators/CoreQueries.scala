@@ -1,0 +1,346 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The core relational surface (SURVEY.md §2.1 Q1–Q20): every scan /
+ * filter / projection / mutation-read / dataflow operator class of the
+ * reference re-expressed as declarative Spark plans, plus the
+ * capability-parity queries (joins, set ops, windows, rollup) the
+ * reference delegates to MongoDB or simply lacks.
+ *
+ * Oracle-parity rules used throughout (DuckDB hash-compares results):
+ *  - every query ends in a total ORDER BY;
+ *  - double aggregation goes through exact DECIMAL casts (the fixture
+ *    money columns are exact 2-dp, events.value 6-dp, l_quantity
+ *    integral) and is cast back to DOUBLE at the end, so the result is
+ *    independent of partial-aggregation order on both engines;
+ *  - DuckDB's HUGEINT sums are cast to BIGINT to match Spark's LongType;
+ *  - aggregate/computed columns are aliased identically on both sides.
+ *
+ * Scale notes: filters/projections here are all pushed to the parquet
+ * scan by Catalyst (verified via explain in OperatorPlanSpec); the
+ * dimension joins (region/nation/customer) are broadcast so the only
+ * shuffles left at 100 TB are the unavoidable per-key aggregations.
+ */
+object CoreQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // O9/O10 full scan + projection (eventos/main.go:105-120)
+    Query("q1_scan",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") {
+      (s, d) =>
+        table(s, d, "region")
+          .select(col("r_regionkey"), col("r_name"))
+          .orderBy("r_regionkey")
+    },
+
+    // O11/O13 point lookup on a key (eventos/main.go:87-103): the unique
+    // index becomes a pushed-down parquet predicate (min/max pruning).
+    Query("q2_point",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42") {
+      (s, d) =>
+        table(s, d, "customer")
+          .filter(col("c_custkey") === 42)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    },
+
+    // O12 conjunctive equality filter (reservas/main.go:92-109)
+    Query("q3_filter",
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = 7 AND o_orderstatus = 'O' ORDER BY o_orderkey") {
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(col("o_custkey") === 7 && col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+    },
+
+    // O14 range predicate (reservas/main.go:160-165 capacity guard)
+    Query("q4_range",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // O15 projection + rename view (contratos.go:31-37 DetReserva)
+    Query("q5_rename",
+      "SELECT o_orderkey AS id, o_custkey AS cliente, o_totalprice AS monto " +
+        "FROM orders WHERE o_totalprice > 400000 ORDER BY id") {
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("id"), col("o_custkey").as("cliente"),
+            col("o_totalprice").as("monto"))
+          .orderBy("id")
+    },
+
+    // O16 validation predicates (reservas/main.go:142-145,112-115)
+    Query("q6_validate",
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice <= 0 OR o_custkey IS NULL") {
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(col("o_totalprice") <= 0 || col("o_custkey").isNull)
+          .agg(count(lit(1)).as("n"))
+    },
+
+    // O17/O22 dedup / unique-key counting (inventario/main.go:91-93)
+    Query("q7_dedup_count",
+      "SELECT COUNT(*) AS total, " +
+        "COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS distinct_keys FROM lineitem") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .agg(count(lit(1)).as("total"),
+            countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))
+              .as("distinct_keys"))
+    },
+
+    // O19/O21 availability-as-aggregation (the declarative twin of the
+    // incremental $inc counter). l_quantity is integral → exact BIGINT sum.
+    Query("q8_groupagg",
+      "SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS reserved, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY l_partkey ORDER BY l_partkey") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(col("l_quantity").cast("bigint")).as("reserved"),
+            count(lit(1)).as("n"))
+          .orderBy("l_partkey")
+    },
+
+    // O23 cascade = semi-join (inventario/main.go:99-103)
+    Query("q9_semijoin",
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') " +
+        "ORDER BY o_orderkey") {
+      (s, d) =>
+        table(s, d, "orders")
+          .join(
+            broadcast(table(s, d, "customer")
+              .filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey").as("o_custkey"))),
+            Seq("o_custkey"), "left_semi")
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+    },
+
+    // anti complement of the cascade
+    Query("q9_antijoin",
+      "SELECT o_orderkey FROM orders WHERE o_custkey NOT IN " +
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 0) " +
+        "ORDER BY o_orderkey") {
+      (s, d) =>
+        table(s, d, "orders")
+          .join(
+            broadcast(table(s, d, "customer")
+              .filter(col("c_acctbal") > 0)
+              .select(col("c_custkey").as("o_custkey"))),
+            Seq("o_custkey"), "left_anti")
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+    },
+
+    // O25 deserialize: JSON field extraction (inventario/main.go:70-79)
+    Query("q10_json",
+      "SELECT event_id, json_extract_string(props, '$.k') AS k " +
+        "FROM events ORDER BY event_id LIMIT 100") {
+      (s, d) =>
+        table(s, d, "events")
+          .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+          .orderBy("event_id")
+          .limit(100)
+    },
+
+    // O26 message-type discrimination (inventario/main.go:83-104)
+    Query("q11_case",
+      "SELECT o_orderstatus, CASE WHEN o_orderstatus = 'O' THEN 'activa' " +
+        "WHEN o_orderstatus = 'F' THEN 'completada' ELSE 'pendiente' END AS clase, " +
+        "COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1") {
+      (s, d) =>
+        table(s, d, "orders")
+          .withColumn("clase",
+            when(col("o_orderstatus") === "O", "activa")
+              .when(col("o_orderstatus") === "F", "completada")
+              .otherwise("pendiente"))
+          .groupBy("o_orderstatus", "clase")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+    },
+
+    // O29 template formatting (notificaciones/main.go:76-96). FLOOR before
+    // the int cast: DuckDB rounds double→int casts, Spark truncates.
+    Query("q12_format",
+      "SELECT o_orderkey, 'Su reserva ' || CAST(o_orderkey AS VARCHAR) || " +
+        "' de ' || CAST(FLOOR(o_totalprice) AS BIGINT) || ' para el evento ' || " +
+        "o_orderpriority AS msg FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey") {
+      (s, d) =>
+        table(s, d, "orders")
+          .filter(col("o_orderkey") <= 64)
+          .select(col("o_orderkey"),
+            format_string("Su reserva %d de %d para el evento %s",
+              col("o_orderkey"), floor(col("o_totalprice")).cast("bigint"),
+              col("o_orderpriority")).as("msg"))
+          .orderBy("o_orderkey")
+    },
+
+    // sort / top-k — physical TakeOrderedAndProject, no full sort at scale
+    Query("q13_topk",
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") {
+      (s, d) =>
+        table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    // O2 sink-clone = latest-per-key upsert as a window fn. ts is stored
+    // as ns in parquet; CAST to µs-precision TIMESTAMP on the DuckDB side
+    // to match Spark's TimestampType truncation.
+    Query("q14_latest_per_key",
+      "SELECT user_id, event_type, value FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id") {
+      (s, d) =>
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        table(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .orderBy("user_id")
+    },
+
+    // tumbling-window agg, batch twin of streaming S9
+    Query("q15_window_hour",
+      "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+          .orderBy("h", "event_type")
+    },
+
+    // multi-way equi-join enrichment; dims broadcast (no shuffle of the
+    // fact side beyond the final group-by)
+    Query("q16_join3",
+      "SELECT r_name, n_name, COUNT(*) AS custs, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name") {
+      (s, d) =>
+        table(s, d, "customer")
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("custs"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+          .orderBy("r_name", "n_name")
+    },
+
+    // set ops
+    Query("q17_union",
+      "SELECT c_nationkey AS k FROM customer UNION " +
+        "SELECT s_nationkey FROM supplier ORDER BY k") {
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("k"))
+          .union(table(s, d, "supplier").select(col("s_nationkey").as("k")))
+          .distinct()
+          .orderBy("k")
+    },
+
+    Query("q17_intersect",
+      "SELECT c_nationkey AS k FROM customer INTERSECT " +
+        "SELECT s_nationkey FROM supplier ORDER BY k") {
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("k"))
+          .intersect(table(s, d, "supplier").select(col("s_nationkey").as("k")))
+          .orderBy("k")
+    },
+
+    Query("q17_except",
+      "SELECT c_nationkey AS k FROM customer EXCEPT " +
+        "SELECT s_nationkey FROM supplier ORDER BY k") {
+      (s, d) =>
+        table(s, d, "customer").select(col("c_nationkey").as("k"))
+          .except(table(s, d, "supplier").select(col("s_nationkey").as("k")))
+          .orderBy("k")
+    },
+
+    // TPC-H Q1-style agg. Exact DECIMAL arithmetic throughout so partial
+    // aggregation order cannot perturb the doubles.
+    Query("q18_tpch1",
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS srev, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ad, " +
+        "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("bigint")).as("sq"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("srev"),
+            (sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("ad"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // rollup
+    Query("q19_rollup",
+      "SELECT r_name, n_name, COUNT(*) AS n FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST") {
+      (s, d) =>
+        // rollup as cascaded re-aggregation: each level aggregates the
+        // previous level's (much smaller) output instead of the base
+        // relation — the efficient distributed form, and it sidesteps a
+        // Spark 4.1 DetectAmbiguousSelfJoin false positive on
+        // Dataset.rollup after a join.
+        val leaf = table(s, d, "nation")
+          .join(broadcast(table(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n"))
+        val mid = leaf.groupBy(col("r_name"))
+          .agg(sum(col("n")).as("n"))
+          .select(col("r_name"), lit(null).cast("string").as("n_name"), col("n"))
+        val top = leaf.agg(sum(col("n")).as("n"))
+          .select(lit(null).cast("string").as("r_name"),
+            lit(null).cast("string").as("n_name"), col("n"))
+        leaf.union(mid).union(top)
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    // distinct count per group
+    Query("q20_distinct_group",
+      "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events " +
+        "GROUP BY event_type ORDER BY event_type") {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("u"))
+          .orderBy("event_type")
+    })
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Query
+import graft.functions.TextFns
+import graft.functions.TextFns.Sql
+import graft.sources.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication (SURVEY.md §2.1 Q21 + the pipeline
+ * extensions): exact hash dedup, exact n-gram-Jaccard near-dup pairs
+ * via a shingle inverted index, and MinHash+LSH near-dup detection.
+ *
+ * The MinHash signature uses the lexicographic minimum of
+ * md5(seed || ':' || shingle) per seed — a portable permutation both
+ * Spark and DuckDB evaluate identically, so even the LSH candidate set
+ * (including its probabilistic false negatives) is bit-reproducible and
+ * fully oracle-checked.
+ *
+ * Scale notes: the inverted-index self-join is the standard distributed
+ * near-dup algorithm (shuffle by shingle, then by pair); at 100 TB you
+ * would add a document-frequency cutoff on hot shingles to bound skew —
+ * here the corpus is synthetic and uniform. MinHash+LSH replaces the
+ * O(n²)-candidate shingle join with O(n·bands) bucket joins, which is
+ * the scale path.
+ */
+object DedupQueries {
+
+  private val Threshold = 0.8
+  private val Seeds = 0 until 8 // 8 minhash permutations → 4 bands of 2
+
+  /** doc_id + distinct 3-gram shingle set (docs with ≥3 tokens). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), TextFns.shingles(col("ts")).as("s"))
+      .withColumn("n", size(col("s")))
+
+  private val shingledSql =
+    "sh AS (SELECT doc_id, " + Sql.shingles("ts") + " AS s FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS ts FROM documents) " +
+      "WHERE len(ts) >= 3)"
+
+  /** Exact-Jaccard verification of candidate pairs (shared by the exact
+    * and the MinHash paths): set-intersection sizes over the shingle
+    * arrays. */
+  private def verified(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= Threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Query] = Seq(
+
+    // exact dedup via content hash (survey Q21)
+    Query("q21_dedup_exact",
+      "SELECT COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS uniq FROM documents") {
+      (s, d) =>
+        table(s, d, "documents")
+          .agg(count(lit(1)).as("docs"),
+            countDistinct(md5(col("text"))).as("uniq"))
+    },
+
+    // exact n-gram-Jaccard near-dup pairs via shingle inverted index:
+    // explode shingles → self-join on shingle → per-pair intersection
+    // counts → Jaccard ≥ 0.8
+    Query("x7_ngram_jaccard",
+      s"WITH $shingledSql, " +
+        "ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), " +
+        "pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, " +
+        "COUNT(*) AS inter FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        s"FROM pair WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
+        "ORDER BY doc_a, doc_b") {
+      (s, d) =>
+        val ex = shingled(s, d)
+          .select(col("doc_id"), col("n"), explode(col("s")).as("g"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("g"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("g"))
+        a.join(b, Seq("g"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= Threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH near-dup: 8 md5-permutation minima, 4 bands of 2,
+    // bucket-join candidates, exact-Jaccard verification
+    Query("x8_minhash_lsh", {
+      val sigs = Seeds.map(k =>
+        s"list_aggregate(list_transform(s, g -> md5('$k:' || g)), 'min')")
+      val bandVals = sigs.grouped(2).zipWithIndex.map { case (Seq(s1, s2), i) =>
+        s"'$i|' || $s1 || $s2"
+      }.mkString(", ")
+      s"WITH $shingledSql, " +
+        s"bands AS (SELECT doc_id, unnest([$bandVals]) AS bv FROM sh), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+        "JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id), " +
+        "sz AS (SELECT doc_id, s, len(s) AS n FROM sh), " +
+        "j AS (SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS inter, " +
+        "sa.n AS na, sb.n AS nb FROM cand JOIN sz sa ON sa.doc_id = doc_a " +
+        "JOIN sz sb ON sb.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
+        "ORDER BY doc_a, doc_b"
+    }) {
+      (s, d) =>
+        val sh = shingled(s, d)
+        val sigCols = Seeds.map(k =>
+          array_min(transform(col("s"), g => md5(concat(lit(s"$k:"), g)))))
+        val bandCols = sigCols.grouped(2).zipWithIndex.map {
+          case (Seq(s1, s2), i) => concat(lit(s"$i|"), s1, s2)
+        }.toSeq
+        val bands = sh.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bv"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        verified(cand, sh)
+    })
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Query
+import graft.functions.TextFns
+import graft.functions.TextFns.Sql
+import graft.sources.Tables.table
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis queries over the `documents` table (SURVEY.md §2.1 Q22
+ * plus the training-data-pipeline extensions): corpus stats, token
+ * counting, heuristic language-ID, quality scoring, document
+ * fingerprinting and SimHash fingerprints.
+ *
+ * All expressions are Catalyst built-ins (codegen-friendly, no UDFs) and
+ * every query has an exact DuckDB oracle: hash-derived features use
+ * md5-hex arithmetic that both engines evaluate identically.
+ *
+ * Scale: these are embarrassingly parallel per-document maps — no
+ * shuffle at all except the final ORDER BY (which exists only for the
+ * deterministic oracle) and the small group-bys. At 100 TB they run as
+ * a single scan stage.
+ */
+object TextQueries {
+
+  val all: Seq[Query] = Seq(
+
+    // corpus stats per language (survey Q22)
+    Query("q22_textstats",
+      "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang") {
+      (s, d) =>
+        table(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy("lang")
+    },
+
+    // token counting (whitespace tokenizer)
+    Query("x2_token_count",
+      s"SELECT doc_id, ${Sql.tokenCount("text")} AS n_tokens " +
+        "FROM documents ORDER BY doc_id") {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+    },
+
+    // heuristic language-ID: marker-token argmax, reported as a
+    // (actual, predicted) confusion matrix
+    Query("x3_langid",
+      "WITH t AS (SELECT lang, string_split(text, ' ') AS ts FROM documents) " +
+        s"SELECT lang, ${Sql.langPredict("ts")} AS pred, COUNT(*) AS n " +
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("lang"), TextFns.tokens(col("text")).as("ts"))
+          .withColumn("pred", TextFns.langPredict(col("ts")))
+          .groupBy("lang", "pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+    },
+
+    // quality scoring: token count, lexical diversity, mean token length
+    Query("x4_quality",
+      "WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents) " +
+        "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_ratio, " +
+        "CAST(n_chars - (len(ts) - 1) AS DOUBLE) / len(ts) AS avg_token_len " +
+        "FROM t ORDER BY doc_id") {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            TextFns.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            size(col("ts")).cast("bigint").as("n_tokens"),
+            (size(array_distinct(col("ts"))).cast("double") / size(col("ts")))
+              .as("distinct_ratio"),
+            ((col("n_chars") - (size(col("ts")) - 1)).cast("double") /
+              size(col("ts"))).as("avg_token_len"))
+          .orderBy("doc_id")
+    },
+
+    // order-sensitive rolling-hash document fingerprint
+    Query("x5_fingerprint",
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) " +
+        s"SELECT doc_id, ${Sql.fingerprint("ts")} AS fp FROM t ORDER BY doc_id") {
+      (s, d) =>
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            TextFns.fingerprint(TextFns.tokens(col("text"))).as("fp"))
+          .orderBy("doc_id")
+    },
+
+    // 16-bit SimHash fingerprint from md5-derived token hashes.
+    // explode(token × bit) → per-bit sign sums → weighted recombine:
+    // two narrow shuffles on doc_id, both partial-aggregated map-side.
+    Query("x6_simhash",
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
+        "b AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
+        "c AS (SELECT doc_id, j, SUM(CASE WHEN CAST(floor(v16 / power(2, j)) AS BIGINT) % 2 = 1 " +
+        "THEN 1 ELSE -1 END) AS sgn FROM b GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
+        "AS BIGINT) AS simhash FROM c GROUP BY doc_id ORDER BY doc_id") {
+      (s, d) =>
+        val tok = table(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        val v = tok.select(col("doc_id"), TextFns.md5Bits16(col("t")).as("v16"))
+        val bits = v
+          .select(col("doc_id"), col("v16"),
+            explode(sequence(lit(0), lit(15))).as("j"))
+          .withColumn("bit",
+            floor(col("v16") / pow(lit(2.0), col("j"))).cast("bigint") % 2)
+        bits
+          .groupBy("doc_id", "j")
+          .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("sgn"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
+            .otherwise(0L)).as("simhash"))
+          .orderBy("doc_id")
+    })
+}
