@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.functions.expressions.VectorExpressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -16,21 +17,36 @@ object VectorFns {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ as a sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+  // Primary implementations: native codegen expressions
+  // (graft.functions.expressions). Same float→double widening and
+  // sequential fold order as the built-in variants below, so results
+  // are bit-identical — VectorSpec asserts it.
 
-  /** Σ (aᵢ−bᵢ)² — squared L2 distance. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ (codegen). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vec_dot(a, b)
 
-  /** Σ aᵢ² fold (squared norm). */
-  def normsq(a: Column): Column =
-    aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (acc, v) => acc + v)
+  /** Σ (aᵢ−bᵢ)² — squared L2 distance (codegen). */
+  def l2sq(a: Column, b: Column): Column = VectorExpressions.vec_l2sq(a, b)
+
+  /** Σ aᵢ² — squared norm (codegen). */
+  def normsq(a: Column): Column = VectorExpressions.vec_normsq(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normsq(a)) / sqrt(normsq(b))
+
+  // Built-in higher-order-function route (interpreted; reference
+  // implementation for the specs and for environments where custom
+  // expressions are not allowed).
+
+  def dotBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  def l2sqBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normsqBuiltin(a: Column): Column =
+    aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (acc, v) => acc + v)
 
   /** DuckDB fragments mirroring the folds above. list_sum over a
     * per-element double list matches the sequential Spark fold. */

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column handling for a training-data pipeline: media
+ * payloads travel as opaque `binary` columns with a typed metadata
+ * struct, and per-item feature extraction runs as partition-local
+ * batch processing (`mapPartitions` over a typed Dataset) — the Scala
+ * analogue of `mapInPandas` batch UDFs.
+ *
+ * The actual codec work (JPEG decode, audio resample, video frame
+ * extraction) is STUBBED: this container has no image/audio libraries,
+ * so `decodeStub` produces a deterministic fake derived from the bytes.
+ * Everything around the stub — schema, encoders, partition batching,
+ * feature shapes, pruning — is real and tested (MediaSpec), so swapping
+ * the stub for an actual codec changes one function.
+ *
+ * Scale notes: media rows are large (MBs); the pipeline keeps binary
+ * columns OUT of shuffles — features are extracted in the scan stage
+ * (narrow mapPartitions), and only the small feature vectors flow
+ * downstream. Partition sizing for 100 TB: cap
+ * `spark.sql.files.maxPartitionBytes` so one task's batch of decoded
+ * frames fits in executor memory.
+ */
+object MediaPipeline {
+
+  /** Typed metadata carried alongside every payload. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      channels: Int, durationMs: Long)
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      meta: MediaMeta)
+
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      byte_mean: Double, frames_sampled: Int, feature: Array[Float])
+
+  /** Build a synthetic media table from the `documents` fixture: text
+    * bytes stand in for encoded payloads (deterministic, no codecs
+    * needed). Real deployments read `binaryFile` sources or parquet
+    * with a binary column. */
+  def syntheticMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(id, kind, text.getBytes("UTF-8"),
+          MediaMeta(kind match {
+            case "image" => "jpeg"; case "audio" => "wav"; case _ => "mp4"
+          }, width = (nChars % 640).toInt + 1, height = (nChars % 480).toInt + 1,
+            channels = 3, durationMs = nChars * 10))
+      }
+  }
+
+  /** ??? in spirit — the codec boundary. Deterministic fake "decode":
+    * real implementation would JNI/library-decode `payload` into
+    * pixels/samples. Keeps the exact signature a real decoder needs:
+    * bytes + meta in, fixed-shape float features out. */
+  private def decodeStub(payload: Array[Byte], meta: MediaMeta,
+      dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { out(j) = out(j) / math.max(1, payload.length / dim); j += 1 }
+    out
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th chunk of the
+    * byte stream stands in for a decoded frame. */
+  private def sampleFrames(payload: Array[Byte], stride: Int): Int =
+    if (payload.isEmpty) 0 else (payload.length + stride - 1) / stride
+
+  /** Partition-local batch feature extraction. One call per partition
+    * (not per row) so a real decoder can amortize codec init /
+    * model-session startup across the batch — the same batching
+    * contract as mapInPandas. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      frameStride: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model session)
+      rows.map { r =>
+        val feat = decodeStub(r.payload, r.meta, dim)
+        val bytes = r.payload.length.toLong
+        val mean = if (bytes == 0) 0.0
+          else r.payload.map(b => (b & 0xff).toDouble).sum / bytes
+        MediaFeatures(r.media_id, r.kind, bytes, mean,
+          if (r.kind == "video") sampleFrames(r.payload, frameStride) else 0,
+          feat)
+      }
+    }
+  }
+
+  /** Downstream-safe projection: drop the heavy binary before any wide
+    * transformation (the "don't shuffle payloads" rule). */
+  def featureFrame(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(syntheticMediaTable(spark, dir))
+    feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+      col("byte_mean"), col("frames_sampled"), col("feature"))
+  }
+}

@@ -82,8 +82,10 @@ object DedupQueries {
         s"FROM pair WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
         "ORDER BY doc_a, doc_b") {
       (s, d) =>
+        // persisted: both sides of the inverted-index self-join read it
         val ex = shingled(s, d)
           .select(col("doc_id"), col("n"), explode(col("s")).as("g"))
+          .persist()
         val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("g"))
         val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("g"))
         a.join(b, Seq("g"))
@@ -97,11 +99,17 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
     },
 
-    // MinHash + LSH near-dup: 8 md5-permutation minima, 4 bands of 2,
-    // bucket-join candidates, exact-Jaccard verification
+    // MinHash + LSH near-dup: 8 32-bit minhash signatures (two md5s per
+    // shingle, chopped into 8-hex-char chunks — one quarter the hash
+    // work of one-md5-per-seed), 4 bands of 2, bucket-join candidates,
+    // exact-Jaccard verification. The lexicographic minimum of a
+    // uniform fixed-width hex chunk IS a minhash; both engines compute
+    // the identical bytes, so even LSH's false negatives reproduce.
     Query("x8_minhash_lsh", {
-      val sigs = Seeds.map(k =>
-        s"list_aggregate(list_transform(s, g -> md5('$k:' || g)), 'min')")
+      val sigs = Seeds.map { k =>
+        val (src, off) = if (k < 4) ("md5(g)", 8 * k + 1) else ("md5('~' || g)", 8 * (k - 4) + 1)
+        s"list_aggregate(list_transform(s, g -> substr($src, $off, 8)), 'min')"
+      }
       val bandVals = sigs.grouped(2).zipWithIndex.map { case (Seq(s1, s2), i) =>
         s"'$i|' || $s1 || $s2"
       }.mkString(", ")
@@ -118,14 +126,26 @@ object DedupQueries {
         "ORDER BY doc_a, doc_b"
     }) {
       (s, d) =>
+        // persist: the shingle sets + their md5s feed three plan
+        // branches (both sides of the band self-join + the verification
+        // join); without it the HOF shingling and hashing re-run per
+        // branch. h1/h2 are computed ONCE per shingle — the 8
+        // signatures are substring minima over the cached hash arrays.
         val sh = shingled(s, d)
-        val sigCols = Seeds.map(k =>
-          array_min(transform(col("s"), g => md5(concat(lit(s"$k:"), g)))))
+          .withColumn("h1", transform(col("s"), g => md5(g)))
+          .withColumn("h2", transform(col("s"), g => md5(concat(lit("~"), g))))
+          .persist()
+        val sigCols = Seeds.map { k =>
+          if (k < 4)
+            array_min(transform(col("h1"), h => substring(h, 8 * k + 1, 8)))
+          else
+            array_min(transform(col("h2"), h => substring(h, 8 * (k - 4) + 1, 8)))
+        }
         val bandCols = sigCols.grouped(2).zipWithIndex.map {
           case (Seq(s1, s2), i) => concat(lit(s"$i|"), s1, s2)
         }.toSeq
         val bands = sh.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bv"))
+          explode(array(bandCols: _*)).as("bv")).persist()
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))

@@ -69,10 +69,19 @@ object VectorQueries {
         "SELECT vec_a, vec_b, round(cos, 6) AS cos FROM c " +
         "WHERE cos >= 0.45 ORDER BY vec_a, vec_b") {
       (s, d) =>
-        val a = emb(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = emb(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        // norms are precomputed per row BEFORE the pair join, so the
+        // O(n²) stage does one dot product per pair instead of three
+        // folds. (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of
+        // VectorFns.cosine, so values stay oracle-identical.
+        val base = emb(s, d).select(col("vec_id"), col("embedding"),
+          sqrt(VectorFns.normsq(col("embedding"))).as("nrm"))
+        val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos", VectorFns.cosine(col("ea"), col("eb")))
+          .withColumn("cos",
+            VectorFns.dot(col("ea"), col("eb")) / col("na") / col("nb"))
           .filter(col("cos") >= 0.45)
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
           .orderBy("vec_a", "vec_b")
@@ -90,7 +99,7 @@ object VectorQueries {
         val planes = VectorFns.hyperplanes(L * k, 64)
         def bucketCol(t: Int)(e: Column): Column =
           (0 until k).map { j =>
-            val coef = array(planes(t * k + j).map(lit): _*)
+            val coef = array(planes(t * k + j).map(v => lit(v.toFloat)): _*)
             when(VectorFns.dot(e, coef) > 0, lit(1 << j)).otherwise(lit(0))
           }.reduce(_ + _)
         // (vec_id, table, bucket) inverted index; at scale this is the

@@ -1,0 +1,198 @@
+package graft.streaming
+
+import graft.tables.{MergeOps, TableStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * The reference's asynchronous dataflows (SURVEY.md §2.2 S1–S7,
+ * §3.1–3.3) as acyclic Structured Streaming queries over TableStore
+ * tables.
+ *
+ * Design stance (SURVEY §7.1): the reference's cyclic topology
+ * (reservas ↔ inventario echo messages, canres=-1 sentinels) exists
+ * because its consumers react to their own writes via CDC. Here every
+ * flow is a forward pipeline — source stream → foreachBatch MERGE —
+ * so echo messages are never generated; scenario tests assert
+ * equivalent FINAL STATE, not equal message traffic (S6).
+ *
+ * Exactly-once: Spark checkpointing replays a failed batch;
+ * every MERGE here is idempotent (insert-if-absent on message id,
+ * guarded CAS transitions, per-key folds keyed by a monotone seq), so
+ * redelivery is a no-op — the engine-grade version of the reference's
+ * duplicate-insert tolerance (inventario/main.go:91-93, S5).
+ *
+ * Each flow is one `foreachBatch` writer per table (single-writer rule
+ * for TableStore swaps). In production the sources/sinks are Kafka
+ * (`spark.readStream.format("kafka")`) and Delta MERGE; MemoryStream
+ * drives the same code in tests.
+ */
+final class Flows(spark: SparkSession, store: TableStore) {
+  import spark.implicits._
+
+  private def start(df: DataFrame, name: String)(
+      body: DataFrame => Unit): StreamingQuery =
+    df.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay protection (see TableStore.commitBatch)
+        if (batchId > store.lastCommitted(name)) {
+          body(batch)
+          store.commitBatch(name, batchId)
+        }
+      }
+      .start()
+
+  // -------------------------------------------------------------------
+  // S1 — event creation: eventos CDC post-images upsert into eventos
+  // (unique nombre → first write wins) and clone into inventario with
+  // the SAME _id and full capacity (the MongoDB sink connector's role,
+  // kafka-mongodb-connect.yaml:22-33).
+  // -------------------------------------------------------------------
+  def eventCreationFlow(rawEventos: DataFrame): StreamingQuery =
+    start(rawEventos, "event_creation") { batch =>
+      val parsed = CdcCodec.parseEvento(batch).filter(col("id").isNotNull)
+      val evs = store.load("eventos")
+      // O17: unique-key insert; duplicate nombre rejected (first wins)
+      val newEvs = MergeOps.insertIfAbsent(
+        evs, parsed.select(evs.columns.map(col): _*), Seq("nombre"),
+        tieBreak = Seq(col("id")))
+      store.replace("eventos", newEvs)
+      // O2: clone into inventario (same id, null reservation columns)
+      val inv = store.load("inventario")
+      val clones = parsed.select(col("id"), col("nombre"), col("capacidad"),
+        col("categoria"), col("estado"),
+        lit(null).cast("string").as("idres"),
+        lit(null).cast("string").as("email"),
+        lit(null).cast("int").as("canres"))
+      store.replace("inventario",
+        MergeOps.insertIfAbsent(inv, clones, Seq("nombre"), Seq(col("id"))))
+    }
+
+  // -------------------------------------------------------------------
+  // S2/S8 — reservation admission: requests stream → per-key ordered
+  // fold with oversell guard (O19) → inventario decrement + reservas
+  // insert. `seq` = message offset (admission order within key).
+  // -------------------------------------------------------------------
+  def admissionFlow(requests: DataFrame): StreamingQuery =
+    start(requests, "admission") { rawBatch =>
+      // at-least-once redelivery dedup: a request whose id is already a
+      // registered reservation is a duplicate → no-op (S5; the
+      // reference's IsDup-tolerated insert, inventario/main.go:91-93)
+      val batch = rawBatch.join(store.load("reservas").select(col("id")),
+        Seq("id"), "left_anti")
+      val inv = store.load("inventario")
+      val (updatedInv, log) = MergeOps.admitReservations(inv, batch)
+      val admitted = log.filter(col("admitted"))
+      // widen inventario with the last admitted reservation per key
+      // (README.md:443-454 document shape)
+      val w = Window.partitionBy(col("evento")).orderBy(col("seq").desc)
+      val lastPerKey = admitted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("evento").as("nombre"), col("id").as("__idres"),
+          col("email").as("__email"), col("cantidad").as("__canres"))
+      val widened = MergeOps.guardedUpdate(updatedInv, lastPerKey,
+        Seq("nombre"),
+        guard = lit(true),
+        sets = Map(
+          "idres" -> col("__b___idres"), "email" -> col("__b___email"),
+          "canres" -> col("__b___canres")),
+        batchCols = Seq("__idres", "__email", "__canres"))
+      store.replace("inventario", widened)
+      // O22: idempotent reservation registration
+      val res = store.load("reservas")
+      val newRows = admitted.select(col("id"), col("evento"),
+        lit("A").as("estado"), col("email"), col("cantidad"))
+      store.replace("reservas", MergeOps.insertIfAbsent(res, newRows, Seq("id")))
+      // rejections (sold out / unknown event) — observable outcome of
+      // the 404 path (reservas/main.go:166-173)
+      val rejected = log.filter(!col("admitted"))
+        .select(col("id"), col("evento"), col("email"), col("cantidad"),
+          lit("sin_capacidad").as("motivo"))
+        .unionByName(MergeOps.unknownEventRequests(inv, batch)
+          .select(col("id"), col("evento"), col("email"), col("cantidad"),
+            lit("no_existe").as("motivo")))
+      store.append("rechazos", rejected)
+    }
+
+  // -------------------------------------------------------------------
+  // S3 — customer cancellation: CAS estado A→X on reservas (O20), then
+  // seat return +cantidad on inventario (O21). The pre-image
+  // (evento, cantidad) is read under the same guard the CAS uses.
+  // -------------------------------------------------------------------
+  def cancellationFlow(cancelIds: DataFrame): StreamingQuery =
+    start(cancelIds, "cancellation") { batch =>
+      val res = store.load("reservas")
+      // pre-image of rows the CAS will transition (estado='A' guard)
+      val pre = res.join(batch.select(col("id").as("__cid")),
+        col("id") === col("__cid"), "left_semi")
+        .filter(col("estado") === "A")
+        .select(col("id"), col("evento"), col("email"), col("cantidad"))
+      // O20: guarded state transition
+      store.replace("reservas", MergeOps.guardedUpdate(res, batch, Seq("id"),
+        guard = col("estado") === "A", sets = Map("estado" -> lit("X"))))
+      // O21: guarded increment (seat return) — negative delta fold, no
+      // capacity guard; not-found (event already cancelled) tolerated
+      val returns = pre.select(col("id"), col("evento"), col("email"),
+        (-col("cantidad")).cast("int").as("cantidad"),
+        monotonically_increasing_id().as("seq"))
+      val inv = store.load("inventario")
+      val (updatedInv, _) = MergeOps.admitReservations(inv, returns)
+      // canres=-1 parity with the reference's sentinel document state
+      val sentinel = pre.select(col("evento").as("__e"),
+        col("id").as("__idres"), col("email").as("__email"))
+      val widened = MergeOps.guardedUpdate(updatedInv,
+        sentinel.withColumnRenamed("__e", "nombre"), Seq("nombre"),
+        guard = col("estado") === "A",
+        sets = Map("idres" -> col("__b___idres"), "email" -> col("__b___email"),
+          "canres" -> lit(-1)),
+        batchCols = Seq("__idres", "__email"))
+      store.replace("inventario", widened)
+    }
+
+  // -------------------------------------------------------------------
+  // S4 — organizer cancellation: eventos estado→C (O18), propagate to
+  // inventario, cascade all ACTIVE reservations → 'C' keeping 'X' rows
+  // as history (O23, inventario/main.go:99-103).
+  // -------------------------------------------------------------------
+  def organizerCancelFlow(cancelNames: DataFrame): StreamingQuery =
+    start(cancelNames, "organizer_cancel") { batch =>
+      val evs = store.load("eventos")
+      store.replace("eventos", MergeOps.guardedUpdate(evs, batch, Seq("nombre"),
+        guard = lit(true), sets = Map("estado" -> lit("C"))))
+      val inv = store.load("inventario")
+      store.replace("inventario", MergeOps.guardedUpdate(inv, batch, Seq("nombre"),
+        guard = lit(true), sets = Map("estado" -> lit("C"))))
+      val res = store.load("reservas")
+      store.replace("reservas", MergeOps.semiJoinUpdate(res, batch,
+        targetKey = "evento", sourceKey = "nombre",
+        guard = col("estado") === "A", sets = Map("estado" -> lit("C"))))
+    }
+
+  // -------------------------------------------------------------------
+  // S7 — notifications: every reservas post-image formats exactly one
+  // email by estado template (O29, notificaciones/main.go:76-96).
+  // Append-only sink; in production the ForeachWriter hands rows to
+  // SES — here they land in a `notificaciones` table.
+  // -------------------------------------------------------------------
+  def notificationFlow(rawReservas: DataFrame): StreamingQuery =
+    start(rawReservas, "notifications") { batch =>
+      val parsed = CdcCodec.parseReserva(batch).filter(col("id").isNotNull)
+      val formatted = parsed.select(
+        col("id"), col("email"),
+        when(col("estado") === "A", "Confirmación de reserva")
+          .otherwise("Cancelación de reserva").as("subject"),
+        concat(
+          format_string("Su reserva %s de %d boletos para el evento %s",
+            col("id"), col("cantidad"), col("evento")),
+          when(col("estado") === "A", lit(" está confirmada"))
+            .when(col("estado") === "C",
+              lit(" fue cancelada, el evento fue suspendido por los organizadores"))
+            .otherwise(lit(" fue cancelada a petición suya"))).as("body"))
+      store.append("notificaciones", formatted)
+    }
+}

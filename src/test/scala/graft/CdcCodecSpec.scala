@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.CdcCodec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parse the exact raw connector payload shapes from FIXTURES.md §3
+  * (string-quoted JSON, extended-JSON $oid). */
+class CdcCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** JSON-string-quote a document the way the connector's
+    * JsonConverter (schemas.enable=false) does. */
+  private def q(doc: String): String =
+    "\"" + doc.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val eventoDoc =
+    """{"_id": {"$oid": "619c1b9190812c00013e29c1"}, "nombre": "Opera Boheme", "capacidad": 20, "categoria": "Opera", "estado": "A"}"""
+  private val invReservaDoc =
+    """{"_id": {"$oid": "619c1ca490812c00013e29c3"}, "nombre": "Opera Boheme", "capacidad": 17, "categoria": "Opera", "estado": "A", "idres": {"$oid": "619c1dae4b21200001952449"}, "email": "pepediaz@gmail.com", "canres": 3}"""
+  private val reservaDoc =
+    """{"_id": {"$oid": "619c1dae4b21200001952449"}, "evento": "Opera Boheme", "estado": "X", "email": "pepediaz@gmail.com", "cantidad": 3}"""
+
+  test("unquote + parse evento post-image") {
+    val df = Seq(q(eventoDoc)).toDF("value")
+    val r = CdcCodec.parseEvento(df).collect().head
+    assert(r.getString(0) === "619c1b9190812c00013e29c1")
+    assert(r.getString(1) === "Opera Boheme")
+    assert(r.getInt(2) === 20)
+    assert(r.getString(4) === "A")
+  }
+
+  test("widened inventario message parses reservation columns") {
+    val df = Seq(q(invReservaDoc)).toDF("value")
+    val r = CdcCodec.parseInventario(df).collect().head
+    assert(r.getInt(2) === 17)
+    assert(r.getString(5) === "619c1dae4b21200001952449")
+    assert(r.getString(6) === "pepediaz@gmail.com")
+    assert(r.getInt(7) === 3)
+  }
+
+  test("plain inventario message leaves reservation columns null") {
+    val df = Seq(q(eventoDoc)).toDF("value")
+    val r = CdcCodec.parseInventario(df).collect().head
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+  }
+
+  test("reserva message parses") {
+    val df = Seq(q(reservaDoc)).toDF("value")
+    val r = CdcCodec.parseReserva(df).collect().head
+    assert(r.getString(0) === "619c1dae4b21200001952449")
+    assert(r.getString(1) === "Opera Boheme")
+    assert(r.getString(2) === "X")
+    assert(r.getInt(4) === 3)
+  }
+
+  test("classification matches inventario/main.go dispatch") {
+    val cases = Seq(
+      (null.asInstanceOf[Integer], "A", "drop_creation_echo"),
+      (Integer.valueOf(0), "A", "drop_creation_echo"),
+      (Integer.valueOf(3), "A", "insert_reservation"),
+      (Integer.valueOf(-1), "A", "drop_return_echo"),
+      (Integer.valueOf(3), "C", "cascade_cancel"))
+    cases.foreach { case (canres, estado, expected) =>
+      val df = Seq((Option(canres).map(_.intValue), estado))
+        .toDF("canres", "estado")
+        .select(CdcCodec.classifyInventario(col("canres"), col("estado")).as("c"))
+      assert(df.collect().head.getString(0) === expected,
+        s"canres=$canres estado=$estado")
+    }
+  }
+
+  test("malformed payload routes to dead letter, not a poison loop") {
+    val df = Seq(q("{not json"), q(eventoDoc)).toDF("value")
+    val parsed = CdcCodec.parseEvento(df)
+    assert(CdcCodec.deadLetter(parsed).count() === 1)
+    assert(parsed.filter(col("id").isNotNull).count() === 1)
+  }
+}

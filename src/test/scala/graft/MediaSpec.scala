@@ -1,0 +1,45 @@
+package graft
+
+import graft.multimodal.MediaPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal plumbing must be deterministic, shape-stable and
+  * lossless around the stubbed codec boundary. */
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("feature extraction is deterministic and shape-stable") {
+    val a = MediaPipeline.featureFrame(spark, TestSpark.sf)
+      .orderBy("media_id").collect()
+    val b = MediaPipeline.featureFrame(spark, TestSpark.sf)
+      .orderBy("media_id").collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Float](5) === y.getSeq[Float](5))
+    }
+    assert(a.forall(_.getSeq[Float](5).length === 16))
+  }
+
+  test("no row loss through mapPartitions; kinds partition by id mod 3") {
+    val rows = MediaPipeline.featureFrame(spark, TestSpark.sf).collect()
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf, "documents").count()
+    assert(rows.length === docs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      assert(r.getString(1) === expected)
+    }
+  }
+
+  test("only video rows sample frames; byte stats match payload") {
+    val rows = MediaPipeline.featureFrame(spark, TestSpark.sf).collect()
+    rows.foreach { r =>
+      if (r.getString(1) == "video") assert(r.getInt(4) > 0)
+      else assert(r.getInt(4) === 0)
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) < 255)
+    }
+  }
+}

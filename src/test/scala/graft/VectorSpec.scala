@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen vector expressions must be bit-identical to the
+  * interpreted built-in folds (same IEEE op order), and the ANN path
+  * must recall a reasonable share of the exact top-k. */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = Tables.table(spark, TestSpark.sf, "embeddings")
+
+  test("codegen dot/l2sq/normsq bit-identical to builtin folds") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      VectorFns.dot(col("embedding"), col("qe")).as("d1"),
+      VectorFns.dotBuiltin(col("embedding"), col("qe")).as("d2"),
+      VectorFns.l2sq(col("embedding"), col("qe")).as("l1"),
+      VectorFns.l2sqBuiltin(col("embedding"), col("qe")).as("l2"),
+      VectorFns.normsq(col("embedding")).as("n1"),
+      VectorFns.normsqBuiltin(col("embedding")).as("n2"))
+    val bad = both.filter(
+      col("d1") =!= col("d2") || col("l1") =!= col("l2") ||
+        col("n1") =!= col("n2")).count()
+    assert(bad === 0, s"$bad rows differ between codegen and builtin")
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = VectorFns.hyperplanes(16, 64)
+    val b = VectorFns.hyperplanes(16, 64)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
+    val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = SparkEntry.queries("x11_ann_lsh")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val overlap = ann.count { case (id, _) => exact.contains(id) }
+    assert(overlap >= 3, s"ANN recall too low: $overlap/10")
+    // distances for recalled ids must match the exact computation
+    ann.filter { case (id, _) => exact.contains(id) }.foreach {
+      case (id, c) => assert(c === exact(id), s"vec $id distance mismatch")
+    }
+  }
+}
