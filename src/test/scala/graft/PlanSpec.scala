@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape audit: the physical plans must have the properties that
+  * keep these queries viable at 100 TB — predicate pushdown to the
+  * scan, column pruning, broadcast joins for dims, top-k instead of
+  * global sort. Regressions here are performance bugs even when
+  * results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("q2_point: predicate pushed to parquet scan") {
+    val p = plan("q2_point")
+    assert(p.contains("PushedFilters") && p.contains("c_custkey"),
+      s"no pushdown in:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(c_custkey,42\\).*"),
+      s"point predicate not pushed:\n$p")
+  }
+
+  test("q1_scan: column pruning reaches the scan") {
+    val p = plan("q1_scan")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("r_comment"), "reads columns it does not need")
+  }
+
+  test("q16_join3: dimension joins are broadcast, not shuffled") {
+    val p = plan("q16_join3")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
+  }
+
+  test("q9_semijoin: broadcast left-semi") {
+    val p = plan("q9_semijoin")
+    assert(p.contains("LeftSemi"), s"not a semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"semi join not broadcast:\n$p")
+  }
+
+  test("q13_topk: TakeOrderedAndProject, no global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k does a full sort:\n$p")
+  }
+
+  test("q18_tpch1: partial aggregation before the shuffle") {
+    val p = plan("q18_tpch1")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("x7_ngram_jaccard: inverted-index join is an equi-join, not cartesian") {
+    val p = plan("x7_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup join degenerated to a cross product:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan+filter+project pipeline") {
+    // AQE only shows codegen spans in the finalized plan → execute first
+    val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) Operator" in plan toString
+    assert(p.contains("*(") && p.contains("*(1) ColumnarToRow") ||
+      p.matches("(?s).*\\*\\(\\d+\\) (Filter|Project|Sort).*"),
+      s"no codegen span:\n$p")
+  }
+}
