@@ -333,6 +333,38 @@ object CoreQueries {
           .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
+    // top-N per group — the windowed variant of top-k (pipeline staple:
+    // best-k samples per bucket). Shuffles once on the partition key.
+    Query("x14_topn_per_group",
+      "SELECT o_orderstatus, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 2 ORDER BY o_orderstatus, o_orderkey") {
+      (s, d) =>
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderstatus", "o_orderkey")
+    },
+
+    // full cube (grouping-sets coverage; single-table, so it avoids the
+    // Spark 4.1 rollup-after-join analyzer bug q19 works around)
+    Query("x15_cube",
+      "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+        "FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey) " +
+        "ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST") {
+      (s, d) =>
+        table(s, d, "customer")
+          .cube("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+          .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
+    },
+
     // distinct count per group
     Query("q20_distinct_group",
       "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events " +
