@@ -174,6 +174,57 @@ final class Flows(spark: SparkSession, store: TableStore) {
     }
 
   // -------------------------------------------------------------------
+  // Consumer-side parity (inventario/main.go:56-133): one subscription
+  // over BOTH CDC topics {boletia.inventario, boletia.reservas} with
+  // content-based routing (O24) and message-type dispatch (O26):
+  //   inventario msgs: creation/seat-return echoes dropped (O27),
+  //     admitted reservations registered idempotently (O22), organizer
+  //     cancels cascaded (O23);
+  //   reservas msgs: estado='X' → seat return (O21), others dropped.
+  // Input frame: (topic, value) — KafkaIO.readTopics shape.
+  // -------------------------------------------------------------------
+  def consumerFlow(messages: DataFrame): StreamingQuery =
+    start(messages, "consumer") { batch =>
+      val invMsgs = CdcCodec.parseInventario(
+        batch.filter(col("topic") === "boletia.inventario").select(col("value")))
+        .filter(col("id").isNotNull)
+        .withColumn("clase",
+          CdcCodec.classifyInventario(col("canres"), col("estado")))
+      // O22: admitted-reservation messages → register (DetReserva
+      // projection: idres→id, nombre→evento, canres→cantidad)
+      val newReservas = invMsgs.filter(col("clase") === "insert_reservation")
+        .select(col("idres").as("id"), col("nombre").as("evento"),
+          lit("A").as("estado"), col("email"), col("canres").as("cantidad"))
+      val res0 = store.load("reservas")
+      store.replace("reservas",
+        MergeOps.insertIfAbsent(res0, newReservas, Seq("id")))
+      // O23: organizer-cancel messages → cascade (estado C propagates)
+      val cancelled = invMsgs.filter(col("clase") === "cascade_cancel")
+        .select(col("nombre"))
+      if (!cancelled.isEmpty) {
+        store.replace("reservas", MergeOps.semiJoinUpdate(store.load("reservas"),
+          cancelled, targetKey = "evento", sourceKey = "nombre",
+          guard = col("estado") === "A", sets = Map("estado" -> lit("C"))))
+        store.replace("inventario", MergeOps.guardedUpdate(store.load("inventario"),
+          cancelled, Seq("nombre"), guard = lit(true),
+          sets = Map("estado" -> lit("C"))))
+      }
+      // O21: customer-cancel messages (estado='X') → seat return;
+      // creation echoes (estado='A') dropped (inventario/main.go:111-113)
+      val returns = CdcCodec.parseReserva(
+        batch.filter(col("topic") === "boletia.reservas").select(col("value")))
+        .filter(col("id").isNotNull && col("estado") === "X")
+        .select(col("id"), col("evento"), col("email"),
+          (-col("cantidad")).cast("int").as("cantidad"),
+          monotonically_increasing_id().as("seq"))
+      if (!returns.isEmpty) {
+        val (updatedInv, _) =
+          MergeOps.admitReservations(store.load("inventario"), returns)
+        store.replace("inventario", updatedInv)
+      }
+    }
+
+  // -------------------------------------------------------------------
   // S7 — notifications: every reservas post-image formats exactly one
   // email by estado template (O29, notificaciones/main.go:76-96).
   // Append-only sink; in production the ForeachWriter hands rows to
