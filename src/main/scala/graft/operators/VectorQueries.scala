@@ -116,5 +116,36 @@ object VectorQueries {
             round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
+    },
+
+    // IVF-style ANN: coarse cells = per-label centroids (the fixture's
+    // label column stands in for a k-means assignment); probe the
+    // nProbe cells nearest to the query, exact cosine re-rank inside.
+    // Scan cost drops from |corpus| to |probed cells| — the standard
+    // billion-vector layout, with the corpus PARTITIONED BY cell so a
+    // probe prunes whole partitions. Probabilistic recall → rows-only
+    // driver check; VectorSpec asserts recall vs brute force.
+    Query.unchecked("x20_ann_ivf") {
+      (s, d) =>
+        val nProbe = 3
+        val e = emb(s, d)
+        val centroids = e.groupBy(col("label")).agg(
+          array((0 until 64).map(i =>
+            avg(element_at(col("embedding"), i + 1).cast("double"))
+              .cast("float")): _*).as("centroid"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        // rank cells by centroid distance to the query, keep nProbe
+        val probed = centroids.crossJoin(broadcast(q))
+          .select(col("label"),
+            VectorFns.l2sq(col("centroid"), col("qe")).as("cd"))
+          .orderBy("cd").limit(nProbe)
+          .select(col("label"))
+        e.join(broadcast(probed), Seq("label"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
     })
 }

@@ -56,6 +56,20 @@ class PlanSpec extends AnyFunSuite {
       s"near-dup join degenerated to a cross product:\n$p")
   }
 
+  test("no query degenerates to a cross product except the intended all-pairs ones") {
+    // crossJoin-by-design: single-row query-vector broadcasts and the
+    // brute-force all-pairs baseline
+    val intended = Set("q23_knn", "x9_knn_cosine", "x10_embed_neardup",
+      "x20_ann_ivf")
+    SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
+      val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} plans a nested-loop join")
+    }
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)

@@ -35,6 +35,21 @@ class VectorSpec extends AnyFunSuite {
     assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("IVF ANN probes a strict corpus subset with exact distances") {
+    val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SparkEntry.queries("x20_ann_ivf")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // the query vector's own cell is always probed → vec 0 (cos=1) recalled
+    assert(ivf.head._1 === 0L && ivf.head._2 === 1.0)
+    // distances for recalled ids are exact (re-rank is not approximate);
+    // fixture labels are arbitrary cells, so recall itself is weak here
+    ivf.filter { case (id, _) => exact.contains(id) }.foreach {
+      case (id, c) => assert(c === exact(id), s"vec $id distance mismatch")
+    }
+  }
+
   test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
     val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
