@@ -80,11 +80,21 @@ final class Flows(spark: SparkSession, store: TableStore) {
   // -------------------------------------------------------------------
   def admissionFlow(requests: DataFrame): StreamingQuery =
     start(requests, "admission") { rawBatch =>
+      // O16 input validation (reservas/main.go:112-115,142-145): reject
+      // non-positive quantities and malformed ids BEFORE the fold — a
+      // cantidad<=0 "request" would otherwise read as a seat return.
+      val validated = rawBatch.withColumn("__invalid",
+        when(col("cantidad") <= 0, "cantidad_invalida")
+          .when(!col("id").rlike("^[0-9a-f]{24}$"), "id_invalido"))
+      store.append("rechazos", validated.filter(col("__invalid").isNotNull)
+        .select(col("id"), col("evento"), col("email"), col("cantidad"),
+          col("__invalid").as("motivo")))
       // at-least-once redelivery dedup: a request whose id is already a
       // registered reservation is a duplicate → no-op (S5; the
       // reference's IsDup-tolerated insert, inventario/main.go:91-93)
-      val batch = rawBatch.join(store.load("reservas").select(col("id")),
-        Seq("id"), "left_anti")
+      val batch = validated.filter(col("__invalid").isNull).drop("__invalid")
+        .join(store.load("reservas").select(col("id")),
+          Seq("id"), "left_anti")
       val inv = store.load("inventario")
       val (updatedInv, log) = MergeOps.admitReservations(inv, batch)
       val admitted = log.filter(col("admitted"))

@@ -103,6 +103,27 @@ class FlowsSpec extends AnyFunSuite {
       ("619c1dae4b2120000195244d", "no_existe")))
   }
 
+  test("O16: invalid requests (cantidad<=0, malformed id) rejected before the fold") {
+    val (store, flows) = freshStore()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    store.init("inventario", Seq(
+      Tables.Inventario("619c1ca490812c00013e29c3", "Opera Boheme", 20,
+        "Opera", "A", null, null, 0)).toDF()
+      .withColumn("canres", lit(null).cast("int")))
+    val ms = MemoryStream[Req]
+    ms.addData(
+      Req("619c1dae4b21200001952449", "Opera Boheme", "a@b", 0, 1),  // cantidad<=0
+      Req("619c1dae4b2120000195244a", "Opera Boheme", "a@b", -5, 2), // would inflate capacity
+      Req("NOT-A-HEX-ID-AT-ALL-0000", "Opera Boheme", "a@b", 3, 3))  // bad id
+    run(flows.admissionFlow(ms.toDS().toDF()))
+    // capacity untouched — the negative "request" did NOT become a seat return
+    assert(store.load("inventario").collect().head.getInt(2) === 20)
+    assert(store.load("reservas").count() === 0)
+    val motivos = store.load("rechazos").collect().map(_.getString(4)).sorted
+    assert(motivos.toSeq === Seq("cantidad_invalida", "cantidad_invalida", "id_invalido"))
+  }
+
   test("S5: redelivered admission request is a no-op") {
     val (store, flows) = freshStore()
     implicit val sql = spark.sqlContext
