@@ -409,6 +409,36 @@ object CoreQueries {
           .orderBy("p_brand")
     },
 
+    // batch sessionization (the batch twin of S9 session windows):
+    // 30-minute-gap sessions via lag + running sum of session breaks.
+    // Gap test in integer microseconds so both engines compare exactly;
+    // equal-timestamp ties collapse into the same session, so tie order
+    // cannot change any output value.
+    Query("x21_sessionize",
+      "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "d AS (SELECT user_id, us, CASE WHEN us - LAG(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us) > 1800000000 " +
+        "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, us, CAST(SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM d) " +
+        "SELECT user_id, sid, COUNT(*) AS n, CAST(MIN(us) AS BIGINT) AS start_us " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) =>
+        val byUser = Window.partitionBy("user_id").orderBy("us")
+        table(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("us"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n"), min(col("us")).as("start_us"))
+          .orderBy("user_id", "sid")
+    },
+
     // distinct count per group
     Query("q20_distinct_group",
       "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events " +
