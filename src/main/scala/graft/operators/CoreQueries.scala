@@ -439,6 +439,43 @@ object CoreQueries {
           .orderBy("user_id", "sid")
     },
 
+    // correlated scalar subquery: orders beating twice their customer's
+    // average (decorrelated into agg + join — the plan Catalyst produces
+    // for the subquery form, written explicitly). Exact-decimal avg so
+    // the comparison threshold is bit-identical across engines.
+    Query("x23_correlated",
+      "SELECT o.o_orderkey FROM orders o JOIN " +
+        "(SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) a " +
+        "ON o.o_custkey = a.o_custkey WHERE o.o_totalprice > 2 * a.avg_price " +
+        "ORDER BY o.o_orderkey") {
+      (s, d) =>
+        val o = table(s, d, "orders")
+        val avgs = o.groupBy(col("o_custkey").as("ck"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_price"))
+        o.join(avgs, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > lit(2) * col("avg_price"))
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+    },
+
+    // correlated EXISTS with an inequality: customers with at least one
+    // order above 450k (semi join on a filtered build side)
+    Query("x24_exists",
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 450000) ORDER BY c_custkey") {
+      (s, d) =>
+        table(s, d, "customer")
+          .join(table(s, d, "orders")
+            .filter(col("o_totalprice") > 450000)
+            .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+    },
+
     // distinct count per group
     Query("q20_distinct_group",
       "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events " +
