@@ -23,11 +23,15 @@ object TextFns {
   def tokenCount(text: Column): Column =
     size(tokens(text)).cast("bigint")
 
-  /** Distinct word n-gram shingles (default 3) over a token array. */
+  /** Distinct word n-gram shingles (default 3) over a token array.
+    * Empty for arrays shorter than n — matching the DuckDB mirror's
+    * `range(len-…) → []`; an unguarded sequence(0, negative) would
+    * generate a DESCENDING range and crash on element_at(ts, 0). */
   def shingles(ts: Column, n: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(ts) - lit(n)),
-      i => concat_ws(" ", (1 to n).map(k => element_at(ts, i + lit(k))): _*)))
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", (1 to n).map(k => element_at(ts, i + lit(k))): _*))))
 
   /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
   def hexDigit(hexStr: Column, i: Int): Column = {

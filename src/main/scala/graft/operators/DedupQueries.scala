@@ -30,6 +30,15 @@ object DedupQueries {
   private val Threshold = 0.8
   private val Seeds = 0 until 8 // 8 minhash permutations → 4 bands of 2
 
+  // Each builder invocation salts its persisted subtree with a fresh
+  // nonce (projected away before output): otherwise Spark's
+  // CacheManager plan-matches a later invocation onto an earlier
+  // invocation's cache — which made Bench's timed run read the warmup
+  // run's cache instead of doing the work it claims to measure.
+  private val nonce = new java.util.concurrent.atomic.AtomicLong(0)
+  private def salted(df: DataFrame): DataFrame =
+    df.withColumn("__nonce", lit(nonce.incrementAndGet()))
+
   /** doc_id + distinct 3-gram shingle set (docs with ≥3 tokens). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
@@ -83,9 +92,10 @@ object DedupQueries {
         "ORDER BY doc_a, doc_b") {
       (s, d) =>
         // persisted: both sides of the inverted-index self-join read it
-        val ex = shingled(s, d)
-          .select(col("doc_id"), col("n"), explode(col("s")).as("g"))
+        val ex = salted(shingled(s, d)
+          .select(col("doc_id"), col("n"), explode(col("s")).as("g")))
           .persist()
+          .drop("__nonce")
         val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("g"))
         val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("g"))
         a.join(b, Seq("g"))
@@ -131,10 +141,11 @@ object DedupQueries {
         // join); without it the HOF shingling and hashing re-run per
         // branch. h1/h2 are computed ONCE per shingle — the 8
         // signatures are substring minima over the cached hash arrays.
-        val sh = shingled(s, d)
+        val sh = salted(shingled(s, d)
           .withColumn("h1", transform(col("s"), g => md5(g)))
-          .withColumn("h2", transform(col("s"), g => md5(concat(lit("~"), g))))
+          .withColumn("h2", transform(col("s"), g => md5(concat(lit("~"), g)))))
           .persist()
+          .drop("__nonce")
         val sigCols = Seeds.map { k =>
           if (k < 4)
             array_min(transform(col("h1"), h => substring(h, 8 * k + 1, 8)))
@@ -145,7 +156,7 @@ object DedupQueries {
           case (Seq(s1, s2), i) => concat(lit(s"$i|"), s1, s2)
         }.toSeq
         val bands = sh.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bv")).persist()
+          explode(array(bandCols: _*)).as("bv"))
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))

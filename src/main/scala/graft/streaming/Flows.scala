@@ -29,23 +29,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * (`spark.readStream.format("kafka")`) and Delta MERGE; MemoryStream
  * drives the same code in tests.
  */
-final class Flows(spark: SparkSession, store: TableStore) {
+final class Flows(spark: SparkSession, store: TableStore,
+    checkpointRoot: Option[String] = None) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
-      body: DataFrame => Unit): StreamingQuery =
-    df.writeStream
+      body: DataFrame => Unit): StreamingQuery = {
+    val w = df.writeStream
       .queryName(name)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // replay protection (see TableStore.commitBatch)
-        if (batchId > store.lastCommitted(name)) {
+        // batchId-based replay protection is only sound when batchIds
+        // are monotonic across restarts, i.e. with a persistent
+        // checkpoint. A temp checkpoint restarts numbering at 0 on
+        // every start() and the guard would silently drop real batches.
+        if (checkpointRoot.isEmpty || batchId > store.lastCommitted(name)) {
           body(batch)
-          store.commitBatch(name, batchId)
+          if (checkpointRoot.isDefined) store.commitBatch(name, batchId)
         }
       }
-      .start()
+    checkpointRoot.foreach(r => w.option("checkpointLocation", s"$r/$name"))
+    w.start()
+  }
 
   // -------------------------------------------------------------------
   // S1 — event creation: eventos CDC post-images upsert into eventos
@@ -81,18 +87,27 @@ final class Flows(spark: SparkSession, store: TableStore) {
   def admissionFlow(requests: DataFrame): StreamingQuery =
     start(requests, "admission") { rawBatch =>
       // O16 input validation (reservas/main.go:112-115,142-145): reject
-      // non-positive quantities and malformed ids BEFORE the fold — a
-      // cantidad<=0 "request" would otherwise read as a seat return.
+      // null/non-positive quantities and null/malformed ids BEFORE the
+      // fold — a cantidad<=0 "request" would otherwise read as a seat
+      // return, and NULLs would slip three-valued-logic predicates.
       val validated = rawBatch.withColumn("__invalid",
-        when(col("cantidad") <= 0, "cantidad_invalida")
-          .when(!col("id").rlike("^[0-9a-f]{24}$"), "id_invalido"))
-      store.append("rechazos", validated.filter(col("__invalid").isNotNull)
-        .select(col("id"), col("evento"), col("email"), col("cantidad"),
-          col("__invalid").as("motivo")))
-      // at-least-once redelivery dedup: a request whose id is already a
-      // registered reservation is a duplicate → no-op (S5; the
-      // reference's IsDup-tolerated insert, inventario/main.go:91-93)
+        when(col("cantidad").isNull || col("cantidad") <= 0, "cantidad_invalida")
+          .when(col("id").isNull || !col("id").rlike("^[0-9a-f]{24}$"),
+            "id_invalido"))
+      store.appendUnique("rechazos",
+        validated.filter(col("__invalid").isNotNull)
+          .select(col("id"), col("evento"), col("email"), col("cantidad"),
+            col("__invalid").as("motivo")), Seq("id", "motivo"))
+      // redelivery dedup, two layers: within-batch duplicates collapse
+      // to the earliest seq (a dup would otherwise decrement capacity
+      // twice while inserting one reservation), then anything already
+      // registered in reservas is a cross-batch duplicate → no-op
+      // (S5; the reference's IsDup-tolerated insert,
+      // inventario/main.go:91-93)
+      val wDup = Window.partitionBy(col("id")).orderBy(col("seq"))
       val batch = validated.filter(col("__invalid").isNull).drop("__invalid")
+        .withColumn("__rn", row_number().over(wDup))
+        .filter(col("__rn") === 1).drop("__rn")
         .join(store.load("reservas").select(col("id")),
           Seq("id"), "left_anti")
         .persist() // consumed by the fold AND the unknown-event check
@@ -131,7 +146,7 @@ final class Flows(spark: SparkSession, store: TableStore) {
         .unionByName(MergeOps.unknownEventRequests(inv, batch)
           .select(col("id"), col("evento"), col("email"), col("cantidad"),
             lit("no_existe").as("motivo")))
-      store.append("rechazos", rejected)
+      store.appendUnique("rechazos", rejected, Seq("id", "motivo"))
       batch.unpersist()
       log.unpersist()
     }
@@ -227,18 +242,28 @@ final class Flows(spark: SparkSession, store: TableStore) {
           sets = Map("estado" -> lit("C"))))
       }
       // O21: customer-cancel messages (estado='X') → seat return;
-      // creation echoes (estado='A') dropped (inventario/main.go:111-113)
+      // creation echoes (estado='A') dropped (inventario/main.go:111-113).
+      // A reservation is returnable at most ONCE: dedupe within the
+      // batch and against the processed-returns table, else a
+      // redelivered X message (at-least-once) would inflate capacity.
+      if (!store.exists("devoluciones"))
+        store.init("devoluciones", Seq.empty[String].toDF("id"))
       val returns = CdcCodec.parseReserva(
         batch.filter(col("topic") === "boletia.reservas").select(col("value")))
         .filter(col("id").isNotNull && col("estado") === "X")
+        .dropDuplicates("id")
+        .join(store.load("devoluciones"), Seq("id"), "left_anti")
         .select(col("id"), col("evento"), col("email"),
           (-col("cantidad")).cast("int").as("cantidad"),
           monotonically_increasing_id().as("seq"))
+        .persist()
       if (!returns.isEmpty) {
         val (updatedInv, _) =
           MergeOps.admitReservations(store.load("inventario"), returns)
         store.replace("inventario", updatedInv)
+        store.appendUnique("devoluciones", returns.select(col("id")), Seq("id"))
       }
+      returns.unpersist()
     }
 
   // -------------------------------------------------------------------
@@ -261,6 +286,9 @@ final class Flows(spark: SparkSession, store: TableStore) {
             .when(col("estado") === "C",
               lit(" fue cancelada, el evento fue suspendido por los organizadores"))
             .otherwise(lit(" fue cancelada a petición suya"))).as("body"))
-      store.append("notificaciones", formatted)
+      // appendUnique keyed on (id, body): crash-replay of a batch must
+      // not double-send; the same reservation legitimately produces
+      // different bodies over its lifecycle (A then X)
+      store.appendUnique("notificaciones", formatted, Seq("id", "body"))
     }
 }

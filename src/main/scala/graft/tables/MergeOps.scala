@@ -44,7 +44,14 @@ object MergeOps {
   def guardedUpdate(target: DataFrame, batch: DataFrame, key: Seq[String],
       guard: Column, sets: Map[String, Column],
       batchCols: Seq[String] = Nil): DataFrame = {
-    val b = batch.select((key ++ batchCols).distinct.map(c => col(c).as(s"__b_$c")): _*)
+    // dedupe batch keys (deterministically, by batch-column order): a
+    // left join against duplicate keys would MULTIPLY target rows
+    val cols = (key ++ batchCols).distinct
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(cols.filterNot(key.contains).map(col) :+ lit(1): _*)
+    val b = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(cols.map(c => col(c).as(s"__b_$c")): _*)
     val joined = target.join(b,
       key.map(k => col(k) === col(s"__b_$k")).reduce(_ && _), "left")
     val matched = col(s"__b_${key.head}").isNotNull && guard

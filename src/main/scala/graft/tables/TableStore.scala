@@ -60,6 +60,19 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!exists(name)) replace(name, df)
     else replace(name, load(name).unionByName(df))
 
+  /** Idempotent append: rows whose `key` already exists are dropped, so
+    * a crash-replayed batch cannot double-append (the append-only
+    * analogue of the key-idempotent MERGEs). */
+  def appendUnique(name: String, df: DataFrame, key: Seq[String]): Unit =
+    if (!exists(name)) replace(name, df.dropDuplicates(key))
+    else {
+      val cur = load(name)
+      val fresh = df.dropDuplicates(key)
+        .join(cur.select(key.map(org.apache.spark.sql.functions.col): _*),
+          key, "left_anti")
+      replace(name, cur.unionByName(fresh))
+    }
+
   // -- per-flow batch commit log: replay protection for foreachBatch ---
   // Structured Streaming re-runs a failed micro-batch with the same
   // batchId; flows consult this log and skip already-committed ids, the

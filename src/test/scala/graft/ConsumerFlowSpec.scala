@@ -77,6 +77,13 @@ class ConsumerFlowSpec extends AnyFunSuite {
     run(flows.consumerFlow(ms.toDS().toDF()))
     assert(store.load("inventario").filter(col("nombre") === "Opera Boheme")
       .collect().head.getInt(2) === 20)
+    // redelivered X message in a later batch must NOT inflate capacity
+    val ms2 = MemoryStream[Msg]
+    ms2.addData(Msg("boletia.reservas",
+      q("""{"_id": {"$oid": "619c1dae4b21200001952449"}, "evento": "Opera Boheme", "estado": "X", "email": "pepediaz@gmail.com", "cantidad": 3}""")))
+    run(flows.consumerFlow(ms2.toDS().toDF()))
+    assert(store.load("inventario").filter(col("nombre") === "Opera Boheme")
+      .collect().head.getInt(2) === 20) // still 20, not 23
     assert(store.load("inventario").filter(col("nombre") === "Opera Rigoletto")
       .collect().head.getString(4) === "C")
     val res = store.load("reservas").collect()

@@ -124,6 +124,23 @@ class FlowsSpec extends AnyFunSuite {
     assert(motivos.toSeq === Seq("cantidad_invalida", "cantidad_invalida", "id_invalido"))
   }
 
+  test("S5b: duplicate request ids WITHIN one batch decrement capacity once") {
+    val (store, flows) = freshStore()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    store.init("inventario", Seq(
+      Tables.Inventario("619c1ca490812c00013e29c3", "Opera Boheme", 20,
+        "Opera", "A", null, null, 0)).toDF()
+      .withColumn("canres", lit(null).cast("int")))
+    val ms = MemoryStream[Req]
+    ms.addData( // same id twice in one micro-batch
+      Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 1),
+      Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 2))
+    run(flows.admissionFlow(ms.toDS().toDF()))
+    assert(store.load("inventario").collect().head.getInt(2) === 17) // not 14
+    assert(store.load("reservas").count() === 1)
+  }
+
   test("S5: redelivered admission request is a no-op") {
     val (store, flows) = freshStore()
     implicit val sql = spark.sqlContext
