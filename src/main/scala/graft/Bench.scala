@@ -9,7 +9,19 @@ import org.apache.spark.sql.SparkSession
   * materializes (a bare count() would let Catalyst prune projections).
   * One untimed warmup run amortizes JVM/codegen cost, then the timed
   * run measures steady-state execution — what a long-lived cluster
-  * actually sees. */
+  * actually sees.
+  *
+  * Hygiene between queries: nothing in any query builder persists or
+  * caches (verified — a cached subtree would both pin storage memory
+  * and let a later run silently read an earlier run's cache), and an
+  * explicit GC tick runs after each query OUTSIDE the timed section.
+  * Spark's ContextCleaner releases broadcast/shuffle/RDD state only
+  * when driver-side references are garbage-collected; across 53
+  * queries × 2 runs on one JVM, waiting for organic GC lets dead
+  * state accumulate until allocation-heavy queries pay for it in GC
+  * thrash (observed: 20–100× degradation late in a run). The JSON
+  * line carries per-query GC seconds so any regression is visible in
+  * the recorded artifact, not just locally. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,30 +31,46 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // safety net: periodic ContextCleaner GC every 60s instead of the
+      // 30min default (a full bench run can finish inside one default
+      // interval, i.e. with zero cleanups)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum / 1e3
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         exec(fn) // warmup: codegen + parquet footer caches
+        val g0 = gcSeconds()
         val t0 = System.nanoTime()
         exec(fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcSeconds() - g0
+        System.gc() // untimed: release dead broadcast/shuffle refs now
+        (name, sec, gc)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          (name, -1.0, 0.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

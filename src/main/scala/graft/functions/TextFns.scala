@@ -25,13 +25,11 @@ object TextFns {
 
   /** Distinct word n-gram shingles (default 3) over a token array.
     * Empty for arrays shorter than n — matching the DuckDB mirror's
-    * `range(len-…) → []`; an unguarded sequence(0, negative) would
-    * generate a DESCENDING range and crash on element_at(ts, 0). */
+    * `range(len-…) → []`. Codegen expression: the interpreted
+    * transform/concat_ws/array_distinct formulation it replaces was the
+    * dominant cost of every dedup query. */
   def shingles(ts: Column, n: Int = 3): Column =
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(ts) - lit(n)),
-        i => concat_ws(" ", (1 to n).map(k => element_at(ts, i + lit(k))): _*))))
+    graft.functions.expressions.TextExpressions.shingles_distinct(ts, n)
 
   /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
   def hexDigit(hexStr: Column, i: Int): Column = {
@@ -48,13 +46,12 @@ object TextFns {
 
   /** Polynomial rolling-hash fingerprint of the token stream, mod 1e9+7.
     * Token code = 131*len + first-char codepoint; the fold is sequential
-    * (order-sensitive), which is the point of a document fingerprint. */
+    * (order-sensitive), which is the point of a document fingerprint.
+    * Codegen expression — the interpreted `aggregate(transform(...))`
+    * fold it replaces ran 50–100× slower under memory pressure. */
   val FpMod = 1000000007L
   def fingerprint(ts: Column): Column =
-    aggregate(
-      transform(ts, t => (length(t) * 131 + ascii(t)).cast("bigint")),
-      lit(0L),
-      (acc, v) => (acc * 131 + v) % FpMod)
+    graft.functions.expressions.TextExpressions.rolling_fp(ts)
 
   /** Per-language marker tokens (top-frequency tokens per lang in the
     * fixture corpus). A real system would ship n-gram profiles; the

@@ -1,0 +1,233 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the text-pipeline hot paths:
+ * n-gram shingling, the rolling-hash document fingerprint, 16-bit
+ * SimHash, and the MinHash/LSH band signatures.
+ *
+ * The built-in higher-order-function routes (`transform`/`aggregate`)
+ * are semantically identical but run interpreted: per token they
+ * allocate lambda bindings and box values, which made x5/x6/x7/x8 the
+ * slowest queries in the engine by 1–2 orders of magnitude. Each
+ * expression here evaluates in one compiled pass over the token
+ * `ArrayData`, and `doGenCode` emits a single static call so the
+ * surrounding whole-stage codegen span stays intact.
+ *
+ * Parity contract (the DuckDB oracle hashes results bit-for-bit):
+ *  - token "ascii" = code point of the first character — exactly
+ *    Spark's `Ascii` (substring(0,1).codePointAt(0)) and DuckDB's
+ *    `ascii`;
+ *  - token length = numChars, matching `length()` in both engines;
+ *  - shingle list = distinct-by-first-occurrence, matching
+ *    `array_distinct`/`list_distinct`;
+ *  - md5-derived values use the same byte/hex-digit arithmetic as the
+ *    `md5()`-string formulations they replace (first 16 bits of the
+ *    digest == the 4-hex-digit arithmetic of TextFns.md5Bits16).
+ */
+object TextExprUtil {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val Tilde = Array[Byte]('~')
+
+  /** Distinct n-gram shingles (space-joined), first-occurrence order —
+    * bit-identical to array_distinct(transform(sequence(...),
+    * concat_ws(" ", ...))). Empty output for arrays shorter than n. */
+  def shingles(ts: ArrayData, n: Int): ArrayData = {
+    val len = ts.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = ts.getUTF8String(i + k); k += 1 }
+      // concat_ws skips nulls; split() never yields them, but stay exact
+      seen.add(UTF8String.concatWs(sep, parts.filter(_ != null).toIndexedSeq: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Code point of the first char, Spark `Ascii` semantics (0 if empty). */
+  private def asciiOf(t: UTF8String): Long =
+    if (t.numChars() > 0) t.substring(0, 1).toString.codePointAt(0).toLong else 0L
+
+  /** Sequential polynomial rolling hash over the token stream:
+    * fold((acc * 131 + (numChars(t) * 131 + ascii(t))) % 1e9+7), the
+    * exact fold of TextFns.fingerprint / the DuckDB list_reduce. */
+  def rollingFp(ts: ArrayData): Long = {
+    val len = ts.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val t = ts.getUTF8String(i)
+      val code = t.numChars().toLong * 131L + asciiOf(t)
+      acc = (acc * 131L + code) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  /** 16-bit SimHash over md5(token): v16 = first two digest bytes
+    * (== the 4-hex-digit arithmetic of md5Bits16); per bit j the sign
+    * sum over all token occurrences; result = Σ 2^j where sum > 0. */
+  def simhash16(ts: ArrayData): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](16)
+    val len = ts.numElements()
+    var i = 0
+    while (i < len) {
+      md.reset()
+      val d = md.digest(ts.getUTF8String(i).getBytes)
+      val v16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var j = 0
+      while (j < 16) {
+        counts(j) += (if (((v16 >> j) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  private def hexDigest(md: java.security.MessageDigest, extra: Array[Byte],
+      g: UTF8String, out: Array[Char]): Unit = {
+    md.reset()
+    if (extra != null) md.update(extra)
+    val d = md.digest(g.getBytes)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+  }
+
+  /** LSH band signatures from a shingle set: 8 minhash values (the
+    * lexicographic minima of the 8-hex-char chunks of md5(g) and
+    * md5('~' || g)), paired into 4 "<band>|<sig2k><sig2k+1>" strings —
+    * the exact values of the transform/array_min/concat formulation it
+    * replaces (and of the DuckDB oracle SQL). Null bands for an empty
+    * shingle set, matching array_min-of-empty = null. */
+  def minhashBands(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array[Any](null, null, null, null))
+    val md = md5Local.get()
+    // best(k) = running minimum of hex chunk k (8 from h1, then 8 from h2)
+    val best = Array.fill(8)(new Array[Char](8))
+    val h1 = new Array[Char](32)
+    val h2 = new Array[Char](32)
+    var i = 0
+    while (i < n) {
+      val g = sh.getUTF8String(i)
+      hexDigest(md, null, g, h1)
+      hexDigest(md, Tilde, g, h2)
+      var k = 0
+      while (k < 8) {
+        val src = if (k < 4) h1 else h2
+        val off = (k % 4) * 8
+        val b = best(k)
+        var cmp = 0
+        if (i == 0) cmp = -1
+        else {
+          var j = 0
+          while (cmp == 0 && j < 8) {
+            cmp = Character.compare(src(off + j), b(j))
+            j += 1
+          }
+        }
+        if (cmp < 0) { System.arraycopy(src, off, b, 0, 8) }
+        k += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](4)
+    var bi = 0
+    while (bi < 4) {
+      val sb = new java.lang.StringBuilder(19)
+      sb.append(bi).append('|').append(best(2 * bi)).append(best(2 * bi + 1))
+      bands(bi) = UTF8String.fromString(sb.toString)
+      bi += 1
+    }
+    new GenericArrayData(bands)
+  }
+}
+
+/** Unary expression whose codegen is one static call into
+  * TextExprUtil — the call sits inside the enclosing whole-stage
+  * codegen function, so upstream/downstream operators stay fused. */
+abstract class TextUnary extends UnaryExpression {
+  /** Fully-qualified static call, given the child variable name. */
+  protected def staticCall(c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${staticCall(c)};")
+}
+
+case class ShinglesDistinct(child: Expression, n: Int) extends TextUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.shingles(a.asInstanceOf[ArrayData], n)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.shingles($c, $n)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingles_distinct"
+}
+
+case class RollingHashFp(child: Expression) extends TextUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.rollingFp(a.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.rollingFp($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "rolling_fp"
+}
+
+case class SimHash16(child: Expression) extends TextUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.simhash16(a.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.simhash16($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash16"
+}
+
+case class MinHashBands(child: Expression) extends TextUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.minhashBands(a.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.minhashBands($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}
+
+object TextExpressions {
+  private def expr(c: Column): Expression = Bridge.expression(c)
+  def shingles_distinct(ts: Column, n: Int = 3): Column =
+    Bridge.column(ShinglesDistinct(expr(ts), n))
+  def rolling_fp(ts: Column): Column = Bridge.column(RollingHashFp(expr(ts)))
+  def simhash16(ts: Column): Column = Bridge.column(SimHash16(expr(ts)))
+  def minhash_bands(sh: Column): Column = Bridge.column(MinHashBands(expr(sh)))
+}

@@ -95,9 +95,10 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
-    // 16-bit SimHash fingerprint from md5-derived token hashes.
-    // explode(token × bit) → per-bit sign sums → weighted recombine:
-    // two narrow shuffles on doc_id, both partial-aggregated map-side.
+    // 16-bit SimHash fingerprint from md5-derived token hashes,
+    // computed per-document in one codegen pass (SimHash16): no shuffle
+    // at all except the deterministic ORDER BY. The oracle keeps the
+    // relational explode(token × bit) formulation — same values.
     Query("x6_simhash",
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
@@ -107,20 +108,10 @@ object TextQueries {
         "SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
         "AS BIGINT) AS simhash FROM c GROUP BY doc_id ORDER BY doc_id") {
       (s, d) =>
-        val tok = table(s, d, "documents")
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
-        val v = tok.select(col("doc_id"), TextFns.md5Bits16(col("t")).as("v16"))
-        val bits = v
-          .select(col("doc_id"), col("v16"),
-            explode(sequence(lit(0), lit(15))).as("j"))
-          .withColumn("bit",
-            floor(col("v16") / pow(lit(2.0), col("j"))).cast("bigint") % 2)
-        bits
-          .groupBy("doc_id", "j")
-          .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("sgn"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("sgn") > 0, pow(lit(2.0), col("j")).cast("bigint"))
-            .otherwise(0L)).as("simhash"))
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.expressions.TextExpressions
+              .simhash16(TextFns.tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")
     })
 }
