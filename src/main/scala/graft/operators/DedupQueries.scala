@@ -93,30 +93,67 @@ object DedupQueries {
             countDistinct(md5(col("text"))).as("uniq"))
     },
 
-    // exact n-gram-Jaccard near-dup pairs: df-bounded shingle inverted
-    // index generates candidates, exact intersection verifies them
+    // exact n-gram-Jaccard near-dup pairs. The intersection size falls
+    // out of the inverted-index join itself: shingle sets are distinct
+    // per document, so counting shared index keys per (doc_a, doc_b)
+    // IS |cold(a) ∩ cold(b)| — no per-pair array materialization, no
+    // array_intersect over millions of candidates. The df-cutoff drops
+    // hot shingles from the index; exactness is restored by adding the
+    // per-pair hot-shingle overlap (per-doc hot sets are bounded by the
+    // tiny hot vocabulary, so that correction join carries small arrays).
     Query("x7_ngram_jaccard",
       s"WITH $shingledSql, " +
         "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
-        s"cold AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= $MaxDf), " +
-        "ex2 AS (SELECT ex.doc_id, ex.g FROM ex JOIN cold USING (g)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id), " +
-        verifiedSql) {
+        s"hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > $MaxDf), " +
+        "ex2 AS (SELECT doc_id, g FROM ex WHERE g NOT IN (SELECT g FROM hot)), " +
+        "pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cold " +
+        "FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "hd AS (SELECT doc_id, list(DISTINCT g) AS hs FROM ex " +
+        "WHERE g IN (SELECT g FROM hot) GROUP BY doc_id), " +
+        "sz AS (SELECT doc_id, len(s) AS n FROM sh), " +
+        "j AS (SELECT doc_a, doc_b, " +
+        "cold + COALESCE(len(list_intersect(ha.hs, hb.hs)), 0) AS inter, " +
+        "sa.n AS na, sb.n AS nb FROM pc " +
+        "LEFT JOIN hd ha ON ha.doc_id = doc_a " +
+        "LEFT JOIN hd hb ON hb.doc_id = doc_b " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
+        "ORDER BY doc_a, doc_b") {
       (s, d) =>
         val sh = shingled(s, d)
+        val sz = sh.select(col("doc_id"), col("n"))
         val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
         // df-cutoff: drop hot shingles from the index. The hot set is
         // tiny by definition → broadcast anti-join against it.
         val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > MaxDf).select("g")
         val ex2 = ex.join(broadcast(hot), Seq("g"), "left_anti")
-        val cand = ex2.as("a")
+        val cold = ex2.as("a")
           .join(ex2.as("b"),
             col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        verified(cand, sh)
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("cold"))
+        // hot-overlap correction term (empty at fixture scale — the
+        // cutoff sits above the max observed df — but keeps the cutoff
+        // exact on corpora where it actually prunes)
+        val hd = ex.join(broadcast(hot), Seq("g"))
+          .groupBy("doc_id").agg(collect_set(col("g")).as("hs"))
+        cold
+          .join(broadcast(hd.select(col("doc_id").as("doc_a"), col("hs").as("ha"))),
+            Seq("doc_a"), "left")
+          .join(broadcast(hd.select(col("doc_id").as("doc_b"), col("hs").as("hb"))),
+            Seq("doc_b"), "left")
+          .withColumn("inter", col("cold") +
+            when(col("ha").isNull || col("hb").isNull, lit(0L))
+              .otherwise(size(array_intersect(col("ha"), col("hb"))).cast("long")))
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= Threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
     },
 
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex
