@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -67,12 +68,17 @@ object TextExprUtil {
 
   /** Sequential polynomial rolling hash over the token stream:
     * fold((acc * 131 + (numChars(t) * 131 + ascii(t))) % 1e9+7), the
-    * exact fold of TextFns.fingerprint / the DuckDB list_reduce. */
-  def rollingFp(ts: ArrayData): Long = {
+    * exact fold of TextFns.fingerprint / the DuckDB list_reduce.
+    * A null element poisons the fold to null — exactly the
+    * three-valued arithmetic of the `transform`+`aggregate`
+    * formulation this replaces (length(null)*131+ascii(null) = null,
+    * and a null step nulls the accumulator for good). */
+  def rollingFp(ts: ArrayData): java.lang.Long = {
     val len = ts.numElements()
     var acc = 0L
     var i = 0
     while (i < len) {
+      if (ts.isNullAt(i)) return null
       val t = ts.getUTF8String(i)
       val code = t.numChars().toLong * 131L + asciiOf(t)
       acc = (acc * 131L + code) % 1000000007L
@@ -83,13 +89,16 @@ object TextExprUtil {
 
   /** 16-bit SimHash over md5(token): v16 = first two digest bytes
     * (== the 4-hex-digit arithmetic of md5Bits16); per bit j the sign
-    * sum over all token occurrences; result = Σ 2^j where sum > 0. */
-  def simhash16(ts: ArrayData): Long = {
+    * sum over all token occurrences; result = Σ 2^j where sum > 0.
+    * A null token yields a null SimHash (md5(null) = null poisons the
+    * per-token hash in the relational formulation). */
+  def simhash16(ts: ArrayData): java.lang.Long = {
     val md = md5Local.get()
     val counts = new Array[Int](16)
     val len = ts.numElements()
     var i = 0
     while (i < len) {
+      if (ts.isNullAt(i)) return null
       md.reset()
       val d = md.digest(ts.getUTF8String(i).getBytes)
       val v16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
@@ -130,36 +139,43 @@ object TextExprUtil {
     * shingle set, matching array_min-of-empty = null. */
   def minhashBands(sh: ArrayData): ArrayData = {
     val n = sh.numElements()
-    if (n == 0) return new GenericArrayData(Array[Any](null, null, null, null))
     val md = md5Local.get()
     // best(k) = running minimum of hex chunk k (8 from h1, then 8 from h2)
     val best = Array.fill(8)(new Array[Char](8))
     val h1 = new Array[Char](32)
     val h2 = new Array[Char](32)
+    var seen = 0
     var i = 0
     while (i < n) {
-      val g = sh.getUTF8String(i)
-      hexDigest(md, null, g, h1)
-      hexDigest(md, Tilde, g, h2)
-      var k = 0
-      while (k < 8) {
-        val src = if (k < 4) h1 else h2
-        val off = (k % 4) * 8
-        val b = best(k)
-        var cmp = 0
-        if (i == 0) cmp = -1
-        else {
-          var j = 0
-          while (cmp == 0 && j < 8) {
-            cmp = Character.compare(src(off + j), b(j))
-            j += 1
+      // null shingles are skipped — array_min (and DuckDB
+      // list_aggregate 'min') ignore null elements
+      if (!sh.isNullAt(i)) {
+        val g = sh.getUTF8String(i)
+        hexDigest(md, null, g, h1)
+        hexDigest(md, Tilde, g, h2)
+        var k = 0
+        while (k < 8) {
+          val src = if (k < 4) h1 else h2
+          val off = (k % 4) * 8
+          val b = best(k)
+          var cmp = 0
+          if (seen == 0) cmp = -1
+          else {
+            var j = 0
+            while (cmp == 0 && j < 8) {
+              cmp = Character.compare(src(off + j), b(j))
+              j += 1
+            }
           }
+          if (cmp < 0) { System.arraycopy(src, off, b, 0, 8) }
+          k += 1
         }
-        if (cmp < 0) { System.arraycopy(src, off, b, 0, 8) }
-        k += 1
+        seen += 1
       }
       i += 1
     }
+    // empty (or all-null) shingle set: array_min of nothing is null
+    if (seen == 0) return new GenericArrayData(Array[Any](null, null, null, null))
     val bands = new Array[Any](4)
     var bi = 0
     while (bi < 4) {
@@ -174,13 +190,38 @@ object TextExprUtil {
 
 /** Unary expression whose codegen is one static call into
   * TextExprUtil — the call sits inside the enclosing whole-stage
-  * codegen function, so upstream/downstream operators stay fused. */
+  * codegen function, so upstream/downstream operators stay fused.
+  * Input must be array<string>; anything else is an analysis-time
+  * error, not a codegen ClassCastException. */
 abstract class TextUnary extends UnaryExpression {
   /** Fully-qualified static call, given the child variable name. */
   protected def staticCall(c: String): String
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.simpleString}")
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${staticCall(c)};")
+}
+
+/** Long-valued variant whose static call returns a BOXED Long: null
+  * elements in the input array null the whole result (three-valued
+  * fold semantics), so the expression is nullable even over a
+  * non-null child. */
+abstract class TextUnaryNullableLong extends TextUnary {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""java.lang.Long $boxed = ${staticCall(c)};
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }""".stripMargin
+    })
 }
 
 case class ShinglesDistinct(child: Expression, n: Int) extends TextUnary {
@@ -193,8 +234,7 @@ case class ShinglesDistinct(child: Expression, n: Int) extends TextUnary {
   override def prettyName: String = "shingles_distinct"
 }
 
-case class RollingHashFp(child: Expression) extends TextUnary {
-  override def dataType: DataType = LongType
+case class RollingHashFp(child: Expression) extends TextUnaryNullableLong {
   override protected def nullSafeEval(a: Any): Any =
     TextExprUtil.rollingFp(a.asInstanceOf[ArrayData])
   override protected def staticCall(c: String): String =
@@ -203,8 +243,7 @@ case class RollingHashFp(child: Expression) extends TextUnary {
   override def prettyName: String = "rolling_fp"
 }
 
-case class SimHash16(child: Expression) extends TextUnary {
-  override def dataType: DataType = LongType
+case class SimHash16(child: Expression) extends TextUnaryNullableLong {
   override protected def nullSafeEval(a: Any): Any =
     TextExprUtil.simhash16(a.asInstanceOf[ArrayData])
   override protected def staticCall(c: String): String =

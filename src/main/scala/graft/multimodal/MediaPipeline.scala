@@ -62,17 +62,25 @@ object MediaPipeline {
   /** ??? in spirit — the codec boundary. Deterministic fake "decode":
     * real implementation would JNI/library-decode `payload` into
     * pixels/samples. Keeps the exact signature a real decoder needs:
-    * bytes + meta in, fixed-shape float features out. */
+    * bytes + meta in, fixed-shape float features out.
+    *
+    * The fake is INTEGER-EXACT by construction: feature j is the sum of
+    * bytes at positions ≡ j (mod dim), scaled by 1/256 (a power of two,
+    * so every value is a dyadic rational exactly representable in
+    * float32). That makes the vectors digestible cross-engine — the
+    * x13 oracle recomputes the bucket sums from the text bytes in
+    * DuckDB and md5-compares, with zero float-rounding exposure. */
   private def decodeStub(payload: Array[Byte], meta: MediaMeta,
       dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val sums = new Array[Int](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      sums(i % dim) += payload(i) & 0xff
       i += 1
     }
+    val out = new Array[Float](dim)
     var j = 0
-    while (j < dim) { out(j) = out(j) / math.max(1, payload.length / dim); j += 1 }
+    while (j < dim) { out(j) = sums(j) / 256.0f; j += 1 }
     out
   }
 

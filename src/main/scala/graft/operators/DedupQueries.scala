@@ -21,17 +21,22 @@ import org.apache.spark.sql.functions._
  * and fully oracle-checked.
  *
  * Scale design:
- *  - Both near-dup queries are candidate-generation + exact-Jaccard
- *    verification. Candidates shuffle once by join key (shingle /
- *    LSH band), verification shuffles once by doc id.
+ *  - Candidates shuffle once by join key (shingle / LSH band),
+ *    per-pair work shuffles once by doc id. x8 verifies candidates
+ *    with exact Jaccard over the full shingle arrays; x7 never
+ *    touches arrays per pair — its intersection is the cold-index
+ *    join count plus a per-pair hot-shingle overlap correction.
  *  - The inverted index applies a document-frequency cutoff (MaxDf):
  *    a shingle appearing in more than MaxDf documents is dropped from
- *    the *index* (not from the Jaccard arithmetic — verification uses
- *    the full shingle sets). Without it one stop-phrase shingle at
- *    100 TB yields O(df²) candidate pairs on a single key — the
- *    classic near-dup straggler. The oracle SQL mirrors the cutoff,
- *    and MaxDf=64 sits far above the fixture's max df (25 at sf0.1),
- *    so the checked result set is the exact no-cutoff answer.
+ *    the *index*. Without it one stop-phrase shingle at 100 TB yields
+ *    O(df²) candidate pairs on a single key — the classic near-dup
+ *    straggler. The hot correction makes the reported Jaccard exact
+ *    for every pair sharing ≥1 cold shingle; hot-only pairs (e.g. a
+ *    doc whose every shingle is hot) generate no candidate and stay
+ *    unreported — the recall limit any df-cutoff index has. The
+ *    oracle SQL mirrors the cutoff, and MaxDf=64 sits far above the
+ *    fixture's max df (25 at sf0.1), so the checked result set is the
+ *    exact no-cutoff answer.
  *  - Shingling and band signatures are codegen expressions
  *    (ShinglesDistinct / MinHashBands): recomputing them per plan
  *    branch is cheaper than caching at this scale, and nothing pins
@@ -45,12 +50,59 @@ object DedupQueries {
   private val MaxDf = 64
 
   /** doc_id + distinct 3-gram shingle set + its size (docs ≥3 tokens). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+  private def shingledFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), TextFns.shingles(col("ts")).as("s"))
       .withColumn("n", size(col("s")))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledFrom(table(s, d, "documents"))
+
+  /** x7's full pipeline over any (doc_id, text) frame — exposed so
+    * DedupHotPathSpec can drive the hot-correction path with a
+    * stop-phrase corpus (dead code at fixture scale, where max df <
+    * MaxDf). `maxDf` is a parameter for the same reason. */
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Int = MaxDf): DataFrame = {
+    val sh = shingledFrom(docs)
+    val sz = sh.select(col("doc_id"), col("n"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    // df-cutoff: drop hot shingles from the index. The hot set is
+    // tiny by definition → broadcast anti-join against it.
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("g")
+    val ex2 = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    val cold = ex2.as("a")
+      .join(ex2.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("cold"))
+    // hot-overlap correction term (empty at fixture scale — the
+    // cutoff sits above the max observed df — exercised by
+    // DedupHotPathSpec's stop-phrase corpus). hd has one row per
+    // document containing ANY hot shingle: a stop phrase can put
+    // most of a corpus in it, so these joins must SHUFFLE on the
+    // pair keys, never broadcast (only each row's hot ARRAY is
+    // bounded — by the hot vocabulary — not the row count).
+    val hd = ex.join(broadcast(hot), Seq("g"))
+      .groupBy("doc_id").agg(collect_set(col("g")).as("hs"))
+    cold
+      .join(hd.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
+        Seq("doc_a"), "left")
+      .join(hd.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("cold") +
+        when(col("ha").isNull || col("hb").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("ha"), col("hb"))).cast("long")))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= Threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   private val shingledSql =
     "sh AS (SELECT doc_id, " + Sql.shingles("ts") + " AS s FROM " +
@@ -93,14 +145,14 @@ object DedupQueries {
             countDistinct(md5(col("text"))).as("uniq"))
     },
 
-    // exact n-gram-Jaccard near-dup pairs. The intersection size falls
+    // n-gram-Jaccard near-dup pairs. The intersection size falls
     // out of the inverted-index join itself: shingle sets are distinct
     // per document, so counting shared index keys per (doc_a, doc_b)
     // IS |cold(a) ∩ cold(b)| — no per-pair array materialization, no
     // array_intersect over millions of candidates. The df-cutoff drops
-    // hot shingles from the index; exactness is restored by adding the
-    // per-pair hot-shingle overlap (per-doc hot sets are bounded by the
-    // tiny hot vocabulary, so that correction join carries small arrays).
+    // hot shingles from the index; adding the per-pair hot-shingle
+    // overlap makes the reported Jaccard exact for pairs sharing ≥1
+    // cold shingle (hot-only pairs stay unreported — see header).
     Query("x7_ngram_jaccard",
       s"WITH $shingledSql, " +
         "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
@@ -120,40 +172,7 @@ object DedupQueries {
         "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
         s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
         "ORDER BY doc_a, doc_b") {
-      (s, d) =>
-        val sh = shingled(s, d)
-        val sz = sh.select(col("doc_id"), col("n"))
-        val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-        // df-cutoff: drop hot shingles from the index. The hot set is
-        // tiny by definition → broadcast anti-join against it.
-        val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") > MaxDf).select("g")
-        val ex2 = ex.join(broadcast(hot), Seq("g"), "left_anti")
-        val cold = ex2.as("a")
-          .join(ex2.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("cold"))
-        // hot-overlap correction term (empty at fixture scale — the
-        // cutoff sits above the max observed df — but keeps the cutoff
-        // exact on corpora where it actually prunes)
-        val hd = ex.join(broadcast(hot), Seq("g"))
-          .groupBy("doc_id").agg(collect_set(col("g")).as("hs"))
-        cold
-          .join(broadcast(hd.select(col("doc_id").as("doc_a"), col("hs").as("ha"))),
-            Seq("doc_a"), "left")
-          .join(broadcast(hd.select(col("doc_id").as("doc_b"), col("hs").as("hb"))),
-            Seq("doc_b"), "left")
-          .withColumn("inter", col("cold") +
-            when(col("ha").isNull || col("hb").isNull, lit(0L))
-              .otherwise(size(array_intersect(col("ha"), col("hb"))).cast("long")))
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= Threshold)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
+      (s, d) => ngramJaccardPairs(table(s, d, "documents"))
     },
 
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex

@@ -109,6 +109,10 @@ object TextQueries {
         "AS BIGINT) AS simhash FROM c GROUP BY doc_id ORDER BY doc_id") {
       (s, d) =>
         table(s, d, "documents")
+          // null-text docs are dropped on BOTH sides: the oracle's
+          // unnest(string_split(NULL)) yields no rows for them, so an
+          // unfiltered Spark side would emit an extra null-simhash row
+          .filter(col("text").isNotNull)
           .select(col("doc_id"),
             graft.functions.expressions.TextExpressions
               .simhash16(TextFns.tokens(col("text"))).as("simhash"))

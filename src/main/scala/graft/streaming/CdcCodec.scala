@@ -42,12 +42,15 @@ object CdcCodec {
   private def parse(df: DataFrame, schema: StructType): DataFrame =
     df.withColumn("__doc", from_json(unquote(col("value")), schema))
 
-  /** Raw messages (`value` string column) → typed evento rows. */
+  /** Raw messages (`value` string column) → typed evento rows. The
+    * original payload rides along as a trailing `raw` column so flows
+    * can persist undecodable messages verbatim (dead-letter routing). */
   def parseEvento(df: DataFrame): DataFrame =
     parse(df, eventoSchema).select(
       col("__doc._id.$oid").as("id"), col("__doc.nombre").as("nombre"),
       col("__doc.capacidad").as("capacidad"),
-      col("__doc.categoria").as("categoria"), col("__doc.estado").as("estado"))
+      col("__doc.categoria").as("categoria"), col("__doc.estado").as("estado"),
+      col("value").as("raw"))
 
   /** Raw messages → widened inventario rows (reservation echo columns
     * nullable). */
@@ -57,14 +60,14 @@ object CdcCodec {
       col("__doc.capacidad").as("capacidad"),
       col("__doc.categoria").as("categoria"), col("__doc.estado").as("estado"),
       col("__doc.idres.$oid").as("idres"), col("__doc.email").as("email"),
-      col("__doc.canres").as("canres"))
+      col("__doc.canres").as("canres"), col("value").as("raw"))
 
   /** Raw messages → reserva rows. */
   def parseReserva(df: DataFrame): DataFrame =
     parse(df, reservaSchema).select(
       col("__doc._id.$oid").as("id"), col("__doc.evento").as("evento"),
       col("__doc.estado").as("estado"), col("__doc.email").as("email"),
-      col("__doc.cantidad").as("cantidad"))
+      col("__doc.cantidad").as("cantidad"), col("value").as("raw"))
 
   /** O26 — message-type discrimination for inventario post-images
     * (inventario/main.go:83-104): creation echoes and seat-return

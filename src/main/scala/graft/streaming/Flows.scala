@@ -53,6 +53,18 @@ final class Flows(spark: SparkSession, store: TableStore,
     w.start()
   }
 
+  /** O25 deviation, wired: malformed CDC payloads (null id after
+    * parsing) land verbatim in the `dead_letter` table instead of the
+    * reference's no-ack poison-retry loop (inventario/main.go:70-79).
+    * Returns the well-formed rows. Keyed on (flow, raw) so a
+    * crash-replayed batch cannot double-append. */
+  private def routeDeadLetters(flow: String, parsed: DataFrame): DataFrame = {
+    val bad = parsed.filter(col("id").isNull)
+      .select(lit(flow).as("flow"), col("raw"))
+    if (!bad.isEmpty) store.appendUnique("dead_letter", bad, Seq("flow", "raw"))
+    parsed.filter(col("id").isNotNull)
+  }
+
   // -------------------------------------------------------------------
   // S1 — event creation: eventos CDC post-images upsert into eventos
   // (unique nombre → first write wins) and clone into inventario with
@@ -61,7 +73,7 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def eventCreationFlow(rawEventos: DataFrame): StreamingQuery =
     start(rawEventos, "event_creation") { batch =>
-      val parsed = CdcCodec.parseEvento(batch).filter(col("id").isNotNull)
+      val parsed = routeDeadLetters("event_creation", CdcCodec.parseEvento(batch))
       val evs = store.load("eventos")
       // O17: unique-key insert; duplicate nombre rejected (first wins)
       val newEvs = MergeOps.insertIfAbsent(
@@ -169,9 +181,12 @@ final class Flows(spark: SparkSession, store: TableStore,
         guard = col("estado") === "A", sets = Map("estado" -> lit("X"))))
       // O21: guarded increment (seat return) — negative delta fold, no
       // capacity guard; not-found (event already cancelled) tolerated
+      // seq=0: return order cannot change outcomes (no capacity guard)
+      // and the fold's id tiebreak keeps it deterministic — see
+      // consumerFlow's returns for the rationale
       val returns = pre.select(col("id"), col("evento"), col("email"),
         (-col("cantidad")).cast("int").as("cantidad"),
-        monotonically_increasing_id().as("seq"))
+        lit(0L).as("seq"))
       val inv = store.load("inventario")
       val (updatedInv, _) = MergeOps.admitReservations(inv, returns)
       // canres=-1 parity with the reference's sentinel document state
@@ -217,9 +232,8 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def consumerFlow(messages: DataFrame): StreamingQuery =
     start(messages, "consumer") { batch =>
-      val invMsgs = CdcCodec.parseInventario(
-        batch.filter(col("topic") === "boletia.inventario").select(col("value")))
-        .filter(col("id").isNotNull)
+      val invMsgs = routeDeadLetters("consumer", CdcCodec.parseInventario(
+        batch.filter(col("topic") === "boletia.inventario").select(col("value"))))
         .withColumn("clase",
           CdcCodec.classifyInventario(col("canres"), col("estado")))
       // O22: admitted-reservation messages → register (DetReserva
@@ -248,14 +262,18 @@ final class Flows(spark: SparkSession, store: TableStore,
       // redelivered X message (at-least-once) would inflate capacity.
       if (!store.exists("devoluciones"))
         store.init("devoluciones", Seq.empty[String].toDF("id"))
-      val returns = CdcCodec.parseReserva(
-        batch.filter(col("topic") === "boletia.reservas").select(col("value")))
-        .filter(col("id").isNotNull && col("estado") === "X")
+      val returns = routeDeadLetters("consumer", CdcCodec.parseReserva(
+        batch.filter(col("topic") === "boletia.reservas").select(col("value"))))
+        .filter(col("estado") === "X")
         .dropDuplicates("id")
         .join(store.load("devoluciones"), Seq("id"), "left_anti")
+        // seat returns carry no capacity guard, so fold order cannot
+        // change outcomes; seq=0 keeps the fold deterministic via its
+        // id tiebreak (a monotonically_increasing_id here would vary
+        // across retries/partitionings)
         .select(col("id"), col("evento"), col("email"),
           (-col("cantidad")).cast("int").as("cantidad"),
-          monotonically_increasing_id().as("seq"))
+          lit(0L).as("seq"))
         .persist()
       if (!returns.isEmpty) {
         val (updatedInv, _) =
@@ -274,7 +292,7 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def notificationFlow(rawReservas: DataFrame): StreamingQuery =
     start(rawReservas, "notifications") { batch =>
-      val parsed = CdcCodec.parseReserva(batch).filter(col("id").isNotNull)
+      val parsed = routeDeadLetters("notifications", CdcCodec.parseReserva(batch))
       val formatted = parsed.select(
         col("id"), col("email"),
         when(col("estado") === "A", "Confirmación de reserva")

@@ -1,9 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /**
  * Batch MERGE primitives — the declarative re-expression of the
@@ -101,56 +100,97 @@ object MergeOps {
     * measured 30 s for 600k requests where this cogroup takes ~2 s).
     * Per-key serialization is the semantic the reference relies on;
     * cross-key parallelism is what it never had. */
+  /** Typed fold records — top-level-object case classes so their
+    * product encoders codegen (no generic-Row boxing on the hot path;
+    * the Row-based first cut of this fold cost ~10× in the bench). */
+  final case class AdmitReq(id: String, evento: String, email: String,
+      cantidad: Int, seq: Long)
+  final case class InvKeyState(nombre: String, capacidad: Int, estado: String)
+  /** Flat fold output: log rows carry the request id; exactly one
+    * capacity sentinel per key carries id = null and the final `cap`.
+    * Flat rows (vs a per-key nested log array) keep the output encoder
+    * a cheap product encoder. */
+  final case class AdmitOut(id: String, evento: String, email: String,
+      cantidad: Int, admitted: Boolean, seq: Long, cap: Int)
+
+  /** Admission order (seq, id, email, cantidad) as an allocation-free
+    * comparator; nulls sort first (the tuple-Ordering it replaces threw
+    * on nulls — flows validate ids upstream either way). */
+  private object AdmitReqOrder
+      extends java.util.Comparator[AdmitReq] with Serializable {
+    private def nc(a: String, b: String): Int =
+      if (a eq b) 0 else if (a == null) -1 else if (b == null) 1
+      else a.compareTo(b)
+    override def compare(x: AdmitReq, y: AdmitReq): Int = {
+      var c = java.lang.Long.compare(x.seq, y.seq)
+      if (c != 0) return c
+      c = nc(x.id, y.id)
+      if (c != 0) return c
+      c = nc(x.email, y.email)
+      if (c != 0) return c
+      Integer.compare(x.cantidad, y.cantidad)
+    }
+  }
+
   def admitReservations(inventario: DataFrame, requests: DataFrame)
       : (DataFrame, DataFrame) = {
     val spark = inventario.sparkSession
-    val invSchema = inventario.schema
-    val nombreIx = invSchema.fieldIndex("nombre")
-    val capIx = invSchema.fieldIndex("capacidad")
-    val estadoIx = invSchema.fieldIndex("estado")
-    val logType = StructType(Seq(
-      StructField("id", StringType), StructField("evento", StringType),
-      StructField("email", StringType), StructField("cantidad", IntegerType),
-      StructField("admitted", BooleanType), StructField("seq", LongType)))
-    val outSchema = StructType(invSchema.fields :+
-      StructField("__log", ArrayType(logType)))
+    import spark.implicits._
 
-    val invByKey = inventario.groupByKey(_.getString(nombreIx))(Encoders.STRING)
-    val rIdIx = requests.schema.fieldIndex("id")
-    val rEvIx = requests.schema.fieldIndex("evento")
-    val rEmIx = requests.schema.fieldIndex("email")
-    val rQIx = requests.schema.fieldIndex("cantidad")
-    val rSeqIx = requests.schema.fieldIndex("seq")
-    val reqByKey = requests.groupByKey(_.getString(rEvIx))(Encoders.STRING)
+    // project to the typed fold inputs: only (nombre, capacidad,
+    // estado) ride the shuffle for the target side — the rest of the
+    // inventario row rejoins AFTER the fold, so wide target schemas
+    // never pay the cogroup encoder cost
+    val invT = inventario
+      .select(col("nombre").cast("string"), col("capacidad").cast("int"),
+        col("estado").cast("string"))
+      .as[InvKeyState]
+    val reqT = requests
+      .select(col("id").cast("string"), col("evento").cast("string"),
+        col("email").cast("string"), col("cantidad").cast("int"),
+        col("seq").cast("long"))
+      .as[AdmitReq]
 
-    val folded = invByKey.cogroup(reqByKey) { (key, invs, reqs) =>
-      invs.map { inv =>
+    val folded = invT.groupByKey(_.nombre).cogroup(reqT.groupByKey(_.evento)) {
+      (key, invs, reqs) =>
         // unknown-event requests never reach here (no inventario row);
         // unknownEventRequests surfaces them to callers
-        val sorted = reqs.toArray.sortBy(r =>
-          (r.getLong(rSeqIx), r.getString(rIdIx), r.getString(rEmIx),
-            r.getInt(rQIx)))
-        var cap = inv.getInt(capIx).toLong
-        val active = inv.getString(estadoIx) == "A"
-        val log = sorted.map { r =>
-          val q = r.getInt(rQIx)
-          val ok = active && (q <= 0 || cap >= q)
-          if (ok) cap -= q
-          Row(r.getString(rIdIx), key, r.getString(rEmIx), q, ok,
-            r.getLong(rSeqIx))
+        invs.flatMap { st =>
+          val arr = reqs.toArray
+          if (arr.length > 1) java.util.Arrays.sort(arr, AdmitReqOrder)
+          var cap = st.capacidad.toLong
+          val active = st.estado == "A"
+          val out = new Array[AdmitOut](arr.length + 1)
+          var i = 0
+          while (i < arr.length) {
+            val r = arr(i)
+            val ok = active && (r.cantidad <= 0 || cap >= r.cantidad)
+            if (ok) cap -= r.cantidad
+            out(i) = AdmitOut(r.id, key, r.email, r.cantidad, ok, r.seq, 0)
+            i += 1
+          }
+          out(arr.length) = AdmitOut(null, key, null, 0, admitted = false,
+            0L, cap.toInt)
+          out
         }
-        val vals = inv.toSeq.toArray
-        vals(capIx) = cap.toInt
-        Row.fromSeq(vals.toSeq :+ log.toSeq)
-      }
-    }(Encoders.row(outSchema))
+    }.toDF()
 
-    val updated = folded.drop("__log")
-    val log = folded
-      .select(explode(col("__log")).as("r"))
-      .select(col("r.id").as("id"), col("r.evento").as("evento"),
-        col("r.email").as("email"), col("r.cantidad").as("cantidad"),
-        col("r.admitted").as("admitted"), col("r.seq").as("seq"))
+    // rejoin the folded capacities into the full inventario rows
+    // (nombre is the unique merge key, so the join is 1:1; the caps
+    // side is one row per key — broadcastable in the CDC common case)
+    val caps = folded.filter(col("id").isNull)
+      .select(col("evento").as("__nombre"), col("cap").as("__newcap"))
+    val capType = inventario.schema("capacidad").dataType
+    val updated = inventario.join(caps, col("nombre") === col("__nombre"), "left")
+      .select(inventario.columns.map {
+        case "capacidad" => coalesce(col("__newcap"), col("capacidad"))
+          .cast(capType).as("capacidad")
+        case c => col(c)
+      }: _*)
+
+    val log = folded.filter(col("id").isNotNull)
+      .select(col("id"), col("evento"), col("email"), col("cantidad"),
+        col("admitted"), col("seq"))
     (updated, log)
   }
 

@@ -202,6 +202,29 @@ class FlowsSpec extends AnyFunSuite {
     assert(res("61a2a4c9a80e2a0001a93f36") === "A") // other event untouched
   }
 
+  test("malformed CDC payloads persist to dead_letter (no silent drop)") {
+    val (store, flows) = freshStore()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(
+      q("{not json at all"),
+      eventoMsg("619c1b9190812c00013e29c1", "Opera Boheme", 20))
+    run(flows.eventCreationFlow(ms.toDF()))
+    // the good row landed …
+    assert(store.load("eventos").count() === 1)
+    // … and the bad one is retained verbatim, not dropped
+    val dl = store.load("dead_letter").collect()
+    assert(dl.length === 1)
+    assert(dl.head.getString(0) === "event_creation")
+    assert(dl.head.getString(1).contains("not json"))
+    // replaying the same batch content does not double-append
+    val ms2 = MemoryStream[String]
+    ms2.addData(q("{not json at all"))
+    run(flows.eventCreationFlow(ms2.toDF()))
+    assert(store.load("dead_letter").count() === 1)
+  }
+
   test("S7: one correctly-formatted notification per template") {
     val (store, flows) = freshStore()
     implicit val sql = spark.sqlContext

@@ -20,6 +20,18 @@ class MediaSpec extends AnyFunSuite {
     assert(a.forall(_.getSeq[Float](5).length === 16))
   }
 
+  test("stub features are integer-exact dyadic rationals (oracle contract)") {
+    // x13's digest check relies on every feature being bucketSum/256
+    // with bucketSum an exact integer — *256 must round-trip losslessly
+    val rows = MediaPipeline.featureFrame(spark, TestSpark.sf).collect()
+    rows.foreach { r =>
+      r.getSeq[Float](5).foreach { f =>
+        val scaled = f.toDouble * 256
+        assert(scaled == math.rint(scaled) && scaled >= 0)
+      }
+    }
+  }
+
   test("no row loss through mapPartitions; kinds partition by id mod 3") {
     val rows = MediaPipeline.featureFrame(spark, TestSpark.sf).collect()
     val docs = graft.sources.Tables.table(spark, TestSpark.sf, "documents").count()

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.expressions.TextExpressions
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Null-element and misuse contracts for the codegen text expressions:
+  * the declared `containsNull = true` inputs must not NPE, and the
+  * semantics must match the HOF/relational formulations the
+  * expressions replace (null poisons the long-valued folds; min-style
+  * reductions skip nulls; wrong input types fail at analysis). */
+class TextNullSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rolling_fp and simhash16: null element → null result (fold poisoning)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", null, "c")),
+      (3L, Seq[String]())
+    ).toDF("id", "ts")
+    val rows = df.select(col("id"),
+        TextExpressions.rolling_fp(col("ts")).as("fp"),
+        TextExpressions.simhash16(col("ts")).as("sh"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1), "null token must null the fingerprint")
+    assert(rows(1).isNullAt(2), "null token must null the simhash")
+    // empty array: fold of nothing is the seed (0), not null
+    assert(rows(2).getLong(1) === 0L)
+  }
+
+  test("minhash_bands: null shingles skipped (array_min semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("x y z", "p q r")),
+      (2L, Seq[String]("x y z", null, "p q r")), // same non-null content
+      (3L, Seq[String](null, null))
+    ).toDF("id", "s")
+    val rows = df.select(col("id"),
+        TextExpressions.minhash_bands(col("s")).as("b"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) === rows(1).getSeq[String](1),
+      "null shingles must not change the signature")
+    assert(rows(2).getSeq[String](1).forall(_ == null),
+      "all-null set behaves like empty: null bands")
+  }
+
+  test("shingles over a null-bearing token array: concat_ws skip semantics") {
+    import spark.implicits._
+    val withNull = Seq(Seq[String]("a", null, "b", "c"))
+      .toDF("ts").select(TextExpressions.shingles_distinct(col("ts")).as("s"))
+    // concat_ws skips nulls: ("a", null, "b") → "a b"
+    assert(withNull.collect().head.getSeq[String](0) ===
+      Seq("a b", "b c"))
+  }
+
+  test("misuse fails at analysis time, not codegen") {
+    import spark.implicits._
+    val df = Seq((1, "not an array")).toDF("id", "s")
+    val e = intercept[Exception] {
+      df.select(TextExpressions.simhash16(col("s"))).collect()
+    }
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.getMessage.contains("array<string>"),
+      s"expected analysis error, got: ${e.getClass} ${e.getMessage}")
+  }
+}
