@@ -65,12 +65,22 @@ object Bench {
           (name, -1.0, 0.0)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // the driver records a bounded TAIL of stdout: keep the line short
+    // (3-decimal times) and put the headline total LAST so a front-
+    // truncated capture still contains it (BENCH_r03 lost its total to
+    // exactly this). The full line is also written to bench_out.json.
+    def r3(v: Double): Double = math.round(v * 1000) / 1e3
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gcs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc":$gcs,"value":$total}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes)
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -10,21 +10,118 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over the `embeddings` table (SURVEY.md §2.1 Q23 +
  * extensions): brute-force k-NN under L2 and cosine, all-pairs
- * embedding near-dup detection, and an SRP-LSH bucketed ANN variant as
- * the scale path.
+ * embedding near-dup detection, an SRP-LSH bucketed ANN variant and a
+ * k-means IVF variant as the scale paths.
  *
  * Brute force broadcasts the (tiny) query side and scans the corpus
  * once — at 100 TB this is the exact-answer baseline you run per query
- * batch. The LSH variant hashes every vector into a 16-bit
- * random-hyperplane signature, so candidate generation becomes an
- * equi-join on the bucket id (shuffle-free against a broadcast query
- * bucket) — recall is probabilistic, so it is spec-tested against the
- * brute-force answer rather than oracle-hashed.
+ * batch. The LSH variant hashes every vector into per-table sign-bit
+ * buckets so candidate generation becomes an equi-join on the bucket
+ * id; the IVF variant learns coarse cells with k-means and probes only
+ * the nearest cells.
+ *
+ * Both ANN variants are FULLY oracle-checked despite being
+ * "approximate": approximation lives in the candidate sets, and the
+ * candidate sets are deterministic — the hyperplanes are seed-stable
+ * literals baked into the oracle SQL, and k-means runs on a fixed-point
+ * projection (floor(x·2¹⁶) as int64) whose sums are exact integers, so
+ * centroid arithmetic has no float-accumulation-order exposure and both
+ * engines derive bit-identical cells, probes and top-k.
  */
 object VectorQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
+
+  // ---------------------------------------------------------------- LSH
+  private val L = 8 // hash tables
+  private val K = 4 // sign bits per table
+  private lazy val planes = VectorFns.hyperplanes(L * K, 64)
+
+  private def planeLit(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** DuckDB replica of table t's bucket id: the same double dot
+    * products against the same ±1 plane literals, same sign rule. */
+  private def tbSql(t: Int): String = {
+    val bits = (0 until K).map { j =>
+      s"(CASE WHEN ${Sql.dot("embedding", planeLit(planes(t * K + j)))} > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }
+    s"'$t|' || CAST(${bits.mkString(" + ")} AS VARCHAR)"
+  }
+
+  private lazy val x11Sql =
+    s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
+      "FROM embeddings), " +
+      "qt AS (SELECT tb AS qtb FROM idx WHERE vec_id = 0), " +
+      "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "cand AS (SELECT DISTINCT i.vec_id FROM idx i JOIN qt ON i.tb = qt.qtb), " +
+      s"res AS (SELECT e.vec_id, round(${Sql.cosine("e.embedding", "qv.qe")}, 6) AS cos " +
+      "FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv) " +
+      "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
+
+  // ---------------------------------------------------------------- IVF
+  private val Cells = 8
+  private val Iters = 2
+  private val NProbe = 3
+  private val Dim = 64
+  private val Scale = 65536 // 2^16: x·Scale is exact in double
+
+  /** Per-cell fixed-point centroid: exact int sums, then one exact
+    * int→double division per dimension (deterministic IEEE in both
+    * engines — no float accumulation order anywhere). */
+  private def centSql(src: String): String =
+    "SELECT cell, [" +
+      (0 until Dim).map(i => s"CAST(SUM(pfp[${i + 1}]) AS DOUBLE) / COUNT(*)")
+        .mkString(", ") + s"] AS m FROM $src GROUP BY cell"
+
+  /** Nearest-centroid assignment with (distance, cell) tie-break. */
+  private def assignSql(cen: String): String =
+    "SELECT vec_id, embedding, pfp, pd, cell FROM (" +
+      "SELECT b.*, c.cell, ROW_NUMBER() OVER (PARTITION BY b.vec_id " +
+      s"ORDER BY ${Sql.l2sq("b.pd", "c.m")}, c.cell) AS rn " +
+      s"FROM base b, $cen c) WHERE rn = 1"
+
+  private lazy val x20Sql =
+    "WITH b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
+      "base AS (SELECT vec_id, embedding, pfp, " +
+      "list_transform(pfp, f -> CAST(f AS DOUBLE)) AS pd FROM b0), " +
+      s"c0 AS (SELECT vec_id AS cell, pd AS m FROM base WHERE vec_id < $Cells), " +
+      s"a1 AS (${assignSql("c0")}), c1 AS (${centSql("a1")}), " +
+      s"a2 AS (${assignSql("c1")}), c2 AS (${centSql("a2")}), " +
+      s"af AS (${assignSql("c2")}), " +
+      "qd AS (SELECT pd AS v FROM base WHERE vec_id = 0), " +
+      "qe AS (SELECT embedding AS v FROM base WHERE vec_id = 0), " +
+      "probe AS (SELECT cell FROM (SELECT c.cell, ROW_NUMBER() OVER " +
+      s"(ORDER BY ${Sql.l2sq("qd.v", "c.m")}, c.cell) AS rn FROM c2 c, qd) " +
+      s"WHERE rn <= $NProbe), " +
+      s"res AS (SELECT f.vec_id, round(${Sql.cosine("f.embedding", "qe.v")}, 6) AS cos " +
+      "FROM af f JOIN probe p ON f.cell = p.cell, qe) " +
+      "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** Nearest-centroid assignment, Spark side: one distance column per
+    * centroid (built-in zip_with/aggregate fold — the same sequential
+    * double fold the oracle's list_sum performs), then a strict-<
+    * cascade that keeps the LOWEST cell id on ties, matching the
+    * oracle's ORDER BY (dist, cell). `cents` must be sorted by cell. */
+  private def assignCells(base: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val withD = cents.foldLeft(base) { case (df, (c, m)) =>
+      df.withColumn(s"__d$c",
+        VectorFns.l2sqBuiltin(col("pd"), array(m.map(lit).toIndexedSeq: _*)))
+    }
+    var best: Column = col(s"__d${cents.head._1}")
+    var cell: Column = lit(cents.head._1)
+    cents.tail.foreach { case (c, _) =>
+      val d0 = col(s"__d$c")
+      cell = when(d0 < best, lit(c)).otherwise(cell)
+      best = when(d0 < best, d0).otherwise(best)
+    }
+    withD.withColumn("cell", cell)
+      .drop(cents.map(c => s"__d${c._1}").toIndexedSeq: _*)
+  }
 
   val all: Seq[Query] = Seq(
 
@@ -60,7 +157,7 @@ object VectorQueries {
 
     // embedding near-dup pairs: all-pairs cosine ≥ 0.45 (threshold sits
     // in a verified data gap 0.4494–0.4516 so float noise cannot flip
-    // membership). Brute force here; x11 is the bucketed scale path.
+    // membership). Brute force here; x11/x20 are the bucketed scale paths.
     Query("x10_embed_neardup",
       "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
         "c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -91,22 +188,23 @@ object VectorQueries {
     // hyperplane sign bits. Candidates = vectors sharing the query's
     // bucket in ANY table (the standard multi-table LSH recall
     // amplification), then exact cosine re-rank of the candidate set.
-    // Probabilistic recall → rows-only driver check; AnnSpec asserts
-    // recall vs the brute-force top-10 and that distances are exact.
-    Query.unchecked("x11_ann_lsh") {
+    // The oracle mirrors the identical plane literals and sign rule, so
+    // even the probabilistic recall misses reproduce bit-for-bit —
+    // rows+schema+hash checked; VectorSpec additionally asserts recall
+    // against the brute-force top-10.
+    Query("x11_ann_lsh", x11Sql) {
       (s, d) =>
-        val L = 8; val k = 4
-        val planes = VectorFns.hyperplanes(L * k, 64)
         def bucketCol(t: Int)(e: Column): Column =
-          (0 until k).map { j =>
-            val coef = array(planes(t * k + j).map(v => lit(v.toFloat)): _*)
+          (0 until K).map { j =>
+            val coef = array(planes(t * K + j).map(v => lit(v.toFloat))
+              .toIndexedSeq: _*)
             when(VectorFns.dot(e, coef) > 0, lit(1 << j)).otherwise(lit(0))
           }.reduce(_ + _)
         // (vec_id, table, bucket) inverted index; at scale this is the
         // precomputed partitioned index, not a per-query scan
         val idx = emb(s, d).select(col("vec_id"), col("embedding"),
           explode(array((0 until L).map(t =>
-            concat(lit(s"$t|"), bucketCol(t)(col("embedding")))): _*)).as("tb"))
+            concat(lit(s"$t|"), bucketCol(t)(col("embedding")))).toIndexedSeq: _*)).as("tb"))
         val q = idx.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"), col("tb").as("qtb"))
         idx.join(broadcast(q), col("tb") === col("qtb"))
@@ -118,30 +216,53 @@ object VectorQueries {
           .limit(10)
     },
 
-    // IVF-style ANN: coarse cells = per-label centroids (the fixture's
-    // label column stands in for a k-means assignment); probe the
-    // nProbe cells nearest to the query, exact cosine re-rank inside.
-    // Scan cost drops from |corpus| to |probed cells| — the standard
-    // billion-vector layout, with the corpus PARTITIONED BY cell so a
-    // probe prunes whole partitions. Probabilistic recall → rows-only
-    // driver check; VectorSpec asserts recall vs brute force.
-    Query.unchecked("x20_ann_ivf") {
+    // IVF ANN with REAL k-means coarse cells (no fixture labels):
+    // deterministic seeds (vec_id < Cells), Iters Lloyd rounds over the
+    // fixed-point projection, probe the NProbe cells nearest the query,
+    // exact cosine re-rank inside. Scan cost drops from |corpus| to
+    // |probed cells| — the standard billion-vector layout, with the
+    // corpus PARTITIONED BY cell so a probe prunes whole partitions.
+    // Centroid sync is a driver-side collect of Cells×Dim numbers per
+    // round (the k-means synchronization barrier, not a data collect).
+    Query("x20_ann_ivf", x20Sql) {
       (s, d) =>
-        val nProbe = 3
-        val e = emb(s, d)
-        val centroids = e.groupBy(col("label")).agg(
-          array((0 until 64).map(i =>
-            avg(element_at(col("embedding"), i + 1).cast("double"))
-              .cast("float")): _*).as("centroid"))
-        val q = e.filter(col("vec_id") === 0)
+        val base = emb(s, d).select(col("vec_id"), col("embedding"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
+          .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
+        var cents: Array[(Long, Array[Double])] =
+          base.filter(col("vec_id") < Cells)
+            .select(col("vec_id"), col("pd")).orderBy("vec_id").collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        for (_ <- 0 until Iters) {
+          val assigned = assignCells(base, cents)
+          val aggCols = (0 until Dim)
+            .map(i => sum(element_at(col("pfp"), i + 1)).as(s"s$i")) :+
+            count(lit(1)).as("cnt")
+          val agg = assigned.groupBy("cell")
+            .agg(aggCols.head, aggCols.tail: _*)
+            .orderBy("cell").collect()
+          cents = agg.map { r =>
+            val cnt = r.getLong(Dim + 1)
+            (r.getLong(0),
+              Array.tabulate(Dim)(i => r.getLong(i + 1).toDouble / cnt))
+          }
+        }
+        val fin = assignCells(base, cents)
+        // probe ranking runs driver-side over the Cells local centroids
+        // (same sequential double fold as the oracle's list_sum)
+        val qd = base.filter(col("vec_id") === 0)
+          .select(col("pd")).collect().head.getSeq[Double](0).toArray
+        def l2(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val v = a(i) - b(i); acc += v * v; i += 1 }
+          acc
+        }
+        val probeCells = cents.map { case (c, m) => (l2(qd, m), c) }
+          .sorted.take(NProbe).map(_._2)
+        val q = emb(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
-        // rank cells by centroid distance to the query, keep nProbe
-        val probed = centroids.crossJoin(broadcast(q))
-          .select(col("label"),
-            VectorFns.l2sq(col("centroid"), col("qe")).as("cd"))
-          .orderBy("cd").limit(nProbe)
-          .select(col("label"))
-        e.join(broadcast(probed), Seq("label"))
+        fin.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))

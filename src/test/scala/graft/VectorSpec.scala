@@ -35,7 +35,7 @@ class VectorSpec extends AnyFunSuite {
     assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
-  test("IVF ANN probes a strict corpus subset with exact distances") {
+  test("IVF ANN: k-means cells (no fixture labels), recall ≥ 0.9, exact distances") {
     val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val ivf = SparkEntry.queries("x20_ann_ivf")(spark, TestSpark.sf)
@@ -43,8 +43,11 @@ class VectorSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && ivf.length <= 10)
     // the query vector's own cell is always probed → vec 0 (cos=1) recalled
     assert(ivf.head._1 === 0L && ivf.head._2 === 1.0)
-    // distances for recalled ids are exact (re-rank is not approximate);
-    // fixture labels are arbitrary cells, so recall itself is weak here
+    // learned cells keep the query's neighborhood together: ≥9 of the
+    // exact top-10 must be inside the probed cells
+    val overlap = ivf.count { case (id, _) => exact.contains(id) }
+    assert(overlap >= 9, s"IVF recall too low: $overlap/10")
+    // distances for recalled ids are exact (re-rank is not approximate)
     ivf.filter { case (id, _) => exact.contains(id) }.foreach {
       case (id, c) => assert(c === exact(id), s"vec $id distance mismatch")
     }
