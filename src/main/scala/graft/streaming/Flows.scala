@@ -74,21 +74,21 @@ final class Flows(spark: SparkSession, store: TableStore,
   def eventCreationFlow(rawEventos: DataFrame): StreamingQuery =
     start(rawEventos, "event_creation") { batch =>
       val parsed = routeDeadLetters("event_creation", CdcCodec.parseEvento(batch))
-      val evs = store.load("eventos")
-      // O17: unique-key insert; duplicate nombre rejected (first wins)
-      val newEvs = MergeOps.insertIfAbsent(
-        evs, parsed.select(evs.columns.map(col): _*), Seq("nombre"),
+      val evCols = store.load("eventos").columns
+      // O17: unique-key insert; duplicate nombre rejected (first wins).
+      // Insert-only tables take the log-structured append path: only
+      // the fresh rows are written, never the whole snapshot.
+      store.appendUnique("eventos",
+        parsed.select(evCols.map(col).toIndexedSeq: _*), Seq("nombre"),
         tieBreak = Seq(col("id")))
-      store.replace("eventos", newEvs)
       // O2: clone into inventario (same id, null reservation columns)
-      val inv = store.load("inventario")
       val clones = parsed.select(col("id"), col("nombre"), col("capacidad"),
         col("categoria"), col("estado"),
         lit(null).cast("string").as("idres"),
         lit(null).cast("string").as("email"),
         lit(null).cast("int").as("canres"))
-      store.replace("inventario",
-        MergeOps.insertIfAbsent(inv, clones, Seq("nombre"), Seq(col("id"))))
+      store.appendUnique("inventario", clones, Seq("nombre"),
+        tieBreak = Seq(col("id")))
     }
 
   // -------------------------------------------------------------------
@@ -97,7 +97,10 @@ final class Flows(spark: SparkSession, store: TableStore,
   // insert. `seq` = message offset (admission order within key).
   // -------------------------------------------------------------------
   def admissionFlow(requests: DataFrame): StreamingQuery =
-    start(requests, "admission") { rawBatch =>
+    start(requests, "admission") { rawBatch0 =>
+      // the source batch feeds two branches (invalid-routing and the
+      // fold pipeline); persist so the stream source is scanned once
+      val rawBatch = rawBatch0.persist()
       // O16 input validation (reservas/main.go:112-115,142-145): reject
       // null/non-positive quantities and null/malformed ids BEFORE the
       // fold — a cantidad<=0 "request" would otherwise read as a seat
@@ -115,11 +118,16 @@ final class Flows(spark: SparkSession, store: TableStore,
       // twice while inserting one reservation), then anything already
       // registered in reservas is a cross-batch duplicate → no-op
       // (S5; the reference's IsDup-tolerated insert,
-      // inventario/main.go:91-93)
-      val wDup = Window.partitionBy(col("id")).orderBy(col("seq"))
+      // inventario/main.go:91-93). min_by hash-aggregates with map-side
+      // partials — measurably cheaper than a row_number window sort on
+      // large batches.
       val batch = validated.filter(col("__invalid").isNull).drop("__invalid")
-        .withColumn("__rn", row_number().over(wDup))
-        .filter(col("__rn") === 1).drop("__rn")
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("evento"), col("email"), col("cantidad"),
+          col("seq")), col("seq")).as("__r"))
+        .select(col("id"), col("__r.evento").as("evento"),
+          col("__r.email").as("email"), col("__r.cantidad").as("cantidad"),
+          col("__r.seq").as("seq"))
         .join(store.load("reservas").select(col("id")),
           Seq("id"), "left_anti")
         .persist() // consumed by the fold AND the unknown-event check
@@ -131,12 +139,14 @@ final class Flows(spark: SparkSession, store: TableStore,
       val log = log0.persist()
       val admitted = log.filter(col("admitted"))
       // widen inventario with the last admitted reservation per key
-      // (README.md:443-454 document shape)
-      val w = Window.partitionBy(col("evento")).orderBy(col("seq").desc)
-      val lastPerKey = admitted.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("evento").as("nombre"), col("id").as("__idres"),
-          col("email").as("__email"), col("cantidad").as("__canres"))
+      // (README.md:443-454 document shape) — max_by hash-agg, id as the
+      // deterministic tiebreak for equal seq
+      val lastPerKey = admitted
+        .groupBy(col("evento").as("nombre"))
+        .agg(max_by(struct(col("id"), col("email"), col("cantidad")),
+          struct(col("seq"), col("id"))).as("__r"))
+        .select(col("nombre"), col("__r.id").as("__idres"),
+          col("__r.email").as("__email"), col("__r.cantidad").as("__canres"))
       val widened = MergeOps.guardedUpdate(updatedInv, lastPerKey,
         Seq("nombre"),
         guard = lit(true),
@@ -145,11 +155,12 @@ final class Flows(spark: SparkSession, store: TableStore,
           "canres" -> col("__b___canres")),
         batchCols = Seq("__idres", "__email", "__canres"))
       store.replace("inventario", widened)
-      // O22: idempotent reservation registration
-      val res = store.load("reservas")
+      // O22: idempotent reservation registration — reservas only ever
+      // GROWS on this path, so it appends a delta segment (O(admitted)
+      // write) instead of rewriting the registry (O(history))
       val newRows = admitted.select(col("id"), col("evento"),
         lit("A").as("estado"), col("email"), col("cantidad"))
-      store.replace("reservas", MergeOps.insertIfAbsent(res, newRows, Seq("id")))
+      store.appendUnique("reservas", newRows, Seq("id"))
       // rejections (sold out / unknown event) — observable outcome of
       // the 404 path (reservas/main.go:166-173)
       val rejected = log.filter(!col("admitted"))
@@ -159,6 +170,7 @@ final class Flows(spark: SparkSession, store: TableStore,
           .select(col("id"), col("evento"), col("email"), col("cantidad"),
             lit("no_existe").as("motivo")))
       store.appendUnique("rechazos", rejected, Seq("id", "motivo"))
+      rawBatch.unpersist()
       batch.unpersist()
       log.unpersist()
     }
@@ -241,9 +253,7 @@ final class Flows(spark: SparkSession, store: TableStore,
       val newReservas = invMsgs.filter(col("clase") === "insert_reservation")
         .select(col("idres").as("id"), col("nombre").as("evento"),
           lit("A").as("estado"), col("email"), col("canres").as("cantidad"))
-      val res0 = store.load("reservas")
-      store.replace("reservas",
-        MergeOps.insertIfAbsent(res0, newReservas, Seq("id")))
+      store.appendUnique("reservas", newReservas, Seq("id"))
       // O23: organizer-cancel messages → cascade (estado C propagates)
       val cancelled = invMsgs.filter(col("clase") === "cascade_cancel")
         .select(col("nombre"))

@@ -106,12 +106,11 @@ object MergeOps {
   final case class AdmitReq(id: String, evento: String, email: String,
       cantidad: Int, seq: Long)
   final case class InvKeyState(nombre: String, capacidad: Int, estado: String)
-  /** Flat fold output: log rows carry the request id; exactly one
-    * capacity sentinel per key carries id = null and the final `cap`.
-    * Flat rows (vs a per-key nested log array) keep the output encoder
-    * a cheap product encoder. */
+  /** Flat fold output — one row per request. Flat rows (vs a per-key
+    * nested log array) keep the output encoder a cheap product
+    * encoder. */
   final case class AdmitOut(id: String, evento: String, email: String,
-      cantidad: Int, admitted: Boolean, seq: Long, cap: Int)
+      cantidad: Int, admitted: Boolean, seq: Long)
 
   /** Admission order (seq, id, email, cantidad) as an allocation-free
     * comparator; nulls sort first (the tuple-Ordering it replaces threw
@@ -151,7 +150,7 @@ object MergeOps {
         col("seq").cast("long"))
       .as[AdmitReq]
 
-    val folded = invT.groupByKey(_.nombre).cogroup(reqT.groupByKey(_.evento)) {
+    val log = invT.groupByKey(_.nombre).cogroup(reqT.groupByKey(_.evento)) {
       (key, invs, reqs) =>
         // unknown-event requests never reach here (no inventario row);
         // unknownEventRequests surfaces them to callers
@@ -160,37 +159,35 @@ object MergeOps {
           if (arr.length > 1) java.util.Arrays.sort(arr, AdmitReqOrder)
           var cap = st.capacidad.toLong
           val active = st.estado == "A"
-          val out = new Array[AdmitOut](arr.length + 1)
+          val out = new Array[AdmitOut](arr.length)
           var i = 0
           while (i < arr.length) {
             val r = arr(i)
             val ok = active && (r.cantidad <= 0 || cap >= r.cantidad)
             if (ok) cap -= r.cantidad
-            out(i) = AdmitOut(r.id, key, r.email, r.cantidad, ok, r.seq, 0)
+            out(i) = AdmitOut(r.id, key, r.email, r.cantidad, ok, r.seq)
             i += 1
           }
-          out(arr.length) = AdmitOut(null, key, null, 0, admitted = false,
-            0L, cap.toInt)
           out
         }
     }.toDF()
 
-    // rejoin the folded capacities into the full inventario rows
-    // (nombre is the unique merge key, so the join is 1:1; the caps
-    // side is one row per key — broadcastable in the CDC common case)
-    val caps = folded.filter(col("id").isNull)
-      .select(col("evento").as("__nombre"), col("cap").as("__newcap"))
+    // the updated snapshot is DERIVED FROM THE LOG (cap' = cap − Σ
+    // admitted deltas per key — exactly the fold's final capacity), so
+    // a caller that persists `log` evaluates the cogroup ONCE for both
+    // outputs instead of once per output. The per-key delta side is one
+    // row per touched key — broadcastable in the CDC common case.
+    val delta = log.filter(col("admitted"))
+      .groupBy(col("evento").as("__nombre"))
+      .agg(sum(col("cantidad")).as("__delta"))
     val capType = inventario.schema("capacidad").dataType
-    val updated = inventario.join(caps, col("nombre") === col("__nombre"), "left")
+    val updated = inventario
+      .join(delta, col("nombre") === col("__nombre"), "left")
       .select(inventario.columns.map {
-        case "capacidad" => coalesce(col("__newcap"), col("capacidad"))
+        case "capacidad" => (col("capacidad") - coalesce(col("__delta"), lit(0L)))
           .cast(capType).as("capacidad")
         case c => col(c)
       }: _*)
-
-    val log = folded.filter(col("id").isNotNull)
-      .select(col("id"), col("evento"), col("email"), col("cantidad"),
-        col("admitted"), col("seq"))
     (updated, log)
   }
 

@@ -1,26 +1,40 @@
 package graft.tables
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /**
- * Versioned parquet table manager — a minimal MVCC store mirroring the
- * reference's mutable collections (insert/update only, never delete —
- * README.md:47) with the snapshot semantics flows need.
+ * Versioned parquet table manager — a minimal log-structured MVCC
+ * store mirroring the reference's mutable collections (insert/update
+ * only, never delete — README.md:47) with the snapshot semantics flows
+ * need.
  *
- * Layout: `root/<table>/v<N>/` parquet dirs plus a `_current` pointer
- * file. `load` binds a DataFrame to the version current AT CALL TIME;
- * `replace` materializes the new snapshot into `v<N+1>` and atomically
- * flips the pointer. Superseded versions are RETAINED, so lazy plans
- * captured before a replace stay readable for the rest of the batch —
- * the same reader-snapshot guarantee Delta/Iceberg give via their
- * transaction log (which is what this store becomes in production;
- * version GC is their `VACUUM`).
+ * Layout: every version N has a manifest file `root/<table>/m<N>`
+ * listing the data segment dirs (`d<K>/`) that compose the snapshot,
+ * plus a `_current` pointer file naming the live version. `load` binds
+ * a DataFrame to the segment list current AT CALL TIME.
  *
- * Single-writer per table (one foreachBatch sink), many readers.
+ * Writes are O(change), not O(table): `replace` materializes a full
+ * new segment (mutating merges need it), but `append`/`appendUnique`
+ * write ONLY the new rows as a fresh segment and publish a manifest
+ * that extends the previous one — the same delta-log idea as
+ * Delta/Iceberg commits (which is what this store becomes in
+ * production). Segment counts are bounded by compaction: once a
+ * manifest exceeds `CompactThreshold` segments the next append folds
+ * them into one (their `OPTIMIZE`).
+ *
+ * Superseded versions and their segments are RETAINED, so lazy plans
+ * captured before a publish stay readable for the rest of the batch —
+ * the reader-snapshot guarantee of a transaction log (version GC is
+ * `VACUUM`). Single-writer per table (one foreachBatch sink), many
+ * readers.
  */
 final class TableStore(spark: SparkSession, root: String) {
   Files.createDirectories(Paths.get(root))
+
+  private val CompactThreshold = 16
 
   private def tdir(name: String): Path = Paths.get(root, name)
   private def pointer(name: String): Path = tdir(name).resolve("_current")
@@ -30,48 +44,85 @@ final class TableStore(spark: SparkSession, root: String) {
       new String(Files.readAllBytes(pointer(name))).trim.toInt
     else -1
 
-  def exists(name: String): Boolean = currentVersion(name) >= 0
-
-  /** Snapshot read: bound to the version current at call time. */
-  def load(name: String): DataFrame = {
-    val v = currentVersion(name)
-    require(v >= 0, s"table $name does not exist")
-    spark.read.parquet(tdir(name).resolve(s"v$v").toString)
+  private def segments(name: String, v: Int): Seq[String] = {
+    val m = tdir(name).resolve(s"m$v")
+    new String(Files.readAllBytes(m)).split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  def init(name: String, df: DataFrame): Unit = replace(name, df)
-
-  /** Atomically publish a new snapshot. The DataFrame is fully
-    * materialized into the new version dir BEFORE the pointer flips;
-    * concurrent readers see old-or-new, never partial. */
-  def replace(name: String, df: DataFrame): Unit = {
-    val next = currentVersion(name) + 1
-    val dest = tdir(name).resolve(s"v$next")
-    df.write.mode("overwrite").parquet(dest.toString)
+  /** Atomically flip the table to version `next` = `segs`. The segment
+    * data is fully materialized BEFORE the pointer flips; concurrent
+    * readers see old-or-new, never partial. */
+  private def publish(name: String, segs: Seq[String], next: Int): Unit = {
+    Files.write(tdir(name).resolve(s"m$next"), segs.mkString("\n").getBytes)
     val tmp = tdir(name).resolve("_current_tmp")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append rows to an insert-only table (notifications, rejections).
-    * Creates the table on first append. */
+  private def writeSegment(name: String, v: Int, df: DataFrame): String = {
+    val seg = s"d$v"
+    df.write.mode("overwrite").parquet(tdir(name).resolve(seg).toString)
+    seg
+  }
+
+  def exists(name: String): Boolean = currentVersion(name) >= 0
+
+  /** Snapshot read: bound to the segment list current at call time. */
+  def load(name: String): DataFrame = {
+    val v = currentVersion(name)
+    require(v >= 0, s"table $name does not exist")
+    val dirs = segments(name, v).map(s => tdir(name).resolve(s).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  def init(name: String, df: DataFrame): Unit = replace(name, df)
+
+  /** Publish a whole-table snapshot (mutating merges). */
+  def replace(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name) + 1
+    publish(name, Seq(writeSegment(name, next, df)), next)
+  }
+
+  /** Append rows to an insert-only table (notifications, rejections):
+    * writes ONLY the new rows as a segment; compacts when the manifest
+    * is long. Creates the table on first append. */
   def append(name: String, df: DataFrame): Unit =
     if (!exists(name)) replace(name, df)
-    else replace(name, load(name).unionByName(df))
+    else {
+      val v = currentVersion(name)
+      val segs = segments(name, v)
+      if (segs.length >= CompactThreshold)
+        replace(name, load(name).unionByName(df))
+      else {
+        val next = v + 1
+        publish(name, segs :+ writeSegment(name, next, df), next)
+      }
+    }
 
   /** Idempotent append: rows whose `key` already exists are dropped, so
     * a crash-replayed batch cannot double-append (the append-only
-    * analogue of the key-idempotent MERGEs). */
-  def appendUnique(name: String, df: DataFrame, key: Seq[String]): Unit =
-    if (!exists(name)) replace(name, df.dropDuplicates(key))
+    * analogue of the key-idempotent MERGEs). In-batch duplicates
+    * collapse to the first row by `tieBreak` ordering (arbitrary when
+    * empty). Write cost is O(new rows); the existing table is only
+    * READ for the anti-join. */
+  def appendUnique(name: String, df: DataFrame, key: Seq[String],
+      tieBreak: Seq[Column] = Nil): Unit = {
+    val dedup =
+      if (tieBreak.isEmpty) df.dropDuplicates(key)
+      else {
+        val w = Window.partitionBy(key.map(col): _*).orderBy(tieBreak: _*)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === lit(1)).drop("__rn")
+      }
+    if (!exists(name)) replace(name, dedup)
     else {
-      val cur = load(name)
-      val fresh = df.dropDuplicates(key)
-        .join(cur.select(key.map(org.apache.spark.sql.functions.col): _*),
-          key, "left_anti")
-      replace(name, cur.unionByName(fresh))
+      val fresh = dedup.join(load(name).select(key.map(col): _*),
+        key, "left_anti")
+      // skip empty appends entirely: no segment, no version churn
+      if (!fresh.isEmpty) append(name, fresh)
     }
+  }
 
   // -- per-flow batch commit log: replay protection for foreachBatch ---
   // Structured Streaming re-runs a failed micro-batch with the same

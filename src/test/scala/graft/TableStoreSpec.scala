@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.tables.TableStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Log-structured store contracts: appends write deltas (not
+  * snapshots), manifests compose segments, compaction bounds segment
+  * counts, and readers keep their call-time snapshot across writes. */
+class TableStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fresh() =
+    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("append writes a delta segment, not a new snapshot") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v"))
+    store.append("t", Seq((2, "b")).toDF("k", "v"))
+    store.append("t", Seq((3, "c")).toDF("k", "v"))
+    assert(store.load("t").count() === 3)
+    // each delta segment holds only its own rows — the second append's
+    // segment dir must contain exactly 1 row
+    val segDf = spark.read.parquet(
+      store.load("t").inputFiles.map(f => Paths.get(f.stripPrefix("file:"))
+        .getParent.toString).distinct.sorted.last)
+    assert(segDf.count() === 1)
+    assert(store.load("t").inputFiles.map(f =>
+      Paths.get(f.stripPrefix("file:")).getParent.toString).distinct.length === 3)
+  }
+
+  test("appendUnique drops existing keys and skips empty appends") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v"))
+    store.appendUnique("t", Seq((1, "dup"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(store.load("t").count() === 2)
+    val before = store.load("t").inputFiles.toSet
+    // all-duplicate batch: nothing new → no segment, no version churn
+    store.appendUnique("t", Seq((1, "x"), (2, "y")).toDF("k", "v"), Seq("k"))
+    assert(store.load("t").inputFiles.toSet === before)
+  }
+
+  test("appendUnique tieBreak picks the first row among in-batch dups") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq.empty[(Int, String)].toDF("k", "v"))
+    store.appendUnique("t", Seq((1, "z"), (1, "a"), (2, "m")).toDF("k", "v"),
+      Seq("k"), tieBreak = Seq(col("v")))
+    val rows = store.load("t").orderBy("k").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "m")))
+  }
+
+  test("compaction bounds the segment count") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((0, "s")).toDF("k", "v"))
+    (1 to 20).foreach(i => store.append("t", Seq((i, "s")).toDF("k", "v")))
+    assert(store.load("t").count() === 21)
+    val segDirs = store.load("t").inputFiles.map(f =>
+      Paths.get(f.stripPrefix("file:")).getParent.toString).distinct
+    assert(segDirs.length <= 17,
+      s"compaction never ran: ${segDirs.length} segments")
+  }
+
+  test("MVCC: a plan captured before a write keeps its snapshot") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v"))
+    val snapshot = store.load("t")
+    store.replace("t", Seq((9, "z")).toDF("k", "v"))
+    store.append("t", Seq((10, "w")).toDF("k", "v"))
+    assert(snapshot.collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(store.load("t").count() === 2)
+  }
+}
