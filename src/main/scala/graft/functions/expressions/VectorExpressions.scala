@@ -1,15 +1,17 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Native Catalyst expressions for embedding math over `array<float>`
- * columns: dot product, squared L2 distance, squared norm.
+ * or `array<double>` columns: dot product, squared L2 distance,
+ * squared norm.
  *
  * The built-in route (`zip_with` + `aggregate`) is semantically
  * identical but runs as interpreted higher-order functions — per
@@ -19,18 +21,59 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * generated Java is a primitive `double` loop over the two
  * `ArrayData`s, no allocation per element.
  *
- * Numerics: each element is widened float→double and accumulated
- * sequentially in index order — exactly the fold order of the built-in
- * `aggregate` route and of DuckDB's `list_sum(list_transform(...))`,
- * so results are bit-identical across all three (required by the
- * oracle hash check).
+ * Numerics: each element is widened to double (a no-op for double
+ * inputs) and accumulated sequentially in index order — exactly the
+ * fold order of the built-in `aggregate` route and of DuckDB's
+ * `list_sum(list_transform(...))`, so results are bit-identical
+ * across all three (required by the oracle hash check).
+ *
+ * Null handling mirrors the built-in fold: a null element poisons the
+ * result to null (`acc + null` in `aggregate`), and non-array /
+ * non-numeric inputs are an ANALYSIS error, not a runtime codegen
+ * ClassCastException.
  */
-abstract class FloatVecBinary extends BinaryExpression {
+object VecTypeCheck {
+  def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    case _ => None
+  }
+
+  def check(name: String, inputs: Seq[Expression]): TypeCheckResult =
+    inputs.find(e => elemType(e.dataType).isEmpty) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> or array<double> arguments, got " +
+          bad.dataType.catalogString)
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  /** Java getter expression yielding a double for element `i`. */
+  def getJava(arr: String, i: String, et: DataType): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case _ => s"(double) $arr.getFloat($i)"
+  }
+
+  def getEval(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case _ => arr.getFloat(i).toDouble
+  }
+}
+
+abstract class VecBinary extends BinaryExpression {
+  import VecTypeCheck._
   override def dataType: DataType = DoubleType
+  // a null ELEMENT nulls the whole result even when the array columns
+  // themselves are non-nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, Seq(left, right))
 
   /** Java source for the per-element accumulation, given element vars. */
   protected def elementJava(x: String, y: String): String
   protected def elementEval(x: Double, y: Double): Double
+
+  private def lt = elemType(left.dataType).getOrElse(FloatType)
+  private def rt = elemType(right.dataType).getOrElse(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -39,7 +82,8 @@ abstract class FloatVecBinary extends BinaryExpression {
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += elementEval(x.getFloat(i).toDouble, y.getFloat(i).toDouble)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += elementEval(getEval(x, i, lt), getEval(y, i, rt))
       i += 1
     }
     s
@@ -56,8 +100,9 @@ abstract class FloatVecBinary extends BinaryExpression {
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $x = ${getJava(a, i, lt)};
+         |  double $y = ${getJava(b, i, rt)};
          |  $s += ${elementJava(x, y)};
          |}
          |${ev.value} = $s;
@@ -65,7 +110,7 @@ abstract class FloatVecBinary extends BinaryExpression {
     })
 }
 
-case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
+case class DotProduct(left: Expression, right: Expression) extends VecBinary {
   override protected def elementJava(x: String, y: String): String = s"$x * $y"
   override protected def elementEval(x: Double, y: Double): Double = x * y
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -73,7 +118,7 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
   override def prettyName: String = "vec_dot"
 }
 
-case class L2Squared(left: Expression, right: Expression) extends FloatVecBinary {
+case class L2Squared(left: Expression, right: Expression) extends VecBinary {
   override protected def elementJava(x: String, y: String): String =
     s"($x - $y) * ($x - $y)"
   override protected def elementEval(x: Double, y: Double): Double = (x - y) * (x - y)
@@ -83,7 +128,14 @@ case class L2Squared(left: Expression, right: Expression) extends FloatVecBinary
 }
 
 case class NormSquared(child: Expression) extends UnaryExpression {
+  import VecTypeCheck._
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, Seq(child))
+
+  private def et = elemType(child.dataType).getOrElse(FloatType)
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -91,7 +143,8 @@ case class NormSquared(child: Expression) extends UnaryExpression {
     var s = 0.0
     var i = 0
     while (i < n) {
-      val v = x.getFloat(i).toDouble
+      if (x.isNullAt(i)) return null
+      val v = getEval(x, i, et)
       s += v * v
       i += 1
     }
@@ -108,7 +161,8 @@ case class NormSquared(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = ${getJava(a, i, et)};
          |  $s += $v * $v;
          |}
          |${ev.value} = $s;

@@ -102,15 +102,15 @@ object VectorQueries {
       "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
 
   /** Nearest-centroid assignment, Spark side: one distance column per
-    * centroid (built-in zip_with/aggregate fold — the same sequential
-    * double fold the oracle's list_sum performs), then a strict-<
-    * cascade that keeps the LOWEST cell id on ties, matching the
-    * oracle's ORDER BY (dist, cell). `cents` must be sorted by cell. */
+    * centroid (codegen vec_l2sq — the same sequential double fold the
+    * oracle's list_sum performs), then a strict-< cascade that keeps
+    * the LOWEST cell id on ties, matching the oracle's ORDER BY
+    * (dist, cell). `cents` must be sorted by cell. */
   private def assignCells(base: DataFrame,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     val withD = cents.foldLeft(base) { case (df, (c, m)) =>
       df.withColumn(s"__d$c",
-        VectorFns.l2sqBuiltin(col("pd"), array(m.map(lit).toIndexedSeq: _*)))
+        VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*)))
     }
     var best: Column = col(s"__d${cents.head._1}")
     var cell: Column = lit(cents.head._1)
@@ -230,29 +230,31 @@ object VectorQueries {
           transform(col("embedding"),
             x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
           .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
-        var cents: Array[(Long, Array[Double])] =
-          base.filter(col("vec_id") < Cells)
-            .select(col("vec_id"), col("pd")).orderBy("vec_id").collect()
-            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        // one seed collect serves double duty: rows vec_id < Cells are
+        // the k-means seeds, and the vec_id = 0 row among them is the
+        // query vector's fixed-point projection (saves a driver job)
+        val seeds = base.filter(col("vec_id") < Cells)
+          .select(col("vec_id"), col("pd")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        val qd = seeds.find(_._1 == 0L).get._2
+        var cents: Array[(Long, Array[Double])] = seeds
         for (_ <- 0 until Iters) {
           val assigned = assignCells(base, cents)
           val aggCols = (0 until Dim)
             .map(i => sum(element_at(col("pfp"), i + 1)).as(s"s$i")) :+
             count(lit(1)).as("cnt")
           val agg = assigned.groupBy("cell")
-            .agg(aggCols.head, aggCols.tail: _*)
-            .orderBy("cell").collect()
+            .agg(aggCols.head, aggCols.tail: _*).collect()
           cents = agg.map { r =>
             val cnt = r.getLong(Dim + 1)
             (r.getLong(0),
               Array.tabulate(Dim)(i => r.getLong(i + 1).toDouble / cnt))
-          }
+          }.sortBy(_._1)
         }
         val fin = assignCells(base, cents)
         // probe ranking runs driver-side over the Cells local centroids
         // (same sequential double fold as the oracle's list_sum)
-        val qd = base.filter(col("vec_id") === 0)
-          .select(col("pd")).collect().head.getSeq[Double](0).toArray
         def l2(a: Array[Double], b: Array[Double]): Double = {
           var acc = 0.0; var i = 0
           while (i < a.length) { val v = a(i) - b(i); acc += v * v; i += 1 }
