@@ -6,24 +6,36 @@ import graft.tables.TableStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming throughput bench: pushes every lineitem row of
   * SPARK_GRAFT_SF_DIR through the FULL admission flow (validation,
-  * redelivery dedup, per-key fold, table swaps, rejection log) as one
-  * micro-batch and prints one JSON line with requests/sec.
+  * redelivery dedup, per-key fold, table swaps, rejection log) and
+  * prints one JSON line per measurement with requests/sec.
   *
-  * Context for the number: the reference consumes ONE message at a
+  * Two flow variants × two batching regimes:
+  *   - `admission_throughput[_stateful]`: the whole corpus as ONE
+  *     micro-batch — peak bulk throughput.
+  *   - `..._multibatch`: the corpus split into SPARK_GRAFT_STREAM_ROUNDS
+  *     micro-batches through one long-running query — the steady-state
+  *     regime, where the batch-MERGE flow pays O(table + history) per
+  *     trigger (snapshot reload + anti-join against the growing
+  *     reservas registry) while the keyed-state flow pays O(batch)
+  *     (state-store decisions + changelog-sized table merges).
+  *
+  * Context for the numbers: the reference consumes ONE message at a
   * time per topic partition (single-partition topics, blocking
   * channel, commit-per-message — clientes.yaml:151, inventario/
   * main.go:50-66), so its ceiling is a few hundred messages/sec per
-  * consumer. The flow here admits the same semantics per key with
-  * cross-key parallelism. */
+  * consumer. */
 object StreamBench {
   case class R(id: String, evento: String, email: String, cantidad: Int, seq: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val variant = sys.env.getOrElse("SPARK_GRAFT_STREAM_VARIANT", "both")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROUNDS", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,18 +46,6 @@ object StreamBench {
     import spark.implicits._
     implicit val sql = spark.sqlContext
 
-    val root = Files.createTempDirectory("graft-streambench").toString
-    val store = new TableStore(spark, root)
-    store.init("inventario", spark.read.parquet(s"$sfDir/part.parquet").select(
-      col("p_partkey").cast("string").as("id"),
-      col("p_partkey").cast("string").as("nombre"),
-      (col("p_size") * 1000).as("capacidad"),
-      lit("Cat").as("categoria"), lit("A").as("estado"),
-      lit(null).cast("string").as("idres"),
-      lit(null).cast("string").as("email"),
-      lit(null).cast("int").as("canres")))
-    store.init("reservas", graft.sources.Tables.reservas(spark).limit(0))
-
     val requests = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
       lower(md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"),
         lit("-"), col("l_partkey")))).substr(1, 24).as("id"),
@@ -54,23 +54,54 @@ object StreamBench {
       col("l_quantity").cast("int").as("cantidad"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"))
       .as[R].collect()
-
-    val flows = new Flows(spark, store)
-    // multi-partition source: a single-partition MemoryStream would
-    // serialize every scan of the 600k-row batch through one thread
-    val ms = MemoryStream[R](spark, cpus.toInt)
-    val tAdd = System.nanoTime()
-    ms.addData(requests.toSeq)
-    val addSecs = (System.nanoTime() - tAdd) / 1e9
-    val t0 = System.nanoTime()
-    val q = flows.admissionFlow(ms.toDS().toDF())
-    q.processAllAvailable(); q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[streambench] addData encode: $addSecs%.1fs, flow: $secs%.1fs")
     val n = requests.length
-    val admitted = store.load("reservas").count()
-    println(s"""{"metric":"admission_throughput","requests":$n,""" +
-      s""""admitted":$admitted,"sec":$secs,"req_per_sec":${(n / secs).toLong},"sf":"$sfDir"}""")
+
+    def freshStore(): TableStore = {
+      val root = Files.createTempDirectory("graft-streambench").toString
+      val store = new TableStore(spark, root)
+      store.init("inventario", spark.read.parquet(s"$sfDir/part.parquet").select(
+        col("p_partkey").cast("string").as("id"),
+        col("p_partkey").cast("string").as("nombre"),
+        (col("p_size") * 1000).as("capacidad"),
+        lit("Cat").as("categoria"), lit("A").as("estado"),
+        lit(null).cast("string").as("idres"),
+        lit(null).cast("string").as("email"),
+        lit(null).cast("int").as("canres")))
+      store.init("reservas", graft.sources.Tables.reservas(spark).limit(0))
+      store
+    }
+
+    def run(metric: String, stateful: Boolean, nRounds: Int): Unit = {
+      val store = freshStore()
+      // long-running trigger so each addData round is its own
+      // micro-batch of ONE live query (state carries over in the
+      // state store for the stateful variant)
+      val flows = new Flows(spark, store,
+        trigger = Trigger.ProcessingTime(0))
+      // multi-partition source: a single-partition MemoryStream would
+      // serialize every scan of the batch through one thread
+      val ms = MemoryStream[R](spark, cpus.toInt)
+      val chunk = (n + nRounds - 1) / nRounds
+      val t0 = System.nanoTime()
+      val q = if (stateful) flows.admissionFlowStateful(ms.toDS().toDF())
+        else flows.admissionFlow(ms.toDS().toDF())
+      requests.grouped(chunk).foreach { c =>
+        ms.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val admitted = store.load("reservas").count()
+      println(s"""{"metric":"$metric","requests":$n,"admitted":$admitted,""" +
+        s""""batches":$nRounds,"sec":$secs,"req_per_sec":${(n / secs).toLong},"sf":"$sfDir"}""")
+    }
+
+    if (variant != "stateful") run("admission_throughput", stateful = false, 1)
+    if (variant != "batch") run("admission_throughput_stateful", stateful = true, 1)
+    if (variant != "stateful")
+      run("admission_throughput_multibatch", stateful = false, rounds)
+    if (variant != "batch")
+      run("admission_throughput_stateful_multibatch", stateful = true, rounds)
     spark.stop()
   }
 }

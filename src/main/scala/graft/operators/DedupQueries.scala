@@ -175,6 +175,55 @@ object DedupQueries {
       (s, d) => ngramJaccardPairs(table(s, d, "documents"))
     },
 
+    // SimHash Hamming-ball near-dup (ROADMAP §5): pairs of documents
+    // whose 16-bit SimHash fingerprints differ in ≤ 2 bits. Banding
+    // candidate join: 4 bands of 4 bits — by pigeonhole any pair
+    // within Hamming distance 3 shares at least one exact band, so
+    // recall is EXACT for the ≤2 threshold (no probabilistic misses
+    // to reproduce). Candidates equi-join on (band index, band
+    // value) — one shuffle, no all-pairs — then verify with
+    // bit_count(xor). Same scale shape as x8: bucket join + cheap
+    // exact verification.
+    Query("x25_simhash_neardup",
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
+        "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
+        "c AS (SELECT doc_id, j, SUM(CASE WHEN CAST(floor(v16 / power(2, j)) AS BIGINT) % 2 = 1 " +
+        "THEN 1 ELSE -1 END) AS sgn FROM vb GROUP BY 1, 2), " +
+        "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
+        "AS BIGINT) AS f FROM c GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, f, i, CAST(floor(f / power(2, 4 * i)) AS BIGINT) % 16 AS bv " +
+        "FROM fp, (SELECT unnest(range(4)) AS i)), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
+        "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id) " +
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
+        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
+      (s, d) =>
+        val fpDf = table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
+              .as("f"))
+        val bands = fpDf.select(col("doc_id"), col("f"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("i"),
+              shiftright(col("f"), 4 * i).bitwiseAND(lit(15L)).as("bv")))
+            .toIndexedSeq: _*)).as("band"))
+          .select(col("doc_id"), col("f"),
+            col("band.i").as("i"), col("band.bv").as("bv"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.f").as("fa"), col("y.f").as("fb"))
+          .distinct()
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+    },
+
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex
     // chunk minima), 4 bands of 2, bucket-join candidates,
     // exact-Jaccard verification. MinHashBands computes all 8

@@ -95,6 +95,59 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // trigram-profile language ID (ROADMAP §6): per-language profiles
+    // are the top-20 character trigrams by document frequency, learned
+    // from the corpus itself; a document's prediction is the profile
+    // with the largest distinct-trigram overlap (ties → lang asc,
+    // no-trigram docs → '??'). The profile table is 5×20 rows —
+    // BROADCAST to the scoring join, so scoring stays a single scan
+    // stage at 100 TB; profile learning is one shuffle on (lang, g).
+    // Reported, like x3, as an (actual, predicted) confusion matrix.
+    Query("x26_langid_trigram",
+      "WITH tg AS (SELECT lang, doc_id, unnest(list_distinct(" +
+        "list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)))) AS g " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "prof AS (SELECT lang AS plang, g FROM (" +
+        "SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY COUNT(*) DESC, g) AS rn FROM tg GROUP BY lang, g) WHERE rn <= 20), " +
+        "score AS (SELECT t.doc_id, p.plang, COUNT(*) AS c FROM tg t " +
+        "JOIN prof p ON t.g = p.g GROUP BY 1, 2), " +
+        "pred AS (SELECT doc_id, plang AS pred FROM (" +
+        "SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, plang) AS rn FROM score) WHERE rn = 1) " +
+        "SELECT d.lang, COALESCE(p.pred, '??') AS pred, COUNT(*) AS n " +
+        "FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, d, "documents")
+        val tg = docs.filter(col("text").isNotNull)
+          .select(col("lang"), col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))).as("g"))
+        val wProf = Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("g"))
+        val prof = tg.groupBy(col("lang"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wProf))
+          .filter(col("rn") <= 20)
+          .select(col("lang").as("plang"), col("g"))
+        val score = tg.join(broadcast(prof), Seq("g"))
+          .groupBy(col("doc_id"), col("plang"))
+          .agg(count(lit(1)).as("c"))
+        val wPred = Window.partitionBy(col("doc_id"))
+          .orderBy(col("c").desc, col("plang"))
+        val pred = score.withColumn("rn", row_number().over(wPred))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("plang").as("pred"))
+        docs.join(pred, Seq("doc_id"), "left")
+          .groupBy(col("lang"),
+            coalesce(col("pred"), lit("??")).as("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+    },
+
     // 16-bit SimHash fingerprint from md5-derived token hashes,
     // computed per-document in one codegen pass (SimHash16): no shuffle
     // at all except the deterministic ORDER BY. The oracle keeps the

@@ -4,7 +4,7 @@ import graft.tables.{MergeOps, TableStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /**
  * The reference's asynchronous dataflows (SURVEY.md §2.2 S1–S7,
@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * drives the same code in tests.
  */
 final class Flows(spark: SparkSession, store: TableStore,
-    checkpointRoot: Option[String] = None) {
+    checkpointRoot: Option[String] = None,
+    trigger: Trigger = Trigger.AvailableNow()) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -38,7 +39,7 @@ final class Flows(spark: SparkSession, store: TableStore,
     val w = df.writeStream
       .queryName(name)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batchId-based replay protection is only sound when batchIds
         // are monotonic across restarts, i.e. with a persistent
@@ -174,6 +175,79 @@ final class Flows(spark: SparkSession, store: TableStore,
       batch.unpersist()
       log.unpersist()
     }
+
+  // -------------------------------------------------------------------
+  // S2/S5/S8, keyed-state variant (ROADMAP §7): admission decisions
+  // run against per-key state in the Spark state store
+  // (StatefulAdmission.admit) instead of reloading the inventario
+  // snapshot per batch — O(batch) per trigger, incremental (changelog)
+  // state checkpointing, and the tables become downstream
+  // materializations of the emitted log. Same outcomes as
+  // admissionFlow; StatefulAdmissionSpec replays the S2/S5b/S5/S8/O16
+  // scenarios against it.
+  // -------------------------------------------------------------------
+  def admissionFlowStateful(requests: DataFrame): StreamingQuery = {
+    val validated = requests.select(
+      col("id"),
+      coalesce(col("evento"), lit("")).as("evento"),
+      col("email"),
+      coalesce(col("cantidad").cast("int"), lit(0)).as("cantidad"),
+      coalesce(col("seq").cast("long"), lit(0L)).as("seq"),
+      when(col("cantidad").isNull || col("cantidad") <= 0, "cantidad_invalida")
+        .when(col("id").isNull || !col("id").rlike("^[0-9a-f]{24}$"),
+          "id_invalido").as("motivo")).as[SReq]
+    // state seeded once, at query start, from the inventario snapshot
+    // (the operator owns (capacidad, estado) from then on — lifecycle
+    // transitions join as further input streams in a full deployment)
+    val init = store.load("inventario")
+      .select(col("nombre"), col("capacidad").cast("long").as("capacidad"),
+        col("estado")).as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapValues(t => InvState(t._2, t._3, Nil))
+    val log = validated.groupByKey(_.evento)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        init)(StatefulAdmission.admit _)
+    log.toDF().writeStream
+      .queryName("admission_stateful")
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val log = batch0.persist()
+        val admitted = log.filter(col("admitted"))
+        if (!admitted.isEmpty) {
+          // the last admitted row per key (fold order) carries the
+          // key's final capacity — one guarded MERGE applies the
+          // decrement and the document widening together, touching
+          // only keys present in the batch
+          val lastPerKey = admitted.groupBy(col("evento").as("nombre"))
+            .agg(max_by(
+              struct(col("id"), col("email"), col("cantidad"), col("capacidad")),
+              struct(col("seq"), col("id"), col("email"), col("cantidad")))
+              .as("__r"))
+            .select(col("nombre"), col("__r.id").as("__idres"),
+              col("__r.email").as("__email"),
+              col("__r.cantidad").as("__canres"),
+              col("__r.capacidad").as("__cap"))
+          val inv = store.load("inventario")
+          val capType = inv.schema("capacidad").dataType
+          store.replace("inventario", MergeOps.guardedUpdate(inv, lastPerKey,
+            Seq("nombre"), guard = lit(true),
+            sets = Map(
+              "capacidad" -> col("__b___cap").cast(capType),
+              "idres" -> col("__b___idres"), "email" -> col("__b___email"),
+              "canres" -> col("__b___canres")),
+            batchCols = Seq("__idres", "__email", "__canres", "__cap")))
+          store.appendUnique("reservas", admitted.select(col("id"),
+            col("evento"), lit("A").as("estado"), col("email"),
+            col("cantidad")), Seq("id"))
+        }
+        store.appendUnique("rechazos", log.filter(col("motivo").isNotNull)
+          .select(col("id"), col("evento"), col("email"), col("cantidad"),
+            col("motivo")), Seq("id", "motivo"))
+        log.unpersist()
+        ()
+      }
+      .start()
+  }
 
   // -------------------------------------------------------------------
   // S3 — customer cancellation: CAS estado A→X on reservas (O20), then

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Tables
+import graft.streaming.Flows
+import graft.tables.TableStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The keyed-state admission variant must reproduce the batch-MERGE
+  * flow's golden scenarios (FlowsSpec S2/S5b/S5/S8/O16) — decisions
+  * from the Spark state store instead of per-batch table reloads, same
+  * final table states. Cross-batch behavior is exercised by keeping
+  * ONE streaming query alive across multiple addData rounds: state
+  * carries over in the state store, not via a reservas anti-join. */
+class StatefulAdmissionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def seededEvent(cap: Int): (TableStore, Flows) = {
+    val root = Files.createTempDirectory("graft-sadm").toString
+    val store = new TableStore(spark, root)
+    store.init("eventos", Tables.eventos(spark).limit(0))
+    store.init("reservas", Tables.reservas(spark).limit(0))
+    import spark.implicits._
+    store.init("inventario", Seq(
+      Tables.Inventario("619c1ca490812c00013e29c3", "Opera Boheme", cap,
+        "Opera", "A", null, null, 0)).toDF()
+      .withColumn("canres", lit(null).cast("int")))
+    (store, new Flows(spark, store))
+  }
+
+  test("S2+S8 stateful: in-order admission, oversell + unknown event rejected; cross-batch state persists (S5)") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Req](spark, 4)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      ms.addData(
+        Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 1),
+        Req("619c1dae4b2120000195244b", "Opera Boheme", "maria@gmail.com", 18, 2), // 17 < 18
+        Req("619c1dae4b2120000195244c", "Opera Boheme", "luis@gmail.com", 17, 3),  // fits exactly
+        Req("619c1dae4b2120000195244d", "Nope", "x@gmail.com", 1, 4))              // unknown
+      q.processAllAvailable()
+      val inv = store.load("inventario").collect().head
+      assert(inv.getInt(2) === 0) // 20 - 3 - 17
+      assert(inv.getString(5) === "619c1dae4b2120000195244c")
+      assert(inv.getInt(7) === 17)
+      assert(store.load("reservas").orderBy("id").collect()
+        .map(_.getString(0)).toSeq ===
+        Seq("619c1dae4b21200001952449", "619c1dae4b2120000195244c"))
+      assert(store.load("rechazos").orderBy("id").collect()
+        .map(r => (r.getString(0), r.getString(4))).toSeq === Seq(
+        ("619c1dae4b2120000195244b", "sin_capacidad"),
+        ("619c1dae4b2120000195244d", "no_existe")))
+      // S5: redelivery in a LATER micro-batch — the seen-state, not a
+      // table anti-join, makes it a no-op (no new rows, no decrement)
+      ms.addData(
+        Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 1))
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 0)
+      assert(store.load("reservas").count() === 2)
+      // capacity freed? it wasn't — a NEW id is still rejected
+      ms.addData(
+        Req("619c1dae4b2120000195244e", "Opera Boheme", "ana@gmail.com", 1, 9))
+      q.processAllAvailable()
+      assert(store.load("reservas").count() === 2)
+      assert(store.load("rechazos").filter(col("id") === "619c1dae4b2120000195244e")
+        .collect().head.getString(4) === "sin_capacidad")
+    } finally q.stop()
+  }
+
+  test("S5b stateful: duplicate ids WITHIN one batch decrement once") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Req](spark, 4)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      ms.addData(
+        Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 1),
+        Req("619c1dae4b21200001952449", "Opera Boheme", "pepediaz@gmail.com", 3, 2))
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 17) // not 14
+      assert(store.load("reservas").count() === 1)
+    } finally q.stop()
+  }
+
+  test("O16 stateful: invalid requests rejected before touching state") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Req](spark, 4)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      ms.addData(
+        Req("619c1dae4b21200001952449", "Opera Boheme", "a@b", 0, 1),
+        Req("619c1dae4b2120000195244a", "Opera Boheme", "a@b", -5, 2),
+        Req("NOT-A-HEX-ID-AT-ALL-0000", "Opera Boheme", "a@b", 3, 3))
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 20)
+      assert(store.load("reservas").count() === 0)
+      assert(store.load("rechazos").collect().map(_.getString(4)).sorted.toSeq ===
+        Seq("cantidad_invalida", "cantidad_invalida", "id_invalido"))
+    } finally q.stop()
+  }
+
+  test("stateful admission never oversells under per-key contention (property)") {
+    val (store, flows) = seededEvent(50)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Req](spark, 8)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      // 40 competing requests of 3 seats for a 50-seat event → exactly
+      // 16 admissions (48 seats), 24 sold-out rejections
+      val reqs = (1 to 40).map(i =>
+        Req(f"aaaaaaaaaaaaaaaaaaaa$i%04d", "Opera Boheme", s"u$i@x.y", 3, i.toLong))
+      ms.addData(reqs: _*)
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 2) // 50 - 48
+      assert(store.load("reservas").count() === 16)
+      assert(store.load("rechazos").filter(col("motivo") === "sin_capacidad")
+        .count() === 24)
+      // the fold is ordered: the first 16 seq values admit
+      assert(store.load("reservas").orderBy("id").collect().map(_.getString(0)).toSeq
+        === (1 to 16).map(i => f"aaaaaaaaaaaaaaaaaaaa$i%04d"))
+    } finally q.stop()
+  }
+}
