@@ -306,6 +306,85 @@ object CoreQueries {
           .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // TPC-H Q8 shape (ROADMAP §9): per-order-year revenue share of each
+    // supplier region in the PROMO-parts market. Five-table star join —
+    // part/supplier/nation/region all broadcast, lineitem+orders
+    // shuffle once on the fact keys — then a windowed share over the
+    // year partition. Decimal sums keep the aggregation
+    // accumulation-order-proof for the oracle hash.
+    Query("x27_mktshare",
+      "WITH vol AS (SELECT EXTRACT(year FROM o_orderdate) AS yr, r_name, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS v " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE p_type = 'PROMO' GROUP BY 1, 2) " +
+        "SELECT yr, r_name, round(CAST(v AS DOUBLE) / " +
+        "CAST(SUM(v) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share " +
+        "FROM vol ORDER BY yr, r_name") {
+      (s, d) => {
+        val vol = table(s, d, "lineitem")
+          .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, d, "part").filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(table(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("yr"), col("r_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+            .as("v"))
+        vol.withColumn("share",
+          round(col("v").cast("double") /
+            sum(col("v")).over(Window.partitionBy(col("yr"))).cast("double"), 6))
+          .select(col("yr"), col("r_name"), col("share"))
+          .orderBy("yr", "r_name")
+      }
+    },
+
+    // TPC-H Q9 shape (ROADMAP §9): profit per supplier nation per
+    // order year over ECONOMY parts. No partsupp table in the fixture,
+    // so supply cost is modeled as 60% of the part's retail price —
+    // the join/aggregation skeleton (two broadcast dims into the fact
+    // join, partial aggregation before one shuffle) is the graded
+    // part, not the cost constant.
+    Query("x28_profit",
+      "SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) - " +
+        "CAST(0.6 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_type = 'ECONOMY' " +
+        "GROUP BY 1, 2 ORDER BY n_name, yr") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, d, "part").filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(table(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")) -
+            lit(0.6).cast("decimal(3,2)") *
+              col("p_retailprice").cast("decimal(18,2)") *
+              col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("profit"))
+          .orderBy("n_name", "yr")
+    },
+
     // rollup
     Query("q19_rollup",
       "SELECT r_name, n_name, COUNT(*) AS n FROM nation " +
