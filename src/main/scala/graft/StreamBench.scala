@@ -71,7 +71,16 @@ object StreamBench {
       store
     }
 
-    def run(metric: String, stateful: Boolean, nRounds: Int): Unit = {
+    def run(metric: String, stateful: Boolean, nRounds: Int,
+        rocksdb: Boolean = false): Unit = {
+      if (rocksdb) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      } else
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       val store = freshStore()
       // long-running trigger so each addData round is its own
       // micro-batch of ONE live query (state carries over in the
@@ -100,8 +109,14 @@ object StreamBench {
     if (variant != "batch") run("admission_throughput_stateful", stateful = true, 1)
     if (variant != "stateful")
       run("admission_throughput_multibatch", stateful = false, rounds)
-    if (variant != "batch")
+    if (variant != "batch") {
       run("admission_throughput_stateful_multibatch", stateful = true, rounds)
+      // RocksDB state store + changelog checkpointing: the per-trigger
+      // checkpoint upload is just the changelog, the working state
+      // lives off-heap — the provider a real cluster deployment runs
+      run("admission_throughput_stateful_multibatch_rocksdb",
+        stateful = true, rounds, rocksdb = true)
+    }
     spark.stop()
   }
 }

@@ -62,6 +62,25 @@ object TextExprUtil {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Distinct character n-grams, first-occurrence order — the set
+    * DuckDB's list_distinct(list_transform(range(1, len-n+2), i ->
+    * substr(s, i, n))) produces. Returns EMPTY for strings shorter
+    * than n (the HOF formulation via sequence(1, len-n+1) cannot be
+    * used here: Spark's sequence runs DESCENDING when stop < start,
+    * fabricating junk n-grams for short strings where DuckDB's range
+    * is empty). */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      seen.add(s.substringSQL(i + 1, n))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Code point of the first char, Spark `Ascii` semantics (0 if empty). */
   private def asciiOf(t: UTF8String): Long =
     if (t.numChars() > 0) t.substring(0, 1).toString.codePointAt(0).toLong else 0L
@@ -262,6 +281,25 @@ case class MinHashBands(child: Expression) extends TextUnary {
   override def prettyName: String = "minhash_bands"
 }
 
+/** STRING → array<string> of distinct character n-grams. */
+case class CharNgramsDistinct(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.charNgrams(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.charNgrams($c, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "char_ngrams_distinct"
+}
+
 object TextExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
   def shingles_distinct(ts: Column, n: Int = 3): Column =
@@ -269,4 +307,6 @@ object TextExpressions {
   def rolling_fp(ts: Column): Column = Bridge.column(RollingHashFp(expr(ts)))
   def simhash16(ts: Column): Column = Bridge.column(SimHash16(expr(ts)))
   def minhash_bands(sh: Column): Column = Bridge.column(MinHashBands(expr(sh)))
+  def char_ngrams(s: Column, n: Int = 3): Column =
+    Bridge.column(CharNgramsDistinct(expr(s), n))
 }

@@ -121,11 +121,14 @@ object TextQueries {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
         val docs = table(s, d, "documents")
+        // CharNgramsDistinct, not the sequence+substr HOF: one codegen
+        // pass per document, and empty (not a DESCENDING sequence of
+        // junk offsets) for texts shorter than the n-gram — matching
+        // the oracle's empty range(1, len-1)
         val tg = docs.filter(col("text").isNotNull)
           .select(col("lang"), col("doc_id"),
-            explode(array_distinct(transform(
-              sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3))))).as("g"))
+            explode(graft.functions.expressions.TextExpressions
+              .char_ngrams(col("text"), 3)).as("g"))
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(col("c").desc, col("g"))
         val prof = tg.groupBy(col("lang"), col("g"))

@@ -56,6 +56,38 @@ class TextNullSpec extends AnyFunSuite {
       Seq("a b", "b c"))
   }
 
+  test("char_ngrams: HOF parity, short-string emptiness, multibyte chars") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcdefg"),
+      (2L, "aaaa"),      // duplicates collapse
+      (3L, "ab"),        // shorter than n → EMPTY (the sequence+substr
+                         // HOF would fabricate junk via a descending range)
+      (4L, ""),
+      (5L, "héllo wörld") // char (not byte) offsets
+    ).toDF("id", "text")
+    val rows = df.select(col("id"),
+        TextExpressions.char_ngrams(col("text"), 3).as("g"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) ===
+      Seq("abc", "bcd", "cde", "def", "efg"))
+    assert(rows(1).getSeq[String](1) === Seq("aaa", "aa" + "a").distinct)
+    assert(rows(2).getSeq[String](1) === Seq.empty)
+    assert(rows(3).getSeq[String](1) === Seq.empty)
+    // parity with array_distinct(transform(sequence(...), substr))
+    // where that formulation is well-defined (len >= n)
+    val hof = df.filter(length(col("text")) >= 3)
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("g"))
+      .orderBy("id").collect()
+    val exprSide = df.filter(length(col("text")) >= 3)
+      .select(col("id"), TextExpressions.char_ngrams(col("text"), 3).as("g"))
+      .orderBy("id").collect()
+    assert(exprSide.map(_.getSeq[String](1)).toSeq ===
+      hof.map(_.getSeq[String](1)).toSeq)
+  }
+
   test("misuse fails at analysis time, not codegen") {
     import spark.implicits._
     val df = Seq((1, "not an array")).toDF("id", "s")
