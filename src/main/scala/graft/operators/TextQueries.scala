@@ -95,6 +95,66 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // quality-filter ratios (training-pipeline brief: length/punct/
+    // stopword ratios): punctuation, digit and stopword fractions per
+    // document — the per-row signals a corpus quality filter thresholds
+    // on. Pure narrow map (single scan stage at 100 TB). DuckDB's
+    // regexp_replace needs the 'g' flag for replace-all parity with
+    // Spark.
+    Query("x29_quality_ratios",
+      "WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, " +
+        "round(CAST(len(text) - len(regexp_replace(text, '[.,;:!?''\"()-]', '', 'g')) AS DOUBLE) " +
+        "/ nullif(len(text), 0), 6) AS punct_ratio, " +
+        "round(CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) " +
+        "/ nullif(len(text), 0), 6) AS digit_ratio, " +
+        "round(CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', " +
+        "'de', 'la', 'el', 'le', 'und', 'der', 'die'))) AS DOUBLE) " +
+        "/ nullif(len(ts), 0), 6) AS stopword_ratio " +
+        "FROM t ORDER BY doc_id") {
+      (s, d) => {
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is",
+          "de", "la", "el", "le", "und", "der", "die")
+        val t = table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"),
+            graft.functions.TextFns.tokens(col("text")).as("ts"))
+        t.select(col("doc_id"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?'\"()-]", ""))).cast("double") /
+            nullif(length(col("text")), lit(0)), 6).as("punct_ratio"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+            nullif(length(col("text")), lit(0)), 6).as("digit_ratio"),
+          round(size(filter(col("ts"),
+            x => x.isin(stop.map(_.asInstanceOf[Any]): _*))).cast("double") /
+            nullif(size(col("ts")), lit(0)), 6).as("stopword_ratio"))
+          .orderBy("doc_id")
+      }
+    },
+
+    // BPE-style pre-tokenization count (training-pipeline brief:
+    // "whitespace + a BPE-ish regex"): runs of letters / digits /
+    // other-symbols as separate tokens — the GPT-2-style pre-tokenizer
+    // split, counted per document next to the whitespace count.
+    // Narrow map; regex is shared verbatim by both engines.
+    Query("x30_token_bpe",
+      "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id") {
+      (s, d) =>
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+              .as("n_words"),
+            size(split(col("text"), " ", -1)).as("n_ws"))
+          .orderBy("doc_id")
+    },
+
     // trigram-profile language ID (ROADMAP §6): per-language profiles
     // are the top-20 character trigrams by document frequency, learned
     // from the corpus itself; a document's prediction is the profile
