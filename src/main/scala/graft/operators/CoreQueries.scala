@@ -385,6 +385,58 @@ object CoreQueries {
           .orderBy("n_name", "yr")
     },
 
+    // pivot: per-day event counts spread into one column per event
+    // type (RelationalGroupedDataset.pivot with explicit values — no
+    // distinct-scan planning pass, required shape at 100 TB). Spark's
+    // pivot yields NULL for absent (day, type) pairs; coalesce to 0
+    // for parity with the oracle's FILTER counts.
+    Query("x31_pivot",
+      "SELECT date_trunc('day', ts) AS day, " +
+        "COUNT(*) FILTER (event_type = 'click') AS click, " +
+        "COUNT(*) FILTER (event_type = 'error') AS error, " +
+        "COUNT(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "COUNT(*) FILTER (event_type = 'signup') AS signup, " +
+        "COUNT(*) FILTER (event_type = 'view') AS view " +
+        "FROM events GROUP BY 1 ORDER BY day") {
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val piv = table(s, d, "events")
+          .select(date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        piv.select(col("day") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      }
+    },
+
+    // unpivot / melt: wide lineitem measures to (metric, value) long
+    // form — Dataset.unpivot (Spark 3.4+), oracle as the portable
+    // UNION ALL formulation.
+    Query("x32_unpivot",
+      "SELECT l_orderkey, l_linenumber, metric, val FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'quantity' AS metric, " +
+        "CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey <= 100 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', " +
+        "CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey <= 100 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', " +
+        "CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey <= 100) " +
+        "ORDER BY l_orderkey, l_linenumber, metric") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_orderkey") <= 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_discount").cast("double").as("discount"))
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("quantity"), col("extendedprice"), col("discount")),
+            "metric", "val")
+          .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
     // rollup
     Query("q19_rollup",
       "SELECT r_name, n_name, COUNT(*) AS n FROM nation " +
