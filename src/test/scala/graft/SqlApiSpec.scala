@@ -29,4 +29,43 @@ class SqlApiSpec extends AnyFunSuite {
       assert(viaSql === viaDf, s"$name: SQL path diverges from DataFrame path")
     }
   }
+
+  test("custom expressions are SQL functions via GraftExtensions") {
+    import graft.functions.expressions.TextExpressions
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, TestSpark.sf)
+    // vector ops over embeddings: SQL text == Column wrappers
+    val sqlVec = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d, " +
+        "vec_normsq(embedding) AS n, vec_l2sq(embedding, embedding) AS z " +
+        "FROM embeddings ORDER BY vec_id LIMIT 5").collect().toSeq
+    val dfVec = Tables.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        VectorFns.dot(col("embedding"), col("embedding")).as("d"),
+        VectorFns.normsq(col("embedding")).as("n"),
+        VectorFns.l2sq(col("embedding"), col("embedding")).as("z"))
+      .orderBy("vec_id").limit(5).collect().toSeq
+    assert(sqlVec === dfVec)
+    // text ops over documents
+    val sqlTxt = spark.sql(
+      "SELECT doc_id, simhash16(split(text, ' ')) AS sh, " +
+        "rolling_fp(split(text, ' ')) AS fp, " +
+        "size(char_ngrams(text)) AS ng " +
+        "FROM documents WHERE text IS NOT NULL ORDER BY doc_id LIMIT 5")
+      .collect().toSeq
+    val dfTxt = Tables.table(spark, TestSpark.sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.simhash16(split(col("text"), " ")).as("sh"),
+        TextExpressions.rolling_fp(split(col("text"), " ")).as("fp"),
+        size(TextExpressions.char_ngrams(col("text"))).as("ng"))
+      .orderBy("doc_id").limit(5).collect().toSeq
+    assert(sqlTxt === dfTxt)
+    // misuse through SQL is still an analysis error
+    val e = intercept[Exception](spark.sql(
+      "SELECT vec_dot(1, 2)").collect())
+    assert(e.getMessage.contains("array<float>") ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+  }
 }
