@@ -318,10 +318,15 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def consumerFlow(messages: DataFrame): StreamingQuery =
     start(messages, "consumer") { batch =>
+      // invMsgs feeds three branches (register, cascade probe+apply,
+      // and the dead-letter check inside routeDeadLetters ran already);
+      // persist so the topic scan + JSON parse run once per batch, not
+      // once per downstream action
       val invMsgs = routeDeadLetters("consumer", CdcCodec.parseInventario(
         batch.filter(col("topic") === "boletia.inventario").select(col("value"))))
         .withColumn("clase",
           CdcCodec.classifyInventario(col("canres"), col("estado")))
+        .persist()
       // O22: admitted-reservation messages → register (DetReserva
       // projection: idres→id, nombre→evento, canres→cantidad)
       val newReservas = invMsgs.filter(col("clase") === "insert_reservation")
@@ -366,6 +371,8 @@ final class Flows(spark: SparkSession, store: TableStore,
         store.appendUnique("devoluciones", returns.select(col("id")), Seq("id"))
       }
       returns.unpersist()
+      invMsgs.unpersist()
+      ()
     }
 
   // -------------------------------------------------------------------

@@ -70,6 +70,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x27/x28: star-join dims broadcast, filters pushed, partial agg") {
+    Seq("x27_mktshare", "x28_profit").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: dims not broadcast:\n$p")
+      assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,.*"),
+        s"$n: part filter not pushed to the scan:\n$p")
+      assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
+    }
+  }
+
+  test("x25: Hamming verify is evaluated inside the band equi-join") {
+    val p = plan("x25_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated:\n$p")
+    // bit_count(xor) rides the join condition — candidates are filtered
+    // during the probe, never materialized
+    assert(p.contains("bit_count"), s"hamming not in the join:\n$p")
+  }
+
+  test("x26: profile side of the scoring join is broadcast") {
+    val p = plan("x26_langid_trigram")
+    assert(p.contains("BroadcastHashJoin"), s"profile join shuffled:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)
