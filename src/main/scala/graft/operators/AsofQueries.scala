@@ -44,9 +44,70 @@ object AsofJoin {
   }
 }
 
+/**
+ * Binned range join — the second "operator Spark lacks". A pure
+ * interval predicate (`lo ≤ t < hi`, no equi-key) plans as a
+ * BroadcastNestedLoopJoin: O(left × right) comparisons, a
+ * non-starter at scale. When every interval is at most `binWidth`
+ * long, bucketing both sides by `t div binWidth` turns it into a hash
+ * EQUI-join: each interval overlaps at most two bins (explode ≤ 2
+ * rows), each point lives in exactly one, and the exact predicate
+ * re-filters the bin-collisions. Shuffle ∝ rows, join work ∝ rows per
+ * bin — the standard interval-join technique (Databricks' range-join
+ * hints, Flink's interval join do the same bucketing).
+ *
+ * Bin ids use integral `div`, not floating floor(a/b) — double
+ * division can misround at exact bin boundaries and silently drop a
+ * matching pair.
+ */
+object RangeJoin {
+
+  /** Inner join on loCol(left) ≤ tCol(right) < hiCol(left), all three
+    * integral columns, requiring hi − lo ≤ binWidth for every row. */
+  def binnedInterval(left: DataFrame, right: DataFrame, loCol: String,
+      hiCol: String, tCol: String, binWidth: Long): DataFrame = {
+    val lb = left.withColumn("__bin", explode(array_distinct(array(
+      expr(s"$loCol div $binWidth"), expr(s"($hiCol - 1) div $binWidth")))))
+    val rb = right.withColumn("__bin", expr(s"$tCol div $binWidth"))
+    lb.join(rb, "__bin")
+      .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))
+      .drop("__bin")
+  }
+}
+
 object AsofQueries {
 
   val all: Seq[Query] = Seq(
+
+    // pure range join (no equi-key): for each error event, how many
+    // clicks — by ANY user — happened in the preceding 5 minutes.
+    // Binned to a hash equi-join (RangeJoin); the oracle states the
+    // raw interval predicate. LEFT join keeps zero-click errors.
+    Query("x33_range_join",
+      "WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, " +
+        "event_type FROM events), " +
+        "err AS (SELECT event_id, us FROM ev WHERE event_type = 'error'), " +
+        "clk AS (SELECT event_id, us FROM ev WHERE event_type = 'click') " +
+        "SELECT e.event_id, COUNT(c.event_id) AS clicks FROM err e " +
+        "LEFT JOIN clk c ON c.us >= e.us - 300000000 AND c.us < e.us " +
+        "GROUP BY 1 ORDER BY 1") {
+      (s, d) => {
+        val W = 300000000L // 5 minutes in microseconds
+        val ev = table(s, d, "events").select(col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("eid"), (col("us") - W).as("lo"),
+            col("us").as("hi"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("us").as("cus"))
+        val counts = RangeJoin.binnedInterval(err, clk, "lo", "hi", "cus", W)
+          .groupBy("eid").agg(count(lit(1)).as("clicks"))
+        err.select(col("eid")).join(counts, Seq("eid"), "left")
+          .select(col("eid").as("event_id"),
+            coalesce(col("clicks"), lit(0L)).as("clicks"))
+          .orderBy("event_id")
+      }
+    },
     // for each error event: the latest click of the same user at or
     // before the error's timestamp
     Query("x22_asof",

@@ -89,6 +89,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), s"hamming not in the join:\n$p")
   }
 
+  test("x33: interval predicate rides a hash equi-join, not a nested loop") {
+    val p = plan("x33_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to O(n*m):\n$p")
+    assert(p.contains("__bin"), s"bin bucketing missing from the join:\n$p")
+  }
+
   test("x26: profile side of the scoring join is broadcast") {
     val p = plan("x26_langid_trigram")
     assert(p.contains("BroadcastHashJoin"), s"profile join shuffled:\n$p")
