@@ -110,6 +110,47 @@ object MediaPipeline {
     }
   }
 
+  final case class ResizedMedia(media_id: Long, kind: String, w: Int, h: Int,
+      pixels: Array[Byte])
+
+  /** Resize stub — the codec boundary again: views the payload as a
+    * `meta.width × meta.height` single-channel grid (wrapping over the
+    * byte stream) and nearest-neighbor downsamples to `tw × th`.
+    * Integer-exact source indexing (`x·W div tw`), so output is
+    * deterministic cross-platform; a real implementation swaps this
+    * for the library resampler with the identical signature. */
+  private def resizeStub(payload: Array[Byte], meta: MediaMeta,
+      tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    if (payload.isEmpty) return out
+    var y = 0
+    while (y < th) {
+      val sy = y * meta.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * meta.width / tw
+        out(y * tw + x) = payload((sy * meta.width + sx) % payload.length)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-local batch resize (same amortization contract as
+    * extractFeatures); image rows only — audio/video pass through the
+    * frame-sampling path instead. Output stays narrow: the resized
+    * thumbnail (tw×th bytes), never the original payload, flows
+    * downstream. */
+  def resizeImages(media: Dataset[MediaRow], tw: Int = 32,
+      th: Int = 32): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map(r => ResizedMedia(r.media_id, r.kind, tw, th,
+        resizeStub(r.payload, r.meta, tw, th)))
+    }
+  }
+
   /** Downstream-safe projection: drop the heavy binary before any wide
     * transformation (the "don't shuffle payloads" rule). */
   def featureFrame(spark: SparkSession, dir: String): DataFrame = {

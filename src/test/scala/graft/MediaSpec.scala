@@ -54,4 +54,23 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0 && r.getDouble(3) < 255)
     }
   }
+
+  test("resize: image rows only, fixed shape, deterministic, exact indexing") {
+    import spark.implicits._
+    val media = MediaPipeline.syntheticMediaTable(spark, TestSpark.sf)
+    val r1 = MediaPipeline.resizeImages(media, 8, 8).collect().sortBy(_.media_id)
+    val r2 = MediaPipeline.resizeImages(media, 8, 8).collect().sortBy(_.media_id)
+    assert(r1.nonEmpty)
+    assert(r1.forall(_.kind == "image"))
+    assert(r1.forall(r => r.pixels.length == 64 && r.w == 8 && r.h == 8))
+    assert(r1.map(_.pixels.toSeq).toSeq === r2.map(_.pixels.toSeq).toSeq,
+      "resize must be deterministic")
+    // known small case: 5x2 grid of bytes 0..9 down to 2x1 picks
+    // source pixels (0,0) and (2,0) — nearest-neighbor integral index
+    val tiny = Seq(MediaPipeline.MediaRow(0L, "image",
+      Array.tabulate(10)(_.toByte),
+      MediaPipeline.MediaMeta("jpeg", 5, 2, 1, 0L))).toDS()
+    val out = MediaPipeline.resizeImages(tiny, 2, 1).collect().head
+    assert(out.pixels.toSeq === Seq[Byte](0, 2))
+  }
 }
