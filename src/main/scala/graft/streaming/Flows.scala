@@ -187,18 +187,24 @@ final class Flows(spark: SparkSession, store: TableStore,
   // scenarios against it.
   // -------------------------------------------------------------------
   def admissionFlowStateful(requests: DataFrame): StreamingQuery = {
-    val validated = requests.select(
+    // the input may be the plain request stream, or the UNIONED
+    // lifecycle stream with a `kind` column ("req" | "ret" | "cancel")
+    // so (capacidad, estado) has a single owner — see StatefulAdmission
+    val withKind =
+      if (requests.columns.contains("kind")) requests
+      else requests.withColumn("kind", lit("req"))
+    val validated = withKind.select(
       col("id"),
       coalesce(col("evento"), lit("")).as("evento"),
       col("email"),
       coalesce(col("cantidad").cast("int"), lit(0)).as("cantidad"),
       coalesce(col("seq").cast("long"), lit(0L)).as("seq"),
-      when(col("cantidad").isNull || col("cantidad") <= 0, "cantidad_invalida")
+      when(col("kind") =!= "req", lit(null).cast("string"))
+        .when(col("cantidad").isNull || col("cantidad") <= 0, "cantidad_invalida")
         .when(col("id").isNull || !col("id").rlike("^[0-9a-f]{24}$"),
-          "id_invalido").as("motivo")).as[SReq]
+          "id_invalido").as("motivo"),
+      coalesce(col("kind"), lit("req")).as("kind")).as[SReq]
     // state seeded once, at query start, from the inventario snapshot
-    // (the operator owns (capacidad, estado) from then on — lifecycle
-    // transitions join as further input streams in a full deployment)
     val init = store.load("inventario")
       .select(col("nombre"), col("capacidad").cast("long").as("capacidad"),
         col("estado")).as[(String, Long, String)]
@@ -212,33 +218,54 @@ final class Flows(spark: SparkSession, store: TableStore,
       .outputMode("append")
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val log = batch0.persist()
-        val admitted = log.filter(col("admitted"))
-        if (!admitted.isEmpty) {
-          // the last admitted row per key (fold order) carries the
-          // key's final capacity — one guarded MERGE applies the
-          // decrement and the document widening together, touching
-          // only keys present in the batch
-          val lastPerKey = admitted.groupBy(col("evento").as("nombre"))
-            .agg(max_by(
-              struct(col("id"), col("email"), col("cantidad"), col("capacidad")),
-              struct(col("seq"), col("id"), col("email"), col("cantidad")))
-              .as("__r"))
-            .select(col("nombre"), col("__r.id").as("__idres"),
-              col("__r.email").as("__email"),
-              col("__r.cantidad").as("__canres"),
-              col("__r.capacidad").as("__cap"))
-          val inv = store.load("inventario")
-          val capType = inv.schema("capacidad").dataType
-          store.replace("inventario", MergeOps.guardedUpdate(inv, lastPerKey,
+        val changes = log.filter(col("kind") =!= "reject")
+        if (!changes.isEmpty) {
+          val inv0 = store.load("inventario")
+          val capType = inv0.schema("capacidad").dataType
+          // the LAST state-changing event per key (fold order) carries
+          // the key's final (capacidad, estado) — one guarded MERGE
+          // applies both, touching only keys present in the batch
+          val lastState = changes.groupBy(col("evento").as("nombre"))
+            .agg(max_by(struct(col("capacidad"), col("estado")),
+              struct(col("seq"), col("id"))).as("__s"))
+            .select(col("nombre"), col("__s.capacidad").as("__cap"),
+              col("__s.estado").as("__estado"))
+          val capped = MergeOps.guardedUpdate(inv0, lastState,
             Seq("nombre"), guard = lit(true),
             sets = Map(
               "capacidad" -> col("__b___cap").cast(capType),
+              "estado" -> col("__b___estado")),
+            batchCols = Seq("__cap", "__estado"))
+          // document widening from the last ADMITTED reservation
+          val admitted = log.filter(col("kind") === "admit")
+          val lastAdmit = admitted.groupBy(col("evento").as("nombre"))
+            .agg(max_by(struct(col("id"), col("email"), col("cantidad")),
+              struct(col("seq"), col("id"))).as("__r"))
+            .select(col("nombre"), col("__r.id").as("__idres"),
+              col("__r.email").as("__email"), col("__r.cantidad").as("__canres"))
+          store.replace("inventario", MergeOps.guardedUpdate(capped,
+            lastAdmit, Seq("nombre"), guard = lit(true),
+            sets = Map(
               "idres" -> col("__b___idres"), "email" -> col("__b___email"),
               "canres" -> col("__b___canres")),
-            batchCols = Seq("__idres", "__email", "__canres", "__cap")))
+            batchCols = Seq("__idres", "__email", "__canres")))
           store.appendUnique("reservas", admitted.select(col("id"),
             col("evento"), lit("A").as("estado"), col("email"),
             col("cantidad")), Seq("id"))
+          // O18/O23 organizer cancels: eventos estado + reservas cascade
+          // (active rows only; X history untouched) — table-side
+          // materialization of the state transition
+          val cancelled = changes.filter(col("kind") === "cancel")
+            .select(col("evento").as("nombre")).distinct()
+          if (!cancelled.isEmpty) {
+            store.replace("eventos", MergeOps.guardedUpdate(
+              store.load("eventos"), cancelled, Seq("nombre"),
+              guard = lit(true), sets = Map("estado" -> lit("C"))))
+            store.replace("reservas", MergeOps.semiJoinUpdate(
+              store.load("reservas"), cancelled,
+              targetKey = "evento", sourceKey = "nombre",
+              guard = col("estado") === "A", sets = Map("estado" -> lit("C"))))
+          }
         }
         store.appendUnique("rechazos", log.filter(col("motivo").isNotNull)
           .select(col("id"), col("evento"), col("email"), col("cantidad"),

@@ -2,57 +2,65 @@ package graft.streaming
 
 import org.apache.spark.sql.streaming.GroupState
 
-/** Stream element for the keyed-state admission variant: a validated
-  * reservation request, with `motivo` pre-set to the validation
-  * failure (cantidad_invalida / id_invalido) or null when valid. */
+/** Stream element for the keyed-state admission variant: a lifecycle
+  * message for one event key. `kind` discriminates:
+  *  - "req"    — reservation request (id, email, cantidad);
+  *  - "ret"    — seat return (cantidad seats back, id = the returned
+  *               reservation, for idempotence);
+  *  - "cancel" — organizer cancellation (estado → C).
+  * `motivo` is pre-set to the validation failure
+  * (cantidad_invalida / id_invalido) or null when valid. */
 final case class SReq(id: String, evento: String, email: String,
-    cantidad: Int, seq: Long, motivo: String)
+    cantidad: Int, seq: Long, motivo: String, kind: String = "req")
 
 /** Per-event keyed state: the remaining capacity, the event lifecycle
-  * state, and the ids already admitted (redelivery dedup). At scale
-  * `seen` is bounded by a state TTL (watermark-scoped; the reservas
-  * registry stays the durable source of truth past the TTL horizon) —
-  * unbounded here because test corpora are finite. */
+  * state, the ids already admitted (redelivery dedup) and the ids
+  * already returned (a redelivered X message must not inflate
+  * capacity). At scale both sets are bounded by a state TTL
+  * (watermark-scoped; the reservas registry stays the durable source
+  * of truth past the TTL horizon) — unbounded here because test
+  * corpora are finite. */
 final case class InvState(capacidad: Long, estado: String,
-    seen: Seq[String])
+    seen: Seq[String], returned: Seq[String] = Nil)
 
-/** One admission outcome row: the same shape as the batch fold's log
-  * plus `motivo` (null when admitted) and the post-decision remaining
-  * capacity of the key. */
+/** One lifecycle outcome row: the admission-log shape plus `kind`
+  * ("admit" | "reject" | "return" | "cancel") and the post-decision
+  * remaining capacity / estado of the key. */
 final case class AdmitEvent(id: String, evento: String, email: String,
     cantidad: Int, admitted: Boolean, motivo: String, seq: Long,
-    capacidad: Long)
+    capacidad: Long, kind: String, estado: String)
 
 /**
- * Keyed-state admission (O19/O30, ROADMAP §7): the
- * `flatMapGroupsWithState` formulation of `MergeOps.admitReservations`.
+ * Keyed-state admission (O19/O20/O21/O18/O30, ROADMAP §7 + §"unified
+ * lifecycle"): the `flatMapGroupsWithState` formulation of
+ * `MergeOps.admitReservations` — and of the event's WHOLE lifecycle.
  *
- * The batch-MERGE flow reloads the inventario snapshot and rewrites it
- * every micro-batch — O(table) per trigger. Here the oversell guard
- * runs against PER-KEY STATE in the Spark state store: decisions are
- * O(batch), the state store checkpoints incrementally (with RocksDB +
- * `spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
- * .enabled=true` the per-trigger upload is just the changelog), and the
- * inventario table becomes a DOWNSTREAM materialization fed by the
- * emitted log — exactly how the reference holds admission state in
- * MongoDB while Kafka carries the changelog (reservas/main.go:151-165).
+ * The batch-MERGE flows reload the inventario snapshot and rewrite it
+ * every micro-batch — O(table) per trigger — and three different
+ * flows write (capacidad, estado) for the same key. Here (capacidad,
+ * estado) has ONE owner: requests, seat returns and organizer cancels
+ * arrive as one unioned stream, are folded per key in `seq` order
+ * against state in the Spark state store, and every table becomes a
+ * DOWNSTREAM materialization fed by the emitted log — exactly how the
+ * reference holds admission state in MongoDB while Kafka carries the
+ * changelog (reservas/main.go:151-165, inventario/main.go:105-133).
+ * Decisions are O(batch); checkpointing is incremental (RocksDB +
+ * `...rocksdb.changelogCheckpointing.enabled=true` in production).
  *
- * Semantics parity with the batch fold (FlowsSpec S2/S5/S5b/S8/O16):
- * per-key requests admit in (seq, id, email, cantidad) order under the
- * estado='A' + capacity guard; within-batch and cross-batch duplicate
- * ids are no-ops (the `seen` set IS the anti-join against reservas);
- * keys with no state row are unknown events → motivo no_existe;
+ * Semantics parity (FlowsSpec S2-S5/S8, StatefulAdmissionSpec):
+ * per-key messages apply in (seq, id, email, cantidad) order;
+ * duplicate request ids and duplicate return ids are no-ops (the
+ * `seen`/`returned` sets ARE the anti-joins the batch flows perform
+ * against reservas/devoluciones); keys with no state row are unknown
+ * events → motivo no_existe; returns carry no capacity guard
+ * (inventario/main.go:117-123); organizer cancel flips estado to 'C'
+ * so later requests reject (the admission guard requires 'A');
  * pre-validated failures pass through as rejections without touching
  * state.
- *
- * Single-owner-per-key: this operator owns (capacidad, estado) for its
- * keys. Lifecycle transitions (organizer cancel, seat returns) enter as
- * further input streams unioned into the same operator in a full
- * deployment — not as concurrent table writers.
  */
 object StatefulAdmission {
 
-  /** Admission order — mirrors MergeOps.AdmitReqOrder. */
+  /** Lifecycle order within a key — mirrors MergeOps.AdmitReqOrder. */
   private[streaming] val order: java.util.Comparator[SReq] =
     new java.util.Comparator[SReq] {
       private def nullFirst(a: String, b: String): Int =
@@ -81,14 +89,14 @@ object StatefulAdmission {
     reqs.foreach { r =>
       if (r.motivo != null)
         out += AdmitEvent(r.id, key, r.email, r.cantidad,
-          admitted = false, r.motivo, r.seq, -1L)
+          admitted = false, r.motivo, r.seq, -1L, "reject", null)
       else valid += r
     }
     if (!state.exists) {
       // no inventario row ever seeded for this key → unknown event
       valid.foreach { r =>
         out += AdmitEvent(r.id, key, r.email, r.cantidad,
-          admitted = false, "no_existe", r.seq, -1L)
+          admitted = false, "no_existe", r.seq, -1L, "reject", null)
       }
       return out.iterator
     }
@@ -96,29 +104,53 @@ object StatefulAdmission {
     val arr = valid.toArray
     if (arr.length > 1) java.util.Arrays.sort(arr, order)
     var cap = st.capacidad
-    val active = st.estado == "A"
+    var estado = st.estado
     val seen = scala.collection.mutable.HashSet.empty[String]
     seen ++= st.seen
+    val returned = scala.collection.mutable.HashSet.empty[String]
+    returned ++= st.returned
     var changed = false
     var i = 0
     while (i < arr.length) {
       val r = arr(i)
-      if (!seen.contains(r.id)) { // duplicate id → no-op, no log row
-        val ok = active && cap >= r.cantidad
-        if (ok) {
-          cap -= r.cantidad
-          seen += r.id
-          changed = true
-          out += AdmitEvent(r.id, key, r.email, r.cantidad,
-            admitted = true, null, r.seq, cap)
-        } else {
-          out += AdmitEvent(r.id, key, r.email, r.cantidad,
-            admitted = false, "sin_capacidad", r.seq, cap)
-        }
+      r.kind match {
+        case "ret" =>
+          // O21 seat return: no capacity guard, once per reservation id
+          if (!returned.contains(r.id)) {
+            cap += r.cantidad
+            returned += r.id
+            changed = true
+            out += AdmitEvent(r.id, key, r.email, r.cantidad,
+              admitted = true, null, r.seq, cap, "return", estado)
+          }
+        case "cancel" =>
+          // O18 organizer cancel: estado C; requests after this seq
+          // reject (the admission guard requires 'A'). Idempotent.
+          if (estado != "C") {
+            estado = "C"
+            changed = true
+            out += AdmitEvent(r.id, key, r.email, 0,
+              admitted = true, null, r.seq, cap, "cancel", estado)
+          }
+        case _ =>
+          if (!seen.contains(r.id)) { // duplicate id → no-op, no log row
+            val ok = estado == "A" && cap >= r.cantidad
+            if (ok) {
+              cap -= r.cantidad
+              seen += r.id
+              changed = true
+              out += AdmitEvent(r.id, key, r.email, r.cantidad,
+                admitted = true, null, r.seq, cap, "admit", estado)
+            } else {
+              out += AdmitEvent(r.id, key, r.email, r.cantidad,
+                admitted = false, "sin_capacidad", r.seq, cap, "reject", estado)
+            }
+          }
       }
       i += 1
     }
-    if (changed) state.update(InvState(cap, st.estado, seen.toSeq))
+    if (changed)
+      state.update(InvState(cap, estado, seen.toSeq, returned.toSeq))
     out.iterator
   }
 }

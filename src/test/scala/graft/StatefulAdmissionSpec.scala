@@ -14,6 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * final table states. Cross-batch behavior is exercised by keeping
   * ONE streaming query alive across multiple addData rounds: state
   * carries over in the state store, not via a reservas anti-join. */
+// lifecycle message with an explicit kind (top-level for encoders)
+case class LReq(id: String, evento: String, email: String, cantidad: Int,
+    seq: Long, kind: String)
+
 class StatefulAdmissionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -103,6 +107,53 @@ class StatefulAdmissionSpec extends AnyFunSuite {
       assert(store.load("reservas").count() === 0)
       assert(store.load("rechazos").collect().map(_.getString(4)).sorted.toSeq ===
         Seq("cantidad_invalida", "cantidad_invalida", "id_invalido"))
+    } finally q.stop()
+  }
+
+  test("unified lifecycle: returns free capacity, organizer cancel closes the event — one state owner") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    store.replace("eventos", Seq(Tables.Evento("619c1ca490812c00013e29c3",
+      "Opera Boheme", 20, "Opera", "A")).toDF())
+    val ms = MemoryStream[LReq](spark, 4)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      // batch 1: two admissions exhaust capacity
+      ms.addData(
+        LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 1, "req"),
+        LReq("619c1dae4b2120000195244a", "Opera Boheme", "maria@x.y", 17, 2, "req"))
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 0)
+      // batch 2, seq order: seat return (+3), redelivered return
+      // (no-op), then a request of 2 that only fits BECAUSE the return
+      // freed seats — capacity flows return→request inside one fold
+      ms.addData(
+        LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 10, "ret"),
+        LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 11, "ret"),
+        LReq("619c1dae4b2120000195244c", "Opera Boheme", "luis@x.y", 2, 12, "req"))
+      q.processAllAvailable()
+      val inv = store.load("inventario").collect().head
+      assert(inv.getInt(2) === 1) // 0 + 3 (once) - 2
+      assert(inv.getString(5) === "619c1dae4b2120000195244c") // widened echo
+      // the return does NOT delete the registration (the reservas
+      // service owns the A→X transition upstream) — 3 rows registered
+      assert(store.load("reservas").count() === 3)
+      // batch 3, seq order: organizer cancel, then a request that must
+      // reject because estado is no longer 'A'
+      ms.addData(
+        LReq(null, "Opera Boheme", null, 0, 20, "cancel"),
+        LReq("619c1dae4b2120000195244d", "Opera Boheme", "ana@x.y", 1, 21, "req"))
+      q.processAllAvailable()
+      val inv2 = store.load("inventario").collect().head
+      assert(inv2.getString(4) === "C")
+      assert(store.load("eventos").collect().head.getString(4) === "C")
+      // cascade: every still-active reservation of the event → 'C'
+      val estados = store.load("reservas").collect().map(_.getString(2)).toSeq
+      assert(estados.nonEmpty && estados.forall(_ == "C"))
+      assert(store.load("rechazos")
+        .filter(col("id") === "619c1dae4b2120000195244d")
+        .collect().head.getString(4) === "sin_capacidad")
     } finally q.stop()
   }
 
