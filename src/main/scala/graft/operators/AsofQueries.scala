@@ -63,11 +63,20 @@ object AsofJoin {
 object RangeJoin {
 
   /** Inner join on loCol(left) ≤ tCol(right) < hiCol(left), all three
-    * integral columns, requiring hi − lo ≤ binWidth for every row. */
+    * integral columns, requiring hi − lo ≤ binWidth for every row.
+    * The precondition is ENFORCED at runtime — a wider interval would
+    * span bins the two-bucket explode misses and silently drop
+    * matching pairs, so violation fails the job instead. */
   def binnedInterval(left: DataFrame, right: DataFrame, loCol: String,
       hiCol: String, tCol: String, binWidth: Long): DataFrame = {
-    val lb = left.withColumn("__bin", explode(array_distinct(array(
-      expr(s"$loCol div $binWidth"), expr(s"($hiCol - 1) div $binWidth")))))
+    val lb = left
+      // raise_error only evaluates on a violating row; the filter
+      // wrapper keeps the guard from being pruned as an unused column
+      .filter(when(col(hiCol) - col(loCol) > binWidth,
+        raise_error(concat(lit(s"binnedInterval: interval wider than " +
+          s"binWidth=$binWidth at $loCol="), col(loCol).cast("string")))).isNull)
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"$loCol div $binWidth"), expr(s"($hiCol - 1) div $binWidth")))))
     val rb = right.withColumn("__bin", expr(s"$tCol div $binWidth"))
     lb.join(rb, "__bin")
       .filter(col(tCol) >= col(loCol) && col(tCol) < col(hiCol))

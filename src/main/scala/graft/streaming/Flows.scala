@@ -60,7 +60,7 @@ final class Flows(spark: SparkSession, store: TableStore,
     * Returns the well-formed rows. Keyed on (flow, raw) so a
     * crash-replayed batch cannot double-append. */
   private def routeDeadLetters(flow: String, parsed: DataFrame): DataFrame = {
-    val bad = parsed.filter(col("id").isNull)
+    val bad = CdcCodec.deadLetter(parsed)
       .select(lit(flow).as("flow"), col("raw"))
     if (!bad.isEmpty) store.appendUnique("dead_letter", bad, Seq("flow", "raw"))
     parsed.filter(col("id").isNotNull)
@@ -74,7 +74,11 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def eventCreationFlow(rawEventos: DataFrame): StreamingQuery =
     start(rawEventos, "event_creation") { batch =>
-      val parsed = routeDeadLetters("event_creation", CdcCodec.parseEvento(batch))
+      // parse once: the parsed frame feeds the dead-letter probe and
+      // two appendUnique sinks — unpersisted it would re-run from_json
+      // over the batch per action
+      val parsed0 = CdcCodec.parseEvento(batch).persist()
+      val parsed = routeDeadLetters("event_creation", parsed0)
       val evCols = store.load("eventos").columns
       // O17: unique-key insert; duplicate nombre rejected (first wins).
       // Insert-only tables take the log-structured append path: only
@@ -90,6 +94,8 @@ final class Flows(spark: SparkSession, store: TableStore,
         lit(null).cast("int").as("canres"))
       store.appendUnique("inventario", clones, Seq("nombre"),
         tieBreak = Seq(col("id")))
+      parsed0.unpersist()
+      ()
     }
 
   // -------------------------------------------------------------------
@@ -213,21 +219,30 @@ final class Flows(spark: SparkSession, store: TableStore,
     val log = validated.groupByKey(_.evento)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         init)(StatefulAdmission.admit _)
-    log.toDF().writeStream
+    val w = log.toDF().writeStream
       .queryName("admission_stateful")
       .outputMode("append")
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // same replay contract as start(): with a persistent
+        // checkpoint, a crash-replayed batch skips the (idempotent but
+        // not free) table merges; without one, batchIds restart at 0
+        // and the guard must stay off
+        if (checkpointRoot.isEmpty ||
+            batchId > store.lastCommitted("admission_stateful")) {
         val log = batch0.persist()
         val changes = log.filter(col("kind") =!= "reject")
         if (!changes.isEmpty) {
           val inv0 = store.load("inventario")
           val capType = inv0.schema("capacidad").dataType
-          // the LAST state-changing event per key (fold order) carries
-          // the key's final (capacidad, estado) — one guarded MERGE
-          // applies both, touching only keys present in the batch
+          // the LAST state-changing event per key carries the key's
+          // final (capacidad, estado) — `ord` IS the fold order (the
+          // operator emits it), so no re-derivation of comparator
+          // tiebreaks here. One guarded MERGE applies both, touching
+          // only keys present in the batch.
           val lastState = changes.groupBy(col("evento").as("nombre"))
             .agg(max_by(struct(col("capacidad"), col("estado")),
-              struct(col("seq"), col("id"))).as("__s"))
+              col("ord")).as("__s"))
             .select(col("nombre"), col("__s.capacidad").as("__cap"),
               col("__s.estado").as("__estado"))
           val capped = MergeOps.guardedUpdate(inv0, lastState,
@@ -240,7 +255,7 @@ final class Flows(spark: SparkSession, store: TableStore,
           val admitted = log.filter(col("kind") === "admit")
           val lastAdmit = admitted.groupBy(col("evento").as("nombre"))
             .agg(max_by(struct(col("id"), col("email"), col("cantidad")),
-              struct(col("seq"), col("id"))).as("__r"))
+              col("ord")).as("__r"))
             .select(col("nombre"), col("__r.id").as("__idres"),
               col("__r.email").as("__email"), col("__r.cantidad").as("__canres"))
           store.replace("inventario", MergeOps.guardedUpdate(capped,
@@ -271,9 +286,14 @@ final class Flows(spark: SparkSession, store: TableStore,
           .select(col("id"), col("evento"), col("email"), col("cantidad"),
             col("motivo")), Seq("id", "motivo"))
         log.unpersist()
+        if (checkpointRoot.isDefined)
+          store.commitBatch("admission_stateful", batchId)
+        }
         ()
       }
-      .start()
+    checkpointRoot.foreach(r =>
+      w.option("checkpointLocation", s"$r/admission_stateful"))
+    w.start()
   }
 
   // -------------------------------------------------------------------
@@ -410,7 +430,8 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def notificationFlow(rawReservas: DataFrame): StreamingQuery =
     start(rawReservas, "notifications") { batch =>
-      val parsed = routeDeadLetters("notifications", CdcCodec.parseReserva(batch))
+      val parsed0 = CdcCodec.parseReserva(batch).persist()
+      val parsed = routeDeadLetters("notifications", parsed0)
       val formatted = parsed.select(
         col("id"), col("email"),
         when(col("estado") === "A", "Confirmación de reserva")
@@ -426,5 +447,7 @@ final class Flows(spark: SparkSession, store: TableStore,
       // not double-send; the same reservation legitimately produces
       // different bodies over its lifecycle (A then X)
       store.appendUnique("notificaciones", formatted, Seq("id", "body"))
+      parsed0.unpersist()
+      ()
     }
 }

@@ -24,11 +24,14 @@ final case class InvState(capacidad: Long, estado: String,
     seen: Seq[String], returned: Seq[String] = Nil)
 
 /** One lifecycle outcome row: the admission-log shape plus `kind`
-  * ("admit" | "reject" | "return" | "cancel") and the post-decision
-  * remaining capacity / estado of the key. */
+  * ("admit" | "reject" | "return" | "cancel"), the post-decision
+  * remaining capacity / estado of the key, and `ord` — the row's
+  * position in the per-key fold, so downstream consumers can recover
+  * the EXACT fold order (max_by(·, ord) = the key's final state)
+  * without re-deriving the comparator's tiebreaks. */
 final case class AdmitEvent(id: String, evento: String, email: String,
     cantidad: Int, admitted: Boolean, motivo: String, seq: Long,
-    capacidad: Long, kind: String, estado: String)
+    capacidad: Long, kind: String, estado: String, ord: Int)
 
 /**
  * Keyed-state admission (O19/O20/O21/O18/O30, ROADMAP §7 + §"unified
@@ -60,22 +63,24 @@ final case class AdmitEvent(id: String, evento: String, email: String,
  */
 object StatefulAdmission {
 
-  /** Lifecycle order within a key — mirrors MergeOps.AdmitReqOrder. */
+  /** Lifecycle order within a key: MergeOps.admissionCompare (the ONE
+    * admission ordering, shared with the batch fold), extended with a
+    * kind rank for the unioned stream — at an identical (seq, id,
+    * email, cantidad), cancel < ret < req, i.e. close/free before
+    * admitting at the same offset. Deterministic even for a req and
+    * ret carrying the same reservation id and seq. */
+  private def kindRank(k: String): Int = k match {
+    case "cancel" => 0
+    case "ret" => 1
+    case _ => 2
+  }
+
   private[streaming] val order: java.util.Comparator[SReq] =
-    new java.util.Comparator[SReq] {
-      private def nullFirst(a: String, b: String): Int =
-        if (a eq b) 0
-        else if (a == null) -1
-        else if (b == null) 1
-        else a.compareTo(b)
+    new java.util.Comparator[SReq] with Serializable {
       override def compare(a: SReq, b: SReq): Int = {
-        val c1 = java.lang.Long.compare(a.seq, b.seq)
-        if (c1 != 0) return c1
-        val c2 = nullFirst(a.id, b.id)
-        if (c2 != 0) return c2
-        val c3 = nullFirst(a.email, b.email)
-        if (c3 != 0) return c3
-        Integer.compare(a.cantidad, b.cantidad)
+        val c = graft.tables.MergeOps.admissionCompare(
+          a.seq, a.id, a.email, a.cantidad, b.seq, b.id, b.email, b.cantidad)
+        if (c != 0) c else Integer.compare(kindRank(a.kind), kindRank(b.kind))
       }
     }
 
@@ -84,19 +89,24 @@ object StatefulAdmission {
       state: GroupState[InvState]): Iterator[AdmitEvent] = {
     val reqs = it.toArray
     val out = new scala.collection.mutable.ArrayBuffer[AdmitEvent](reqs.length)
+    def emit(id: String, email: String, cantidad: Int, admitted: Boolean,
+        motivo: String, seq: Long, cap: Long, kind: String,
+        estado: String): Unit =
+      out += AdmitEvent(id, key, email, cantidad, admitted, motivo, seq,
+        cap, kind, estado, out.length)
     // pre-validated failures: rejected verbatim, no state interaction
     val valid = new scala.collection.mutable.ArrayBuffer[SReq](reqs.length)
     reqs.foreach { r =>
       if (r.motivo != null)
-        out += AdmitEvent(r.id, key, r.email, r.cantidad,
-          admitted = false, r.motivo, r.seq, -1L, "reject", null)
+        emit(r.id, r.email, r.cantidad, admitted = false, r.motivo, r.seq,
+          -1L, "reject", null)
       else valid += r
     }
     if (!state.exists) {
       // no inventario row ever seeded for this key → unknown event
       valid.foreach { r =>
-        out += AdmitEvent(r.id, key, r.email, r.cantidad,
-          admitted = false, "no_existe", r.seq, -1L, "reject", null)
+        emit(r.id, r.email, r.cantidad, admitted = false, "no_existe",
+          r.seq, -1L, "reject", null)
       }
       return out.iterator
     }
@@ -115,13 +125,20 @@ object StatefulAdmission {
       val r = arr(i)
       r.kind match {
         case "ret" =>
-          // O21 seat return: no capacity guard, once per reservation id
+          // O21 seat return: no CAPACITY guard, once per reservation
+          // id. The estado='A' guard matches the batch fold
+          // (admitReservations applies returns only to active events);
+          // a blocked return is still marked processed — the batch
+          // path appends to devoluciones unconditionally too, and a
+          // closed event never reopens.
           if (!returned.contains(r.id)) {
-            cap += r.cantidad
             returned += r.id
             changed = true
-            out += AdmitEvent(r.id, key, r.email, r.cantidad,
-              admitted = true, null, r.seq, cap, "return", estado)
+            if (estado == "A") {
+              cap += r.cantidad
+              emit(r.id, r.email, r.cantidad, admitted = true, null,
+                r.seq, cap, "return", estado)
+            }
           }
         case "cancel" =>
           // O18 organizer cancel: estado C; requests after this seq
@@ -129,8 +146,8 @@ object StatefulAdmission {
           if (estado != "C") {
             estado = "C"
             changed = true
-            out += AdmitEvent(r.id, key, r.email, 0,
-              admitted = true, null, r.seq, cap, "cancel", estado)
+            emit(r.id, r.email, 0, admitted = true, null, r.seq, cap,
+              "cancel", estado)
           }
         case _ =>
           if (!seen.contains(r.id)) { // duplicate id → no-op, no log row
@@ -139,11 +156,11 @@ object StatefulAdmission {
               cap -= r.cantidad
               seen += r.id
               changed = true
-              out += AdmitEvent(r.id, key, r.email, r.cantidad,
-                admitted = true, null, r.seq, cap, "admit", estado)
+              emit(r.id, r.email, r.cantidad, admitted = true, null,
+                r.seq, cap, "admit", estado)
             } else {
-              out += AdmitEvent(r.id, key, r.email, r.cantidad,
-                admitted = false, "sin_capacidad", r.seq, cap, "reject", estado)
+              emit(r.id, r.email, r.cantidad, admitted = false,
+                "sin_capacidad", r.seq, cap, "reject", estado)
             }
           }
       }

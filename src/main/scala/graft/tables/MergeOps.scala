@@ -112,23 +112,31 @@ object MergeOps {
   final case class AdmitOut(id: String, evento: String, email: String,
       cantidad: Int, admitted: Boolean, seq: Long)
 
-  /** Admission order (seq, id, email, cantidad) as an allocation-free
-    * comparator; nulls sort first (the tuple-Ordering it replaces threw
-    * on nulls — flows validate ids upstream either way). */
-  private object AdmitReqOrder
-      extends java.util.Comparator[AdmitReq] with Serializable {
-    private def nc(a: String, b: String): Int =
+  /** THE admission ordering — (seq, id, email, cantidad), nulls first.
+    * Single definition shared by the batch cogroup fold below and the
+    * keyed-state operator (StatefulAdmission.order), so the two
+    * admission engines cannot drift apart. Allocation-free (the
+    * tuple-Ordering it replaced threw on nulls). */
+  private[graft] def admissionCompare(aSeq: Long, aId: String,
+      aEmail: String, aCant: Int, bSeq: Long, bId: String,
+      bEmail: String, bCant: Int): Int = {
+    def nc(a: String, b: String): Int =
       if (a eq b) 0 else if (a == null) -1 else if (b == null) 1
       else a.compareTo(b)
-    override def compare(x: AdmitReq, y: AdmitReq): Int = {
-      var c = java.lang.Long.compare(x.seq, y.seq)
-      if (c != 0) return c
-      c = nc(x.id, y.id)
-      if (c != 0) return c
-      c = nc(x.email, y.email)
-      if (c != 0) return c
-      Integer.compare(x.cantidad, y.cantidad)
-    }
+    var c = java.lang.Long.compare(aSeq, bSeq)
+    if (c != 0) return c
+    c = nc(aId, bId)
+    if (c != 0) return c
+    c = nc(aEmail, bEmail)
+    if (c != 0) return c
+    Integer.compare(aCant, bCant)
+  }
+
+  private object AdmitReqOrder
+      extends java.util.Comparator[AdmitReq] with Serializable {
+    override def compare(x: AdmitReq, y: AdmitReq): Int =
+      admissionCompare(x.seq, x.id, x.email, x.cantidad,
+        y.seq, y.id, y.email, y.cantidad)
   }
 
   def admitReservations(inventario: DataFrame, requests: DataFrame)

@@ -117,10 +117,15 @@ final class TableStore(spark: SparkSession, root: String) {
       }
     if (!exists(name)) replace(name, dedup)
     else {
+      // persist: the emptiness probe AND the segment write both
+      // consume this plan — unpersisted, the dedup + anti-join (and
+      // the table read under it) would execute twice per append
       val fresh = dedup.join(load(name).select(key.map(col): _*),
-        key, "left_anti")
-      // skip empty appends entirely: no segment, no version churn
-      if (!fresh.isEmpty) append(name, fresh)
+        key, "left_anti").persist()
+      try {
+        // skip empty appends entirely: no segment, no version churn
+        if (!fresh.isEmpty) append(name, fresh)
+      } finally fresh.unpersist()
     }
   }
 

@@ -31,7 +31,10 @@ class StatefulAdmissionSpec extends AnyFunSuite {
       Tables.Inventario("619c1ca490812c00013e29c3", "Opera Boheme", cap,
         "Opera", "A", null, null, 0)).toDF()
       .withColumn("canres", lit(null).cast("int")))
-    (store, new Flows(spark, store))
+    // long-running trigger: these tests feed multiple addData rounds
+    // through ONE live query (AvailableNow would stop at first drain)
+    (store, new Flows(spark, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)))
   }
 
   test("S2+S8 stateful: in-order admission, oversell + unknown event rejected; cross-batch state persists (S5)") {
@@ -154,6 +157,13 @@ class StatefulAdmissionSpec extends AnyFunSuite {
       assert(store.load("rechazos")
         .filter(col("id") === "619c1dae4b2120000195244d")
         .collect().head.getString(4) === "sin_capacidad")
+      // batch 4: a seat return AFTER the organizer cancel is a no-op on
+      // capacity (estado guard — parity with the batch fold, which only
+      // applies returns to active events)
+      ms.addData(
+        LReq("619c1dae4b2120000195244a", "Opera Boheme", "maria@x.y", 17, 30, "ret"))
+      q.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 1)
     } finally q.stop()
   }
 
