@@ -58,11 +58,20 @@ final class Flows(spark: SparkSession, store: TableStore,
     * parsing) land verbatim in the `dead_letter` table instead of the
     * reference's no-ack poison-retry loop (inventario/main.go:70-79).
     * Returns the well-formed rows. Keyed on (flow, raw) so a
-    * crash-replayed batch cannot double-append. */
+    * crash-replayed batch cannot double-append.
+    *
+    * Callers must pass `parsed` PERSISTED: the bad-row anti-join here
+    * and every downstream consumer of the good rows re-scan it, and an
+    * unpersisted frame would re-run the topic scan + from_json per
+    * action (the r4 double-parse). No eager emptiness probe here —
+    * appendUnique skips empty appends internally on a frame it
+    * persists itself, so the parse lineage is evaluated exactly once
+    * per batch (first clean batch creates an empty dead_letter table,
+    * a one-time no-op write). */
   private def routeDeadLetters(flow: String, parsed: DataFrame): DataFrame = {
     val bad = CdcCodec.deadLetter(parsed)
       .select(lit(flow).as("flow"), col("raw"))
-    if (!bad.isEmpty) store.appendUnique("dead_letter", bad, Seq("flow", "raw"))
+    store.appendUnique("dead_letter", bad, Seq("flow", "raw"))
     parsed.filter(col("id").isNotNull)
   }
 
@@ -364,16 +373,22 @@ final class Flows(spark: SparkSession, store: TableStore,
   // Input frame: (topic, value) — KafkaIO.readTopics shape.
   // -------------------------------------------------------------------
   def consumerFlow(messages: DataFrame): StreamingQuery =
-    start(messages, "consumer") { batch =>
-      // invMsgs feeds three branches (register, cascade probe+apply,
-      // and the dead-letter check inside routeDeadLetters ran already);
-      // persist so the topic scan + JSON parse run once per batch, not
-      // once per downstream action
-      val invMsgs = routeDeadLetters("consumer", CdcCodec.parseInventario(
-        batch.filter(col("topic") === "boletia.inventario").select(col("value"))))
+    start(messages, "consumer") { batch0 =>
+      // the source batch is scanned by both topic branches — persist so
+      // the stream source reads once; each branch's PARSED frame is
+      // persisted BEFORE routeDeadLetters (its dead-letter anti-join is
+      // the frame's first action), so from_json runs exactly once per
+      // message per batch — the r4 cut probed bad.isEmpty pre-persist
+      // and paid one extra topic-scan+parse per batch
+      val src = batch0.persist()
+      val invParsed = CdcCodec.parseInventario(
+        src.filter(col("topic") === "boletia.inventario").select(col("value")))
+        .persist()
+      // invMsgs feeds three branches (register, cascade probe+apply) —
+      // all narrow filters over the cached parse
+      val invMsgs = routeDeadLetters("consumer", invParsed)
         .withColumn("clase",
           CdcCodec.classifyInventario(col("canres"), col("estado")))
-        .persist()
       // O22: admitted-reservation messages → register (DetReserva
       // projection: idres→id, nombre→evento, canres→cantidad)
       val newReservas = invMsgs.filter(col("clase") === "insert_reservation")
@@ -398,8 +413,10 @@ final class Flows(spark: SparkSession, store: TableStore,
       // redelivered X message (at-least-once) would inflate capacity.
       if (!store.exists("devoluciones"))
         store.init("devoluciones", Seq.empty[String].toDF("id"))
-      val returns = routeDeadLetters("consumer", CdcCodec.parseReserva(
-        batch.filter(col("topic") === "boletia.reservas").select(col("value"))))
+      val resParsed = CdcCodec.parseReserva(
+        src.filter(col("topic") === "boletia.reservas").select(col("value")))
+        .persist()
+      val returns = routeDeadLetters("consumer", resParsed)
         .filter(col("estado") === "X")
         .dropDuplicates("id")
         .join(store.load("devoluciones"), Seq("id"), "left_anti")
@@ -418,7 +435,9 @@ final class Flows(spark: SparkSession, store: TableStore,
         store.appendUnique("devoluciones", returns.select(col("id")), Seq("id"))
       }
       returns.unpersist()
-      invMsgs.unpersist()
+      resParsed.unpersist()
+      invParsed.unpersist()
+      src.unpersist()
       ()
     }
 

@@ -61,6 +61,37 @@ class ConsumerFlowSpec extends AnyFunSuite {
       .collect().head.getInt(2) === 17)
   }
 
+  test("scan hygiene: each message's value is evaluated once per batch (no double parse)") {
+    // a nondeterministic counting UDF wraps `value` upstream of the
+    // flow; nondeterminism makes it a projection barrier Catalyst
+    // cannot duplicate, so the accumulator counts PHYSICAL evaluations
+    // of the message payload. consumerFlow persists the source batch
+    // and each topic branch's parsed frame before the dead-letter
+    // probe, so every payload is read exactly once per micro-batch —
+    // the r4 cut ran the probe pre-persist and paid an extra
+    // topic-scan+from_json per batch.
+    val (store, flows) = store0()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("value-evals")
+    val counted = udf((s: String) => { acc.add(1); s }).asNondeterministic()
+    val ms = MemoryStream[Msg]
+    val msgs = Seq(
+      Msg("boletia.inventario", invMsg(20)),
+      Msg("boletia.inventario", invMsg(17,
+        """, "idres": {"$oid": "619c1dae4b21200001952449"}, "email": "pepediaz@gmail.com", "canres": 3""")),
+      Msg("boletia.reservas",
+        q("""{"_id": {"$oid": "619c1dae4b21200001952449"}, "evento": "Opera Boheme", "estado": "X", "email": "pepediaz@gmail.com", "cantidad": 3}""")),
+      Msg("boletia.inventario", q("""not json at all"""))) // dead-letter row
+    ms.addData(msgs: _*)
+    run(flows.consumerFlow(ms.toDS().toDF()
+      .select(col("topic"), counted(col("value")).as("value"))))
+    assert(store.load("reservas").count() === 1)
+    assert(store.load("dead_letter").count() === 1)
+    assert(acc.value === msgs.length,
+      s"expected ${msgs.length} payload evaluations, saw ${acc.value}")
+  }
+
   test("customer-cancel message returns seats; organizer-cancel message cascades") {
     val (store, flows) = store0()
     store.init("reservas", Tables.reservas(spark))
