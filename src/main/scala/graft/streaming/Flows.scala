@@ -31,8 +31,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQ
  */
 final class Flows(spark: SparkSession, store: TableStore,
     checkpointRoot: Option[String] = None,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    dedupHorizon: Long = Flows.DefaultDedupHorizon) {
   import spark.implicits._
+
+  // dead_letter is the one table WRITTEN BY SEVERAL flows (each appends
+  // its own rows). appendUnique's creation path goes through replace()
+  // — version 0, segment dir d0, the shared _current_tmp pointer — so
+  // two flows' first batches racing on creation could clobber each
+  // other. Creating the (empty) table here, before any query starts,
+  // keeps every runtime write on the append path, which TableStore
+  // serializes per table for exactly this shared-sink case.
+  if (!store.exists("dead_letter"))
+    store.init("dead_letter",
+      Seq.empty[(String, String)].toDF("flow", "raw"))
 
   private def start(df: DataFrame, name: String)(
       body: DataFrame => Unit): StreamingQuery = {
@@ -384,8 +396,9 @@ final class Flows(spark: SparkSession, store: TableStore,
       val invParsed = CdcCodec.parseInventario(
         src.filter(col("topic") === "boletia.inventario").select(col("value")))
         .persist()
-      // invMsgs feeds three branches (register, cascade probe+apply) —
-      // all narrow filters over the cached parse
+      // invMsgs feeds two branches (register, cascade probe+apply) and
+      // the dead-letter anti-join runs off invParsed inside
+      // routeDeadLetters — all narrow filters over the cached parse
       val invMsgs = routeDeadLetters("consumer", invParsed)
         .withColumn("clase",
           CdcCodec.classifyInventario(col("canres"), col("estado")))
@@ -469,4 +482,15 @@ final class Flows(spark: SparkSession, store: TableStore,
       parsed0.unpersist()
       ()
     }
+}
+
+object Flows {
+  /** Default dedup-state TTL for the keyed-state admission variant, in
+    * stream-offset (`seq`) units: per key, admitted/returned ids older
+    * than this many offsets behind the key's high-water mark are
+    * evicted from the state store. The reservas/devoluciones registries
+    * remain the durable dedup record — every (re)start reseeds from
+    * them — so the horizon only has to cover duplicate lag WITHIN one
+    * uninterrupted run. */
+  val DefaultDedupHorizon: Long = 1L << 20
 }

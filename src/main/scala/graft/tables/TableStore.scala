@@ -36,6 +36,18 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private val CompactThreshold = 16
 
+  // Per-table write lock. The single-writer-per-table contract holds
+  // for snapshot-rewriting flows, but APPEND-only sinks are legitimately
+  // shared (dead_letter receives rows from every flow): two concurrent
+  // appends that both read version v and both publish v+1 would lose
+  // one segment. All version transitions of a table therefore serialize
+  // on this JVM-local lock — sufficient because every foreachBatch sink
+  // runs on the one driver that owns this store instance.
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writeLock(name: String): Object =
+    writeLocks.computeIfAbsent(name, _ => new Object)
+
   private def tdir(name: String): Path = Paths.get(root, name)
   private def pointer(name: String): Path = tdir(name).resolve("_current")
 
@@ -79,24 +91,27 @@ final class TableStore(spark: SparkSession, root: String) {
   def init(name: String, df: DataFrame): Unit = replace(name, df)
 
   /** Publish a whole-table snapshot (mutating merges). */
-  def replace(name: String, df: DataFrame): Unit = {
-    val next = currentVersion(name) + 1
-    publish(name, Seq(writeSegment(name, next, df)), next)
-  }
+  def replace(name: String, df: DataFrame): Unit =
+    writeLock(name).synchronized {
+      val next = currentVersion(name) + 1
+      publish(name, Seq(writeSegment(name, next, df)), next)
+    }
 
   /** Append rows to an insert-only table (notifications, rejections):
     * writes ONLY the new rows as a segment; compacts when the manifest
     * is long. Creates the table on first append. */
   def append(name: String, df: DataFrame): Unit =
-    if (!exists(name)) replace(name, df)
-    else {
-      val v = currentVersion(name)
-      val segs = segments(name, v)
-      if (segs.length >= CompactThreshold)
-        replace(name, load(name).unionByName(df))
+    writeLock(name).synchronized {
+      if (!exists(name)) replace(name, df)
       else {
-        val next = v + 1
-        publish(name, segs :+ writeSegment(name, next, df), next)
+        val v = currentVersion(name)
+        val segs = segments(name, v)
+        if (segs.length >= CompactThreshold)
+          replace(name, load(name).unionByName(df))
+        else {
+          val next = v + 1
+          publish(name, segs :+ writeSegment(name, next, df), next)
+        }
       }
     }
 
@@ -115,17 +130,22 @@ final class TableStore(spark: SparkSession, root: String) {
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === lit(1)).drop("__rn")
       }
-    if (!exists(name)) replace(name, dedup)
-    else {
-      // persist: the emptiness probe AND the segment write both
-      // consume this plan — unpersisted, the dedup + anti-join (and
-      // the table read under it) would execute twice per append
-      val fresh = dedup.join(load(name).select(key.map(col): _*),
-        key, "left_anti").persist()
-      try {
-        // skip empty appends entirely: no segment, no version churn
-        if (!fresh.isEmpty) append(name, fresh)
-      } finally fresh.unpersist()
+    // the lock spans the anti-join read as well as the write: two
+    // concurrent appendUniques could otherwise both miss a key in the
+    // snapshot and both append it
+    writeLock(name).synchronized {
+      if (!exists(name)) replace(name, dedup)
+      else {
+        // persist: the emptiness probe AND the segment write both
+        // consume this plan — unpersisted, the dedup + anti-join (and
+        // the table read under it) would execute twice per append
+        val fresh = dedup.join(load(name).select(key.map(col): _*),
+          key, "left_anti").persist()
+        try {
+          // skip empty appends entirely: no segment, no version churn
+          if (!fresh.isEmpty) append(name, fresh)
+        } finally fresh.unpersist()
+      }
     }
   }
 

@@ -66,6 +66,28 @@ class TableStoreSpec extends AnyFunSuite {
       s"compaction never ran: ${segDirs.length} segments")
   }
 
+  test("concurrent appends to a shared sink lose no rows") {
+    // dead_letter is appended to by several flows concurrently; without
+    // per-table write serialization two appends can both read version v
+    // and both publish v+1, silently dropping one segment
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = fresh()
+    store.init("shared", Seq.empty[(String, Int)].toDF("flow", "n"))
+    val writers = (1 to 4).map { f =>
+      Future {
+        (1 to 5).foreach { i =>
+          store.appendUnique("shared",
+            Seq((s"flow$f", i)).toDF("flow", "n"), Seq("flow", "n"))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(store.load("shared").count() === 20)
+  }
+
   test("MVCC: a plan captured before a write keeps its snapshot") {
     import spark.implicits._
     val store = fresh()
