@@ -36,12 +36,10 @@ final class Flows(spark: SparkSession, store: TableStore,
   import spark.implicits._
 
   // dead_letter is the one table WRITTEN BY SEVERAL flows (each appends
-  // its own rows). appendUnique's creation path goes through replace()
-  // — version 0, segment dir d0, the shared _current_tmp pointer — so
-  // two flows' first batches racing on creation could clobber each
-  // other. Creating the (empty) table here, before any query starts,
-  // keeps every runtime write on the append path, which TableStore
-  // serializes per table for exactly this shared-sink case.
+  // its own rows). TableStore's per-table write lock already serializes
+  // concurrent creation/appends; seeding the (empty) table here is
+  // belt-and-braces that additionally keeps every runtime write on the
+  // cheap append path (no first-batch replace() of an empty table).
   if (!store.exists("dead_letter"))
     store.init("dead_letter",
       Seq.empty[(String, String)].toDF("flow", "raw"))
@@ -189,11 +187,20 @@ final class Flows(spark: SparkSession, store: TableStore,
       val newRows = admitted.select(col("id"), col("evento"),
         lit("A").as("estado"), col("email"), col("cantidad"))
       store.appendUnique("reservas", newRows, Seq("id"))
-      // rejections (sold out / unknown event) — observable outcome of
-      // the 404 path (reservas/main.go:166-173)
+      // rejections (sold out / closed event / unknown event) —
+      // observable outcome of the 404 path (reservas/main.go:166-173).
+      // The fold only emits admitted=false; WHICH guard failed is
+      // derived from the event's estado (static within a batch — this
+      // flow carries no cancels), so both admission engines label a
+      // closed-event rejection evento_cerrado and a sold-out one
+      // sin_capacidad.
+      val estados = inv.select(col("nombre").as("__n"),
+        col("estado").as("__estado"))
       val rejected = log.filter(!col("admitted"))
+        .join(estados, col("evento") === col("__n"), "left")
         .select(col("id"), col("evento"), col("email"), col("cantidad"),
-          lit("sin_capacidad").as("motivo"))
+          when(col("__estado") =!= "A", "evento_cerrado")
+            .otherwise("sin_capacidad").as("motivo"))
         .unionByName(MergeOps.unknownEventRequests(inv, batch)
           .select(col("id"), col("evento"), col("email"), col("cantidad"),
             lit("no_existe").as("motivo")))
@@ -215,8 +222,9 @@ final class Flows(spark: SparkSession, store: TableStore,
   // -------------------------------------------------------------------
   def admissionFlowStateful(requests: DataFrame): StreamingQuery = {
     // the input may be the plain request stream, or the UNIONED
-    // lifecycle stream with a `kind` column ("req" | "ret" | "cancel")
-    // so (capacidad, estado) has a single owner — see StatefulAdmission
+    // lifecycle stream with a `kind` column ("create" | "req" | "ret" |
+    // "cancel") so (capacidad, estado) has a single owner — see
+    // StatefulAdmission
     val withKind =
       if (requests.columns.contains("kind")) requests
       else requests.withColumn("kind", lit("req"))
@@ -231,15 +239,44 @@ final class Flows(spark: SparkSession, store: TableStore,
         .when(col("id").isNull || !col("id").rlike("^[0-9a-f]{24}$"),
           "id_invalido").as("motivo"),
       coalesce(col("kind"), lit("req")).as("kind")).as[SReq]
-    // state seeded once, at query start, from the inventario snapshot
+    // state seeded once, at query start: (capacidad, estado) from the
+    // inventario snapshot, and the dedup maps from the DURABLE
+    // registries — `seen` from reservas, `returned` from devoluciones
+    // (joined through reservas for the event key). These are the same
+    // anti-joins the batch admissionFlow performs per batch; seeding
+    // them here makes a fresh-checkpoint restart safe: a redelivered
+    // request/return whose effect is already in the inventario snapshot
+    // is recognized as a duplicate instead of double-applied. Registry
+    // entries carry seq 0, so they age out of state past the dedup
+    // horizon (the registry stays the durable record; the next restart
+    // reseeds).
+    val reg = store.load("reservas").select(col("evento"), col("id"))
+    val seenByKey = reg.groupBy(col("evento").as("nombre"))
+      .agg(collect_list(col("id")).as("__seen"))
+    val devol =
+      if (store.exists("devoluciones")) store.load("devoluciones")
+      else Seq.empty[String].toDF("id")
+    val retByKey = devol.join(reg, Seq("id"))
+      .groupBy(col("evento").as("nombre"))
+      .agg(collect_list(col("id")).as("__ret"))
     val init = store.load("inventario")
       .select(col("nombre"), col("capacidad").cast("long").as("capacidad"),
-        col("estado")).as[(String, Long, String)]
+        col("estado"))
+      .join(seenByKey, Seq("nombre"), "left")
+      .join(retByKey, Seq("nombre"), "left")
+      .select(col("nombre"), col("capacidad"), col("estado"),
+        coalesce(col("__seen"), array().cast("array<string>")).as("__seen"),
+        coalesce(col("__ret"), array().cast("array<string>")).as("__ret"))
+      .as[(String, Long, String, Seq[String], Seq[String])]
       .groupByKey(_._1)
-      .mapValues(t => InvState(t._2, t._3, Nil))
+      .mapValues(t => InvState(t._2, t._3,
+        t._4.iterator.map(_ -> 0L).toMap, t._5.iterator.map(_ -> 0L).toMap))
+    // local copy so the state function captures a Long, not `this`
+    // (Flows is not serializable and must not ride to executors)
+    val horizon = dedupHorizon
     val log = validated.groupByKey(_.evento)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
-        init)(StatefulAdmission.admit _)
+        init)(StatefulAdmission.admit(horizon) _)
     val w = log.toDF().writeStream
       .queryName("admission_stateful")
       .outputMode("append")
@@ -254,6 +291,24 @@ final class Flows(spark: SparkSession, store: TableStore,
         val log = batch0.persist()
         val changes = log.filter(col("kind") =!= "reject")
         if (!changes.isEmpty) {
+          // creates materialize FIRST (appendUnique on nombre — first
+          // wins, S1 parity; categoria is not carried on the lifecycle
+          // stream), so the lastState merge below sees the new keys and
+          // same-batch admissions land on them
+          val created = changes.filter(col("kind") === "create")
+            .select(col("id"), col("evento").as("nombre"),
+              col("cantidad").as("capacidad"),
+              lit(null).cast("string").as("categoria"),
+              lit("A").as("estado"))
+          if (!created.isEmpty) {
+            store.appendUnique("eventos", created, Seq("nombre"),
+              tieBreak = Seq(col("id")))
+            store.appendUnique("inventario", created
+              .withColumn("idres", lit(null).cast("string"))
+              .withColumn("email", lit(null).cast("string"))
+              .withColumn("canres", lit(null).cast("int")), Seq("nombre"),
+              tieBreak = Seq(col("id")))
+          }
           val inv0 = store.load("inventario")
           val capType = inv0.schema("capacidad").dataType
           // the LAST state-changing event per key carries the key's
@@ -288,6 +343,16 @@ final class Flows(spark: SparkSession, store: TableStore,
           store.appendUnique("reservas", admitted.select(col("id"),
             col("evento"), lit("A").as("estado"), col("email"),
             col("cantidad")), Seq("id"))
+          // applied seat returns are durably recorded: devoluciones is
+          // the registry the restart reseed reads `returned` from (and
+          // the one the batch consumerFlow anti-joins against)
+          val returnedIds = changes.filter(col("kind") === "return")
+            .select(col("id"))
+          if (!returnedIds.isEmpty) {
+            if (!store.exists("devoluciones"))
+              store.init("devoluciones", Seq.empty[String].toDF("id"))
+            store.appendUnique("devoluciones", returnedIds, Seq("id"))
+          }
           // O18/O23 organizer cancels: eventos estado + reservas cascade
           // (active rows only; X history untouched) — table-side
           // materialization of the state transition

@@ -4,6 +4,10 @@ import org.apache.spark.sql.streaming.GroupState
 
 /** Stream element for the keyed-state admission variant: a lifecycle
   * message for one event key. `kind` discriminates:
+  *  - "create" — event creation (cantidad = initial capacity); the
+  *               keyed-state analogue of eventCreationFlow, so events
+  *               born after query start become admittable (first
+  *               create wins, duplicates are no-ops);
   *  - "req"    — reservation request (id, email, cantidad);
   *  - "ret"    — seat return (cantidad seats back, id = the returned
   *               reservation, for idempotence);
@@ -14,21 +18,23 @@ final case class SReq(id: String, evento: String, email: String,
     cantidad: Int, seq: Long, motivo: String, kind: String = "req")
 
 /** Per-event keyed state: the remaining capacity, the event lifecycle
-  * state, the ids already admitted (redelivery dedup) and the ids
-  * already returned (a redelivered X message must not inflate
-  * capacity). At scale both sets are bounded by a state TTL
-  * (watermark-scoped; the reservas registry stays the durable source
-  * of truth past the TTL horizon) — unbounded here because test
-  * corpora are finite. */
+  * state, and the redelivery-dedup records — admitted ids (`seen`) and
+  * returned ids (`returned`), each mapped to the `seq` at which they
+  * were applied so entries older than the dedup horizon behind the
+  * key's high-water mark (`highWater`) can be evicted. State size is
+  * therefore bounded by the horizon window, not by history; the
+  * reservas/devoluciones registries are the durable dedup record past
+  * the horizon, and every (re)start reseeds from them. */
 final case class InvState(capacidad: Long, estado: String,
-    seen: Seq[String], returned: Seq[String] = Nil)
+    seen: Map[String, Long], returned: Map[String, Long],
+    highWater: Long = 0L)
 
 /** One lifecycle outcome row: the admission-log shape plus `kind`
-  * ("admit" | "reject" | "return" | "cancel"), the post-decision
-  * remaining capacity / estado of the key, and `ord` — the row's
-  * position in the per-key fold, so downstream consumers can recover
-  * the EXACT fold order (max_by(·, ord) = the key's final state)
-  * without re-deriving the comparator's tiebreaks. */
+  * ("create" | "admit" | "reject" | "return" | "cancel"), the
+  * post-decision remaining capacity / estado of the key, and `ord` —
+  * the row's position in the per-key fold, so downstream consumers can
+  * recover the EXACT fold order (max_by(·, ord) = the key's final
+  * state) without re-deriving the comparator's tiebreaks. */
 final case class AdmitEvent(id: String, evento: String, email: String,
     cantidad: Int, admitted: Boolean, motivo: String, seq: Long,
     capacidad: Long, kind: String, estado: String, ord: Int)
@@ -41,38 +47,49 @@ final case class AdmitEvent(id: String, evento: String, email: String,
  * The batch-MERGE flows reload the inventario snapshot and rewrite it
  * every micro-batch — O(table) per trigger — and three different
  * flows write (capacidad, estado) for the same key. Here (capacidad,
- * estado) has ONE owner: requests, seat returns and organizer cancels
- * arrive as one unioned stream, are folded per key in `seq` order
- * against state in the Spark state store, and every table becomes a
- * DOWNSTREAM materialization fed by the emitted log — exactly how the
- * reference holds admission state in MongoDB while Kafka carries the
- * changelog (reservas/main.go:151-165, inventario/main.go:105-133).
- * Decisions are O(batch); checkpointing is incremental (RocksDB +
- * `...rocksdb.changelogCheckpointing.enabled=true` in production).
+ * estado) has ONE owner: creates, requests, seat returns and organizer
+ * cancels arrive as one unioned stream, are folded per key in `seq`
+ * order against state in the Spark state store, and every table
+ * becomes a DOWNSTREAM materialization fed by the emitted log —
+ * exactly how the reference holds admission state in MongoDB while
+ * Kafka carries the changelog (reservas/main.go:151-165,
+ * inventario/main.go:105-133). Decisions are O(batch); checkpointing
+ * is incremental (RocksDB + changelog checkpointing in production).
  *
  * Semantics parity (FlowsSpec S2-S5/S8, StatefulAdmissionSpec):
  * per-key messages apply in (seq, id, email, cantidad) order;
  * duplicate request ids and duplicate return ids are no-ops (the
- * `seen`/`returned` sets ARE the anti-joins the batch flows perform
- * against reservas/devoluciones); keys with no state row are unknown
- * events → motivo no_existe; returns carry no capacity guard
- * (inventario/main.go:117-123); organizer cancel flips estado to 'C'
- * so later requests reject (the admission guard requires 'A');
+ * `seen`/`returned` maps ARE the anti-joins the batch flows perform
+ * against reservas/devoluciones); keys with no state row and no
+ * create are unknown events → motivo no_existe; returns carry no
+ * capacity guard (inventario/main.go:117-123); organizer cancel flips
+ * estado to 'C' so later requests reject with motivo evento_cerrado
+ * (the same label the batch flow derives from estado≠'A');
  * pre-validated failures pass through as rejections without touching
  * state.
+ *
+ * Dedup TTL contract: ids whose recording `seq` falls more than
+ * `horizon` offsets behind the key's high-water mark are evicted from
+ * state. Safe because (a) at-least-once redelivery lag within one
+ * uninterrupted run is bounded (a Kafka consumer redelivers from its
+ * last commit, never from the topic's origin), and (b) every admitted
+ * id is durably registered in reservas / devoluciones, from which
+ * every (re)start reseeds — so a restart re-arms dedup for ALL
+ * history, not just the horizon window.
  */
 object StatefulAdmission {
 
   /** Lifecycle order within a key: MergeOps.admissionCompare (the ONE
     * admission ordering, shared with the batch fold), extended with a
     * kind rank for the unioned stream — at an identical (seq, id,
-    * email, cantidad), cancel < ret < req, i.e. close/free before
-    * admitting at the same offset. Deterministic even for a req and
-    * ret carrying the same reservation id and seq. */
+    * email, cantidad), create < cancel < ret < req, i.e. materialize /
+    * close / free before admitting at the same offset. Deterministic
+    * even for a req and ret carrying the same reservation id and seq. */
   private def kindRank(k: String): Int = k match {
-    case "cancel" => 0
-    case "ret" => 1
-    case _ => 2
+    case "create" => 0
+    case "cancel" => 1
+    case "ret" => 2
+    case _ => 3
   }
 
   private[streaming] val order: java.util.Comparator[SReq] =
@@ -84,8 +101,9 @@ object StatefulAdmission {
       }
     }
 
-  /** The per-group transition function. */
-  def admit(key: String, it: Iterator[SReq],
+  /** The per-group transition function, curried on the dedup horizon
+    * (Flows threads its `dedupHorizon` constructor parameter here). */
+  def admit(horizon: Long)(key: String, it: Iterator[SReq],
       state: GroupState[InvState]): Iterator[AdmitEvent] = {
     val reqs = it.toArray
     val out = new scala.collection.mutable.ArrayBuffer[AdmitEvent](reqs.length)
@@ -102,28 +120,45 @@ object StatefulAdmission {
           -1L, "reject", null)
       else valid += r
     }
-    if (!state.exists) {
-      // no inventario row ever seeded for this key → unknown event
-      valid.foreach { r =>
-        emit(r.id, r.email, r.cantidad, admitted = false, "no_existe",
-          r.seq, -1L, "reject", null)
-      }
-      return out.iterator
-    }
-    val st = state.get
     val arr = valid.toArray
     if (arr.length > 1) java.util.Arrays.sort(arr, order)
-    var cap = st.capacidad
-    var estado = st.estado
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    seen ++= st.seen
-    val returned = scala.collection.mutable.HashSet.empty[String]
-    returned ++= st.returned
+    var exists = state.exists
+    var cap = 0L
+    var estado: String = null
+    val seen = scala.collection.mutable.HashMap.empty[String, Long]
+    val returned = scala.collection.mutable.HashMap.empty[String, Long]
+    var hw = 0L
+    if (exists) {
+      val st = state.get
+      cap = st.capacidad
+      estado = st.estado
+      seen ++= st.seen
+      returned ++= st.returned
+      hw = st.highWater
+    }
     var changed = false
     var i = 0
     while (i < arr.length) {
       val r = arr(i)
       r.kind match {
+        case "create" =>
+          // event creation: first create materializes the key (full
+          // capacity, estado A); a duplicate create is a silent no-op —
+          // first-wins, the keyed-state analogue of appendUnique on
+          // nombre in eventCreationFlow (S1)
+          if (!exists) {
+            exists = true
+            cap = r.cantidad.toLong
+            estado = "A"
+            changed = true
+            if (r.seq > hw) hw = r.seq
+            emit(r.id, r.email, r.cantidad, admitted = true, null, r.seq,
+              cap, "create", estado)
+          }
+        case _ if !exists =>
+          // no inventario row seeded and no create seen → unknown event
+          emit(r.id, r.email, r.cantidad, admitted = false, "no_existe",
+            r.seq, -1L, "reject", null)
         case "ret" =>
           // O21 seat return: no CAPACITY guard, once per reservation
           // id. The estado='A' guard matches the batch fold
@@ -132,8 +167,9 @@ object StatefulAdmission {
           // path appends to devoluciones unconditionally too, and a
           // closed event never reopens.
           if (!returned.contains(r.id)) {
-            returned += r.id
+            returned.put(r.id, r.seq)
             changed = true
+            if (r.seq > hw) hw = r.seq
             if (estado == "A") {
               cap += r.cantidad
               emit(r.id, r.email, r.cantidad, admitted = true, null,
@@ -146,6 +182,7 @@ object StatefulAdmission {
           if (estado != "C") {
             estado = "C"
             changed = true
+            if (r.seq > hw) hw = r.seq
             emit(r.id, r.email, 0, admitted = true, null, r.seq, cap,
               "cancel", estado)
           }
@@ -154,20 +191,35 @@ object StatefulAdmission {
             val ok = estado == "A" && cap >= r.cantidad
             if (ok) {
               cap -= r.cantidad
-              seen += r.id
+              seen.put(r.id, r.seq)
               changed = true
+              if (r.seq > hw) hw = r.seq
               emit(r.id, r.email, r.cantidad, admitted = true, null,
                 r.seq, cap, "admit", estado)
             } else {
+              // the batch flow derives the same label from the
+              // inventario estado — the two engines agree on motivos
+              val motivo = if (estado != "A") "evento_cerrado"
+                           else "sin_capacidad"
               emit(r.id, r.email, r.cantidad, admitted = false,
-                "sin_capacidad", r.seq, cap, "reject", estado)
+                motivo, r.seq, cap, "reject", estado)
             }
           }
       }
       i += 1
     }
+    // TTL eviction: drop dedup entries recorded more than `horizon`
+    // offsets behind the high-water mark (registry-seeded entries carry
+    // seq 0 and age out the same way — the registries stay durable)
+    if (exists && hw > horizon) {
+      val floor = hw - horizon
+      val s0 = seen.size + returned.size
+      seen.filterInPlace((_, s) => s >= floor)
+      returned.filterInPlace((_, s) => s >= floor)
+      if (seen.size + returned.size != s0) changed = true
+    }
     if (changed)
-      state.update(InvState(cap, estado, seen.toSeq, returned.toSeq))
+      state.update(InvState(cap, estado, seen.toMap, returned.toMap, hw))
     out.iterator
   }
 }

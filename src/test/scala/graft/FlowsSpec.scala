@@ -202,6 +202,31 @@ class FlowsSpec extends AnyFunSuite {
     assert(res("61a2a4c9a80e2a0001a93f36") === "A") // other event untouched
   }
 
+  test("motivo parity: both admission engines label a cancelled-event request evento_cerrado") {
+    // Final Futbol is seeded estado='C'; a request against it must be
+    // rejected with the SAME motivo row by the batch-MERGE flow and the
+    // keyed-state flow (the batch fold derives it from inventario
+    // estado, the stateful fold from its state — they must not drift)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val req = Req("619c1dae4b2120000195ffff", "Final Futbol", "x@y.z", 2, 1)
+    def rechazoRow(store: TableStore) =
+      store.load("rechazos").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(4))).toSeq
+    val (storeA, flowsA) = seededStore()
+    val msA = MemoryStream[Req]
+    msA.addData(req)
+    run(flowsA.admissionFlow(msA.toDS().toDF()))
+    val (storeB, flowsB) = seededStore()
+    val msB = MemoryStream[Req]
+    msB.addData(req)
+    val qB = flowsB.admissionFlowStateful(msB.toDS().toDF())
+    run(qB)
+    val expected = Seq(("619c1dae4b2120000195ffff", "Final Futbol", "evento_cerrado"))
+    assert(rechazoRow(storeA) === expected)
+    assert(rechazoRow(storeB) === expected)
+  }
+
   test("malformed CDC payloads persist to dead_letter (no silent drop)") {
     val (store, flows) = freshStore()
     implicit val sql = spark.sqlContext

@@ -154,9 +154,12 @@ class StatefulAdmissionSpec extends AnyFunSuite {
       // cascade: every still-active reservation of the event → 'C'
       val estados = store.load("reservas").collect().map(_.getString(2)).toSeq
       assert(estados.nonEmpty && estados.forall(_ == "C"))
+      // estado≠'A' rejections are labeled evento_cerrado — the same
+      // motivo the batch admissionFlow derives from the inventario
+      // estado (engines agree; FlowsSpec asserts the parity)
       assert(store.load("rechazos")
         .filter(col("id") === "619c1dae4b2120000195244d")
-        .collect().head.getString(4) === "sin_capacidad")
+        .collect().head.getString(4) === "evento_cerrado")
       // batch 4: a seat return AFTER the organizer cancel is a no-op on
       // capacity (estado guard — parity with the batch fold, which only
       // applies returns to active events)
@@ -164,6 +167,137 @@ class StatefulAdmissionSpec extends AnyFunSuite {
         LReq("619c1dae4b2120000195244a", "Opera Boheme", "maria@x.y", 17, 30, "ret"))
       q.processAllAvailable()
       assert(store.load("inventario").collect().head.getInt(2) === 1)
+    } finally q.stop()
+  }
+
+  test("restart safety: fresh-checkpoint restart + redelivered request does not double-decrement") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val req = LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 1, "req")
+    val ms1 = MemoryStream[LReq](spark, 4)
+    val q1 = flows.admissionFlowStateful(ms1.toDS().toDF())
+    try { ms1.addData(req); q1.processAllAvailable() } finally q1.stop()
+    assert(store.load("inventario").collect().head.getInt(2) === 17)
+    // SECOND query = restart with a lost checkpoint (fresh MemoryStream,
+    // fresh state store). init must reseed `seen` from the reservas
+    // registry, so the redelivered request is a duplicate, not a fresh
+    // admission against the already-decremented snapshot.
+    val ms2 = MemoryStream[LReq](spark, 4)
+    val q2 = flows.admissionFlowStateful(ms2.toDS().toDF())
+    try {
+      ms2.addData(req)
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 17) // not 14
+      assert(store.load("reservas").count() === 1)
+      // and a redelivered RETURN after restart must not double-inflate:
+      // apply it once in this run …
+      ms2.addData(LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 5, "ret"))
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 20)
+    } finally q2.stop()
+    // … then restart again: `returned` reseeds from devoluciones
+    val ms3 = MemoryStream[LReq](spark, 4)
+    val q3 = flows.admissionFlowStateful(ms3.toDS().toDF())
+    try {
+      ms3.addData(LReq("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 5, "ret"))
+      q3.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 20) // not 23
+    } finally q3.stop()
+  }
+
+  test("TTL eviction: duplicate arriving after eviction is still a no-op via registry reseed") {
+    val (store, flows0) = seededEvent(1000)
+    // horizon of 10 offsets — ids recorded >10 behind high-water evict
+    val flows = new Flows(spark, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      dedupHorizon = 10L)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dup = Req("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 1)
+    val ms1 = MemoryStream[Req](spark, 4)
+    val q1 = flows.admissionFlowStateful(ms1.toDS().toDF())
+    try {
+      ms1.addData(dup)
+      q1.processAllAvailable()
+      // push the key's high-water far past seq 1 + horizon → the dup
+      // id's state entry is evicted (state stays bounded)
+      ms1.addData((100 to 105).map(i =>
+        Req(f"aaaaaaaaaaaaaaaaaaaa$i%04d", "Opera Boheme", s"u$i@x.y", 1, i.toLong)): _*)
+      q1.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 991)
+    } finally q1.stop()
+    // restart: the registry reseed re-arms dedup for ALL history, so the
+    // ancient duplicate is still a no-op even though state evicted it
+    val ms2 = MemoryStream[Req](spark, 4)
+    val q2 = flows.admissionFlowStateful(ms2.toDS().toDF())
+    try {
+      ms2.addData(dup)
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 991) // not 988
+      assert(store.load("reservas").count() === 7)
+    } finally q2.stop()
+  }
+
+  test("TTL eviction: state size plateaus over a long replay (unit, TestGroupState)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.{InvState, SReq, StatefulAdmission}
+    val horizon = 50L
+    var st = InvState(1000000L, "A", Map.empty, Map.empty)
+    var maxSeen = 0
+    (0 until 40).foreach { b =>
+      val state = TestGroupState.create[InvState](
+        org.apache.spark.api.java.Optional.of(st),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        0L, org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      val batch = (0 until 25).map { i =>
+        val seq = b * 25L + i
+        SReq(f"aaaaaaaaaaaaaaaa$seq%08d", "E", "u@x.y", 1, seq, null, "req")
+      }
+      StatefulAdmission.admit(horizon)("E", batch.iterator, state)
+      st = state.get
+      maxSeen = math.max(maxSeen, st.seen.size)
+    }
+    // 1000 requests replayed; without eviction seen would hold 1000 ids.
+    // With horizon 50 it plateaus at ~horizon (never the whole history).
+    assert(maxSeen <= horizon + 25,
+      s"state did not plateau: max seen size $maxSeen")
+    assert(st.seen.size <= horizon + 25)
+    // the capacity effects of evicted entries are NOT undone
+    assert(st.capacidad === 1000000L - 1000L)
+  }
+
+  test("create lifecycle kind: event created after query start becomes admittable") {
+    val (store, flows) = seededEvent(20)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[LReq](spark, 4)
+    val q = flows.admissionFlowStateful(ms.toDS().toDF())
+    try {
+      // a request for a not-yet-created event → no_existe
+      ms.addData(LReq("619c1dae4b2120000195244e", "Concierto Jazz", "a@x.y", 2, 1, "req"))
+      q.processAllAvailable()
+      assert(store.load("rechazos").filter(col("evento") === "Concierto Jazz")
+        .collect().head.getString(4) === "no_existe")
+      // create (capacity 10), then requests — same key, later batch
+      ms.addData(
+        LReq("ffffffffffffffffffff0001", "Concierto Jazz", null, 10, 5, "create"),
+        LReq("619c1dae4b2120000195244f", "Concierto Jazz", "b@x.y", 4, 6, "req"))
+      q.processAllAvailable()
+      val inv = store.load("inventario").filter(col("nombre") === "Concierto Jazz")
+        .collect().head
+      assert(inv.getInt(2) === 6) // 10 - 4
+      assert(inv.getString(4) === "A")
+      assert(store.load("eventos").filter(col("nombre") === "Concierto Jazz")
+        .count() === 1)
+      assert(store.load("reservas").filter(col("id") === "619c1dae4b2120000195244f")
+        .count() === 1)
+      // duplicate create is a silent first-wins no-op (S1 parity)
+      ms.addData(LReq("ffffffffffffffffffff0002", "Concierto Jazz", null, 99, 9, "create"))
+      q.processAllAvailable()
+      assert(store.load("inventario").filter(col("nombre") === "Concierto Jazz")
+        .collect().head.getInt(2) === 6) // capacity NOT reset to 99
     } finally q.stop()
   }
 
