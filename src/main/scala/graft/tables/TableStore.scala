@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
  *
  * Superseded versions and their segments are RETAINED, so lazy plans
  * captured before a publish stay readable for the rest of the batch —
- * the reader-snapshot guarantee of a transaction log (version GC is
- * `VACUUM`). Single-writer per table (one foreachBatch sink), many
- * readers.
+ * the reader-snapshot guarantee of a transaction log. `vacuum` is the
+ * version GC: it reclaims manifests/segments older than a retention
+ * horizon of versions while keeping everything a reader inside the
+ * horizon can still reference.
+ *
+ * Writer contract: one snapshot-rewriting writer per table by
+ * convention (one foreachBatch sink owns each replace()d table);
+ * concurrent APPENDS to shared sinks (dead_letter) are supported and
+ * serialized by the per-table JVM-local lock — sufficient because
+ * every foreachBatch sink runs on the one driver that owns this store
+ * instance. Readers are unrestricted.
  */
 final class TableStore(spark: SparkSession, root: String) {
   Files.createDirectories(Paths.get(root))
@@ -72,9 +80,12 @@ final class TableStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeSegment(name: String, v: Int, df: DataFrame): String = {
+  private def writeSegment(name: String, v: Int, df: DataFrame,
+      partitionBy: Seq[String] = Nil): String = {
     val seg = s"d$v"
-    df.write.mode("overwrite").parquet(tdir(name).resolve(seg).toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tdir(name).resolve(seg).toString)
     seg
   }
 
@@ -90,11 +101,16 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def init(name: String, df: DataFrame): Unit = replace(name, df)
 
-  /** Publish a whole-table snapshot (mutating merges). */
-  def replace(name: String, df: DataFrame): Unit =
+  /** Publish a whole-table snapshot (mutating merges). `partitionBy`
+    * lays the segment out as hive-style partition directories, so
+    * reader filters on those columns become PartitionFilters and prune
+    * whole directories from the scan (the layout the IVF index uses to
+    * make a probe O(probed cells), not O(corpus)). */
+  def replace(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit =
     writeLock(name).synchronized {
       val next = currentVersion(name) + 1
-      publish(name, Seq(writeSegment(name, next, df)), next)
+      publish(name, Seq(writeSegment(name, next, df, partitionBy)), next)
     }
 
   /** Append rows to an insert-only table (notifications, rejections):
@@ -147,6 +163,53 @@ final class TableStore(spark: SparkSession, root: String) {
         } finally fresh.unpersist()
       }
     }
+  }
+
+  /** VACUUM — retention-horizon GC of superseded versions. Keeps the
+    * newest `keepVersions` manifests (the current one always included)
+    * and every segment any kept manifest references; deletes older
+    * manifests and now-unreferenced segment directories.
+    *
+    * Reader-snapshot contract: a DataFrame bound to any version inside
+    * the horizon stays fully readable (its segments are all referenced
+    * by a kept manifest — appends only ever EXTEND the previous segment
+    * list, so a newer manifest covers every older one back to the last
+    * replace). Readers bound to versions OUTSIDE the horizon lose their
+    * files — the same contract as Delta/Iceberg VACUUM, where the
+    * retention period must exceed the longest-running reader. The
+    * per-table write lock serializes vacuum against concurrent version
+    * transitions.
+    *
+    * Without this, a long-running deployment leaks storage linearly in
+    * commits (every replace() retires a whole snapshot segment). Flows
+    * call it on whatever cadence suits the table's churn. */
+  def vacuum(name: String, keepVersions: Int = 2): Unit =
+    writeLock(name).synchronized {
+      val cur = currentVersion(name)
+      require(cur >= 0, s"table $name does not exist")
+      require(keepVersions >= 1, "must keep at least the current version")
+      val floor = math.max(0, cur - keepVersions + 1)
+      val live = (floor to cur).flatMap(v => segments(name, v)).toSet
+      val dir = tdir(name)
+      val stream = Files.list(dir)
+      try {
+        stream.forEach { p =>
+          val n = p.getFileName.toString
+          val staleManifest = n.startsWith("m") &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toInt < floor
+          val staleSegment = Files.isDirectory(p) && !live.contains(n)
+          if (staleManifest) Files.delete(p)
+          else if (staleSegment) deleteRecursively(p)
+        }
+      } finally stream.close()
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively) finally s.close()
+    }
+    Files.delete(p)
   }
 
   // -- per-flow batch commit log: replay protection for foreachBatch ---

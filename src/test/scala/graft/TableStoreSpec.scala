@@ -88,6 +88,55 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("shared").count() === 20)
   }
 
+  test("vacuum reclaims superseded versions, keeps the horizon readable") {
+    import spark.implicits._
+    val store = fresh()
+    val root = {
+      store.init("t", Seq((1, "a")).toDF("k", "v")) // v0: d0
+      store.append("t", Seq((2, "b")).toDF("k", "v")) // v1: d0,d1
+      store.replace("t", Seq((9, "z")).toDF("k", "v")) // v2: d2
+      Paths.get(store.load("t").inputFiles.head.stripPrefix("file:"))
+        .getParent.getParent
+    }
+    // a reader bound INSIDE the horizon (v1, keepVersions=2 keeps v1+v2)
+    val insideHorizon = spark.read.parquet(
+      root.resolve("d0").toString, root.resolve("d1").toString)
+    store.vacuum("t", keepVersions = 2)
+    assert(Files.exists(root.resolve("d0")) && Files.exists(root.resolve("d1")))
+    assert(!Files.exists(root.resolve("m0")), "m0 survived the horizon")
+    assert(insideHorizon.count() === 2) // live reader unaffected
+    assert(store.load("t").collect().map(_.getInt(0)).toSeq === Seq(9))
+    // shrink the horizon to the current version only: v0/v1 segments go
+    store.vacuum("t", keepVersions = 1)
+    assert(!Files.exists(root.resolve("d0")), "superseded segment retained")
+    assert(!Files.exists(root.resolve("d1")), "superseded segment retained")
+    assert(Files.exists(root.resolve("d2")))
+    assert(!Files.exists(root.resolve("m1")))
+    assert(store.load("t").collect().map(_.getInt(0)).toSeq === Seq(9))
+    // the store keeps working after GC: appends continue the version chain
+    store.append("t", Seq((10, "w")).toDF("k", "v"))
+    assert(store.load("t").count() === 2)
+  }
+
+  test("partitioned replace: filters on the partition column prune directories") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("p", (0 until 64).map(i => (i, i % 8)).toDF("k", "cell"),
+      partitionBy = Seq("cell"))
+    val probed = store.load("p").filter(col("cell").isin(1, 3))
+    // collect() drives probed's own QueryExecution (count() would plan
+    // and execute a separate aggregate, leaving these metrics empty)
+    assert(probed.collect().length === 16)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+    // runtime metrics prove only the 2 probed cell directories were read
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().head
+      .metrics("numFiles").value
+    val total = store.load("p").inputFiles.length
+    assert(scanned < total, s"scan read all $total files")
+  }
+
   test("MVCC: a plan captured before a write keeps its snapshot") {
     import spark.implicits._
     val store = fresh()
