@@ -62,11 +62,12 @@ object VectorQueries {
       "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
 
   // ---------------------------------------------------------------- IVF
-  private val Cells = 8
-  private val Iters = 2
+  // build parameters live on the stored index (VectorIndex); NProbe is
+  // a query-time knob
+  private val Cells = VectorIndex.Cells
   private val NProbe = 3
-  private val Dim = 64
-  private val Scale = 65536 // 2^16: x·Scale is exact in double
+  private val Dim = VectorIndex.Dim
+  private val Scale = VectorIndex.Scale
 
   /** Per-cell fixed-point centroid: exact int sums, then one exact
     * int→double division per dimension (deterministic IEEE in both
@@ -100,28 +101,6 @@ object VectorQueries {
       s"res AS (SELECT f.vec_id, round(${Sql.cosine("f.embedding", "qe.v")}, 6) AS cos " +
       "FROM af f JOIN probe p ON f.cell = p.cell, qe) " +
       "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
-
-  /** Nearest-centroid assignment, Spark side: one distance column per
-    * centroid (codegen vec_l2sq — the same sequential double fold the
-    * oracle's list_sum performs), then a strict-< cascade that keeps
-    * the LOWEST cell id on ties, matching the oracle's ORDER BY
-    * (dist, cell). `cents` must be sorted by cell. */
-  private def assignCells(base: DataFrame,
-      cents: Array[(Long, Array[Double])]): DataFrame = {
-    val withD = cents.foldLeft(base) { case (df, (c, m)) =>
-      df.withColumn(s"__d$c",
-        VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*)))
-    }
-    var best: Column = col(s"__d${cents.head._1}")
-    var cell: Column = lit(cents.head._1)
-    cents.tail.foreach { case (c, _) =>
-      val d0 = col(s"__d$c")
-      cell = when(d0 < best, lit(c)).otherwise(cell)
-      best = when(d0 < best, d0).otherwise(best)
-    }
-    withD.withColumn("cell", cell)
-      .drop(cents.map(c => s"__d${c._1}").toIndexedSeq: _*)
-  }
 
   val all: Seq[Query] = Seq(
 
@@ -216,55 +195,28 @@ object VectorQueries {
           .limit(10)
     },
 
-    // IVF ANN with REAL k-means coarse cells (no fixture labels):
-    // deterministic seeds (vec_id < Cells), Iters Lloyd rounds over the
-    // fixed-point projection, probe the NProbe cells nearest the query,
-    // exact cosine re-rank inside. Scan cost drops from |corpus| to
-    // |probed cells| — the standard billion-vector layout, with the
-    // corpus PARTITIONED BY cell so a probe prunes whole partitions.
-    // Centroid sync is a driver-side collect of Cells×Dim numbers per
-    // round (the k-means synchronization barrier, not a data collect).
+    // IVF ANN against the STORED index (VectorIndex): real k-means
+    // coarse cells built ONCE per corpus and persisted through
+    // TableStore as a cell-partitioned table; the declared query only
+    // (a) ranks the Cells stored centroids driver-side, (b) scans the
+    // NProbe nearest cell PARTITIONS (the `cell IN (...)` filter is a
+    // PartitionFilter — unprobed cell directories are never read), and
+    // (c) exact-cosine re-ranks inside them. Scan cost is
+    // O(probed cells), not O(corpus), and the build is amortized over
+    // every query — the standard billion-vector serving layout. The
+    // oracle replays the identical deterministic build + probe
+    // relationally (x20Sql), so results hash-match end to end.
     Query("x20_ann_ivf", x20Sql) {
       (s, d) =>
-        val base = emb(s, d).select(col("vec_id"), col("embedding"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
-          .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
-        // one seed collect serves double duty: rows vec_id < Cells are
-        // the k-means seeds, and the vec_id = 0 row among them is the
-        // query vector's fixed-point projection (saves a driver job)
-        val seeds = base.filter(col("vec_id") < Cells)
-          .select(col("vec_id"), col("pd")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-          .sortBy(_._1)
-        val qd = seeds.find(_._1 == 0L).get._2
-        var cents: Array[(Long, Array[Double])] = seeds
-        for (_ <- 0 until Iters) {
-          val assigned = assignCells(base, cents)
-          val aggCols = (0 until Dim)
-            .map(i => sum(element_at(col("pfp"), i + 1)).as(s"s$i")) :+
-            count(lit(1)).as("cnt")
-          val agg = assigned.groupBy("cell")
-            .agg(aggCols.head, aggCols.tail: _*).collect()
-          cents = agg.map { r =>
-            val cnt = r.getLong(Dim + 1)
-            (r.getLong(0),
-              Array.tabulate(Dim)(i => r.getLong(i + 1).toDouble / cnt))
-          }.sortBy(_._1)
-        }
-        val fin = assignCells(base, cents)
-        // probe ranking runs driver-side over the Cells local centroids
-        // (same sequential double fold as the oracle's list_sum)
-        def l2(a: Array[Double], b: Array[Double]): Double = {
-          var acc = 0.0; var i = 0
-          while (i < a.length) { val v = a(i) - b(i); acc += v * v; i += 1 }
-          acc
-        }
-        val probeCells = cents.map { case (c, m) => (l2(qd, m), c) }
-          .sorted.take(NProbe).map(_._2)
+        val idx = VectorIndex.forDir(s, d)
+        // the query vector: one driver-side row (embedding for the
+        // exact re-rank, fixed-point projection for probe ranking)
+        val qe = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0)
+        val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), NProbe)
         val q = emb(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
-        fin.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+        idx.corpus.filter(col("cell").isin(probeCells: _*))
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))

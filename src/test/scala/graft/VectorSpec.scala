@@ -53,29 +53,46 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF layout contract: cell-partitioned parquet prunes unprobed cells") {
-    // the x20 scale story says "corpus PARTITIONED BY cell so a probe
-    // prunes whole partitions" — demonstrate the mechanics: write the
-    // corpus with a cell partition column, read with a probe filter,
-    // and assert the scan never touches unprobed cell directories
-    import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    graft.sources.Tables.table(spark, TestSpark.sf, "embeddings")
-      .withColumn("cell", pmod(col("vec_id"), lit(8)))
-      .write.partitionBy("cell").mode("overwrite").parquet(dir)
-    val probed = spark.read.parquet(dir).filter(col("cell").isin(1, 3, 5))
-    assert(probed.collect().nonEmpty) // collect() drives probed's own
+  test("IVF stored index: the DECLARED x20 path prunes unprobed cell partitions") {
+    // the probe is the default execution now, not a demonstration: the
+    // declared query scans the stored cell-partitioned corpus with a
+    // cell IN (...) PartitionFilter, so unprobed cell directories are
+    // never read
+    val df = SparkEntry.queries("x20_ann_ivf")(spark, TestSpark.sf)
+    assert(df.collect().nonEmpty) // collect() drives df's own
     // QueryExecution, whose scan metrics we read below (count() would
     // plan and execute a separate aggregate query)
-    // the scan's runtime metrics prove pruning: only the 3 probed cell
-    // directories' files were read (inputFiles would show the
-    // pre-pruning file list — metrics reflect what actually ran)
-    val scan = probed.queryExecution.executedPlan.collectLeaves().head
-    val numFiles = scan.metrics("numFiles").value
-    assert(numFiles === 3, s"expected 3 pruned-partition files, read $numFiles")
-    val plan = probed.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"no partition pruning in:\n$plan")
+    // the corpus scan's runtime metrics prove pruning: only the NProbe
+    // probed cell directories' files were read (the index build wrote
+    // one file per cell); the OTHER leaf is the 1-row query-vector scan
+    // AQE nests executed subtrees inside QueryStageExec "leaves" —
+    // descend through them to reach the real file scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val corpusScan = scans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths
+        .exists(_.toString.contains("ivf_corpus")))
+      .getOrElse(fail("no corpus scan in the executed plan"))
+    val numFiles = corpusScan.metrics("numFiles").value
+    assert(numFiles === 3, s"expected 3 pruned-partition files, read $numFiles")
+    // and the stored centroid table round-trips the in-memory routing
+    // table the probe ranked against
+    val idx = graft.operators.VectorIndex.forDir(spark, TestSpark.sf)
+    val stored = idx.store.load("ivf_centroids").orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(stored.map(_._1).toSeq === idx.centroids.map(_._1).toSeq)
+    assert(stored.zip(idx.centroids).forall { case ((_, a), (_, b)) =>
+      a.sameElements(b) })
   }
 
   test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
