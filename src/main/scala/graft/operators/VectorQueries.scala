@@ -51,6 +51,22 @@ object VectorQueries {
     s"'$t|' || CAST(${bits.mkString(" + ")} AS VARCHAR)"
   }
 
+  /** Spark twin of tbSql: table t's bucket id for an embedding column
+    * (same ±1 planes, same sign rule, same "t|bits" encoding). */
+  private def tbColumn(t: Int, e: Column): Column = {
+    val bits = (0 until K).map { j =>
+      val coef = array(planes(t * K + j).map(v => lit(v.toFloat))
+        .toIndexedSeq: _*)
+      when(VectorFns.dot(e, coef) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    concat(lit(s"$t|"), bits)
+  }
+
+  /** All L bucket ids for an embedding, as an array column (exploded
+    * into the (vec_id, tb) inverted index both ANN queries join on). */
+  private def tbArray(e: Column): Column =
+    array((0 until L).map(t => tbColumn(t, e)).toIndexedSeq: _*)
+
   private lazy val x11Sql =
     s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
       "FROM embeddings), " +
@@ -134,28 +150,46 @@ object VectorQueries {
           .limit(10)
     },
 
-    // embedding near-dup pairs: all-pairs cosine ≥ 0.45 (threshold sits
-    // in a verified data gap 0.4494–0.4516 so float noise cannot flip
-    // membership). Brute force here; x11/x20 are the bucketed scale paths.
+    // embedding near-dup pairs at 100 TB shape: LSH-prefiltered
+    // candidate generation + exact cosine verify. Candidates are pairs
+    // sharing ≥1 of the L=8 SRP bucket ids (an equi-join on the
+    // inverted index — never an all-pairs product), verified with the
+    // exact cosine ≥ 0.45 (threshold sits in a verified data gap
+    // 0.4494–0.4516 so float noise cannot flip membership). The oracle
+    // mirrors the identical plane literals, so even the probabilistic
+    // recall misses reproduce bit-for-bit; VectorSpec keeps the exact
+    // all-pairs formulation as TEST-ONLY ground truth and pins the
+    // prefilter's recall against it.
     Query("x10_embed_neardup",
-      "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
-        "c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        s"${Sql.cosine("a.embedding", "b.embedding")} AS cos " +
-        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+      s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
+        "FROM embeddings), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM idx a JOIN idx b ON a.tb = b.tb AND a.vec_id < b.vec_id), " +
+        "c AS (SELECT vec_a, vec_b, " +
+        s"${Sql.cosine("ea.embedding", "eb.embedding")} AS cos " +
+        "FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a " +
+        "JOIN embeddings eb ON eb.vec_id = cand.vec_b) " +
         "SELECT vec_a, vec_b, round(cos, 6) AS cos FROM c " +
         "WHERE cos >= 0.45 ORDER BY vec_a, vec_b") {
       (s, d) =>
-        // norms are precomputed per row BEFORE the pair join, so the
-        // O(n²) stage does one dot product per pair instead of three
-        // folds. (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of
+        // ids-only inverted index rides the candidate join; embeddings
+        // and precomputed norms join back AFTER dedup, so the verify
+        // stage does one dot product per candidate pair instead of
+        // three folds. (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of
         // VectorFns.cosine, so values stay oracle-identical.
+        val idx = emb(s, d).select(col("vec_id"),
+          explode(tbArray(col("embedding"))).as("tb"))
+        val cand = idx.select(col("vec_id").as("vec_a"), col("tb"))
+          .join(idx.select(col("vec_id").as("vec_b"), col("tb")), Seq("tb"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
         val base = emb(s, d).select(col("vec_id"), col("embedding"),
           sqrt(VectorFns.normsq(col("embedding"))).as("nrm"))
-        val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("nrm").as("na"))
-        val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          col("nrm").as("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
+        cand
+          .join(base.select(col("vec_id").as("vec_a"),
+            col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+          .join(base.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
           .withColumn("cos",
             VectorFns.dot(col("ea"), col("eb")) / col("na") / col("nb"))
           .filter(col("cos") >= 0.45)
@@ -173,17 +207,10 @@ object VectorQueries {
     // against the brute-force top-10.
     Query("x11_ann_lsh", x11Sql) {
       (s, d) =>
-        def bucketCol(t: Int)(e: Column): Column =
-          (0 until K).map { j =>
-            val coef = array(planes(t * K + j).map(v => lit(v.toFloat))
-              .toIndexedSeq: _*)
-            when(VectorFns.dot(e, coef) > 0, lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
         // (vec_id, table, bucket) inverted index; at scale this is the
         // precomputed partitioned index, not a per-query scan
         val idx = emb(s, d).select(col("vec_id"), col("embedding"),
-          explode(array((0 until L).map(t =>
-            concat(lit(s"$t|"), bucketCol(t)(col("embedding")))).toIndexedSeq: _*)).as("tb"))
+          explode(tbArray(col("embedding"))).as("tb"))
         val q = idx.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"), col("tb").as("qtb"))
         idx.join(broadcast(q), col("tb") === col("qtb"))

@@ -57,10 +57,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query degenerates to a cross product except the intended all-pairs ones") {
-    // crossJoin-by-design: single-row query-vector broadcasts and the
-    // brute-force all-pairs baseline
-    val intended = Set("q23_knn", "x9_knn_cosine", "x10_embed_neardup",
-      "x20_ann_ivf")
+    // crossJoin-by-design: ONLY the single-row query-vector broadcasts
+    // remain (x10's all-pairs baseline is gone — LSH-prefiltered since
+    // r7, so no declared query carries an O(n²) join anymore)
+    val intended = Set("q23_knn", "x9_knn_cosine", "x20_ann_ivf")
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -96,9 +96,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__bin"), s"bin bucketing missing from the join:\n$p")
   }
 
-  test("x26: profile side of the scoring join is broadcast") {
+  test("x26: scoring is a single narrow scan — no join, no second explode") {
+    // the profile is learned eagerly (100 rows collected at build time)
+    // and baked into the scoring expressions as literals, so the
+    // declared plan is scan → project(argmax cascade) → aggregate:
+    // stronger than the old broadcast-join shape (which re-scanned the
+    // trigram explode a second time for scoring)
     val p = plan("x26_langid_trigram")
-    assert(p.contains("BroadcastHashJoin"), s"profile join shuffled:\n$p")
+    assert(!p.contains("Join"), s"scoring still joins:\n$p")
+    assert(!p.contains("Generate"), s"scoring still explodes trigrams:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {

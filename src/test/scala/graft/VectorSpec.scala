@@ -95,6 +95,38 @@ class VectorSpec extends AnyFunSuite {
       a.sameElements(b) })
   }
 
+  test("x10 prefilter vs exact all-pairs ground truth: subset, exact cosines, high recall") {
+    import graft.functions.VectorFns
+    // TEST-ONLY exact all-pairs near-dup (the formulation x10 declared
+    // before the LSH prefilter): the ground truth the prefilter is
+    // measured against — it must never be a DECLARED query (O(n²))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFns.normsq(col("embedding"))).as("nrm"))
+    val exact = base.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(base.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        VectorFns.dot(col("ea"), col("eb")) / col("na") / col("nb"))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val found = SparkEntry.queries("x10_embed_neardup")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // every prefiltered pair is a true near-dup with the exact cosine
+    found.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"false positive pair $pair")
+      assert(c === exact(pair), s"cosine drift for $pair")
+    }
+    // and the prefilter recalls the bulk of the true pairs (planted
+    // near-dups are well above the 0.45 threshold, where SRP bucket
+    // collision probability is high)
+    assert(exact.nonEmpty)
+    val recall = found.length.toDouble / exact.size
+    assert(recall >= 0.7, s"recall too low: ${found.length}/${exact.size}")
+  }
+
   test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
     val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
