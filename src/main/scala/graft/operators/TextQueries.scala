@@ -159,10 +159,16 @@ object TextQueries {
     // are the top-20 character trigrams by document frequency, learned
     // from the corpus itself; a document's prediction is the profile
     // with the largest distinct-trigram overlap (ties → lang asc,
-    // no-trigram docs → '??'). The profile table is 5×20 rows —
-    // BROADCAST to the scoring join, so scoring stays a single scan
-    // stage at 100 TB; profile learning is one shuffle on (lang, g).
-    // Reported, like x3, as an (actual, predicted) confusion matrix.
+    // no-trigram docs → '??'). Two-stage: (1) learn the 5×20 profile —
+    // one explode+shuffle pass whose result is 100 rows, collected and
+    // baked into the scoring expressions as array literals; (2) score —
+    // a NARROW map (size(array_intersect(doc trigrams, profile)) per
+    // language + an argmax cascade) over a single documents scan, no
+    // join and no second explode-shuffle. This is the 100 TB shape: the
+    // profile is corpus metadata, the per-document work is one codegen
+    // pass (the r6 formulation scanned the trigram explode twice — once
+    // for learning, once for a scoring join). Reported, like x3, as an
+    // (actual, predicted) confusion matrix.
     Query("x26_langid_trigram",
       "WITH tg AS (SELECT lang, doc_id, unnest(list_distinct(" +
         "list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)))) AS g " +
@@ -180,33 +186,47 @@ object TextQueries {
         "GROUP BY 1, 2 ORDER BY 1, 2") {
       (s, d) =>
         import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.Column
         val docs = table(s, d, "documents")
         // CharNgramsDistinct, not the sequence+substr HOF: one codegen
         // pass per document, and empty (not a DESCENDING sequence of
         // junk offsets) for texts shorter than the n-gram — matching
         // the oracle's empty range(1, len-1)
-        val tg = docs.filter(col("text").isNotNull)
-          .select(col("lang"), col("doc_id"),
-            explode(graft.functions.expressions.TextExpressions
-              .char_ngrams(col("text"), 3)).as("g"))
+        def grams(c: Column) = graft.functions.expressions.TextExpressions
+          .char_ngrams(c, 3)
+        // stage 1 (eager): learn the profile — the collect is 5×20 rows
+        // of corpus metadata, the k-means-centroid kind of driver sync,
+        // not a data collect
         val wProf = Window.partitionBy(col("lang"))
           .orderBy(col("c").desc, col("g"))
-        val prof = tg.groupBy(col("lang"), col("g"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(wProf))
-          .filter(col("rn") <= 20)
-          .select(col("lang").as("plang"), col("g"))
-        val score = tg.join(broadcast(prof), Seq("g"))
-          .groupBy(col("doc_id"), col("plang"))
-          .agg(count(lit(1)).as("c"))
-        val wPred = Window.partitionBy(col("doc_id"))
-          .orderBy(col("c").desc, col("plang"))
-        val pred = score.withColumn("rn", row_number().over(wPred))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("plang").as("pred"))
-        docs.join(pred, Seq("doc_id"), "left")
-          .groupBy(col("lang"),
-            coalesce(col("pred"), lit("??")).as("pred"))
+        val profByLang: Seq[(String, Seq[String])] =
+          docs.filter(col("text").isNotNull)
+            .select(col("lang"), explode(grams(col("text"))).as("g"))
+            .groupBy(col("lang"), col("g"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(wProf))
+            .filter(col("rn") <= 20)
+            .select(col("lang"), col("g")).collect()
+            .groupBy(_.getString(0)).view
+            .mapValues(_.map(_.getString(1)).toSeq).toSeq
+            .sortBy(_._1) // lang ASC: the argmax keeps the FIRST lang on
+                          // ties (strict >), matching ORDER BY c DESC, plang
+        // stage 2: narrow argmax over per-document trigram∩profile
+        // counts — c must beat 0 to displace '??', matching the
+        // oracle's inner-join score (docs with no overlap stay '??')
+        val g = coalesce(grams(col("text")),
+          array().cast("array<string>"))
+        var best: Column = lit(0)
+        var pred: Column = lit("??")
+        profByLang.foreach { case (lang, gs) =>
+          val c = size(array_intersect(g,
+            array(gs.map(lit).toIndexedSeq: _*)))
+          val cond = c > best
+          pred = when(cond, lit(lang)).otherwise(pred)
+          best = when(cond, c).otherwise(best)
+        }
+        docs.select(col("lang"), pred.as("pred"))
+          .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "pred")
     },
