@@ -18,13 +18,18 @@ import org.apache.spark.sql.types._
  */
 object CdcCodec {
 
-  /** Reverse of JSON string-quoting: strip outer quotes, unescape
-    * \" and \\ (the only escapes the connector emits for BSON docs). */
-  def unquote(value: Column): Column = {
-    val body = value.substr(lit(2), length(value) - 2)
-    // \" → "  then  \\ → \   (regex + replacement both Java-escaped)
-    regexp_replace(regexp_replace(body, "\\\\\"", "\""), "\\\\\\\\", "\\\\")
-  }
+  /** Reverse of JSON string-quoting: decode the value as the JSON
+    * string literal it is, by wrapping it in a one-field document and
+    * letting the JSON parser handle the FULL escape set — `\"`, `\\`,
+    * control-char escapes (\n, \t, …) and `\uXXXX` — exactly like the
+    * reference's `strconv.Unquote` (inventario/main.go:70-77). The
+    * regex first cut of this handled only `\"` and `\\`, silently
+    * corrupting payloads where the connector's JsonConverter emitted
+    * control or unicode escapes. A value that is not a JSON string
+    * decodes to null and dead-letters downstream. */
+  def unquote(value: Column): Column =
+    from_json(concat(lit("{\"v\":"), value, lit("}")),
+      new StructType().add("v", StringType)).getField("v")
 
   private val oid = new StructType().add("$oid", StringType)
 

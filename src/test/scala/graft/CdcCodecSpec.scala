@@ -71,6 +71,46 @@ class CdcCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial: escaped quotes and backslashes inside values survive unquoting") {
+    // nombre = say "hi" to c:\tmp — the connector JSON-escapes the doc,
+    // then string-quotes the whole message; q() replays both layers
+    val doc =
+      """{"_id": {"$oid": "619c1b9190812c00013e29c1"}, "nombre": "say \"hi\" to c:\\tmp", "capacidad": 7, "categoria": "Opera", "estado": "A"}"""
+    val r = CdcCodec.parseEvento(Seq(q(doc)).toDF("value")).collect().head
+    assert(r.getString(1) === """say "hi" to c:\tmp""")
+    assert(r.getInt(2) === 7)
+  }
+
+  test("adversarial: control-char and unicode escapes decode like strconv.Unquote") {
+    // handcrafted WIRE value (not q(), which only escapes \ and "):
+    // the connector emits \n for a newline and may \u-escape non-ASCII
+    val wire =
+      "\"{\\\"_id\\\": {\\\"$oid\\\": \\\"619c1b9190812c00013e29c1\\\"}, " +
+        "\\\"nombre\\\": \\\"line1\\\\nCaf\\\\u00e9\\\\tEnd\\\", " +
+        "\\\"capacidad\\\": 3, \\\"categoria\\\": \\\"Opera\\\", \\\"estado\\\": \\\"A\\\"}\""
+    val r = CdcCodec.parseEvento(Seq(wire).toDF("value")).collect().head
+    assert(r.getString(1) === "line1\nCaf\u00e9\tEnd")
+    assert(r.getInt(2) === 3)
+  }
+
+  test("adversarial: $oid nested in unknown array fields is ignored, known fields parse") {
+    val doc =
+      """{"_id": {"$oid": "619c1b9190812c00013e29c1"}, "tags": [{"$oid": "ffffffffffffffffffffffff"}, {"$oid": "eeeeeeeeeeeeeeeeeeeeeeee"}], "nombre": "Opera Boheme", "capacidad": 20, "categoria": "Opera", "estado": "A"}"""
+    val r = CdcCodec.parseEvento(Seq(q(doc)).toDF("value")).collect().head
+    assert(r.getString(0) === "619c1b9190812c00013e29c1") // top-level $oid, not the array's
+    assert(r.getString(1) === "Opera Boheme")
+    assert(r.getInt(2) === 20)
+  }
+
+  test("adversarial: non-string-quoted or truncated values dead-letter instead of corrupting") {
+    val cases = Seq(
+      """{"nombre": "not quoted at all"}""", // raw JSON, no outer quoting
+      "\"{\\\"nombre\\\": \\\"trunc", // truncated mid-escape
+      "42", "", "\"\"") // not documents at all
+    val parsed = CdcCodec.parseEvento(cases.toDF("value"))
+    assert(CdcCodec.deadLetter(parsed).count() === cases.length)
+  }
+
   test("malformed payload routes to dead letter, not a poison loop") {
     val df = Seq(q("{not json"), q(eventoDoc)).toDF("value")
     val parsed = CdcCodec.parseEvento(df)
