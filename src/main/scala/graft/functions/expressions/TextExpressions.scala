@@ -72,10 +72,24 @@ object TextExprUtil {
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // one forward pass records every char's byte offset, then each
+    // n-gram is a zero-copy byte-range view — substringSQL here would
+    // re-walk the string from byte 0 per call (UTF-8 is variable
+    // width), turning a 300-char document into O(len²) work
+    val bytes = s.getBytes
+    val offs = new Array[Int](len + 1)
     var i = 0
+    var b = 0
+    while (i < len) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(len) = bytes.length
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
     while (i <= len - n) {
-      seen.add(s.substringSQL(i + 1, n))
+      seen.add(UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])

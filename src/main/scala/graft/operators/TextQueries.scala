@@ -213,18 +213,35 @@ object TextQueries {
                           // ties (strict >), matching ORDER BY c DESC, plang
         // stage 2: narrow argmax over per-document trigram∩profile
         // counts — c must beat 0 to displace '??', matching the
-        // oracle's inner-join score (docs with no overlap stay '??')
+        // oracle's inner-join score (docs with no overlap stay '??').
+        // Flat greatest + first-match when-chain, NOT a running
+        // (best, pred) fold: the fold duplicates the previous best
+        // inside every level, growing the expression tree 2^langs and
+        // defeating codegen subexpression elimination. Here each
+        // intersect appears exactly twice (greatest + its own ===),
+        // which codegen CSE collapses to one evaluation.
         val g = coalesce(grams(col("text")),
           array().cast("array<string>"))
-        var best: Column = lit(0)
-        var pred: Column = lit("??")
-        profByLang.foreach { case (lang, gs) =>
-          val c = size(array_intersect(g,
-            array(gs.map(lit).toIndexedSeq: _*)))
-          val cond = c > best
-          pred = when(cond, lit(lang)).otherwise(pred)
-          best = when(cond, c).otherwise(best)
+        // narrow g ONCE against the union of all profiles (≤100 grams,
+        // one pass over the document's trigrams), so the 5 per-language
+        // intersects run over a ≤100-element array instead of
+        // re-scanning the full trigram set per language —
+        // g∩union∩profᵢ = g∩profᵢ since profᵢ ⊆ union
+        val unionGrams = profByLang.flatMap(_._2).distinct
+        val gSmall = array_intersect(g,
+          array(unionGrams.map(lit).toIndexedSeq: _*))
+        val cs = profByLang.map { case (lang, gs) =>
+          (lang, size(array_intersect(gSmall,
+            array(gs.map(lit).toIndexedSeq: _*))))
         }
+        val m = cs.map(_._2).reduceLeft((a, b) => greatest(a, b))
+        // first match in lang-ASC order wins ties, matching the
+        // oracle's ORDER BY c DESC, plang
+        val chain = cs.tail.foldLeft(
+          when(cs.head._2 === m, lit(cs.head._1))) {
+          case (acc, (lang, c)) => acc.when(c === m, lit(lang))
+        }
+        val pred = when(m > 0, chain).otherwise(lit("??"))
         docs.select(col("lang"), pred.as("pred"))
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n"))
