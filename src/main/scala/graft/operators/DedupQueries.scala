@@ -21,22 +21,21 @@ import org.apache.spark.sql.functions._
  * and fully oracle-checked.
  *
  * Scale design:
- *  - Candidates shuffle once by join key (shingle / LSH band),
- *    per-pair work shuffles once by doc id. x8 verifies candidates
- *    with exact Jaccard over the full shingle arrays; x7 never
- *    touches arrays per pair — its intersection is the cold-index
- *    join count plus a per-pair hot-shingle overlap correction.
- *  - The inverted index applies a document-frequency cutoff (MaxDf):
- *    a shingle appearing in more than MaxDf documents is dropped from
- *    the *index*. Without it one stop-phrase shingle at 100 TB yields
- *    O(df²) candidate pairs on a single key — the classic near-dup
- *    straggler. The hot correction makes the reported Jaccard exact
- *    for every pair sharing ≥1 cold shingle; hot-only pairs (e.g. a
- *    doc whose every shingle is hot) generate no candidate and stay
- *    unreported — the recall limit any df-cutoff index has. The
- *    oracle SQL mirrors the cutoff, and MaxDf=64 sits far above the
- *    fixture's max df (25 at sf0.1), so the checked result set is the
- *    exact no-cutoff answer.
+ *  - Candidates shuffle once by join key (prefix shingle / LSH band),
+ *    per-pair work shuffles once by doc id; both paths verify with
+ *    exact Jaccard over the full shingle arrays.
+ *  - x7 uses PREFIX FILTERING (the AllPairs/PPJoin family: Bayardo et
+ *    al., WWW'07): index only each document's first ⌊n/5⌋+1 shingles
+ *    under a global canonical order. For Jaccard ≥ 0.8 two documents
+ *    MUST share a prefix shingle (pigeonhole on the ⌈0.8n⌉ overlap a
+ *    qualifying pair needs), so the candidate set is complete — the
+ *    result is EXACT, unlike a df-cutoff index, which silently drops
+ *    pairs whose entire overlap is hot. The canonical order is
+ *    ascending document frequency (ties by shingle): stop-phrase
+ *    shingles sink to the BACK of every document's ordering and never
+ *    enter a prefix, so the O(df²) candidate blowup a hot shingle
+ *    causes in a plain inverted index cannot happen — rare shingles
+ *    generate the candidates, and rare means few pairs.
  *  - Shingling and band signatures are codegen expressions
  *    (ShinglesDistinct / MinHashBands): recomputing them per plan
  *    branch is cheaper than caching at this scale, and nothing pins
@@ -47,7 +46,9 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val Threshold = 0.8
-  private val MaxDf = 64
+  /** Prefix length for Jaccard ≥ Threshold: n − ⌈0.8n⌉ + 1 = ⌊n/5⌋+1. */
+  private def prefixLen(n: org.apache.spark.sql.Column) =
+    floor(n / 5) + 1
 
   /** doc_id + distinct 3-gram shingle set + its size (docs ≥3 tokens). */
   private def shingledFrom(docs: DataFrame): DataFrame =
@@ -61,47 +62,38 @@ object DedupQueries {
     shingledFrom(table(s, d, "documents"))
 
   /** x7's full pipeline over any (doc_id, text) frame — exposed so
-    * DedupHotPathSpec can drive the hot-correction path with a
-    * stop-phrase corpus (dead code at fixture scale, where max df <
-    * MaxDf). `maxDf` is a parameter for the same reason. */
-  def ngramJaccardPairs(docs: DataFrame, maxDf: Int = MaxDf): DataFrame = {
+    * DedupHotPathSpec can drive the stop-phrase case (where the
+    * prefix order's df-ascending canonical order is what keeps the
+    * candidate join bounded). */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingledFrom(docs)
-    val sz = sh.select(col("doc_id"), col("n"))
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    // df-cutoff: drop hot shingles from the index. The hot set is
-    // tiny by definition → broadcast anti-join against it.
-    val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("g")
-    val ex2 = ex.join(broadcast(hot), Seq("g"), "left_anti")
-    val cold = ex2.as("a")
-      .join(ex2.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("cold"))
-    // hot-overlap correction term (empty at fixture scale — the
-    // cutoff sits above the max observed df — exercised by
-    // DedupHotPathSpec's stop-phrase corpus). hd has one row per
-    // document containing ANY hot shingle: a stop phrase can put
-    // most of a corpus in it, so these joins must SHUFFLE on the
-    // pair keys, never broadcast (only each row's hot ARRAY is
-    // bounded — by the hot vocabulary — not the row count).
-    val hd = ex.join(broadcast(hot), Seq("g"))
-      .groupBy("doc_id").agg(collect_set(col("g")).as("hs"))
-    cold
-      .join(hd.select(col("doc_id").as("doc_a"), col("hs").as("ha")),
-        Seq("doc_a"), "left")
-      .join(hd.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
-        Seq("doc_b"), "left")
-      .withColumn("inter", col("cold") +
-        when(col("ha").isNull || col("hb").isNull, lit(0L))
-          .otherwise(size(array_intersect(col("ha"), col("hb"))).cast("long")))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= Threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // one explode scan feeds BOTH the global-df computation and the
+    // per-doc ranking, as two windows (count over g, then row_number
+    // over doc ordered by (df, g)) instead of a groupBy + re-join that
+    // would re-run the shingle codegen on a second branch
+    val wDf = Window.partitionBy(col("g"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val pfx = sh.select(col("doc_id"), col("n"), explode(col("s")).as("g"))
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= prefixLen(col("n")))
+      // candidates only need completeness (equal g ⟹ equal hash; the
+      // exact verify settles any hash-collision extras), so the self-
+      // join rides a fixed-width key instead of ~50-char shingles
+      .select(col("doc_id"), col("n"), xxhash64(col("g")).as("h"))
+    // candidate pairs share ≥1 PREFIX shingle — complete for
+    // Jaccard ≥ Threshold by the prefix-filtering bound — plus length
+    // filtering: J ≥ 4/5 forces 4·max(na,nb) ≤ 5·min(na,nb) (all-int
+    // arithmetic: a double 0.8·n test could evict a boundary pair)
+    val cand = pfx.as("a")
+      .join(pfx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 4 <= col("b.n") * 5 &&
+          col("b.n") * 4 <= col("a.n") * 5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verified(cand, sh)
   }
 
   private val shingledSql =
@@ -145,33 +137,27 @@ object DedupQueries {
             countDistinct(md5(col("text"))).as("uniq"))
     },
 
-    // n-gram-Jaccard near-dup pairs. The intersection size falls
-    // out of the inverted-index join itself: shingle sets are distinct
-    // per document, so counting shared index keys per (doc_a, doc_b)
-    // IS |cold(a) ∩ cold(b)| — no per-pair array materialization, no
-    // array_intersect over millions of candidates. The df-cutoff drops
-    // hot shingles from the index; adding the per-pair hot-shingle
-    // overlap makes the reported Jaccard exact for pairs sharing ≥1
-    // cold shingle (hot-only pairs stay unreported — see header).
+    // n-gram-Jaccard near-dup pairs via prefix filtering (see header):
+    // only each document's ⌊n/5⌋+1 rarest shingles (df asc, g asc —
+    // one global total order in both engines) enter the inverted
+    // index, which keeps the candidate join free of the O(df²)
+    // stop-phrase blowup while staying COMPLETE for Jaccard ≥ 0.8;
+    // candidates then verify with exact Jaccard over the full shingle
+    // sets. The oracle replays the same prefix selection on the raw
+    // shingles; the Spark side's hashed join key and length filter can
+    // only add hash-collision candidates or drop length-incompatible
+    // ones — both settled by the exact verify, so results hash-match.
     Query("x7_ngram_jaccard",
       s"WITH $shingledSql, " +
-        "ex AS (SELECT doc_id, unnest(s) AS g FROM sh), " +
-        s"hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > $MaxDf), " +
-        "ex2 AS (SELECT doc_id, g FROM ex WHERE g NOT IN (SELECT g FROM hot)), " +
-        "pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cold " +
-        "FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "hd AS (SELECT doc_id, list(DISTINCT g) AS hs FROM ex " +
-        "WHERE g IN (SELECT g FROM hot) GROUP BY doc_id), " +
-        "sz AS (SELECT doc_id, len(s) AS n FROM sh), " +
-        "j AS (SELECT doc_a, doc_b, " +
-        "cold + COALESCE(len(list_intersect(ha.hs, hb.hs)), 0) AS inter, " +
-        "sa.n AS na, sb.n AS nb FROM pc " +
-        "LEFT JOIN hd ha ON ha.doc_id = doc_a " +
-        "LEFT JOIN hd hb ON hb.doc_id = doc_b " +
-        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
-        "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
-        s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
-        "ORDER BY doc_a, doc_b") {
+        "ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), " +
+        "dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g), " +
+        "rk AS (SELECT doc_id, n, ex.g, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY dfreq.df, ex.g) AS r " +
+        "FROM ex JOIN dfreq ON ex.g = dfreq.g), " +
+        "pfx AS (SELECT doc_id, g FROM rk WHERE r <= n // 5 + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM pfx a JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        verifiedSql) {
       (s, d) => ngramJaccardPairs(table(s, d, "documents"))
     },
 

