@@ -163,14 +163,19 @@ object DedupQueries {
 
     // SimHash Hamming-ball near-dup (ROADMAP §5): pairs of documents
     // whose 16-bit SimHash fingerprints differ in ≤ 2 bits. Banding
-    // candidate join: 4 bands of 4 bits — by pigeonhole any pair
-    // within Hamming distance 3 shares at least one exact band, so
-    // recall is EXACT for the ≤2 threshold (no probabilistic misses
-    // to reproduce). Candidates equi-join on (band index, band
-    // value) — one shuffle, no all-pairs — then verify with
-    // bit_count(xor). Same scale shape as x8: bucket join + cheap
-    // exact verification.
-    Query("x25_simhash_neardup",
+    // candidate join: THREE disjoint bands (5+5+6 bits) — by
+    // pigeonhole any pair within Hamming distance ≤ 2 has some band
+    // with zero differing bits, so recall is EXACT for the threshold
+    // (no probabilistic misses to reproduce). Three wide bands beat
+    // the r6 4×4-bit layout ~3× on candidate volume: bucket
+    // collision probability is 2^-5/2^-5/2^-6 per band instead of
+    // 4×2^-4. Candidates equi-join on (band index, band value) — one
+    // shuffle, no all-pairs — then verify with bit_count(xor). Same
+    // scale shape as x8: bucket join + cheap exact verification.
+    Query("x25_simhash_neardup", {
+      // bands: bits [0,5) [5,10) [10,16) — divisors/moduli 1/32, 32/32,
+      // 1024/64 in the CASE below; the Spark side mirrors with
+      // shiftright + mask
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
         "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
@@ -178,22 +183,28 @@ object DedupQueries {
         "THEN 1 ELSE -1 END) AS sgn FROM vb GROUP BY 1, 2), " +
         "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
         "AS BIGINT) AS f FROM c GROUP BY doc_id), " +
-        "bands AS (SELECT doc_id, f, i, CAST(floor(f / power(2, 4 * i)) AS BIGINT) % 16 AS bv " +
-        "FROM fp, (SELECT unnest(range(4)) AS i)), " +
+        "bands AS (SELECT doc_id, f, i, " +
+        "CASE i WHEN 0 THEN CAST(floor(f / 1) AS BIGINT) % 32 " +
+        "WHEN 1 THEN CAST(floor(f / 32) AS BIGINT) % 32 " +
+        "ELSE CAST(floor(f / 1024) AS BIGINT) % 64 END AS bv " +
+        "FROM fp, (SELECT unnest(range(3)) AS i)), " +
         "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
         "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id) " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
-        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
+        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b"
+    }) {
       (s, d) =>
+        val offs = Seq(0, 5, 10)
+        val masks = Seq(31L, 31L, 63L)
         val fpDf = table(s, d, "documents")
           .filter(col("text").isNotNull)
           .select(col("doc_id"),
             TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
               .as("f"))
         val bands = fpDf.select(col("doc_id"), col("f"),
-          explode(array((0 until 4).map(i =>
+          explode(array((0 until 3).map(i =>
             struct(lit(i).as("i"),
-              shiftright(col("f"), 4 * i).bitwiseAND(lit(15L)).as("bv")))
+              shiftright(col("f"), offs(i)).bitwiseAND(lit(masks(i))).as("bv")))
             .toIndexedSeq: _*)).as("band"))
           .select(col("doc_id"), col("f"),
             col("band.i").as("i"), col("band.bv").as("bv"))
