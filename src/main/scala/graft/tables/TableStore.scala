@@ -39,7 +39,16 @@ import org.apache.spark.sql.functions.{col, lit, row_number}
  * every foreachBatch sink runs on the one driver that owns this store
  * instance. Readers are unrestricted.
  */
-final class TableStore(spark: SparkSession, root: String) {
+/** @param autoVacuumKeep every version transition GCs manifests (and
+  *   their now-unreferenced segments) more than this many versions
+  *   behind the new current — the always-on retention horizon that
+  *   keeps long-running deployments from leaking storage linearly in
+  *   commits. Readers must be no staler than `autoVacuumKeep` versions
+  *   (flows bind reads per micro-batch, which advances a table a
+  *   handful of versions at most). ≤ 0 disables; `vacuum()` remains
+  *   available for explicit, tighter GC. */
+final class TableStore(spark: SparkSession, root: String,
+    autoVacuumKeep: Int = 16) {
   Files.createDirectories(Paths.get(root))
 
   private val CompactThreshold = 16
@@ -78,6 +87,11 @@ final class TableStore(spark: SparkSession, root: String) {
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // always-on retention GC (callers hold the write lock; vacuum's
+    // synchronized re-enters). Only fires once the horizon is behind
+    // us, so young tables pay nothing.
+    if (autoVacuumKeep > 0 && next >= autoVacuumKeep)
+      vacuum(name, autoVacuumKeep)
   }
 
   private def writeSegment(name: String, v: Int, df: DataFrame,

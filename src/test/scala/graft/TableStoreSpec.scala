@@ -118,6 +118,28 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("t").count() === 2)
   }
 
+  test("auto-vacuum: long-running replace churn does not leak storage") {
+    import spark.implicits._
+    val store = new graft.tables.TableStore(spark,
+      Files.createTempDirectory("graft-store").toString, autoVacuumKeep = 4)
+    store.init("t", Seq((0, "v")).toDF("k", "v"))
+    (1 to 12).foreach(i => store.replace("t", Seq((i, "v")).toDF("k", "v")))
+    val root = Paths.get(store.load("t").inputFiles.head.stripPrefix("file:"))
+      .getParent.getParent
+    // versions 0..12 existed; only the last 4 manifests (and their
+    // segments) survive without any explicit vacuum call
+    val files = Files.list(root).iterator()
+    var segs = 0; var manifests = 0
+    while (files.hasNext) {
+      val n = files.next().getFileName.toString
+      if (n.startsWith("d")) segs += 1
+      if (n.startsWith("m")) manifests += 1
+    }
+    assert(manifests === 4, s"expected 4 manifests, found $manifests")
+    assert(segs === 4, s"expected 4 live segments, found $segs")
+    assert(store.load("t").collect().map(_.getInt(0)).toSeq === Seq(12))
+  }
+
   test("partitioned replace: filters on the partition column prune directories") {
     import spark.implicits._
     val store = fresh()
