@@ -31,6 +31,19 @@ object CdcCodec {
     from_json(concat(lit("{\"v\":"), value, lit("}")),
       new StructType().add("v", StringType)).getField("v")
 
+  /** Inverse of `unquote` — JSON-string-quote a payload exactly like
+    * the connector's JsonConverter (schemas.enable=false) does on the
+    * outbox side (O1/O3: every table write publishes its post-image).
+    * Implemented with the JSON writer itself: `to_json(struct(v))`
+    * emits `{"v":<quoted>}`, and the quoted literal is the slice
+    * between the 6-byte prefix and the closing brace — so the escape
+    * set (\" \\ \n \t \uXXXX …) is exactly what a JSON consumer (and
+    * `unquote`) expects. Null payloads quote to null. */
+  def quote(value: Column): Column =
+    when(value.isNotNull,
+      to_json(struct(value.as("v"))).substr(lit(6),
+        length(to_json(struct(value.as("v")))) - 6))
+
   private val oid = new StructType().add("$oid", StringType)
 
   val eventoSchema: StructType = new StructType()

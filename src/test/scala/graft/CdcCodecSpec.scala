@@ -111,6 +111,33 @@ class CdcCodecSpec extends AnyFunSuite {
     assert(CdcCodec.deadLetter(parsed).count() === cases.length)
   }
 
+  test("outbox round-trip: quote is the exact inverse of unquote on adversarial payloads") {
+    val payloads = Seq(
+      eventoDoc,
+      """{"nombre": "say \"hi\" to c:\\tmp"}""",
+      "line1\nline2\ttabbed",
+      "Caf\u00e9 \u2603 unicode",
+      "", "plain")
+    val df = payloads.toDF("p")
+      .select(col("p"), CdcCodec.unquote(CdcCodec.quote(col("p"))).as("rt"))
+    assert(df.filter(col("p") =!= col("rt")).count() === 0)
+    // null payloads quote to null (never to the string "null")
+    val n = Seq[Option[String]](None).toDF("p")
+      .select(CdcCodec.quote(col("p")).as("q")).collect().head
+    assert(n.isNullAt(0))
+    // and a quoted post-image is wire-compatible with the parse path:
+    // quote(doc) == what the connector would put on the topic
+    val wire = Seq(eventoDoc).toDF("doc")
+      .select(CdcCodec.quote(col("doc")).as("value"))
+    val r = CdcCodec.parseEvento(wire).collect().head
+    assert(r.getString(0) === "619c1b9190812c00013e29c1")
+    assert(r.getString(1) === "Opera Boheme")
+    // simple payloads match the fixtures' hand-rolled quoting exactly
+    val simple = Seq(eventoDoc).toDF("doc")
+      .select(CdcCodec.quote(col("doc")).as("q")).collect().head.getString(0)
+    assert(simple === q(eventoDoc))
+  }
+
   test("malformed payload routes to dead letter, not a poison loop") {
     val df = Seq(q("{not json"), q(eventoDoc)).toDF("value")
     val parsed = CdcCodec.parseEvento(df)

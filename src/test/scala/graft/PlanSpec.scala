@@ -56,6 +56,17 @@ class PlanSpec extends AnyFunSuite {
       s"near-dup join degenerated to a cross product:\n$p")
   }
 
+  test("x7: the prefix-index self-join reuses one exchange (pipeline computed once)") {
+    // the candidate join's two sides are the same prefix pipeline —
+    // ReuseExchange must dedupe them, or every run pays the shingle
+    // explode + two windows twice
+    val df = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
+    df.collect() // AQE finalizes the plan during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"prefix pipeline executed twice:\n$p")
+  }
+
   test("no query degenerates to a cross product except the intended all-pairs ones") {
     // crossJoin-by-design: ONLY the single-row query-vector broadcasts
     // remain (x10's all-pairs baseline is gone — LSH-prefiltered since
