@@ -68,6 +68,28 @@ object VectorIndex {
   def forDir(spark: SparkSession, dir: String): Ivf =
     cache.computeIfAbsent(dir, _ => build(spark, dir))
 
+  private val srpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TableStore]()
+
+  /** Build-once stored SRP-LSH inverted index: (vec_id, tb) rows
+    * written through TableStore PARTITIONED BY the bucket id, so a
+    * query's `tb IN (<its L buckets>)` filter partition-prunes the
+    * probe down to L directories out of the L·2^K the index has —
+    * the same build-once/probe-many layout as the IVF index. The
+    * bucket computation is supplied by the caller (it owns the plane
+    * literals the oracle mirrors). */
+  def srpForDir(spark: SparkSession, dir: String,
+      index: DataFrame => DataFrame): TableStore =
+    srpCache.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-srp-index").toString
+      val store = new TableStore(spark, root)
+      store.replace("srp_idx",
+        index(table(spark, dir, "embeddings")).repartition(col("tb")),
+        partitionBy = Seq("tb"))
+      store
+    })
+
   /** The fixed-point projection both engines cluster on, as a local
     * computation (for the driver-side query vector). Matches
     * `list_transform(e, x -> floor(CAST(x AS DOUBLE) * Scale))`. */

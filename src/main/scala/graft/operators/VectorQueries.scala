@@ -197,25 +197,32 @@ object VectorQueries {
           .orderBy("vec_a", "vec_b")
     },
 
-    // SRP-LSH bucketed ANN: L=8 hash tables of k=4 deterministic
-    // hyperplane sign bits. Candidates = vectors sharing the query's
-    // bucket in ANY table (the standard multi-table LSH recall
-    // amplification), then exact cosine re-rank of the candidate set.
-    // The oracle mirrors the identical plane literals and sign rule, so
-    // even the probabilistic recall misses reproduce bit-for-bit —
+    // SRP-LSH bucketed ANN against the STORED inverted index
+    // (VectorIndex.srpForDir): L=8 hash tables of k=4 deterministic
+    // hyperplane sign bits, built ONCE per corpus and persisted
+    // through TableStore partitioned by bucket id. The declared query
+    // computes the query vector's L buckets (one 1-row scan — exact
+    // expression parity with the build), partition-prunes the index to
+    // those L directories, and exact-cosine re-ranks the candidates —
+    // probe cost is O(query's buckets), not O(corpus·L). The oracle
+    // mirrors the identical plane literals and sign rule, so even the
+    // probabilistic recall misses reproduce bit-for-bit —
     // rows+schema+hash checked; VectorSpec additionally asserts recall
-    // against the brute-force top-10.
+    // against the brute-force top-10 and the partition pruning.
     Query("x11_ann_lsh", x11Sql) {
       (s, d) =>
-        // (vec_id, table, bucket) inverted index; at scale this is the
-        // precomputed partitioned index, not a per-query scan
-        val idx = emb(s, d).select(col("vec_id"), col("embedding"),
-          explode(tbArray(col("embedding"))).as("tb"))
-        val q = idx.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), col("tb").as("qtb"))
-        idx.join(broadcast(q), col("tb") === col("qtb"))
-          .select(col("vec_id"), col("embedding"), col("qe"))
-          .dropDuplicates("vec_id")
+        val idxStore = VectorIndex.srpForDir(s, d, e =>
+          e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb")))
+        val qtbs = emb(s, d).filter(col("vec_id") === 0)
+          .select(tbArray(col("embedding")).as("tbs"))
+          .collect().head.getSeq[String](0)
+        val cand = idxStore.load("srp_idx")
+          .filter(col("tb").isin(qtbs: _*))
+          .select(col("vec_id")).distinct()
+        val q = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        emb(s, d).join(cand, Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(q))
           .select(col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))

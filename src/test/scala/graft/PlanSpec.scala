@@ -71,7 +71,8 @@ class PlanSpec extends AnyFunSuite {
     // crossJoin-by-design: ONLY the single-row query-vector broadcasts
     // remain (x10's all-pairs baseline is gone — LSH-prefiltered since
     // r7, so no declared query carries an O(n²) join anymore)
-    val intended = Set("q23_knn", "x9_knn_cosine", "x20_ann_ivf")
+    val intended = Set("q23_knn", "x9_knn_cosine", "x11_ann_lsh",
+      "x20_ann_ivf")
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

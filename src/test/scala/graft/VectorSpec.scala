@@ -127,6 +127,31 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall too low: ${found.length}/${exact.size}")
   }
 
+  test("SRP stored index: the DECLARED x11 path prunes unprobed bucket partitions") {
+    val df = SparkEntry.queries("x11_ann_lsh")(spark, TestSpark.sf)
+    assert(df.collect().nonEmpty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScan = scans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths
+        .exists(_.toString.contains("srp_idx")))
+      .getOrElse(fail("no stored-index scan in the executed plan"))
+    assert(idxScan.toString.contains("PartitionFilters"),
+      s"no partition pruning:\n$idxScan")
+    // the query has L=8 buckets; the index has up to L*2^K=128 bucket
+    // directories (1 file each after the repartition-by-tb write) —
+    // the probe must read at most the query's 8
+    val numFiles = idxScan.metrics("numFiles").value
+    assert(numFiles <= 8, s"probe read $numFiles bucket files (> 8)")
+  }
+
   test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
     val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
