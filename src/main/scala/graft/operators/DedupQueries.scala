@@ -96,6 +96,58 @@ object DedupQueries {
     verified(cand, sh)
   }
 
+  // SimHash Hamming-ball candidate generation (shared by x25/x34):
+  // 16-bit fingerprints banded into THREE disjoint bands (5+5+6 bits)
+  // — by pigeonhole any pair within Hamming distance ≤ 2 has some
+  // band with zero differing bits, so recall is EXACT for the
+  // threshold. Three wide bands beat a 4×4-bit layout ~3× on
+  // candidate volume (collision probability 2⁻⁵+2⁻⁵+2⁻⁶ vs 4×2⁻⁴).
+  // Candidates equi-join on (band index, band value) — one shuffle,
+  // no all-pairs. Bands: bits [0,5) [5,10) [10,16).
+  private val BandOffs = Seq(0, 5, 10)
+  private val BandMasks = Seq(31L, 31L, 63L)
+
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b, fa, fb)` — the
+    * same fingerprints and band boundaries the Spark side uses. */
+  private val simhashCandSql =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
+      "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
+      "c AS (SELECT doc_id, j, SUM(CASE WHEN CAST(floor(v16 / power(2, j)) AS BIGINT) % 2 = 1 " +
+      "THEN 1 ELSE -1 END) AS sgn FROM vb GROUP BY 1, 2), " +
+      "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
+      "AS BIGINT) AS f FROM c GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, f, i, " +
+      "CASE i WHEN 0 THEN CAST(floor(f / 1) AS BIGINT) % 32 " +
+      "WHEN 1 THEN CAST(floor(f / 32) AS BIGINT) % 32 " +
+      "ELSE CAST(floor(f / 1024) AS BIGINT) % 64 END AS bv " +
+      "FROM fp, (SELECT unnest(range(3)) AS i)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
+      "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)"
+
+  /** Spark twin of simhashCandSql: (doc_a, doc_b, fa, fb), distinct. */
+  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val fpDf = table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
+          .as("f"))
+    val bands = fpDf.select(col("doc_id"), col("f"),
+      explode(array((0 until 3).map(i =>
+        struct(lit(i).as("i"),
+          shiftright(col("f"), BandOffs(i)).bitwiseAND(lit(BandMasks(i))).as("bv")))
+        .toIndexedSeq: _*)).as("band"))
+      .select(col("doc_id"), col("f"),
+        col("band.i").as("i"), col("band.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.f").as("fa"), col("y.f").as("fb"))
+      .distinct()
+  }
+
   private val shingledSql =
     "sh AS (SELECT doc_id, " + Sql.shingles("ts") + " AS s FROM " +
       "(SELECT doc_id, string_split(text, ' ') AS ts FROM documents) " +
@@ -172,53 +224,78 @@ object DedupQueries {
     // 4×2^-4. Candidates equi-join on (band index, band value) — one
     // shuffle, no all-pairs — then verify with bit_count(xor). Same
     // scale shape as x8: bucket join + cheap exact verification.
-    Query("x25_simhash_neardup", {
-      // bands: bits [0,5) [5,10) [10,16) — divisors/moduli 1/32, 32/32,
-      // 1024/64 in the CASE below; the Spark side mirrors with
-      // shiftright + mask
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
-        "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
-        "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
-        "c AS (SELECT doc_id, j, SUM(CASE WHEN CAST(floor(v16 / power(2, j)) AS BIGINT) % 2 = 1 " +
-        "THEN 1 ELSE -1 END) AS sgn FROM vb GROUP BY 1, 2), " +
-        "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
-        "AS BIGINT) AS f FROM c GROUP BY doc_id), " +
-        "bands AS (SELECT doc_id, f, i, " +
-        "CASE i WHEN 0 THEN CAST(floor(f / 1) AS BIGINT) % 32 " +
-        "WHEN 1 THEN CAST(floor(f / 32) AS BIGINT) % 32 " +
-        "ELSE CAST(floor(f / 1024) AS BIGINT) % 64 END AS bv " +
-        "FROM fp, (SELECT unnest(range(3)) AS i)), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
-        "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id) " +
+    Query("x25_simhash_neardup",
+      s"WITH $simhashCandSql " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
-        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b"
-    }) {
+        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
       (s, d) =>
-        val offs = Seq(0, 5, 10)
-        val masks = Seq(31L, 31L, 63L)
-        val fpDf = table(s, d, "documents")
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
-              .as("f"))
-        val bands = fpDf.select(col("doc_id"), col("f"),
-          explode(array((0 until 3).map(i =>
-            struct(lit(i).as("i"),
-              shiftright(col("f"), offs(i)).bitwiseAND(lit(masks(i))).as("bv")))
-            .toIndexedSeq: _*)).as("band"))
-          .select(col("doc_id"), col("f"),
-            col("band.i").as("i"), col("band.bv").as("bv"))
-        bands.as("x")
-          .join(bands.as("y"),
-            col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.f").as("fa"), col("y.f").as("fb"))
-          .distinct()
+        simhashCandidates(s, d)
           .select(col("doc_a"), col("doc_b"),
             bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
           .filter(col("hamming") <= 2)
           .orderBy("doc_a", "doc_b")
+    },
+
+    // near-dup CLUSTERING — the step that turns pairwise near-dup
+    // detection into an actual dedup decision: connected components
+    // over the x25 Hamming-ball pair graph, cluster label = min doc_id
+    // in the component, `canonical` marks the one representative a
+    // pipeline would KEEP (every other row is the drop list). Spark
+    // side runs distributed min-label propagation with per-superstep
+    // materialization (each iteration reads the previous labels from
+    // parquet — flat lineage, the Pregel pattern — and the pair graph
+    // is materialized ONCE, not recomputed per iteration); the oracle
+    // recomputes the same fixpoint via recursive reachability. The
+    // iteration count is data-dependent but the FIXPOINT is unique, so
+    // results are engine-independent.
+    Query("x34_dedup_clusters",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id) " +
+        "SELECT doc_id, cluster, doc_id = cluster AS canonical FROM cc " +
+        "ORDER BY cluster, doc_id") {
+      (s, d) =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-cc").toString
+        // materialize the pair graph once; every superstep reads it
+        // back instead of re-running the simhash + band join lineage
+        simhashCandidates(s, d)
+          .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
+          .select(col("doc_a"), col("doc_b"))
+          .write.parquet(s"$tmp/pairs")
+        val pairs = s.read.parquet(s"$tmp/pairs")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        var labPath = s"$tmp/lab0"
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster", col("doc_id"))
+          .write.parquet(labPath)
+        var converged = false
+        var i = 0
+        while (!converged) {
+          val lab = s.read.parquet(labPath)
+          val prop = edges.join(lab, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), col("cluster"))
+          val nextPath = s"$tmp/lab${i + 1}"
+          lab.unionByName(prop)
+            .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+            .write.parquet(nextPath)
+          val next = s.read.parquet(nextPath)
+          converged = next
+            .join(lab.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+            .filter(col("cluster") < col("old")).isEmpty
+          labPath = nextPath
+          i += 1
+        }
+        s.read.parquet(labPath)
+          .withColumn("canonical", col("doc_id") === col("cluster"))
+          .orderBy("cluster", "doc_id")
     },
 
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex
