@@ -275,21 +275,37 @@ object DedupQueries {
         var labPath = s"$tmp/lab0"
         edges.select(col("src").as("doc_id")).distinct()
           .withColumn("cluster", col("doc_id"))
-          .write.parquet(labPath)
+          .coalesce(4).write.parquet(labPath)
+        // labels only ever DECREASE (min of a monotone set), so the
+        // label sum is a strictly decreasing convergence witness — one
+        // tiny aggregate per superstep instead of a change-detection
+        // join
+        def labSum(path: String): Long =
+          s.read.parquet(path).agg(sum(col("cluster"))).collect()
+            .head.getLong(0)
+        var prevSum = labSum(labPath)
         var converged = false
         var i = 0
         while (!converged) {
           val lab = s.read.parquet(labPath)
+          // superstep = neighbor-min propagation + pointer jumping
+          // (cluster := cluster's cluster): path doubling collapses a
+          // diameter-D chain in O(log D) supersteps instead of D
           val prop = edges.join(lab, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), col("cluster"))
-          val nextPath = s"$tmp/lab${i + 1}"
-          lab.unionByName(prop)
+          val stepped = lab.unionByName(prop)
             .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-            .write.parquet(nextPath)
-          val next = s.read.parquet(nextPath)
-          converged = next
-            .join(lab.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-            .filter(col("cluster") < col("old")).isEmpty
+          val jumped = stepped.as("x")
+            .join(stepped.select(col("doc_id").as("__c"),
+              col("cluster").as("__cc")).as("y"),
+              col("x.cluster") === col("__c"), "left")
+            .select(col("x.doc_id").as("doc_id"),
+              coalesce(col("__cc"), col("x.cluster")).as("cluster"))
+          val nextPath = s"$tmp/lab${i + 1}"
+          jumped.coalesce(4).write.parquet(nextPath)
+          val sum2 = labSum(nextPath)
+          converged = sum2 == prevSum
+          prevSum = sum2
           labPath = nextPath
           i += 1
         }
