@@ -172,13 +172,17 @@ object VectorQueries {
         "SELECT vec_a, vec_b, round(cos, 6) AS cos FROM c " +
         "WHERE cos >= 0.45 ORDER BY vec_a, vec_b") {
       (s, d) =>
-        // ids-only inverted index rides the candidate join; embeddings
-        // and precomputed norms join back AFTER dedup, so the verify
-        // stage does one dot product per candidate pair instead of
-        // three folds. (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of
-        // VectorFns.cosine, so values stay oracle-identical.
-        val idx = emb(s, d).select(col("vec_id"),
-          explode(tbArray(col("embedding"))).as("tb"))
+        // candidate generation reads the SAME build-once stored SRP
+        // index x11 probes (one index serves point-ANN and near-dup) —
+        // no per-query recomputation of 32 hyperplane dot products per
+        // vector on both join sides; embeddings and precomputed norms
+        // join back AFTER dedup, so the verify stage does one dot
+        // product per candidate pair instead of three folds.
+        // (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of VectorFns.cosine,
+        // so values stay oracle-identical.
+        val idx = VectorIndex.srpForDir(s, d, e =>
+          e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb")))
+          .load("srp_idx")
         val cand = idx.select(col("vec_id").as("vec_a"), col("tb"))
           .join(idx.select(col("vec_id").as("vec_b"), col("tb")), Seq("tb"))
           .filter(col("vec_a") < col("vec_b"))
