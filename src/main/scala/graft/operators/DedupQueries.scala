@@ -148,6 +148,60 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Distributed connected components over an undirected pair graph
+    * (x34; exposed for DedupHotPathSpec's chain/star cases): min-label
+    * propagation with pointer jumping (path doubling → O(log diameter)
+    * supersteps) and per-superstep parquet materialization — the pair
+    * graph is written once and every superstep reads the previous
+    * labels back, keeping lineage flat (the Pregel pattern). Labels
+    * only ever DECREASE, so the label sum is a strictly decreasing
+    * convergence witness — one tiny aggregate per superstep instead of
+    * a change-detection join. Returns (doc_id, cluster) for every node
+    * appearing in `pairs`, cluster = min doc_id of the component. */
+  def connectedComponents(s: SparkSession, pairsIn: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    pairsIn.write.parquet(s"$tmp/pairs")
+    val pairs = s.read.parquet(s"$tmp/pairs")
+    val Seq(a, b) = pairs.columns.toSeq
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+    var labPath = s"$tmp/lab0"
+    edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .coalesce(4).write.parquet(labPath)
+    def labSum(path: String): Long = {
+      val r = s.read.parquet(path).agg(sum(col("cluster"))).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // sum of an empty graph
+    }
+    var prevSum = labSum(labPath)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged) {
+      val lab = s.read.parquet(labPath)
+      // superstep = neighbor-min propagation + pointer jumping
+      // (cluster := cluster's cluster): path doubling collapses a
+      // diameter-D chain in O(log D) supersteps instead of D
+      val prop = edges.join(lab, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val stepped = lab.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("__c"),
+          col("cluster").as("__cc")).as("y"),
+          col("x.cluster") === col("__c"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          coalesce(col("__cc"), col("x.cluster")).as("cluster"))
+      val nextPath = s"$tmp/lab${i + 1}"
+      jumped.coalesce(4).write.parquet(nextPath)
+      val sum2 = labSum(nextPath)
+      converged = sum2 == prevSum
+      prevSum = sum2
+      labPath = nextPath
+      i += 1
+    }
+    s.read.parquet(labPath)
+  }
+
   private val shingledSql =
     "sh AS (SELECT doc_id, " + Sql.shingles("ts") + " AS s FROM " +
       "(SELECT doc_id, string_split(text, ' ') AS ts FROM documents) " +
@@ -261,55 +315,9 @@ object DedupQueries {
         "SELECT doc_id, cluster, doc_id = cluster AS canonical FROM cc " +
         "ORDER BY cluster, doc_id") {
       (s, d) =>
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-cc").toString
-        // materialize the pair graph once; every superstep reads it
-        // back instead of re-running the simhash + band join lineage
-        simhashCandidates(s, d)
+        connectedComponents(s, simhashCandidates(s, d)
           .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
-          .select(col("doc_a"), col("doc_b"))
-          .write.parquet(s"$tmp/pairs")
-        val pairs = s.read.parquet(s"$tmp/pairs")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        var labPath = s"$tmp/lab0"
-        edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("cluster", col("doc_id"))
-          .coalesce(4).write.parquet(labPath)
-        // labels only ever DECREASE (min of a monotone set), so the
-        // label sum is a strictly decreasing convergence witness — one
-        // tiny aggregate per superstep instead of a change-detection
-        // join
-        def labSum(path: String): Long =
-          s.read.parquet(path).agg(sum(col("cluster"))).collect()
-            .head.getLong(0)
-        var prevSum = labSum(labPath)
-        var converged = false
-        var i = 0
-        while (!converged) {
-          val lab = s.read.parquet(labPath)
-          // superstep = neighbor-min propagation + pointer jumping
-          // (cluster := cluster's cluster): path doubling collapses a
-          // diameter-D chain in O(log D) supersteps instead of D
-          val prop = edges.join(lab, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("cluster"))
-          val stepped = lab.unionByName(prop)
-            .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-          val jumped = stepped.as("x")
-            .join(stepped.select(col("doc_id").as("__c"),
-              col("cluster").as("__cc")).as("y"),
-              col("x.cluster") === col("__c"), "left")
-            .select(col("x.doc_id").as("doc_id"),
-              coalesce(col("__cc"), col("x.cluster")).as("cluster"))
-          val nextPath = s"$tmp/lab${i + 1}"
-          jumped.coalesce(4).write.parquet(nextPath)
-          val sum2 = labSum(nextPath)
-          converged = sum2 == prevSum
-          prevSum = sum2
-          labPath = nextPath
-          i += 1
-        }
-        s.read.parquet(labPath)
+          .select(col("doc_a"), col("doc_b")))
           .withColumn("canonical", col("doc_id") === col("cluster"))
           .orderBy("cluster", "doc_id")
     },

@@ -67,4 +67,56 @@ class DedupHotPathSpec extends AnyFunSuite {
     assert(perDoc < total, s"prefix index ($perDoc) not smaller than full ($total)")
     assert(pfxSize === 6)
   }
+
+  test("prefix-filter completeness: randomized corpora match brute-force exact Jaccard") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: clusters of mutated copies —
+    // the regime where the ⌊n/5⌋+1 prefix bound actually gets stressed
+    // (pairs straddle the 0.8 threshold from both sides)
+    // a token mutation kills up to 3 shingles, so docs must be long
+    // enough that a couple of mutations stays above J=0.8 while a
+    // handful falls below — lengths 80-120 with 2% mutation straddle
+    // the threshold from both sides
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    val docs = (0 until 18).flatMap { c =>
+      val base = Vector.fill(80 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+      (0 until 2 + rnd.nextInt(2)).map { v =>
+        val mutated = base.map(w =>
+          if (rnd.nextDouble() < 0.02) vocab(rnd.nextInt(vocab.size)) else w)
+        (c * 10L + v, mutated.mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val got = DedupQueries.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      TextFns.shingles(TextFns.tokens(col("text"))).as("s"))
+      .filter(size(col("s")) >= 1).withColumn("n", size(col("s")))
+    val exact = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus must contain qualifying pairs")
+    assert(got === exact)
+  }
+
+  test("connected components: pointer jumping converges on long chains and stars") {
+    import spark.implicits._
+    // chain 0-1-2-...-9 (diameter 9 — needs path doubling, not one
+    // propagation round), star 100-{101..105}, isolated pair (200,201)
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      (101L to 105L).map(i => (100L, i)) ++ Seq((200L, 201L)))
+      .toDF("doc_a", "doc_b")
+    val cc = DedupQueries.connectedComponents(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(cc(i) === 0L, s"chain node $i"))
+    (100L to 105L).foreach(i => assert(cc(i) === 100L, s"star node $i"))
+    assert(cc(200L) === 200L && cc(201L) === 200L)
+    assert(cc.size === 18)
+  }
 }
