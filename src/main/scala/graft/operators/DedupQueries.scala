@@ -301,7 +301,11 @@ object DedupQueries {
     // is materialized ONCE, not recomputed per iteration); the oracle
     // recomputes the same fixpoint via recursive reachability. The
     // iteration count is data-dependent but the FIXPOINT is unique, so
-    // results are engine-independent.
+    // results are engine-independent. Scale asymmetry, measured: at
+    // sf0.1 the pair graph is ~540k edges and the oracle's recursive
+    // reach (quadratic in component size) stops being feasible, while
+    // this path runs in seconds — the oracle exists for the sf0.01
+    // gate; the Spark formulation is the one that scales.
     Query("x34_dedup_clusters",
       s"WITH RECURSIVE $simhashCandSql, " +
         "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
