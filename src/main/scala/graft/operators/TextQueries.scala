@@ -155,6 +155,38 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // deterministic train/val/test split assignment — the reproducible
+    // 80/10/10 bucketing every training-data pipeline needs: the split
+    // is a pure function of a stable key hash (first 16 md5 bits of
+    // doc_id, mod 100), so it is identical across runs, engines and
+    // cluster sizes, and membership never leaks between splits when
+    // the corpus grows (old docs keep their split). A narrow map — no
+    // shuffle except the stratification audit aggregate reported here
+    // (per-language split counts + within-language fraction).
+    Query("x35_train_split",
+      "WITH b AS (SELECT lang, " +
+        Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100 AS bkt " +
+        "FROM documents), " +
+        "s AS (SELECT lang, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split FROM b), " +
+        "c AS (SELECT lang, split, COUNT(*) AS n FROM s GROUP BY 1, 2) " +
+        "SELECT lang, split, n, round(CAST(n AS DOUBLE) / " +
+        "SUM(n) OVER (PARTITION BY lang), 4) AS frac " +
+        "FROM c ORDER BY lang, split") {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+        val split = when(bkt < 80, "train").when(bkt < 90, "val")
+          .otherwise("test")
+        table(s, d, "documents")
+          .select(col("lang"), split.as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac", round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
+          .orderBy("lang", "split")
+    },
+
     // trigram-profile language ID (ROADMAP §6): per-language profiles
     // are the top-20 character trigrams by document frequency, learned
     // from the corpus itself; a document's prediction is the profile
