@@ -166,8 +166,13 @@ object DedupQueries {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
     var labPath = s"$tmp/lab0"
-    edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // seed with the first propagation folded in: label₀ =
+    // min(self, min direct neighbor) — one whole superstep round-trip
+    // cheaper than seeding with self and iterating
+    edges.groupBy(col("dst").as("doc_id"))
+      .agg(min(col("src")).as("__nmin"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("__nmin")).as("cluster"))
       .coalesce(4).write.parquet(labPath)
     def labSum(path: String): Long = {
       val r = s.read.parquet(path).agg(sum(col("cluster"))).collect().head
