@@ -118,8 +118,11 @@ final class TableStore(spark: SparkSession, root: String,
   /** Publish a whole-table snapshot (mutating merges). `partitionBy`
     * lays the segment out as hive-style partition directories, so
     * reader filters on those columns become PartitionFilters and prune
-    * whole directories from the scan (the layout the IVF index uses to
-    * make a probe O(probed cells), not O(corpus)). */
+    * whole directories from the scan (the layout the stored ANN
+    * indexes use to make a probe O(probed partitions), not O(corpus)).
+    * Partitioned tables must stay replace-only: append() writes flat
+    * segments, and a manifest mixing partitioned and flat layouts
+    * would break partition discovery on read. */
   def replace(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit =
     writeLock(name).synchronized {
