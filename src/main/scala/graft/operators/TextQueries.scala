@@ -187,6 +187,60 @@ object TextQueries {
           .orderBy("lang", "split")
     },
 
+    // test-set DECONTAMINATION audit — the check every training
+    // pipeline runs before evaluation: a test-split document sharing
+    // any 8-token shingle with any train-split document is flagged
+    // contaminated. Composes the x35 split hash with the dedup
+    // shingle machinery. Scale shape: the train shingle vocabulary is
+    // DISTINCT and the test side probes it with a LEFT SEMI equi-join
+    // — no pair materialization, so a stop phrase cannot blow up the
+    // join the way it would in a pairwise formulation; both sides are
+    // one explode + one shuffle on the shingle key.
+    Query("x36_contamination", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      "WITH b AS (SELECT doc_id, lang, text, " + bkt + " AS bkt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, lang, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "string_split(text, ' ') AS ts FROM b), " +
+        "sh AS (SELECT doc_id, lang, split, " + Sql.shingles("ts", 8) +
+        " AS s FROM sp WHERE len(ts) >= 8), " +
+        "ex AS (SELECT doc_id, split, unnest(s) AS g FROM sh), " +
+        "trg AS (SELECT DISTINCT g FROM ex WHERE split = 'train'), " +
+        "cont AS (SELECT DISTINCT doc_id FROM ex WHERE split = 'test' " +
+        "AND g IN (SELECT g FROM trg)) " +
+        "SELECT lang, COUNT(*) AS n_test, " +
+        "CAST(COUNT(cont.doc_id) AS BIGINT) AS n_contaminated " +
+        "FROM sh LEFT JOIN cont USING (doc_id) WHERE split = 'test' " +
+        "GROUP BY lang ORDER BY lang"
+    }) {
+      (s, d) =>
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+        val split = when(bkt < 80, "train").when(bkt < 90, "val")
+          .otherwise("test")
+        val base = table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), split.as("split"),
+            TextFns.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), col("lang"), col("split"),
+            TextFns.shingles(col("ts"), 8).as("s"))
+        val ex = base.select(col("doc_id"), col("split"),
+          explode(col("s")).as("g"))
+        val trainG = ex.filter(col("split") === "train")
+          .select(col("g")).distinct()
+        val contaminated = ex.filter(col("split") === "test")
+          .join(trainG, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("__c", lit(1))
+        base.filter(col("split") === "test")
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_test"),
+            count(col("__c")).as("n_contaminated"))
+          .orderBy("lang")
+    },
+
     // trigram-profile language ID (ROADMAP §6): per-language profiles
     // are the top-20 character trigrams by document frequency, learned
     // from the corpus itself; a document's prediction is the profile
