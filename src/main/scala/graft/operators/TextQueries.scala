@@ -218,22 +218,23 @@ object TextQueries {
         val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
         val split = when(bkt < 80, "train").when(bkt < 90, "val")
           .otherwise("test")
-        val base = table(s, d, "documents")
+        // eligible docs (text, ≥8 tokens) carry lang+split; shingles
+        // are computed only where needed — the final per-lang count
+        // reads the cheap pre-shingle frame
+        val eligible = table(s, d, "documents")
           .filter(col("text").isNotNull)
           .select(col("doc_id"), col("lang"), split.as("split"),
             TextFns.tokens(col("text")).as("ts"))
           .filter(size(col("ts")) >= 8)
-          .select(col("doc_id"), col("lang"), col("split"),
-            TextFns.shingles(col("ts"), 8).as("s"))
-        val ex = base.select(col("doc_id"), col("split"),
-          explode(col("s")).as("g"))
+        val ex = eligible.select(col("doc_id"), col("split"),
+          explode(TextFns.shingles(col("ts"), 8)).as("g"))
         val trainG = ex.filter(col("split") === "train")
           .select(col("g")).distinct()
         val contaminated = ex.filter(col("split") === "test")
           .join(trainG, Seq("g"), "left_semi")
           .select(col("doc_id")).distinct()
           .withColumn("__c", lit(1))
-        base.filter(col("split") === "test")
+        eligible.filter(col("split") === "test")
           .join(contaminated, Seq("doc_id"), "left")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_test"),
