@@ -247,10 +247,17 @@ final class Flows(spark: SparkSession, store: TableStore,
     // them here makes a fresh-checkpoint restart safe: a redelivered
     // request/return whose effect is already in the inventario snapshot
     // is recognized as a duplicate instead of double-applied. Registry
-    // entries carry seq 0, so they age out of state past the dedup
-    // horizon (the registry stays the durable record; the next restart
-    // reseeds).
-    val reg = store.load("reservas").select(col("evento"), col("id"))
+    // entries carry the SeedSeq sentinel; StatefulAdmission.admit
+    // re-anchors them at the key's first offset of THIS run, so they
+    // age out of state only after the run's own traffic spans the
+    // dedup horizon (the registry stays the durable record; the next
+    // restart reseeds). Both registries may post-date query start
+    // (events can be born via the `create` kind), so both loads are
+    // guarded.
+    val reg =
+      if (store.exists("reservas"))
+        store.load("reservas").select(col("evento"), col("id"))
+      else Seq.empty[(String, String)].toDF("evento", "id")
     val seenByKey = reg.groupBy(col("evento").as("nombre"))
       .agg(collect_list(col("id")).as("__seen"))
     val devol =
@@ -270,7 +277,8 @@ final class Flows(spark: SparkSession, store: TableStore,
       .as[(String, Long, String, Seq[String], Seq[String])]
       .groupByKey(_._1)
       .mapValues(t => InvState(t._2, t._3,
-        t._4.iterator.map(_ -> 0L).toMap, t._5.iterator.map(_ -> 0L).toMap))
+        t._4.iterator.map(_ -> StatefulAdmission.SeedSeq).toMap,
+        t._5.iterator.map(_ -> StatefulAdmission.SeedSeq).toMap))
     // local copy so the state function captures a Long, not `this`
     // (Flows is not serializable and must not ride to executors)
     val horizon = dedupHorizon

@@ -76,8 +76,25 @@ final case class AdmitEvent(id: String, evento: String, email: String,
  * id is durably registered in reservas / devoluciones, from which
  * every (re)start reseeds — so a restart re-arms dedup for ALL
  * history, not just the horizon window.
+ *
+ * Registry-seeded entries carry the [[SeedSeq]] sentinel, NOT a real
+ * offset: the registries record ids, not the offsets they were applied
+ * at, and stream offsets are absolute (a first post-restart batch can
+ * sit billions of offsets past 0). Seeds are re-anchored at the key's
+ * first observed offset of the current run before TTL runs, so they
+ * evict only once the run's OWN traffic has advanced `horizon` offsets
+ * past the restart point — by which time at-least-once redelivery of
+ * pre-restart messages is no longer possible. Anchoring seeds at 0
+ * instead would evict the entire reseeded history in the first batch
+ * whose high-water clears the horizon, re-admitting registered
+ * reservations in batch 2+ of a replay.
  */
 object StatefulAdmission {
+
+  /** Sentinel `seq` for dedup entries reseeded from the durable
+    * registries at query start; re-anchored to the key's first
+    * observed offset of the run in [[admit]] before TTL eviction. */
+  val SeedSeq: Long = -1L
 
   /** Lifecycle order within a key: MergeOps.admissionCompare (the ONE
     * admission ordering, shared with the batch fold), extended with a
@@ -137,6 +154,23 @@ object StatefulAdmission {
       hw = st.highWater
     }
     var changed = false
+    // re-anchor registry seeds at the run's first observed offset for
+    // this key: with valid traffic in hand, min(batch seq) is (an upper
+    // bound on) the restart point, so seeded history stays dedup-armed
+    // until the run itself has covered `horizon` offsets past it
+    if (arr.nonEmpty &&
+        (seen.valuesIterator.contains(SeedSeq) ||
+         returned.valuesIterator.contains(SeedSeq))) {
+      var anchor = Long.MaxValue
+      var j = 0
+      while (j < arr.length) {
+        if (arr(j).seq < anchor) anchor = arr(j).seq
+        j += 1
+      }
+      seen.mapValuesInPlace((_, s) => if (s == SeedSeq) anchor else s)
+      returned.mapValuesInPlace((_, s) => if (s == SeedSeq) anchor else s)
+      changed = true
+    }
     var i = 0
     while (i < arr.length) {
       val r = arr(i)
@@ -209,8 +243,10 @@ object StatefulAdmission {
       i += 1
     }
     // TTL eviction: drop dedup entries recorded more than `horizon`
-    // offsets behind the high-water mark (registry-seeded entries carry
-    // seq 0 and age out the same way — the registries stay durable)
+    // offsets behind the high-water mark. Registry seeds were
+    // re-anchored above to this run's first offset, so they age out
+    // only after the run's own traffic spans the horizon (the
+    // registries stay the durable record past that)
     if (exists && hw > horizon) {
       val floor = hw - horizon
       val s0 = seen.size + returned.size

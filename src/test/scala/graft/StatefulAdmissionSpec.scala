@@ -239,6 +239,47 @@ class StatefulAdmissionSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("restart + large absolute offsets: reseeded dedup survives the first horizon-crossing batch") {
+    val (store, flows0) = seededEvent(1000)
+    val flows = new Flows(spark, store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      dedupHorizon = 10L)
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dup = Req("619c1dae4b21200001952449", "Opera Boheme", "pepe@x.y", 3, 1)
+    val ms1 = MemoryStream[Req](spark, 4)
+    val q1 = flows.admissionFlowStateful(ms1.toDS().toDF())
+    try { ms1.addData(dup); q1.processAllAvailable() } finally q1.stop()
+    assert(store.load("inventario").collect().head.getInt(2) === 997)
+    // restart with a lost checkpoint; the run resumes at ABSOLUTE stream
+    // offsets far past 0 (real Kafka offsets, not a fresh counter).
+    // Batch 1 alone pushes high-water > horizon — if registry seeds were
+    // anchored at 0 they would all evict here; re-anchoring at the run's
+    // first offset keeps them until the run itself spans the horizon.
+    val ms2 = MemoryStream[Req](spark, 4)
+    val q2 = flows.admissionFlowStateful(ms2.toDS().toDF())
+    try {
+      ms2.addData((0 to 2).map(i =>
+        Req(f"bbbbbbbbbbbbbbbbbbbb$i%04d", "Opera Boheme", s"v$i@x.y", 1,
+          1000000L + i)): _*)
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 994)
+      // batch 2 of the SAME run: redelivery of the pre-restart request.
+      // seq-0 seeding would have evicted its dedup entry in batch 1 and
+      // double-decremented capacity here.
+      ms2.addData(dup.copy(seq = 1000003L))
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 994) // not 991
+      assert(store.load("reservas").count() === 4)
+      // the re-anchored seed still ages out once the run's own traffic
+      // covers the horizon past the restart point — state stays bounded
+      ms2.addData(Req(f"cccccccccccccccccccc0001", "Opera Boheme", "w@x.y", 1,
+        1000050L))
+      q2.processAllAvailable()
+      assert(store.load("inventario").collect().head.getInt(2) === 993)
+    } finally q2.stop()
+  }
+
   test("TTL eviction: state size plateaus over a long replay (unit, TestGroupState)") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.{InvState, SReq, StatefulAdmission}
