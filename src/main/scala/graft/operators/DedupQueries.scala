@@ -159,7 +159,7 @@ object DedupQueries {
     * a change-detection join. Returns (doc_id, cluster) for every node
     * appearing in `pairs`, cluster = min doc_id of the component. */
   def connectedComponents(s: SparkSession, pairsIn: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val tmp = graft.tables.TempDirs.scratch("graft-cc")
     pairsIn.write.parquet(s"$tmp/pairs")
     val pairs = s.read.parquet(s"$tmp/pairs")
     val Seq(a, b) = pairs.columns.toSeq
@@ -168,12 +168,18 @@ object DedupQueries {
     var labPath = s"$tmp/lab0"
     // seed with the first propagation folded in: label₀ =
     // min(self, min direct neighbor) — one whole superstep round-trip
-    // cheaper than seeding with self and iterating
+    // cheaper than seeding with self and iterating. Label tables are
+    // written at natural shuffle parallelism (the groupBy's post-AQE
+    // partitioning): a fixed-width coalesce here would propagate up
+    // the plan and cap the reduce stage of every superstep — the one
+    // constant that must NOT appear in an iterative operator's
+    // scaling law. AQE already collapses small post-shuffle outputs,
+    // so the small-files concern is handled without touching the plan.
     edges.groupBy(col("dst").as("doc_id"))
       .agg(min(col("src")).as("__nmin"))
       .select(col("doc_id"),
         least(col("doc_id"), col("__nmin")).as("cluster"))
-      .coalesce(4).write.parquet(labPath)
+      .write.parquet(labPath)
     def labSum(path: String): Long = {
       val r = s.read.parquet(path).agg(sum(col("cluster"))).collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0) // sum of an empty graph
@@ -183,28 +189,39 @@ object DedupQueries {
     var i = 0
     while (!converged) {
       val lab = s.read.parquet(labPath)
-      // superstep = neighbor-min propagation + pointer jumping
-      // (cluster := cluster's cluster): path doubling collapses a
-      // diameter-D chain in O(log D) supersteps instead of D
-      val prop = edges.join(lab, col("src") === col("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster"))
-      val stepped = lab.unionByName(prop)
-        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
-      val jumped = stepped.as("x")
-        .join(stepped.select(col("doc_id").as("__c"),
-          col("cluster").as("__cc")).as("y"),
-          col("x.cluster") === col("__c"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          coalesce(col("__cc"), col("x.cluster")).as("cluster"))
       val nextPath = s"$tmp/lab${i + 1}"
-      jumped.coalesce(4).write.parquet(nextPath)
+      superstep(edges, lab).write.parquet(nextPath)
       val sum2 = labSum(nextPath)
       converged = sum2 == prevSum
       prevSum = sum2
+      // the previous superstep's labels are dead once the next is
+      // durable — delete eagerly so a long iteration holds at most
+      // two label tables on disk (the scratch root itself is removed
+      // at JVM exit, after the returned frame has been consumed)
+      graft.tables.TempDirs.delete(labPath)
       labPath = nextPath
       i += 1
     }
     s.read.parquet(labPath)
+  }
+
+  /** One CC superstep: neighbor-min propagation + pointer jumping
+    * (cluster := cluster's cluster — path doubling collapses a
+    * diameter-D chain in O(log D) supersteps instead of D). Pure plan
+    * builder over (src,dst) edges and (doc_id,cluster) labels, exposed
+    * so DedupHotPathSpec can pin its physical shape (shuffle-parallel
+    * reduce, no repartition/coalesce caps). */
+  private[graft] def superstep(edges: DataFrame, lab: DataFrame): DataFrame = {
+    val prop = edges.join(lab, col("src") === col("doc_id"))
+      .select(col("dst").as("doc_id"), col("cluster"))
+    val stepped = lab.unionByName(prop)
+      .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+    stepped.as("x")
+      .join(stepped.select(col("doc_id").as("__c"),
+        col("cluster").as("__cc")).as("y"),
+        col("x.cluster") === col("__c"), "left")
+      .select(col("x.doc_id").as("doc_id"),
+        coalesce(col("__cc"), col("x.cluster")).as("cluster"))
   }
 
   private val shingledSql =

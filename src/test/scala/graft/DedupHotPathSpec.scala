@@ -105,6 +105,27 @@ class DedupHotPathSpec extends AnyFunSuite {
     assert(got === exact)
   }
 
+  test("CC superstep runs at shuffle parallelism — no fixed-width coalesce caps the reduce stage") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val lab = (0L to 200L).map(i => (i, i)).toDF("doc_id", "cluster")
+    val plan = DedupQueries.superstep(edges, lab)
+      .queryExecution.executedPlan.toString
+    // a CoalesceExec/RepartitionExec in the superstep would propagate
+    // up the plan and serialize the min-label reduce + pointer-jump
+    // join of EVERY superstep at a constant width (the r7 coalesce(4));
+    // the iterative operator's parallelism must track the session
+    // shuffle config instead (AQE then coalesces small outputs at
+    // runtime without capping the plan)
+    assert(!plan.contains("Coalesce"),
+      s"superstep plan must carry no coalesce cap:\n$plan")
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"superstep plan must carry no repartition cap:\n$plan")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(plan.contains(s", $parts)") || plan.contains(s", $parts),"),
+      s"superstep exchanges must partition at the session's $parts:\n$plan")
+  }
+
   test("connected components: pointer jumping converges on long chains and stars") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 — needs path doubling, not one
