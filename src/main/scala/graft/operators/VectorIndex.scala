@@ -59,17 +59,61 @@ object VectorIndex {
         .sorted.take(nProbe).map(_._2).toSeq
   }
 
-  // one index per (corpus dir) per JVM: Verify/Bench build during their
-  // first x20 invocation (warmup, in Bench's case) and every later
-  // invocation probes the stored tables
+  // One index per (corpus dir, corpus version) per JVM: Verify/Bench
+  // build during their first x20 invocation (warmup, in Bench's case)
+  // and every later invocation probes the stored tables. The version is
+  // a fingerprint of the embeddings files (names, sizes, mtimes): a
+  // corpus mutated in place — the continuous-upsert analogue of the
+  // reference's CDC clone (kafka-mongodb-connect.yaml:22-33) — triggers
+  // a rebuild on the next probe instead of silently serving a stale
+  // index, and the retired build's scratch root is reclaimed
+  // immediately (any root still live at shutdown falls to TempDirs).
+  private final case class Cached[A](fingerprint: String, root: String,
+      index: A)
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Ivf]()
+    new java.util.concurrent.ConcurrentHashMap[String, Cached[Ivf]]()
+
+  /** Fingerprint of the corpus files backing `dir`'s embeddings table:
+    * stable while the corpus is untouched, guaranteed to change on any
+    * append/rewrite (sizes change even within mtime granularity). */
+  private[operators] def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted().forEach { f =>
+        val sz =
+          if (java.nio.file.Files.isRegularFile(f))
+            java.nio.file.Files.size(f)
+          else 0L
+        md.update((p.relativize(f).toString + "|" + sz + "|" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis + "\n")
+          .getBytes("UTF-8"))
+      } finally walk.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  private def versioned[A](m: java.util.concurrent.ConcurrentHashMap[
+      String, Cached[A]], dir: String, prefix: String)(
+      mk: String => A): A =
+    m.compute(dir, (_, prev) => {
+      val fp = corpusFingerprint(dir)
+      if (prev != null && prev.fingerprint == fp) prev
+      else {
+        if (prev != null) graft.tables.TempDirs.delete(prev.root)
+        val root = graft.tables.TempDirs.scratch(prefix)
+        Cached(fp, root, mk(root))
+      }
+    }).index
 
   def forDir(spark: SparkSession, dir: String): Ivf =
-    cache.computeIfAbsent(dir, _ => build(spark, dir))
+    versioned(cache, dir, "graft-ivf-index")(root => build(spark, dir, root))
 
   private val srpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TableStore]()
+    new java.util.concurrent.ConcurrentHashMap[String, Cached[TableStore]]()
 
   /** Build-once stored SRP-LSH inverted index: (vec_id, tb) rows
     * written through TableStore PARTITIONED BY the bucket id, so a
@@ -77,18 +121,17 @@ object VectorIndex {
     * probe down to L directories out of the L·2^K the index has —
     * the same build-once/probe-many layout as the IVF index. The
     * bucket computation is supplied by the caller (it owns the plane
-    * literals the oracle mirrors). */
+    * literals the oracle mirrors). Rebuilds when the corpus
+    * fingerprint changes, like [[forDir]]. */
   def srpForDir(spark: SparkSession, dir: String,
       index: DataFrame => DataFrame): TableStore =
-    srpCache.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-srp-index").toString
+    versioned(srpCache, dir, "graft-srp-index") { root =>
       val store = new TableStore(spark, root)
       store.replace("srp_idx",
         index(table(spark, dir, "embeddings")).repartition(col("tb")),
         partitionBy = Seq("tb"))
       store
-    })
+    }
 
   /** The fixed-point projection both engines cluster on, as a local
     * computation (for the driver-side query vector). Matches
@@ -128,8 +171,8 @@ object VectorIndex {
 
   /** k-means over the fixed-point projection: deterministic seeds
     * (vec_id < Cells), Iters Lloyd rounds, then the corpus +
-    * centroids written through TableStore. */
-  private def build(spark: SparkSession, dir: String): Ivf = {
+    * centroids written through TableStore at `root`. */
+  private def build(spark: SparkSession, dir: String, root: String): Ivf = {
     val base = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
@@ -155,8 +198,6 @@ object VectorIndex {
     }
     val fin = assignCells(base, cents)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-ivf-index").toString
     val store = new TableStore(spark, root)
     // repartition by cell first so each cell directory is one file —
     // at scale this is the co-location that makes a probe read

@@ -73,16 +73,39 @@ final class TableStore(spark: SparkSession, root: String,
       new String(Files.readAllBytes(pointer(name))).trim.toInt
     else -1
 
-  private def segments(name: String, v: Int): Seq[String] = {
+  // manifest = optional `#partitionBy=c1,c2` layout header + one
+  // segment dir per line. The header is what lets append() write
+  // layout-compatible (hive-partitioned) segments into a partitioned
+  // table instead of the r7 replace-only constraint.
+  private def manifestLines(name: String, v: Int): Seq[String] = {
     val m = tdir(name).resolve(s"m$v")
     new String(Files.readAllBytes(m)).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def segments(name: String, v: Int): Seq[String] =
+    manifestLines(name, v).filterNot(_.startsWith("#"))
+
+  /** The table's partition columns (hive layout) as recorded by the
+    * manifest of its CURRENT version; empty for flat tables. */
+  def partitionColumns(name: String): Seq[String] = {
+    val v = currentVersion(name)
+    if (v < 0) Nil
+    else manifestLines(name, v).find(_.startsWith("#partitionBy="))
+      .map(_.stripPrefix("#partitionBy=").split(",").toSeq
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
   }
 
   /** Atomically flip the table to version `next` = `segs`. The segment
     * data is fully materialized BEFORE the pointer flips; concurrent
     * readers see old-or-new, never partial. */
-  private def publish(name: String, segs: Seq[String], next: Int): Unit = {
-    Files.write(tdir(name).resolve(s"m$next"), segs.mkString("\n").getBytes)
+  private def publish(name: String, segs: Seq[String], next: Int,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val header =
+      if (partitionBy.nonEmpty) Seq(s"#partitionBy=${partitionBy.mkString(",")}")
+      else Nil
+    Files.write(tdir(name).resolve(s"m$next"),
+      (header ++ segs).mkString("\n").getBytes)
     val tmp = tdir(name).resolve("_current_tmp")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
@@ -105,12 +128,20 @@ final class TableStore(spark: SparkSession, root: String,
 
   def exists(name: String): Boolean = currentVersion(name) >= 0
 
-  /** Snapshot read: bound to the segment list current at call time. */
+  /** Snapshot read: bound to the segment list current at call time.
+    * Partitioned tables with several delta segments read one scan per
+    * segment unioned together — Spark's multi-path partition
+    * discovery rejects sibling hive roots, and partition filters push
+    * through the union into every branch, so pruning is preserved. */
   def load(name: String): DataFrame = {
     val v = currentVersion(name)
     require(v >= 0, s"table $name does not exist")
-    val dirs = segments(name, v).map(s => tdir(name).resolve(s).toString)
-    spark.read.parquet(dirs: _*)
+    val lines = manifestLines(name, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+      .map(s => tdir(name).resolve(s).toString)
+    val partitioned = lines.exists(_.startsWith("#partitionBy="))
+    if (!partitioned || dirs.length == 1) spark.read.parquet(dirs: _*)
+    else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
   }
 
   def init(name: String, df: DataFrame): Unit = replace(name, df)
@@ -120,30 +151,37 @@ final class TableStore(spark: SparkSession, root: String,
     * reader filters on those columns become PartitionFilters and prune
     * whole directories from the scan (the layout the stored ANN
     * indexes use to make a probe O(probed partitions), not O(corpus)).
-    * Partitioned tables must stay replace-only: append() writes flat
-    * segments, and a manifest mixing partitioned and flat layouts
-    * would break partition discovery on read. */
+    * The layout is recorded in the manifest, so later append()s write
+    * layout-compatible segments and the table keeps pruning as it
+    * grows (incremental index maintenance). */
   def replace(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit =
     writeLock(name).synchronized {
       val next = currentVersion(name) + 1
-      publish(name, Seq(writeSegment(name, next, df, partitionBy)), next)
+      publish(name, Seq(writeSegment(name, next, df, partitionBy)), next,
+        partitionBy)
     }
 
-  /** Append rows to an insert-only table (notifications, rejections):
-    * writes ONLY the new rows as a segment; compacts when the manifest
-    * is long. Creates the table on first append. */
+  /** Append rows to an insert-only table (notifications, rejections,
+    * growing stored indexes): writes ONLY the new rows as a segment;
+    * compacts when the manifest is long. Creates the table on first
+    * append (flat layout — use replace(partitionBy) to establish a
+    * partitioned one). Appends into a partitioned table write
+    * hive-partitioned segments matching the recorded layout, so
+    * partition discovery and pruning keep working across segments. */
   def append(name: String, df: DataFrame): Unit =
     writeLock(name).synchronized {
       if (!exists(name)) replace(name, df)
       else {
+        val parts = partitionColumns(name)
         val v = currentVersion(name)
         val segs = segments(name, v)
         if (segs.length >= CompactThreshold)
-          replace(name, load(name).unionByName(df))
+          replace(name, load(name).unionByName(df), parts)
         else {
           val next = v + 1
-          publish(name, segs :+ writeSegment(name, next, df), next)
+          publish(name, segs :+ writeSegment(name, next, df, parts), next,
+            parts)
         }
       }
     }

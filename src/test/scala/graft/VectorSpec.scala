@@ -164,4 +164,27 @@ class VectorSpec extends AnyFunSuite {
       case (id, c) => assert(c === exact(id), s"vec $id distance mismatch")
     }
   }
+
+  test("stored indexes track the corpus version: a mutated corpus rebuilds, never serves stale") {
+    import graft.operators.VectorIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-vver").toString
+    emb.filter(col("vec_id") < 40).write.parquet(s"$dir/embeddings.parquet")
+    val srpFn = (e: org.apache.spark.sql.DataFrame) =>
+      e.select(col("vec_id"), (col("vec_id") % 4).cast("string").as("tb"))
+    assert(VectorIndex.forDir(spark, dir).corpus.count() === 40)
+    assert(VectorIndex.srpForDir(spark, dir, srpFn).load("srp_idx")
+      .count() === 40)
+    // untouched corpus → cached instance (same stored-table identity)
+    val sameRoot = VectorIndex.srpForDir(spark, dir, srpFn)
+    assert(sameRoot eq VectorIndex.srpForDir(spark, dir, srpFn))
+    // in-place corpus growth (the CDC-clone / continuous-upsert
+    // scenario): the next probe must see the new vectors — the r7
+    // dir-keyed cache silently served the 40-vector index forever
+    emb.filter(col("vec_id") < 50).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(VectorIndex.forDir(spark, dir).corpus.count() === 50)
+    assert(VectorIndex.srpForDir(spark, dir, srpFn).load("srp_idx")
+      .count() === 50)
+    graft.tables.TempDirs.delete(dir)
+  }
 }
