@@ -35,14 +35,17 @@ object CdcCodec {
     * the connector's JsonConverter (schemas.enable=false) does on the
     * outbox side (O1/O3: every table write publishes its post-image).
     * Implemented with the JSON writer itself: `to_json(struct(v))`
-    * emits `{"v":<quoted>}`, and the quoted literal is the slice
-    * between the 6-byte prefix and the closing brace — so the escape
-    * set (\" \\ \n \t \uXXXX …) is exactly what a JSON consumer (and
-    * `unquote`) expects. Null payloads quote to null. */
+    * emits `{"v":<quoted>}` and the anchored regex strips the fixed
+    * wrapper — one JSON serialization per row (a substr(…, length(…))
+    * formulation would evaluate to_json twice), and the escape set
+    * (\" \\ \n \t \uXXXX …) is exactly what a JSON consumer (and
+    * `unquote`) expects. The quoted literal itself contains no raw
+    * newlines (they are escaped), so the anchors are unambiguous.
+    * Null payloads quote to null. */
   def quote(value: Column): Column =
     when(value.isNotNull,
-      to_json(struct(value.as("v"))).substr(lit(6),
-        length(to_json(struct(value.as("v")))) - 6))
+      regexp_replace(to_json(struct(value.as("v"))),
+        "^\\{\"v\":|\\}$", ""))
 
   private val oid = new StructType().add("$oid", StringType)
 

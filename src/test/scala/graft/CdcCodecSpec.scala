@@ -138,6 +138,43 @@ class CdcCodecSpec extends AnyFunSuite {
     assert(simple === q(eventoDoc))
   }
 
+  test("property: unquote(quote(s)) === s over the full escape set + surrogate pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // codepoint mix biased toward the JSON escape set: quotes,
+    // backslashes, control chars (\n \t \r and the \u00XX tail), BMP
+    // unicode, and astral codepoints that encode as UTF-16 surrogate
+    // PAIRS. Lone surrogates are excluded — they are not valid UTF-8,
+    // so no parquet/Kafka payload can carry one.
+    val codepoint: Gen[Int] = Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7e),
+      2 -> Gen.oneOf('"'.toInt, '\\'.toInt, '/'.toInt, '}'.toInt),
+      2 -> Gen.choose(0x00, 0x1f),
+      2 -> Gen.choose(0x80, 0xffff)
+        .suchThat(c => !Character.isSurrogate(c.toChar)),
+      1 -> Gen.choose(0x10000, 0x10ffff))
+    val strGen: Gen[String] = Gen.listOf(codepoint).map(_
+      .foldLeft(new java.lang.StringBuilder) { (sb, cp) =>
+        sb.appendCodePoint(cp)
+      }.toString)
+    // deterministic corpus from a pinned seed, round-tripped in ONE
+    // Spark job (per-sample jobs would turn 500 samples into 500 jobs)
+    val params = Gen.Parameters.default
+    val corpus = Gen.listOfN(500, strGen)
+      .apply(params, Seed(20260813L))
+      .getOrElse(fail("generator exhausted")) ++ Seq(
+      "😀😀", // astral pairs back to back
+      "\u0000nul and del\u007f", "ends with brace}", "{\"v\":already}")
+    val rt = corpus.toDF("p")
+      .select(col("p"), CdcCodec.unquote(CdcCodec.quote(col("p"))).as("rt"))
+      .collect()
+    rt.foreach { r =>
+      assert(!r.isNullAt(1), s"payload ${r.getString(0)} decoded to null")
+      assert(r.getString(1) === r.getString(0))
+    }
+  }
+
   test("malformed payload routes to dead letter, not a poison loop") {
     val df = Seq(q("{not json"), q(eventoDoc)).toDF("value")
     val parsed = CdcCodec.parseEvento(df)
