@@ -74,9 +74,19 @@ object Bench {
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
+    // amortized build cost of the stored indexes (IVF/SRP/shingle),
+    // paid during warmup: the timed numbers above are probe-only by
+    // design (build-once/probe-many serving accounting), and this
+    // section is what keeps that honest in the recorded artifact
+    val builds = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.StoredIndexes.buildLog.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc":$gcs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc":$gcs,"build":$builds,"value":$total}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes)
     catch { case _: Throwable => () }

@@ -36,12 +36,15 @@ import org.apache.spark.sql.functions._
  *    enter a prefix, so the O(df²) candidate blowup a hot shingle
  *    causes in a plain inverted index cannot happen — rare shingles
  *    generate the candidates, and rare means few pairs.
- *  - Shingling and band signatures are codegen expressions
- *    (ShinglesDistinct / MinHashBands): recomputing them per plan
- *    branch is cheaper than caching at this scale, and nothing pins
- *    executor storage memory across queries. At 100 TB you would
- *    materialize the shingle index once (a real table, not a cache)
- *    and share it across both queries.
+ *  - Candidate-generation state is MATERIALIZED once per corpus
+ *    version as compact stored tables (ShingleIndex: the hashed pfx3
+ *    prefix index, the bands3 LSH signatures, the hashed ex8h
+ *    contamination vocabulary) shared by x7, x8 and x36; the
+ *    exact-verify shingle ARRAYS are deliberately recomputed per
+ *    query in one codegen pass — materialized arrays are several
+ *    times larger than the source text and lose to ShinglesDistinct
+ *    (measured; see the ShingleIndex header). Nothing pins executor
+ *    storage memory across queries (parquet, not cache).
  */
 object DedupQueries {
 
@@ -50,8 +53,10 @@ object DedupQueries {
   private def prefixLen(n: org.apache.spark.sql.Column) =
     floor(n / 5) + 1
 
-  /** doc_id + distinct 3-gram shingle set + its size (docs ≥3 tokens). */
-  private def shingledFrom(docs: DataFrame): DataFrame =
+  /** doc_id + distinct 3-gram shingle set + its size (docs ≥3 tokens).
+    * The canonical `sh3` builder — ShingleIndex materializes exactly
+    * this frame, so the stored and inline paths stay hash-identical. */
+  private[operators] def shingledFrom(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -61,39 +66,46 @@ object DedupQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledFrom(table(s, d, "documents"))
 
-  /** x7's full pipeline over any (doc_id, text) frame — exposed so
-    * DedupHotPathSpec can drive the stop-phrase case (where the
-    * prefix order's df-ascending canonical order is what keeps the
-    * candidate join bounded). */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  /** The AllPairs prefix index over a (doc_id, s, n) frame: one
+    * explode scan feeds BOTH the global-df computation and the
+    * per-doc ranking, as two windows (count over g, then row_number
+    * over doc ordered by (df, g)) instead of a groupBy + re-join that
+    * would re-run the shingle codegen on a second branch. Candidates
+    * only need completeness (equal g ⟹ equal hash; the exact verify
+    * settles any hash-collision extras), so the index carries a
+    * fixed-width xxhash64 key instead of ~50-char shingles. */
+  private[operators] def prefixIndex(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingledFrom(docs)
-    // one explode scan feeds BOTH the global-df computation and the
-    // per-doc ranking, as two windows (count over g, then row_number
-    // over doc ordered by (df, g)) instead of a groupBy + re-join that
-    // would re-run the shingle codegen on a second branch
     val wDf = Window.partitionBy(col("g"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val pfx = sh.select(col("doc_id"), col("n"), explode(col("s")).as("g"))
+    sh.select(col("doc_id"), col("n"), explode(col("s")).as("g"))
       .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <= prefixLen(col("n")))
-      // candidates only need completeness (equal g ⟹ equal hash; the
-      // exact verify settles any hash-collision extras), so the self-
-      // join rides a fixed-width key instead of ~50-char shingles
       .select(col("doc_id"), col("n"), xxhash64(col("g")).as("h"))
-    // candidate pairs share ≥1 PREFIX shingle — complete for
-    // Jaccard ≥ Threshold by the prefix-filtering bound — plus length
-    // filtering: J ≥ 4/5 forces 4·max(na,nb) ≤ 5·min(na,nb) (all-int
-    // arithmetic: a double 0.8·n test could evict a boundary pair)
-    val cand = pfx.as("a")
+  }
+
+  /** Candidate pairs share ≥1 PREFIX shingle — complete for
+    * Jaccard ≥ Threshold by the prefix-filtering bound — plus length
+    * filtering: J ≥ 4/5 forces 4·max(na,nb) ≤ 5·min(na,nb) (all-int
+    * arithmetic: a double 0.8·n test could evict a boundary pair). */
+  private def candidatePairs(pfx: DataFrame): DataFrame =
+    pfx.as("a")
       .join(pfx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 4 <= col("b.n") * 5 &&
           col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verified(cand, sh)
+
+  /** x7's full pipeline over any (doc_id, text) frame — exposed so
+    * DedupHotPathSpec can drive the stop-phrase case (where the
+    * prefix order's df-ascending canonical order is what keeps the
+    * candidate join bounded). The declared query runs the same three
+    * stages against the STORED shingle index instead. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingledFrom(docs)
+    verified(candidatePairs(prefixIndex(sh)), sh, spread = true, prune = true)
   }
 
   // SimHash Hamming-ball candidate generation (shared by x25/x34):
@@ -232,11 +244,53 @@ object DedupQueries {
   /** Exact-Jaccard verification of candidate pairs (shared by both
     * near-dup paths): set-intersection sizes over the full shingle
     * arrays, so the reported jaccard is exact regardless of how the
-    * candidates were generated. */
-  private def verified(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    * candidates were generated.
+    *
+    * The array side is pruned to candidate docs FIRST: the candidate
+    * id set (bounded by 2·|cand|) broadcasts into a left-semi filter,
+    * so the shingle arrays are computed and joined only for docs that
+    * actually appear in a pair — verify cost tracks candidate volume,
+    * not corpus size. Without the prune, AQE happily builds a
+    * broadcast hash relation out of the WHOLE corpus's arrays when
+    * the candidate side looks small (measured: doubled x7's probe). */
+  private def verified(cand: DataFrame, sh: DataFrame,
+      spread: Boolean = false, prune: Boolean = false): DataFrame = {
+    // `prune` = semi-filter the array side down to docs that appear in
+    // a candidate pair (tiny broadcast id set) before computing the
+    // shingle arrays, so verify cost tracks candidate volume instead
+    // of corpus size — the right shape when candidates ≪ corpus (x7).
+    // A candidate-light caller whose whole corpus is already cheap to
+    // re-shingle (x8's banded buckets) skips it: the extra distinct +
+    // broadcast stages cost more than the full-corpus recompute saves
+    // at bench scale, and its candidate volume is band-bounded anyway.
+    val pruned =
+      if (!prune) sh
+      else {
+        val ids = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      }
+    val a = pruned.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("na"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("nb"))
+    // `spread` = repartition the pairs across the session's shuffle
+    // width before the per-pair array_intersect. For a candidate-heavy
+    // caller (x7: ~90k pairs at sf0.1) the candidate frame is a few MB
+    // of (long, long) rows, so AQE's size-based coalescing funnels the
+    // verify — whose cost is per-ROW compute, not bytes — into one
+    // task (measured: 2.6 s single-task vs ~100 ms spread); a
+    // candidate-light caller (x8's banded buckets) skips the extra
+    // shuffle, whose fixed stage cost would dominate. The repartition
+    // must differ from the distinct's (doc_a, doc_b) hash or the
+    // planner elides it as redundant and the surviving
+    // ENSURE_REQUIREMENTS exchange coalesces anyway; the explicit
+    // width (the session shuffle config) marks it user-specified,
+    // which AQE's coalescer leaves alone.
+    val pairs =
+      if (!spread) cand
+      else cand.repartition(
+        cand.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -286,7 +340,15 @@ object DedupQueries {
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
         "FROM pfx a JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id), " +
         verifiedSql) {
-      (s, d) => ngramJaccardPairs(table(s, d, "documents"))
+      (s, d) =>
+        // candidates from the STORED prefix index (built once per
+        // corpus version, shared machinery with x8/x36): the
+        // double-window df ranking never runs at probe time. The
+        // exact verify recomputes the shingle arrays in one codegen
+        // scan of the text — cheaper than reading materialized arrays
+        // back (see the ShingleIndex header)
+        verified(candidatePairs(ShingleIndex.forDir(s, d).load("pfx3")),
+          shingledFrom(table(s, d, "documents")), spread = true, prune = true)
     },
 
     // SimHash Hamming-ball near-dup (ROADMAP §5): pairs of documents
@@ -367,14 +429,15 @@ object DedupQueries {
         verifiedSql
     }) {
       (s, d) =>
-        val sh = shingled(s, d)
-        val bands = sh.select(col("doc_id"),
-          explode(TextExpressions.minhash_bands(col("s"))).as("bv"))
+        // candidate buckets from the STORED band signatures (one
+        // MinHashBands pass at index build, not per query); the exact
+        // verify recomputes the shingle arrays in one codegen scan
+        val bands = ShingleIndex.forDir(s, d).load("bands3")
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        verified(cand, sh)
+        verified(cand, shingled(s, d))
     })
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.functions.expressions.TextExpressions
+import graft.sources.Tables.table
+import graft.tables.TableStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Build-once stored shingle index over the `documents` corpus, shared
+ * by x7 (prefix-filtered Jaccard), x8 (MinHash+LSH) and x36
+ * (decontamination). Same build-once/probe-many lifecycle as the
+ * vector indexes: fingerprint-versioned per corpus, rebuilt when the
+ * corpus changes, reclaimed when superseded.
+ *
+ * What is stored is deliberately COMPACT — fixed-width hashes and
+ * short band strings, never the shingle strings or arrays themselves:
+ * a materialized (doc_id, s[]) array table is several times larger
+ * than the source text it derives from, and scanning it back loses to
+ * recomputing the arrays in one codegen pass (measured — the r8 first
+ * cut stored the arrays and made x7/x36 ~80% slower). The queries
+ * therefore probe the stored index for CANDIDATE GENERATION (the part
+ * that needs global state: document frequencies, rankings, shared
+ * vocabularies) and recompute the exact-verify arrays from `documents`
+ * with the ShinglesDistinct codegen expression, which is one narrow
+ * scan of the original text.
+ *
+ * Tables:
+ *  - `pfx3` (doc_id, n, h): the df-ascending AllPairs prefix index —
+ *    only each doc's ⌊n/5⌋+1 rarest shingles, as xxhash64 keys. x7's
+ *    candidate self-join input; the expensive double-window ranking
+ *    (global df + per-doc rank — two full shuffles of the exploded
+ *    corpus) runs once per corpus version instead of once per query.
+ *  - `bands3` (doc_id, bv): the 4 MinHash LSH band signatures per
+ *    document — x8's bucket equi-join input, one MinHashBands codegen
+ *    pass at build instead of per query.
+ *  - `ex8h` (doc_id, h): xxhash64 of each distinct 8-token shingle
+ *    (docs with ≥8 tokens) — both sides of x36's train-vocabulary /
+ *    test-probe join ride these 16-byte rows instead of ~60-char
+ *    strings, and the tokenize+explode lineage runs once, at build.
+ */
+object ShingleIndex {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
+
+  def forDir(spark: SparkSession, dir: String): TableStore =
+    StoredIndexes.versioned(cache, dir, "documents.parquet",
+      "graft-shingle-index") { root =>
+      val store = new TableStore(spark, root)
+      val docs = table(spark, dir, "documents")
+      val sh = DedupQueries.shingledFrom(docs)
+      // spread each table across the session's shuffle width at build:
+      // a source corpus of a few parquet files would otherwise produce
+      // few-file index tables whose probe stages run on 1-2 tasks —
+      // the scan parallelism of the INDEX, not the corpus, bounds
+      // every probe (observed: single-task distincts costing seconds)
+      store.replace("pfx3",
+        DedupQueries.prefixIndex(sh).repartition(col("h")))
+      store.replace("bands3", sh.select(col("doc_id"),
+        explode(TextExpressions.minhash_bands(col("s"))).as("bv"))
+        .repartition(col("bv")))
+      // the x35 split is a pure hash of doc_id: computing it once per
+      // INDEX ROW here (and storing it) keeps the probe free of md5 —
+      // the r8 first cut recomputed it per shingle row at probe time,
+      // ~50× more md5 than the per-document formulation it replaced
+      val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+      store.replace("ex8h", docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"),
+          explode(TextFns.shingles(col("ts"), 8)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"),
+          when(bkt < 80, "train").when(bkt < 90, "val")
+            .otherwise("test").as("split"))
+        .repartition(col("h")))
+      store
+    }
+}

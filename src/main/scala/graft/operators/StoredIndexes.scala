@@ -1,0 +1,66 @@
+package graft.operators
+
+/** Shared machinery for build-once stored indexes (IVF/SRP vector
+  * indexes, the shingle index): a per-JVM cache keyed on (corpus dir,
+  * corpus fingerprint) so an index is built exactly once per corpus
+  * VERSION — untouched corpora are served from the stored tables,
+  * mutated corpora trigger a rebuild instead of silently serving
+  * stale results, and retired builds' scratch roots are reclaimed.
+  *
+  * Build wall-clock is recorded per index kind in [[buildLog]]: probe
+  * queries deliberately time only serving cost (the build runs during
+  * Bench warmup — the build-once/probe-many accounting), and the log
+  * is what surfaces the amortized build cost in the bench artifact so
+  * the serving numbers can be read honestly.
+  */
+private[graft] object StoredIndexes {
+
+  final case class Cached[A](fingerprint: String, root: String, index: A)
+
+  /** Seconds spent building each index kind in this JVM (rebuilds
+    * accumulate). Bench emits this as the `build` section. */
+  val buildLog =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Fingerprint of the files backing `dir/file`: stable while the
+    * corpus is untouched, guaranteed to change on any append/rewrite
+    * (sizes change even within mtime granularity). */
+  def fingerprint(dir: String, file: String): String = {
+    val p = java.nio.file.Paths.get(dir, file)
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted().forEach { f =>
+        val sz =
+          if (java.nio.file.Files.isRegularFile(f))
+            java.nio.file.Files.size(f)
+          else 0L
+        md.update((p.relativize(f).toString + "|" + sz + "|" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis + "\n")
+          .getBytes("UTF-8"))
+      } finally walk.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Serve `m(dir)` if its fingerprint still matches, else (re)build
+    * via `mk` into a fresh registered scratch root, reclaiming any
+    * superseded build. `kind` names the index in [[buildLog]]. */
+  def versioned[A](m: java.util.concurrent.ConcurrentHashMap[
+      String, Cached[A]], dir: String, file: String, kind: String)(
+      mk: String => A): A =
+    m.compute(dir, (_, prev) => {
+      val fp = fingerprint(dir, file)
+      if (prev != null && prev.fingerprint == fp) prev
+      else {
+        if (prev != null) graft.tables.TempDirs.delete(prev.root)
+        val root = graft.tables.TempDirs.scratch(kind)
+        val t0 = System.nanoTime()
+        val built = Cached(fp, root, mk(root))
+        buildLog.merge(kind, (System.nanoTime() - t0) / 1e9,
+          (a, b) => a + b)
+        built
+      }
+    }).index
+}

@@ -68,52 +68,16 @@ object VectorIndex {
   // a rebuild on the next probe instead of silently serving a stale
   // index, and the retired build's scratch root is reclaimed
   // immediately (any root still live at shutdown falls to TempDirs).
-  private final case class Cached[A](fingerprint: String, root: String,
-      index: A)
-
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Cached[Ivf]]()
-
-  /** Fingerprint of the corpus files backing `dir`'s embeddings table:
-    * stable while the corpus is untouched, guaranteed to change on any
-    * append/rewrite (sizes change even within mtime granularity). */
-  private[operators] def corpusFingerprint(dir: String): String = {
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted().forEach { f =>
-        val sz =
-          if (java.nio.file.Files.isRegularFile(f))
-            java.nio.file.Files.size(f)
-          else 0L
-        md.update((p.relativize(f).toString + "|" + sz + "|" +
-          java.nio.file.Files.getLastModifiedTime(f).toMillis + "\n")
-          .getBytes("UTF-8"))
-      } finally walk.close()
-      md.digest().map("%02x".format(_)).mkString
-    }
-  }
-
-  private def versioned[A](m: java.util.concurrent.ConcurrentHashMap[
-      String, Cached[A]], dir: String, prefix: String)(
-      mk: String => A): A =
-    m.compute(dir, (_, prev) => {
-      val fp = corpusFingerprint(dir)
-      if (prev != null && prev.fingerprint == fp) prev
-      else {
-        if (prev != null) graft.tables.TempDirs.delete(prev.root)
-        val root = graft.tables.TempDirs.scratch(prefix)
-        Cached(fp, root, mk(root))
-      }
-    }).index
+  // Cache/versioning/build-time accounting live in StoredIndexes.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[Ivf]]()
 
   def forDir(spark: SparkSession, dir: String): Ivf =
-    versioned(cache, dir, "graft-ivf-index")(root => build(spark, dir, root))
+    StoredIndexes.versioned(cache, dir, "embeddings.parquet",
+      "graft-ivf-index")(root => build(spark, dir, root))
 
-  private val srpCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Cached[TableStore]]()
+  private val srpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
 
   /** Build-once stored SRP-LSH inverted index: (vec_id, tb) rows
     * written through TableStore PARTITIONED BY the bucket id, so a
@@ -125,7 +89,8 @@ object VectorIndex {
     * fingerprint changes, like [[forDir]]. */
   def srpForDir(spark: SparkSession, dir: String,
       index: DataFrame => DataFrame): TableStore =
-    versioned(srpCache, dir, "graft-srp-index") { root =>
+    StoredIndexes.versioned(srpCache, dir, "embeddings.parquet",
+      "graft-srp-index") { root =>
       val store = new TableStore(spark, root)
       store.replace("srp_idx",
         index(table(spark, dir, "embeddings")).repartition(col("tb")),
