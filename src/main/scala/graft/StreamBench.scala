@@ -30,6 +30,8 @@ import org.apache.spark.sql.streaming.Trigger
   * consumer. */
 object StreamBench {
   case class R(id: String, evento: String, email: String, cantidad: Int, seq: Long)
+  /** A raw two-topic CDC wire message (KafkaIO.readTopics shape). */
+  case class M(topic: String, value: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,17 +107,81 @@ object StreamBench {
         s""""batches":$nRounds,"sec":$secs,"req_per_sec":${(n / secs).toLong},"sf":"$sfDir"}""")
     }
 
-    if (variant != "stateful") run("admission_throughput", stateful = false, 1)
-    if (variant != "batch") run("admission_throughput_stateful", stateful = true, 1)
-    if (variant != "stateful")
+    // ------------------------------------------------------------------
+    // consumerFlow end-to-end (the reference's whole async consumer
+    // topology, inventario/main.go:56-133): two-topic subscribe +
+    // routing + JSON unquote/parse + idempotent registration + cascade
+    // cancels + once-only seat returns, under 5% redelivery. Wire
+    // messages are string-quoted JSON post-images — exactly what the
+    // connector puts on the topics.
+    def jq(doc: String): String =
+      "\"" + doc.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def runConsumer(metric: String, nRounds: Int): Unit = {
+      val store = freshStore()
+      val flows = new Flows(spark, store, trigger = Trigger.ProcessingTime(0))
+      val inserts = requests.map { r =>
+        M("boletia.inventario", jq(
+          s"""{"_id": {"$$oid": "${r.id.reverse}"}, "nombre": "${r.evento}", """ +
+            s""""capacidad": 100, "categoria": "Cat", "estado": "A", """ +
+            s""""idres": {"$$oid": "${r.id}"}, "email": "${r.email}", """ +
+            s""""canres": ${r.cantidad}}"""))
+      }
+      // every 10th registered reservation comes back as a customer
+      // cancel (estado X → seat return); one organizer cancel per
+      // round exercises the cascade branch every micro-batch
+      val returns = requests.zipWithIndex.collect { case (r, i) if i % 10 == 0 =>
+        M("boletia.reservas", jq(
+          s"""{"_id": {"$$oid": "${r.id}"}, "evento": "${r.evento}", """ +
+            s""""estado": "X", "email": "${r.email}", "cantidad": ${r.cantidad}}"""))
+      }
+      val cancels = requests.take(nRounds).map { r =>
+        M("boletia.inventario", jq(
+          s"""{"_id": {"$$oid": "${r.id.reverse}"}, "nombre": "${r.evento}", """ +
+            s""""capacidad": 100, "categoria": "Cat", "estado": "C", """ +
+            s""""idres": null, "email": null, "canres": null}"""))
+      }
+      // 5% redelivery: duplicate every 20th message (both topics) —
+      // the registration appendUnique and the devoluciones anti-join
+      // must absorb them without double effects
+      val base = inserts ++ cancels ++ returns
+      val msgs = base ++ base.zipWithIndex.collect {
+        case (m, i) if i % 20 == 0 => m
+      }
+      val nm = msgs.length
+      val ms = MemoryStream[M](spark, cpus.toInt)
+      val chunk = (nm + nRounds - 1) / nRounds
+      val t0 = System.nanoTime()
+      val q = flows.consumerFlow(ms.toDS().toDF())
+      msgs.grouped(chunk).foreach { c =>
+        ms.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val registered = store.load("reservas").count()
+      val returned = store.load("devoluciones").count()
+      println(s"""{"metric":"$metric","messages":$nm,"registered":$registered,""" +
+        s""""returned":$returned,"batches":$nRounds,"sec":$secs,""" +
+        s""""msg_per_sec":${(nm / secs).toLong},"sf":"$sfDir"}""")
+    }
+
+    val runBatch = variant == "both" || variant == "batch"
+    val runStateful = variant == "both" || variant == "stateful"
+    if (runBatch) run("admission_throughput", stateful = false, 1)
+    if (runStateful) run("admission_throughput_stateful", stateful = true, 1)
+    if (runBatch)
       run("admission_throughput_multibatch", stateful = false, rounds)
-    if (variant != "batch") {
+    if (runStateful) {
       run("admission_throughput_stateful_multibatch", stateful = true, rounds)
       // RocksDB state store + changelog checkpointing: the per-trigger
       // checkpoint upload is just the changelog, the working state
       // lives off-heap — the provider a real cluster deployment runs
       run("admission_throughput_stateful_multibatch_rocksdb",
         stateful = true, rounds, rocksdb = true)
+    }
+    if (variant == "both" || variant == "consumer") {
+      runConsumer("consumer_throughput", 1)
+      runConsumer("consumer_throughput_multibatch", rounds)
     }
     spark.stop()
   }
