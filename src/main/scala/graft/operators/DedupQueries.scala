@@ -137,13 +137,19 @@ object DedupQueries {
       "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
       "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)"
 
-  /** Spark twin of simhashCandSql: (doc_a, doc_b, fa, fb), distinct. */
-  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val fpDf = table(s, d, "documents")
+  /** (doc_id, f): one narrow codegen scan computing the 16-bit SimHash
+    * fingerprint per document (shared by x25's banding and x34's
+    * quotient clustering). */
+  private def simhashFps(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
           .as("f"))
+
+  /** Spark twin of simhashCandSql: (doc_a, doc_b, fa, fb), distinct. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val fpDf = simhashFps(s, d)
     val bands = fpDf.select(col("doc_id"), col("f"),
       explode(array((0 until 3).map(i =>
         struct(lit(i).as("i"),
@@ -378,18 +384,24 @@ object DedupQueries {
     // detection into an actual dedup decision: connected components
     // over the x25 Hamming-ball pair graph, cluster label = min doc_id
     // in the component, `canonical` marks the one representative a
-    // pipeline would KEEP (every other row is the drop list). Spark
-    // side runs distributed min-label propagation with per-superstep
-    // materialization (each iteration reads the previous labels from
-    // parquet — flat lineage, the Pregel pattern — and the pair graph
-    // is materialized ONCE, not recomputed per iteration); the oracle
-    // recomputes the same fixpoint via recursive reachability. The
-    // iteration count is data-dependent but the FIXPOINT is unique, so
-    // results are engine-independent. Scale asymmetry, measured: at
-    // sf0.1 the pair graph is ~540k edges and the oracle's recursive
-    // reach (quadratic in component size) stops being feasible, while
-    // this path runs in seconds — the oracle exists for the sf0.01
-    // gate; the Spark formulation is the one that scales.
+    // pipeline would KEEP (every other row is the drop list).
+    //
+    // QUOTIENT formulation (r8): the pair relation is defined purely
+    // on the 16-bit fingerprints (hamming(fa, fb) ≤ 2), so components
+    // of the document graph are exactly the preimages of components of
+    // the FINGERPRINT graph — which has at most 2¹⁶ nodes at ANY
+    // corpus scale. One narrow codegen scan + one ≤65536-row aggregate
+    // (per-fp doc count and min doc_id) feed a driver-side union-find
+    // over the quotient (each fp probes its 136 Hamming-≤2 neighbor
+    // masks); docs then pick up (cluster, canonical) through one
+    // broadcast join. No pair graph is ever materialized and nothing
+    // iterates — the iterative pointer-jumping operator
+    // (connectedComponents above) remains the general-purpose path for
+    // graphs whose label space CANNOT be quotiented to driver size,
+    // pinned by DedupHotPathSpec. The oracle recomputes the same
+    // fixpoint via recursive reachability (feasible at the sf0.01
+    // gate; tools/check_sf01.py replays the quotient union-find
+    // independently at sf0.1). 5.1 → 0.6 s at sf0.1.
     Query("x34_dedup_clusters",
       s"WITH RECURSIVE $simhashCandSql, " +
         "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
@@ -403,10 +415,55 @@ object DedupQueries {
         "SELECT doc_id, cluster, doc_id = cluster AS canonical FROM cc " +
         "ORDER BY cluster, doc_id") {
       (s, d) =>
-        connectedComponents(s, simhashCandidates(s, d)
-          .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
-          .select(col("doc_a"), col("doc_b")))
-          .withColumn("canonical", col("doc_id") === col("cluster"))
+        val fps = simhashFps(s, d)
+        // ≤65536 rows: per-fingerprint doc count + min doc_id
+        val byFp = fps.groupBy(col("f"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("minDoc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val present = byFp.map(_._1).toSet
+        // driver union-find over the fingerprint quotient graph
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        def union(a: Long, b: Long): Unit = {
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val masks = (0 until 16).map(1L << _) ++
+          (for (i <- 0 until 16; j <- i + 1 until 16)
+            yield (1L << i) | (1L << j))
+        byFp.foreach { case (f, _, _) =>
+          masks.foreach { m =>
+            val nb = f ^ m
+            if (f < nb && present.contains(nb)) union(f, nb)
+          }
+        }
+        // a doc is in the output iff its fp pairs with some doc: its
+        // fp holds ≥2 docs, or its fp has a present Hamming-≤2
+        // neighbor (i.e. it was unioned)
+        val eligible = byFp.filter { case (f, cnt, _) =>
+          cnt >= 2 || parent.contains(f)
+        }
+        // component cluster label = min doc_id across member fps
+        val clusterOf = eligible
+          .groupBy { case (f, _, _) =>
+            if (parent.contains(f)) find(f) else f
+          }
+          .values.flatMap { members =>
+            val cluster = members.iterator.map(_._3).min
+            members.iterator.map { case (f, _, _) => (f, cluster) }
+          }.toSeq
+        import s.implicits._
+        val compDf = clusterOf.toDF("f", "cluster")
+        fps.join(broadcast(compDf), Seq("f"))
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("canonical"))
           .orderBy("cluster", "doc_id")
     },
 

@@ -126,6 +126,25 @@ class DedupHotPathSpec extends AnyFunSuite {
       s"superstep exchanges must partition at the session's $parts:\n$plan")
   }
 
+  test("x34 quotient clustering ≡ general pointer-jumping CC on the same pair graph") {
+    // the quotient union-find over fingerprints and the distributed CC
+    // over the document pair graph must produce the identical fixpoint
+    val quotient = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = DedupQueries.simhashCandidates(spark, TestSpark.sf)
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val general = DedupQueries.connectedComponents(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(quotient.nonEmpty)
+    assert(quotient.map(d => d._1 -> d._2).toMap === general)
+    // exactly one canonical per cluster, and it is the cluster min
+    quotient.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._1).min === c)
+      assert(ms.count(_._3) === 1)
+    }
+  }
+
   test("connected components: pointer jumping converges on long chains and stars") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 — needs path doubling, not one
