@@ -309,6 +309,81 @@ class StatefulAdmissionSpec extends AnyFunSuite {
     assert(st.capacidad === 1000000L - 1000L)
   }
 
+  test("property: lifecycle invariants hold across random message mixes and batch splits (unit, TestGroupState)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.{InvState, SReq, StatefulAdmission}
+    // 60 seeded cases: random capacity, random create/req/ret/cancel
+    // mix over a small id pool (forcing redelivery duplicates), random
+    // seq gaps (TTL interplay), random batch boundaries. The fold must
+    // keep the conservation + idempotence invariants for EVERY split —
+    // batching is an operational accident, not a semantic input.
+    (0 until 60).foreach { seed =>
+      val rnd = new scala.util.Random(1000 + seed)
+      val cap0 = 5L + rnd.nextInt(30)
+      // horizon beyond any generated offset span: in-run dedup is only
+      // an invariant while entries are inside the TTL window (eviction
+      // + re-admission beyond it is the documented contract, covered
+      // by the TTL cases above)
+      val horizon = 100000L
+      val ids = Vector.tabulate(8)(i => f"aaaaaaaaaaaaaaaaaaaa$i%04d")
+      var seq = rnd.nextInt(1000).toLong
+      val msgs = (0 until 40 + rnd.nextInt(40)).map { _ =>
+        seq += 1 + rnd.nextInt(10)
+        val id = ids(rnd.nextInt(ids.size))
+        rnd.nextInt(10) match {
+          case k if k < 6 => SReq(id, "E", "u@x.y", 1 + rnd.nextInt(4), seq, null, "req")
+          case k if k < 8 => SReq(id, "E", "u@x.y", 1 + rnd.nextInt(4), seq, null, "ret")
+          case 8          => SReq(null, "E", null, 0, seq, null, "cancel")
+          case _          => SReq(id.reverse, "E", null, 10 + rnd.nextInt(20), seq, null, "create")
+        }
+      }
+      // random batch boundaries (1..msgs.length batches)
+      val batches = {
+        val cuts = (0 until msgs.length).filter(_ => rnd.nextBoolean())
+        val bounds = (0 +: cuts :+ msgs.length).distinct.sorted
+        bounds.sliding(2).map { case Seq(a, b) => msgs.slice(a, b) }
+          .filter(_.nonEmpty).toSeq
+      }
+      var st = InvState(cap0, "A", Map.empty, Map.empty)
+      val log = scala.collection.mutable.ArrayBuffer.empty[graft.streaming.AdmitEvent]
+      batches.foreach { b =>
+        val state = TestGroupState.create[InvState](
+          org.apache.spark.api.java.Optional.of(st),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          0L, org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        log ++= StatefulAdmission.admit(horizon)("E", b.iterator, state)
+        if (state.exists) st = state.get
+      }
+      val admits = log.filter(_.kind == "admit")
+      val returns = log.filter(_.kind == "return")
+      val cancels = log.filter(_.kind == "cancel")
+      val ctx = s"seed=$seed batches=${batches.length}"
+      // conservation: final capacity = initial - admitted + returned
+      assert(st.capacidad ===
+        cap0 - admits.map(_.cantidad.toLong).sum + returns.map(_.cantidad.toLong).sum,
+        s"$ctx conservation")
+      // oversell: capacity after every state-changing event >= 0
+      assert(log.forall(e => e.kind == "reject" || e.capacidad >= 0),
+        s"$ctx oversell")
+      // idempotence: within-horizon duplicates collapse — an id admits
+      // at most once, a reservation returns at most once
+      assert(admits.map(_.id).distinct.size === admits.size, s"$ctx dup admit")
+      assert(returns.map(_.id).distinct.size === returns.size, s"$ctx dup return")
+      // cancel is terminal and idempotent: at most one cancel event,
+      // estado ends C iff one was applied, and no batch AFTER the
+      // cancel's admits anything (within the cancel's own batch the
+      // seq sort already orders it against later requests)
+      assert(cancels.size <= 1, s"$ctx dup cancel")
+      assert((st.estado == "C") === cancels.nonEmpty, s"$ctx estado")
+      if (cancels.nonEmpty) {
+        val cOrd = log.indexWhere(_.kind == "cancel")
+        assert(log.drop(cOrd + 1).forall(e =>
+          e.kind != "admit" && e.kind != "return"), s"$ctx change after cancel")
+      }
+    }
+  }
+
   test("create lifecycle kind: event created after query start becomes admittable") {
     val (store, flows) = seededEvent(20)
     implicit val sql = spark.sqlContext
