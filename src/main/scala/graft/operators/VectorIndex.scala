@@ -76,6 +76,38 @@ object VectorIndex {
     StoredIndexes.versioned(cache, dir, "embeddings.parquet",
       "graft-ivf-index")(root => build(spark, dir, root))
 
+  /** Incrementally absorb new vectors into the stored IVF index
+    * WITHOUT a rebuild: assigns them to cells with the FROZEN
+    * centroids and appends layout-compatible delta segments into the
+    * cell-partitioned corpus table — O(new rows) instead of
+    * O(corpus), the standard IVF serving practice (centroid drift is
+    * tolerated until the next full rebuild; pruning is preserved
+    * because TableStore appends keep the hive layout). Call AFTER the
+    * corpus itself has grown: the cache entry's fingerprint advances
+    * to the corpus state the index now covers, so later probes serve
+    * the grown index in place; a cold JVM (or a corpus change not
+    * routed through ingest) rebuilds from scratch as before. With no
+    * index built yet, this is just a build over the full corpus. */
+  def ingest(spark: SparkSession, dir: String, rows: DataFrame): Ivf =
+    cache.compute(dir, (_, prev) => {
+      val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
+      if (prev == null) {
+        val root = graft.tables.TempDirs.scratch("graft-ivf-index")
+        StoredIndexes.Cached(fp, root, build(spark, dir, root))
+      } else {
+        val base = rows
+          .select(col("vec_id"), col("embedding"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
+          .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
+        val assigned = assignCells(base, prev.index.centroids)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        prev.index.store.append("ivf_corpus",
+          assigned.repartition(col("cell")))
+        StoredIndexes.Cached(fp, prev.root, prev.index)
+      }
+    }).index
+
   private val srpCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
@@ -97,6 +129,28 @@ object VectorIndex {
         partitionBy = Seq("tb"))
       store
     }
+
+  /** SRP twin of [[ingest]]: bucket the new vectors with the caller's
+    * (deterministic) index function and append into the stored
+    * bucket-partitioned inverted index — O(new rows), layout and
+    * pruning preserved. Same ordering contract: corpus first, then
+    * ingest. */
+  def srpIngest(spark: SparkSession, dir: String, rows: DataFrame,
+      index: DataFrame => DataFrame): TableStore =
+    srpCache.compute(dir, (_, prev) => {
+      val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
+      if (prev == null) {
+        val root = graft.tables.TempDirs.scratch("graft-srp-index")
+        val store = new TableStore(spark, root)
+        store.replace("srp_idx",
+          index(table(spark, dir, "embeddings")).repartition(col("tb")),
+          partitionBy = Seq("tb"))
+        StoredIndexes.Cached(fp, root, store)
+      } else {
+        prev.index.append("srp_idx", index(rows).repartition(col("tb")))
+        StoredIndexes.Cached(fp, prev.root, prev.index)
+      }
+    }).index
 
   /** The fixed-point projection both engines cluster on, as a local
     * computation (for the driver-side query vector). Matches

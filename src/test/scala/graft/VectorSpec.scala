@@ -187,4 +187,37 @@ class VectorSpec extends AnyFunSuite {
       .count() === 50)
     graft.tables.TempDirs.delete(dir)
   }
+
+  test("incremental ingest: new vectors join the stored indexes without a rebuild") {
+    import graft.operators.VectorIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ving").toString
+    emb.filter(col("vec_id") < 40).write.parquet(s"$dir/embeddings.parquet")
+    val srpFn = (e: org.apache.spark.sql.DataFrame) =>
+      e.select(col("vec_id"), (col("vec_id") % 4).cast("string").as("tb"))
+    val ivf0 = VectorIndex.forDir(spark, dir)
+    val srp0 = VectorIndex.srpForDir(spark, dir, srpFn)
+    // corpus grows in place, then ingest routes the SAME delta into
+    // the stored indexes — O(new rows), frozen centroids, no rebuild
+    val delta = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+    emb.filter(col("vec_id") < 50).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val ivf1 = VectorIndex.ingest(spark, dir, delta)
+    val srp1 = VectorIndex.srpIngest(spark, dir, delta, srpFn)
+    assert(ivf1 eq ivf0, "ingest must not rebuild the IVF index")
+    assert(srp1 eq srp0, "ingest must not rebuild the SRP index")
+    assert(ivf1.corpus.count() === 50)
+    assert(srp1.load("srp_idx").count() === 50)
+    // and forDir now serves the grown index as-is (fingerprint covers
+    // the new corpus state — no rebuild on the next probe either)
+    assert(VectorIndex.forDir(spark, dir) eq ivf0)
+    assert(VectorIndex.srpForDir(spark, dir, srpFn) eq srp0)
+    // the appended delta segments keep the hive layout: a cell filter
+    // still partition-prunes the grown corpus
+    val probed = ivf1.corpus.filter(col("cell") === ivf1.centroids.head._1)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"ingested corpus lost pruning:\n$plan")
+    graft.tables.TempDirs.delete(dir)
+  }
 }
