@@ -358,25 +358,49 @@ object DedupQueries {
     },
 
     // SimHash Hamming-ball near-dup (ROADMAP §5): pairs of documents
-    // whose 16-bit SimHash fingerprints differ in ≤ 2 bits. Banding
-    // candidate join: THREE disjoint bands (5+5+6 bits) — by
-    // pigeonhole any pair within Hamming distance ≤ 2 has some band
-    // with zero differing bits, so recall is EXACT for the threshold
-    // (no probabilistic misses to reproduce). Three wide bands beat
-    // the r6 4×4-bit layout ~3× on candidate volume: bucket
-    // collision probability is 2^-5/2^-5/2^-6 per band instead of
-    // 4×2^-4. Candidates equi-join on (band index, band value) — one
-    // shuffle, no all-pairs — then verify with bit_count(xor). Same
-    // scale shape as x8: bucket join + cheap exact verification.
+    // whose 16-bit SimHash fingerprints differ in ≤ 2 bits.
+    //
+    // QUOTIENT formulation (r8, same insight as x34): the pair
+    // predicate depends only on the fingerprints, and the fingerprint
+    // space is ≤2¹⁶ at any corpus scale — so the candidate structure
+    // is a driver-built NEIGHBOR TABLE of present fingerprint pairs
+    // within Hamming ≤ 2 (each present fp × 137 masks, ≤ ~4.5M rows
+    // even fully saturated — bounded by the fp space, independent of
+    // corpus size). Docs pick up their pairs through two broadcast
+    // joins against it: no banding explode, no candidate shuffle, no
+    // distinct — each unordered doc pair emits exactly once via the
+    // doc_a < doc_b guard because (fa, fb) neighbor rows are unique.
+    // The banding path survives in simhashCandidates as the
+    // general-width formulation (a 64-bit fingerprint would overflow
+    // the quotient) and as the spec's ground truth. Wall-clock at
+    // sf0.1 is unchanged (~1.4 s) because the query is OUTPUT-bound —
+    // 1.08M qualifying pairs shuffle into the ordered result; what
+    // the quotient removes is the corpus-sized banding explode and
+    // candidate shuffle, which is the part that grows at 100 TB.
     Query("x25_simhash_neardup",
       s"WITH $simhashCandSql " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
         "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
       (s, d) =>
-        simhashCandidates(s, d)
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
-          .filter(col("hamming") <= 2)
+        val fps = simhashFps(s, d)
+        val present = fps.select(col("f")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val masks = Seq(0L) ++ (0 until 16).map(1L << _) ++
+          (for (i <- 0 until 16; j <- i + 1 until 16)
+            yield (1L << i) | (1L << j))
+        val nbrs = present.iterator.flatMap { f =>
+          masks.iterator
+            .filter(m => present.contains(f ^ m))
+            .map(m => (f, f ^ m, java.lang.Long.bitCount(m)))
+        }.toSeq
+        import s.implicits._
+        val nbrDf = nbrs.toDF("fa", "fb", "hamming")
+        fps.as("x")
+          .join(broadcast(nbrDf), col("x.f") === col("fa"))
+          .join(fps.as("y"),
+            col("y.f") === col("fb") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("hamming").cast("int").as("hamming"))
           .orderBy("doc_a", "doc_b")
     },
 

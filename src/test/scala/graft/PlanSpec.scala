@@ -92,13 +92,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("x25: Hamming verify is evaluated inside the band equi-join") {
+  test("x25: pairs come from the broadcast fingerprint neighbor table — no banding explode") {
     val p = plan("x25_simhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"band join degenerated:\n$p")
-    // bit_count(xor) rides the join condition — candidates are filtered
-    // during the probe, never materialized
-    assert(p.contains("bit_count"), s"hamming not in the join:\n$p")
+      s"quotient join degenerated:\n$p")
+    // the Hamming-≤2 candidate structure is the driver-built neighbor
+    // table (bounded by the 2^16 fp space), broadcast into two
+    // fingerprint equi-joins; the corpus-sized banding explode of the
+    // r7 plan is gone — no Generate node anywhere
+    assert(p.contains("LocalTableScan"), s"neighbor table missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"neighbor join not broadcast:\n$p")
+    assert(!p.contains("Generate"), s"banding explode resurfaced:\n$p")
   }
 
   test("x33: interval predicate rides a hash equi-join, not a nested loop") {
