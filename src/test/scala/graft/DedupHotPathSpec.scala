@@ -126,6 +126,28 @@ class DedupHotPathSpec extends AnyFunSuite {
       s"superstep exchanges must partition at the session's $parts:\n$plan")
   }
 
+  test("shingle index tracks the corpus version: mutation rebuilds, never serves stale") {
+    import spark.implicits._
+    import graft.operators.ShingleIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-shtest").toString
+    (0L until 20L).map(i => (i, s"alpha beta gamma delta epsilon token$i x y"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val s1 = ShingleIndex.forDir(spark, dir)
+    val n1 = s1.load("ex8h").select("doc_id").distinct().count()
+    assert(n1 === 20)
+    // untouched corpus → cached store instance
+    assert(s1 eq ShingleIndex.forDir(spark, dir))
+    // in-place growth → rebuilt index covering the new docs
+    (0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon token$i x y"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val s2 = ShingleIndex.forDir(spark, dir)
+    assert(!(s2 eq s1), "mutated corpus must rebuild the shingle index")
+    assert(s2.load("ex8h").select("doc_id").distinct().count() === 30)
+    assert(s2.load("pfx3").select("doc_id").distinct().count() === 30)
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("x34 quotient clustering ≡ general pointer-jumping CC on the same pair graph") {
     // the quotient union-find over fingerprints and the distributed CC
     // over the document pair graph must produce the identical fixpoint
