@@ -165,6 +165,9 @@ object StreamBench {
         s""""msg_per_sec":${(nm / secs).toLong},"sf":"$sfDir"}""")
     }
 
+    require(Set("both", "batch", "stateful", "consumer")(variant),
+      s"unknown SPARK_GRAFT_STREAM_VARIANT '$variant' " +
+        "(expected both | batch | stateful | consumer)")
     val runBatch = variant == "both" || variant == "batch"
     val runStateful = variant == "both" || variant == "stateful"
     if (runBatch) run("admission_throughput", stateful = false, 1)

@@ -364,9 +364,11 @@ object DedupQueries {
     // predicate depends only on the fingerprints, and the fingerprint
     // space is ≤2¹⁶ at any corpus scale — so the candidate structure
     // is a driver-built NEIGHBOR TABLE of present fingerprint pairs
-    // within Hamming ≤ 2 (each present fp × 137 masks, ≤ ~4.5M rows
-    // even fully saturated — bounded by the fp space, independent of
-    // corpus size). Docs pick up their pairs through two broadcast
+    // within Hamming ≤ 2: each present fp × 137 masks, BOTH
+    // directions (the doc_a < doc_b guard is on doc ids, so a pair
+    // may need either fp orientation) — ≤ ~9M rows fully saturated,
+    // bounded by the fp space, independent of corpus size. Docs pick
+    // up their pairs through two broadcast
     // joins against it: no banding explode, no candidate shuffle, no
     // distinct — each unordered doc pair emits exactly once via the
     // doc_a < doc_b guard because (fa, fb) neighbor rows are unique.

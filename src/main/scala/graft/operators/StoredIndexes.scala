@@ -44,23 +44,32 @@ private[graft] object StoredIndexes {
     }
   }
 
+  /** Build a fresh cache entry into a registered scratch root,
+    * recording the build seconds under `kind` — the ONE logged build
+    * path, shared by [[versioned]] and the ingest APIs so the bench
+    * `build` section cannot under-report. */
+  def rebuildEntry[A](fp: String, kind: String)(mk: String => A)
+      : Cached[A] = {
+    val root = graft.tables.TempDirs.scratch(kind)
+    val t0 = System.nanoTime()
+    val built = Cached(fp, root, mk(root))
+    buildLog.merge(kind, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
+    built
+  }
+
   /** Serve `m(dir)` if its fingerprint still matches, else (re)build
-    * via `mk` into a fresh registered scratch root, reclaiming any
-    * superseded build. `kind` names the index in [[buildLog]]. */
+    * via `mk` into a fresh registered scratch root. A superseded
+    * build's root is NOT deleted eagerly — a reader holding a lazy
+    * plan over the old index keeps its snapshot (the same retention
+    * contract TableStore documents); retired roots stay registered
+    * with TempDirs and fall at JVM exit, bounded by rebuilds per JVM.
+    * `kind` names the index in [[buildLog]]. */
   def versioned[A](m: java.util.concurrent.ConcurrentHashMap[
       String, Cached[A]], dir: String, file: String, kind: String)(
       mk: String => A): A =
     m.compute(dir, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
-      else {
-        if (prev != null) graft.tables.TempDirs.delete(prev.root)
-        val root = graft.tables.TempDirs.scratch(kind)
-        val t0 = System.nanoTime()
-        val built = Cached(fp, root, mk(root))
-        buildLog.merge(kind, (System.nanoTime() - t0) / 1e9,
-          (a, b) => a + b)
-        built
-      }
+      else rebuildEntry(fp, kind)(mk)
     }).index
 }

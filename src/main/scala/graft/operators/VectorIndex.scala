@@ -66,9 +66,10 @@ object VectorIndex {
   // corpus mutated in place — the continuous-upsert analogue of the
   // reference's CDC clone (kafka-mongodb-connect.yaml:22-33) — triggers
   // a rebuild on the next probe instead of silently serving a stale
-  // index, and the retired build's scratch root is reclaimed
-  // immediately (any root still live at shutdown falls to TempDirs).
-  // Cache/versioning/build-time accounting live in StoredIndexes.
+  // index. Retired builds are retained until JVM exit (readers holding
+  // lazy plans over the old index keep their snapshot; TempDirs
+  // reclaims at shutdown). Cache/versioning/build-time accounting
+  // live in StoredIndexes.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Ivf]]()
 
@@ -83,18 +84,21 @@ object VectorIndex {
     * O(corpus), the standard IVF serving practice (centroid drift is
     * tolerated until the next full rebuild; pruning is preserved
     * because TableStore appends keep the hive layout). Call AFTER the
-    * corpus itself has grown: the cache entry's fingerprint advances
-    * to the corpus state the index now covers, so later probes serve
-    * the grown index in place; a cold JVM (or a corpus change not
-    * routed through ingest) rebuilds from scratch as before. With no
-    * index built yet, this is just a build over the full corpus. */
+    * corpus itself has grown by exactly `rows`: the cache entry's
+    * fingerprint advances to the corpus state the index now covers.
+    * The contract is CHECKED, not trusted — after the append the
+    * indexed-vector count must equal the corpus count; a mismatch
+    * (the corpus changed by more than the ingested delta: an upsert,
+    * a compaction) falls back to a full logged rebuild rather than
+    * silently serving an index missing foreign rows. With no index
+    * built yet this is just a build over the full corpus. */
   def ingest(spark: SparkSession, dir: String, rows: DataFrame): Ivf =
     cache.compute(dir, (_, prev) => {
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      if (prev == null) {
-        val root = graft.tables.TempDirs.scratch("graft-ivf-index")
-        StoredIndexes.Cached(fp, root, build(spark, dir, root))
-      } else {
+      if (prev == null)
+        StoredIndexes.rebuildEntry(fp, "graft-ivf-index")(
+          root => build(spark, dir, root))
+      else {
         val base = rows
           .select(col("vec_id"), col("embedding"),
             transform(col("embedding"),
@@ -104,7 +108,11 @@ object VectorIndex {
           .select(col("vec_id"), col("embedding"), col("cell"))
         prev.index.store.append("ivf_corpus",
           assigned.repartition(col("cell")))
-        StoredIndexes.Cached(fp, prev.root, prev.index)
+        val covered = prev.index.corpus.count() ==
+          table(spark, dir, "embeddings").count()
+        if (covered) StoredIndexes.Cached(fp, prev.root, prev.index)
+        else StoredIndexes.rebuildEntry(fp, "graft-ivf-index")(
+          root => build(spark, dir, root))
       }
     }).index
 
@@ -133,24 +141,31 @@ object VectorIndex {
   /** SRP twin of [[ingest]]: bucket the new vectors with the caller's
     * (deterministic) index function and append into the stored
     * bucket-partitioned inverted index — O(new rows), layout and
-    * pruning preserved. Same ordering contract: corpus first, then
-    * ingest. */
+    * pruning preserved. Same checked contract: corpus first, then
+    * ingest; a coverage mismatch (distinct indexed vectors ≠ corpus
+    * rows) falls back to a full logged rebuild. */
   def srpIngest(spark: SparkSession, dir: String, rows: DataFrame,
-      index: DataFrame => DataFrame): TableStore =
+      index: DataFrame => DataFrame): TableStore = {
+    def full(root: String): TableStore = {
+      val store = new TableStore(spark, root)
+      store.replace("srp_idx",
+        index(table(spark, dir, "embeddings")).repartition(col("tb")),
+        partitionBy = Seq("tb"))
+      store
+    }
     srpCache.compute(dir, (_, prev) => {
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      if (prev == null) {
-        val root = graft.tables.TempDirs.scratch("graft-srp-index")
-        val store = new TableStore(spark, root)
-        store.replace("srp_idx",
-          index(table(spark, dir, "embeddings")).repartition(col("tb")),
-          partitionBy = Seq("tb"))
-        StoredIndexes.Cached(fp, root, store)
-      } else {
+      if (prev == null) StoredIndexes.rebuildEntry(fp, "graft-srp-index")(full)
+      else {
         prev.index.append("srp_idx", index(rows).repartition(col("tb")))
-        StoredIndexes.Cached(fp, prev.root, prev.index)
+        val covered = prev.index.load("srp_idx")
+          .select(col("vec_id")).distinct().count() ==
+          table(spark, dir, "embeddings").count()
+        if (covered) StoredIndexes.Cached(fp, prev.root, prev.index)
+        else StoredIndexes.rebuildEntry(fp, "graft-srp-index")(full)
       }
     }).index
+  }
 
   /** The fixed-point projection both engines cluster on, as a local
     * computation (for the driver-side query vector). Matches

@@ -174,14 +174,22 @@ final class TableStore(spark: SparkSession, root: String,
       if (!exists(name)) replace(name, df)
       else {
         val parts = partitionColumns(name)
-        val v = currentVersion(name)
-        val segs = segments(name, v)
-        if (segs.length >= CompactThreshold)
-          replace(name, load(name).unionByName(df), parts)
-        else {
-          val next = v + 1
-          publish(name, segs :+ writeSegment(name, next, df, parts), next,
-            parts)
+        // a zero-row partitionBy write emits NO parquet files (only
+        // _SUCCESS), so recording it in the manifest would make every
+        // later load() fail schema inference on the empty segment dir —
+        // skip empty appends for partitioned tables entirely (flat
+        // empty writes still emit a schema-bearing part file and are
+        // harmless, so they keep the cheap no-action path)
+        if (parts.isEmpty || !df.isEmpty) {
+          val v = currentVersion(name)
+          val segs = segments(name, v)
+          if (segs.length >= CompactThreshold)
+            replace(name, load(name).unionByName(df), parts)
+          else {
+            val next = v + 1
+            publish(name, segs :+ writeSegment(name, next, df, parts), next,
+              parts)
+          }
         }
       }
     }

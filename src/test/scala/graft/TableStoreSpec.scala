@@ -185,6 +185,19 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("p").count() === 66)
   }
 
+  test("empty append to a partitioned table is a no-op, not a poisoned segment") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("p", (0 until 16).map(i => (i, i % 4)).toDF("k", "cell"),
+      partitionBy = Seq("cell"))
+    // a zero-row partitionBy write emits no parquet files; recording
+    // that segment would make every later load() fail schema inference
+    store.append("p", Seq.empty[(Int, Int)].toDF("k", "cell"))
+    assert(store.load("p").count() === 16)
+    store.append("p", Seq((100, 1)).toDF("k", "cell"))
+    assert(store.load("p").count() === 17)
+  }
+
   test("partitioned append: compaction preserves the layout") {
     import spark.implicits._
     val store = fresh()

@@ -218,6 +218,17 @@ class VectorSpec extends AnyFunSuite {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"ingested corpus lost pruning:\n$plan")
+    // ingest's contract is CHECKED: grow the corpus by MORE than the
+    // ingested delta (a foreign upsert) — coverage mismatch must force
+    // a full rebuild instead of silently serving a partial index
+    val delta2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
+    emb.filter(col("vec_id") < 60).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val ivf2 = VectorIndex.ingest(spark, dir, delta2)
+    assert(ivf2.corpus.count() === 60, "foreign corpus change not covered")
+    val srp2 = VectorIndex.srpIngest(spark, dir, delta2, srpFn)
+    assert(srp2.load("srp_idx").select(col("vec_id")).distinct()
+      .count() === 60)
     graft.tables.TempDirs.delete(dir)
   }
 }
