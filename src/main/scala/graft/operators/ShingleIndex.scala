@@ -39,6 +39,16 @@ import org.apache.spark.sql.functions._
  *    (docs with ≥8 tokens) — both sides of x36's train-vocabulary /
  *    test-probe join ride these 16-byte rows instead of ~60-char
  *    strings, and the tokenize+explode lineage runs once, at build.
+ *
+ * Unlike the vector indexes there is deliberately NO incremental
+ * ingest here: pfx3's prefix selection depends on the GLOBAL
+ * df-ascending canonical order, so new documents shift document
+ * frequencies and can change which shingles enter OLD documents'
+ * prefixes — appending only the new docs' prefix entries would
+ * silently break the completeness guarantee the whole operator rests
+ * on. bands3/ex8h are per-document and could append, but a corpus
+ * change invalidates pfx3 regardless, so the whole index rebuilds on
+ * the fingerprint transition (correct-by-construction over fast).
  */
 object ShingleIndex {
 
