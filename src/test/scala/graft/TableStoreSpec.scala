@@ -185,6 +185,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("p").count() === 66)
   }
 
+  test("appendUnique into a partitioned table dedups across segments and keeps the layout") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("p", (0 until 16).map(i => (i, i % 4)).toDF("k", "cell"),
+      partitionBy = Seq("cell"))
+    // k=3 already exists (dropped); k=100 is fresh (appended into the
+    // hive layout); the anti-join reads the multi-segment union path
+    store.appendUnique("p", Seq((3, 3), (100, 1)).toDF("k", "cell"), Seq("k"))
+    assert(store.load("p").count() === 17)
+    assert(store.load("p").filter(col("k") === 3).count() === 1)
+    assert(store.partitionColumns("p") === Seq("cell"))
+    assert(store.load("p").filter(col("cell") === 1)
+      .collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 5, 9, 13, 100))
+    // an all-duplicate batch appends nothing (no empty segment)
+    val before = store.load("p").inputFiles.length
+    store.appendUnique("p", Seq((100, 1)).toDF("k", "cell"), Seq("k"))
+    assert(store.load("p").inputFiles.length === before)
+  }
+
   test("empty append to a partitioned table is a no-op, not a poisoned segment") {
     import spark.implicits._
     val store = fresh()
