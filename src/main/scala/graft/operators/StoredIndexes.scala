@@ -15,7 +15,14 @@ package graft.operators
   */
 private[graft] object StoredIndexes {
 
-  final case class Cached[A](fingerprint: String, root: String, index: A)
+  /** @param files data-file listing ([[dataListing]]) of the corpus
+    *   state this entry covers — the append-only witness the ingest
+    *   APIs check before extending the index instead of rebuilding
+    * @param rows corpus rows covered by the index; -1 = not tracked
+    *   yet (backfilled on the first ingest, then counter-maintained so
+    *   coverage checks never rescan the index) */
+  final case class Cached[A](fingerprint: String, root: String, index: A,
+      files: Map[String, String] = Map.empty, rows: Long = -1L)
 
   /** Seconds spent building each index kind in this JVM (rebuilds
     * accumulate). Bench emits this as the `build` section. */
@@ -23,8 +30,12 @@ private[graft] object StoredIndexes {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   /** Fingerprint of the files backing `dir/file`: stable while the
-    * corpus is untouched, guaranteed to change on any append/rewrite
-    * (sizes change even within mtime granularity). */
+    * corpus is untouched, changes on any append/rewrite UNDER THE
+    * ASSUMPTION that writers emit fresh (UUID-named) part files —
+    * which Spark's parquet writer always does. A byte-level in-place
+    * rewrite that preserves every file's name, size and millisecond
+    * mtime would evade it; that requires a deliberate non-Spark
+    * writer and is outside the threat model. */
   def fingerprint(dir: String, file: String): String = {
     val p = java.nio.file.Paths.get(dir, file)
     if (!java.nio.file.Files.exists(p)) "absent"
@@ -44,15 +55,52 @@ private[graft] object StoredIndexes {
     }
   }
 
+  /** Per-DATA-file signature (relative path → "size|mtime") of the
+    * parquet files backing `dir/file`; metadata files (`_SUCCESS`,
+    * dot-files) are excluded because append jobs legitimately rewrite
+    * them. This is the append-only witness the ingest APIs check: a
+    * corpus grew append-only iff every previously covered data file is
+    * still present with an unchanged signature — new files are the
+    * appended delta, any touched/vanished old file is an in-place
+    * rewrite (upsert, compaction, overwrite) that invalidates
+    * incremental maintenance. Same writer assumption as
+    * [[fingerprint]] (fresh part files per write). */
+  def dataListing(dir: String, file: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, file)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        val b = Map.newBuilder[String, String]
+        walk.forEach { f =>
+          val n = f.getFileName.toString
+          if (java.nio.file.Files.isRegularFile(f) &&
+              !n.startsWith("_") && !n.startsWith("."))
+            b += p.relativize(f).toString ->
+              (java.nio.file.Files.size(f) + "|" +
+                java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+        b.result()
+      } finally walk.close()
+    }
+  }
+
+  /** True iff `now` extends `covered` without touching it: every
+    * covered file still present, byte-identical by signature. */
+  def appendOnly(covered: Map[String, String],
+      now: Map[String, String]): Boolean =
+    covered.forall { case (f, sig) => now.get(f).contains(sig) }
+
   /** Build a fresh cache entry into a registered scratch root,
     * recording the build seconds under `kind` — the ONE logged build
     * path, shared by [[versioned]] and the ingest APIs so the bench
     * `build` section cannot under-report. */
-  def rebuildEntry[A](fp: String, kind: String)(mk: String => A)
-      : Cached[A] = {
+  def rebuildEntry[A](fp: String, kind: String,
+      files: Map[String, String] = Map.empty, rows: Long = -1L)(
+      mk: String => A): Cached[A] = {
     val root = graft.tables.TempDirs.scratch(kind)
     val t0 = System.nanoTime()
-    val built = Cached(fp, root, mk(root))
+    val built = Cached(fp, root, mk(root), files, rows)
     buildLog.merge(kind, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
     built
   }
@@ -70,6 +118,6 @@ private[graft] object StoredIndexes {
     m.compute(dir, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
-      else rebuildEntry(fp, kind)(mk)
+      else rebuildEntry(fp, kind, dataListing(dir, file))(mk)
     }).index
 }

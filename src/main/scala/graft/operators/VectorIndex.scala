@@ -84,35 +84,52 @@ object VectorIndex {
     * O(corpus), the standard IVF serving practice (centroid drift is
     * tolerated until the next full rebuild; pruning is preserved
     * because TableStore appends keep the hive layout). Call AFTER the
-    * corpus itself has grown by exactly `rows`: the cache entry's
-    * fingerprint advances to the corpus state the index now covers.
-    * The contract is CHECKED, not trusted — after the append the
-    * indexed-vector count must equal the corpus count; a mismatch
-    * (the corpus changed by more than the ingested delta: an upsert,
-    * a compaction) falls back to a full logged rebuild rather than
-    * silently serving an index missing foreign rows. With no index
-    * built yet this is just a build over the full corpus. */
+    * corpus itself has grown APPEND-ONLY by exactly `rows`: the cache
+    * entry advances to the corpus state the index now covers.
+    *
+    * The contract is CHECKED at two levels before the index is
+    * touched, and a violation falls back to a full logged rebuild:
+    * (a) the corpus data-file listing must EXTEND the covered listing
+    * (every previously covered part file unchanged — an in-place
+    * rewrite such as an upsert, a compaction or a same-count mutation
+    * changes or replaces old files and is detected even when row
+    * counts still agree); (b) covered rows + delta rows must equal
+    * the corpus row count (detects foreign appends beyond the handed
+    * delta). The covered-row counter is carried on the cache entry,
+    * so neither check ever rescans the index; the corpus-side count
+    * is a parquet metadata read. What remains trusted is only that an
+    * append-only growth of exactly N rows IS the N delta rows handed
+    * in — the caller owns the corpus writer, per the contract. With
+    * no index built yet this is just a build over the full corpus. */
   def ingest(spark: SparkSession, dir: String, rows: DataFrame): Ivf =
     cache.compute(dir, (_, prev) => {
+      val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      if (prev == null)
-        StoredIndexes.rebuildEntry(fp, "graft-ivf-index")(
-          root => build(spark, dir, root))
+      def corpusRows(): Long = table(spark, dir, "embeddings").count()
+      def full() = StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
+        listing, corpusRows())(root => build(spark, dir, root))
+      if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
+        full()
       else {
-        val base = rows
-          .select(col("vec_id"), col("embedding"),
-            transform(col("embedding"),
-              x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
-          .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
-        val assigned = assignCells(base, prev.index.centroids)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-        prev.index.store.append("ivf_corpus",
-          assigned.repartition(col("cell")))
-        val covered = prev.index.corpus.count() ==
-          table(spark, dir, "embeddings").count()
-        if (covered) StoredIndexes.Cached(fp, prev.root, prev.index)
-        else StoredIndexes.rebuildEntry(fp, "graft-ivf-index")(
-          root => build(spark, dir, root))
+        val deltaN = rows.count()
+        // backfill for entries built before any ingest (forDir):
+        // the IVF corpus count is a parquet metadata read
+        val covered =
+          if (prev.rows >= 0) prev.rows else prev.index.corpus.count()
+        if (covered + deltaN != corpusRows()) full()
+        else {
+          val base = rows
+            .select(col("vec_id"), col("embedding"),
+              transform(col("embedding"),
+                x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
+            .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
+          val assigned = assignCells(base, prev.index.centroids)
+            .select(col("vec_id"), col("embedding"), col("cell"))
+          prev.index.store.append("ivf_corpus",
+            assigned.repartition(col("cell")))
+          StoredIndexes.Cached(fp, prev.root, prev.index, listing,
+            covered + deltaN)
+        }
       }
     }).index
 
@@ -141,9 +158,12 @@ object VectorIndex {
   /** SRP twin of [[ingest]]: bucket the new vectors with the caller's
     * (deterministic) index function and append into the stored
     * bucket-partitioned inverted index — O(new rows), layout and
-    * pruning preserved. Same checked contract: corpus first, then
-    * ingest; a coverage mismatch (distinct indexed vectors ≠ corpus
-    * rows) falls back to a full logged rebuild. */
+    * pruning preserved. Same checked contract: the corpus listing
+    * must extend the covered listing (in-place rewrites rebuild) and
+    * covered + delta rows must equal the corpus count. The covered
+    * counter means coverage checks never rescan the index — the
+    * O(index) distinct-count only runs once as a backfill for an
+    * entry built by [[srpForDir]] before its first ingest. */
   def srpIngest(spark: SparkSession, dir: String, rows: DataFrame,
       index: DataFrame => DataFrame): TableStore = {
     def full(root: String): TableStore = {
@@ -154,15 +174,25 @@ object VectorIndex {
       store
     }
     srpCache.compute(dir, (_, prev) => {
+      val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      if (prev == null) StoredIndexes.rebuildEntry(fp, "graft-srp-index")(full)
+      def corpusRows(): Long = table(spark, dir, "embeddings").count()
+      def fullEntry() = StoredIndexes.rebuildEntry(fp, "graft-srp-index",
+        listing, corpusRows())(full)
+      if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
+        fullEntry()
       else {
-        prev.index.append("srp_idx", index(rows).repartition(col("tb")))
-        val covered = prev.index.load("srp_idx")
-          .select(col("vec_id")).distinct().count() ==
-          table(spark, dir, "embeddings").count()
-        if (covered) StoredIndexes.Cached(fp, prev.root, prev.index)
-        else StoredIndexes.rebuildEntry(fp, "graft-srp-index")(full)
+        val deltaN = rows.count()
+        val covered =
+          if (prev.rows >= 0) prev.rows
+          else prev.index.load("srp_idx")
+            .select(col("vec_id")).distinct().count()
+        if (covered + deltaN != corpusRows()) fullEntry()
+        else {
+          prev.index.append("srp_idx", index(rows).repartition(col("tb")))
+          StoredIndexes.Cached(fp, prev.root, prev.index, listing,
+            covered + deltaN)
+        }
       }
     }).index
   }

@@ -196,11 +196,12 @@ class VectorSpec extends AnyFunSuite {
       e.select(col("vec_id"), (col("vec_id") % 4).cast("string").as("tb"))
     val ivf0 = VectorIndex.forDir(spark, dir)
     val srp0 = VectorIndex.srpForDir(spark, dir, srpFn)
-    // corpus grows in place, then ingest routes the SAME delta into
-    // the stored indexes — O(new rows), frozen centroids, no rebuild
+    // corpus grows APPEND-ONLY (fresh part files, old ones untouched —
+    // the contract ingest verifies via the data-file listing), then
+    // ingest routes the SAME delta into the stored indexes —
+    // O(new rows), frozen centroids, no rebuild
     val delta = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
-    emb.filter(col("vec_id") < 50).write.mode("overwrite")
-      .parquet(s"$dir/embeddings.parquet")
+    delta.write.mode("append").parquet(s"$dir/embeddings.parquet")
     val ivf1 = VectorIndex.ingest(spark, dir, delta)
     val srp1 = VectorIndex.srpIngest(spark, dir, delta, srpFn)
     assert(ivf1 eq ivf0, "ingest must not rebuild the IVF index")
@@ -218,17 +219,31 @@ class VectorSpec extends AnyFunSuite {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"ingested corpus lost pruning:\n$plan")
-    // ingest's contract is CHECKED: grow the corpus by MORE than the
-    // ingested delta (a foreign upsert) — coverage mismatch must force
-    // a full rebuild instead of silently serving a partial index
+    // ingest's contract is CHECKED: grow the corpus append-only by
+    // MORE than the ingested delta (a foreign append) — the
+    // covered-rows check must force a full rebuild instead of
+    // silently serving a partial index
     val delta2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
-    emb.filter(col("vec_id") < 60).write.mode("overwrite")
-      .parquet(s"$dir/embeddings.parquet")
+    emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
     val ivf2 = VectorIndex.ingest(spark, dir, delta2)
+    assert(!(ivf2 eq ivf1), "foreign append must rebuild")
     assert(ivf2.corpus.count() === 60, "foreign corpus change not covered")
     val srp2 = VectorIndex.srpIngest(spark, dir, delta2, srpFn)
     assert(srp2.load("srp_idx").select(col("vec_id")).distinct()
       .count() === 60)
+    // and the check is CONTENT-sensitive, not count-based: rewrite the
+    // corpus in place with the SAME row count but different vectors (an
+    // upsert) — a zero-row delta keeps counts equal, yet the listing
+    // check must detect the rewrite and rebuild, not serve stale cells
+    emb.filter(col("vec_id") >= 1 && col("vec_id") <= 60)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivf3 = VectorIndex.ingest(spark, dir, delta2.limit(0))
+    assert(!(ivf3 eq ivf2), "same-count in-place rewrite must rebuild IVF")
+    assert(ivf3.corpus.agg(min(col("vec_id"))).head.getLong(0) === 1)
+    val srp3 = VectorIndex.srpIngest(spark, dir, delta2.limit(0), srpFn)
+    assert(!(srp3 eq srp2), "same-count in-place rewrite must rebuild SRP")
+    assert(srp3.load("srp_idx").agg(min(col("vec_id"))).head.getLong(0) === 1)
     graft.tables.TempDirs.delete(dir)
   }
 }
