@@ -141,8 +141,12 @@ object DedupQueries {
     * fingerprint per document (shared by x25's banding and x34's
     * quotient clustering). */
   private def simhashFps(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
-      .filter(col("text").isNotNull)
+    simhashFpsOf(table(s, d, "documents"))
+
+  /** The same fingerprint scan over any (doc_id, text) frame — the
+    * ingestion flow fingerprints TableStore-held corpora with it. */
+  private[graft] def simhashFpsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
           .as("f"))
@@ -164,6 +168,68 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.f").as("fa"), col("y.f").as("fb"))
       .distinct()
+  }
+
+  /** Near-dup clustering on the FINGERPRINT QUOTIENT graph (the x34
+    * engine, factored out so the ingestion flow can recompute the
+    * dedup-decision table per micro-batch over a TableStore corpus):
+    * components of the doc pair graph (Hamming(fa, fb) ≤ 2) are
+    * exactly the preimages of components of the ≤2¹⁶-node fingerprint
+    * graph — one narrow fingerprint scan + one bounded aggregate feed
+    * a driver union-find, docs pick up (cluster, canonical) through
+    * one broadcast join. Returns (doc_id, cluster, canonical) for
+    * every doc participating in ≥1 pair, UNORDERED — callers add
+    * their own determinism ORDER BY. */
+  private[graft] def quotientClusters(s: SparkSession,
+      fps: DataFrame): DataFrame = {
+    // ≤65536 rows: per-fingerprint doc count + min doc_id
+    val byFp = fps.groupBy(col("f"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("minDoc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val present = byFp.map(_._1).toSet
+    // driver union-find over the fingerprint quotient graph
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val masks = (0 until 16).map(1L << _) ++
+      (for (i <- 0 until 16; j <- i + 1 until 16)
+        yield (1L << i) | (1L << j))
+    byFp.foreach { case (f, _, _) =>
+      masks.foreach { m =>
+        val nb = f ^ m
+        if (f < nb && present.contains(nb)) union(f, nb)
+      }
+    }
+    // a doc is in the output iff its fp pairs with some doc: its
+    // fp holds ≥2 docs, or its fp has a present Hamming-≤2
+    // neighbor (i.e. it was unioned)
+    val eligible = byFp.filter { case (f, cnt, _) =>
+      cnt >= 2 || parent.contains(f)
+    }
+    // component cluster label = min doc_id across member fps
+    val clusterOf = eligible
+      .groupBy { case (f, _, _) =>
+        if (parent.contains(f)) find(f) else f
+      }
+      .values.flatMap { members =>
+        val cluster = members.iterator.map(_._3).min
+        members.iterator.map { case (f, _, _) => (f, cluster) }
+      }.toSeq
+    import s.implicits._
+    val compDf = clusterOf.toDF("f", "cluster")
+    fps.join(broadcast(compDf), Seq("f"))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("canonical"))
   }
 
   /** Distributed connected components over an undirected pair graph
@@ -441,56 +507,7 @@ object DedupQueries {
         "SELECT doc_id, cluster, doc_id = cluster AS canonical FROM cc " +
         "ORDER BY cluster, doc_id") {
       (s, d) =>
-        val fps = simhashFps(s, d)
-        // ≤65536 rows: per-fingerprint doc count + min doc_id
-        val byFp = fps.groupBy(col("f"))
-          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("minDoc"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val present = byFp.map(_._1).toSet
-        // driver union-find over the fingerprint quotient graph
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        def union(a: Long, b: Long): Unit = {
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        val masks = (0 until 16).map(1L << _) ++
-          (for (i <- 0 until 16; j <- i + 1 until 16)
-            yield (1L << i) | (1L << j))
-        byFp.foreach { case (f, _, _) =>
-          masks.foreach { m =>
-            val nb = f ^ m
-            if (f < nb && present.contains(nb)) union(f, nb)
-          }
-        }
-        // a doc is in the output iff its fp pairs with some doc: its
-        // fp holds ≥2 docs, or its fp has a present Hamming-≤2
-        // neighbor (i.e. it was unioned)
-        val eligible = byFp.filter { case (f, cnt, _) =>
-          cnt >= 2 || parent.contains(f)
-        }
-        // component cluster label = min doc_id across member fps
-        val clusterOf = eligible
-          .groupBy { case (f, _, _) =>
-            if (parent.contains(f)) find(f) else f
-          }
-          .values.flatMap { members =>
-            val cluster = members.iterator.map(_._3).min
-            members.iterator.map { case (f, _, _) => (f, cluster) }
-          }.toSeq
-        import s.implicits._
-        val compDf = clusterOf.toDF("f", "cluster")
-        fps.join(broadcast(compDf), Seq("f"))
-          .select(col("doc_id"), col("cluster"),
-            (col("doc_id") === col("cluster")).as("canonical"))
-          .orderBy("cluster", "doc_id")
+        quotientClusters(s, simhashFps(s, d)).orderBy("cluster", "doc_id")
     },
 
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex

@@ -67,6 +67,13 @@ object VectorQueries {
   private def tbArray(e: Column): Column =
     array((0 until L).map(t => tbColumn(t, e)).toIndexedSeq: _*)
 
+  /** The (vec_id, tb) inverted-index rows for an embeddings frame —
+    * the build function x10/x11 hand [[VectorIndex.srpForDir]],
+    * exposed so the ingestion flow maintains the SAME stored index
+    * incrementally (one index serves queries and the flow). */
+  private[graft] def srpIndexRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb"))
+
   private lazy val x11Sql =
     s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
       "FROM embeddings), " +
@@ -180,9 +187,7 @@ object VectorQueries {
         // product per candidate pair instead of three folds.
         // (dot/‖a‖)/‖b‖ keeps the IEEE op sequence of VectorFns.cosine,
         // so values stay oracle-identical.
-        val idx = VectorIndex.srpForDir(s, d, e =>
-          e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb")))
-          .load("srp_idx")
+        val idx = VectorIndex.srpForDir(s, d, srpIndexRows).load("srp_idx")
         val cand = idx.select(col("vec_id").as("vec_a"), col("tb"))
           .join(idx.select(col("vec_id").as("vec_b"), col("tb")), Seq("tb"))
           .filter(col("vec_a") < col("vec_b"))
@@ -215,8 +220,7 @@ object VectorQueries {
     // against the brute-force top-10 and the partition pruning.
     Query("x11_ann_lsh", x11Sql) {
       (s, d) =>
-        val idxStore = VectorIndex.srpForDir(s, d, e =>
-          e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb")))
+        val idxStore = VectorIndex.srpForDir(s, d, srpIndexRows)
         val qtbs = emb(s, d).filter(col("vec_id") === 0)
           .select(tbArray(col("embedding")).as("tbs"))
           .collect().head.getSeq[String](0)

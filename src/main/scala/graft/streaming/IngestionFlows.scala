@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.operators.{DedupQueries, VectorIndex, VectorQueries}
+import graft.tables.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Dedup-on-ingest: the training-data pipeline's operational flows that
+ * keep a growing corpus AND its derived dedup/ANN structures current
+ * per micro-batch — the LLM-pipeline analogue of the reference's CDC
+ * clone flow, which maintains a derived table alongside every write
+ * (kafka-mongodb-connect.yaml:22-33).
+ *
+ * Two flows:
+ *
+ *  - [[documentIngestFlow]]: new (doc_id, text) rows append
+ *    idempotently into the `documents` corpus table; the
+ *    `dedup_decisions` DERIVED table (doc_id, cluster, canonical — the
+ *    x34 near-dup clustering of the corpus as of this batch) is then
+ *    recomputed, and each NEW doc's admit/drop verdict is emitted to
+ *    the `ingest_log` (drop = the doc joined an existing cluster
+ *    non-canonically, i.e. a near-dup of the stored corpus).
+ *    Recomputing (not patching) the decision table is what makes its
+ *    contents EXACTLY x34's canonical selection over the unioned
+ *    corpus at every batch boundary — including the cluster-merge case
+ *    where a new doc bridges two previously separate clusters and
+ *    demotes one old canonical (an incremental patch would miss the
+ *    demotion). The recompute is the quotient formulation: one narrow
+ *    fingerprint scan + one ≤2¹⁶-row aggregate + driver union-find —
+ *    per-batch cost is a codegen scan, not a pair graph.
+ *
+ *  - [[embeddingIngestFlow]]: new (vec_id, embedding) rows append into
+ *    the parquet embeddings corpus and are routed into the STORED
+ *    IVF + SRP indexes via the checked incremental-ingest APIs
+ *    (frozen centroids / frozen planes, O(new rows), layout-compatible
+ *    delta segments) — the serving indexes never go stale and never
+ *    rebuild on the ingest path. Idempotence is content-level: a
+ *    replayed batch anti-joins to empty against the corpus it already
+ *    grew, so neither the corpus nor the indexes double-ingest.
+ *
+ * Admission semantics note: a doc's logged verdict is fixed at its
+ * arrival batch. A LATER batch can demote an earlier canonical (its
+ * cluster absorbed a smaller doc_id) — `dedup_decisions` always
+ * reflects the current global truth, while `ingest_log` records what
+ * was decided when; readers wanting the current drop list read the
+ * decision table, not the log.
+ */
+final class IngestionFlows(spark: SparkSession, store: TableStore,
+    embCorpusDir: String,
+    checkpointRoot: Option[String] = None,
+    trigger: Trigger = Trigger.AvailableNow()) {
+  import spark.implicits._
+
+  private def start(df: DataFrame, name: String)(
+      body: DataFrame => Unit): StreamingQuery = {
+    val w = df.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same replay guard as Flows.start: batchId protection only
+        // with a persistent checkpoint (temp checkpoints restart at 0)
+        if (checkpointRoot.isEmpty || batchId > store.lastCommitted(name)) {
+          body(batch)
+          if (checkpointRoot.isDefined) store.commitBatch(name, batchId)
+        }
+      }
+    checkpointRoot.foreach(r => w.option("checkpointLocation", s"$r/$name"))
+    w.start()
+  }
+
+  /** New documents → corpus + recomputed dedup decisions + per-doc
+    * admit/drop log. Input schema: (doc_id long, text string). */
+  def documentIngestFlow(newDocs: DataFrame): StreamingQuery =
+    start(newDocs, "document_ingest") { batch0 =>
+      // the batch feeds the corpus append AND the new-doc log; persist
+      // so the stream source is scanned once
+      val batch = batch0.dropDuplicates("doc_id").persist()
+      try {
+        // which of the batch are genuinely new (replay / re-send of an
+        // already-ingested doc must be a no-op end to end)
+        val fresh = (
+          if (!store.exists("documents")) batch
+          else batch.join(store.load("documents").select("doc_id"),
+            Seq("doc_id"), "left_anti")).persist()
+        try {
+          store.appendUnique("documents", batch, Seq("doc_id"))
+          if (!fresh.isEmpty) {
+            // recompute the derived decision table on the grown corpus
+            // — per-batch cost: one narrow codegen scan + bounded agg
+            val decisions = DedupQueries.quotientClusters(spark,
+              DedupQueries.simhashFpsOf(store.load("documents")))
+            store.replace("dedup_decisions", decisions)
+            // the new docs' verdicts: a new doc is DROPPED iff the
+            // current clustering marks it non-canonical (near-dup of a
+            // smaller-id doc); docs outside any cluster are admitted
+            val admitted = fresh.select(col("doc_id"))
+              .join(store.load("dedup_decisions")
+                .select(col("doc_id"), col("canonical")),
+                Seq("doc_id"), "left_outer")
+              .select(col("doc_id"),
+                coalesce(col("canonical"), lit(true)).as("admitted"))
+            store.appendUnique("ingest_log", admitted, Seq("doc_id"))
+          }
+        } finally { fresh.unpersist(); () }
+      } finally { batch.unpersist(); () }
+    }
+
+  /** New embeddings → parquet corpus + incremental ingest into the
+    * stored IVF and SRP indexes. Input schema: (vec_id long,
+    * embedding array<float>). */
+  def embeddingIngestFlow(newEmbs: DataFrame): StreamingQuery =
+    start(newEmbs, "embedding_ingest") { batch =>
+      val corpus = s"$embCorpusDir/embeddings.parquet"
+      val existing =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(corpus)))
+          Some(spark.read.parquet(corpus))
+        else None
+      // content-level idempotence: drop vectors the corpus already
+      // holds, so a replayed batch appends nothing and ingests nothing
+      val fresh0 = batch.dropDuplicates("vec_id")
+      val antiJoined = existing
+        .map(c => fresh0.join(c.select("vec_id"), Seq("vec_id"), "left_anti"))
+        .getOrElse(fresh0)
+      // STAGE the delta before touching the corpus: appending to the
+      // corpus path refreshes it and invalidates every plan (cached or
+      // not) whose lineage reads that path — which the anti-join does.
+      // A scratch materialization breaks the lineage, so the delta the
+      // indexes ingest is fixed before the corpus grows. O(batch).
+      val scratch = graft.tables.TempDirs.scratch("graft-emb-delta")
+      antiJoined.write.parquet(s"$scratch/delta")
+      val fresh = spark.read.parquet(s"$scratch/delta")
+      try {
+        if (fresh.head(1).nonEmpty) {
+          // corpus first, then the indexes — the order the checked
+          // ingest contract requires (covered + delta == corpus rows)
+          fresh.write.mode("append").parquet(corpus)
+          VectorIndex.ingest(spark, embCorpusDir, fresh)
+          VectorIndex.srpIngest(spark, embCorpusDir, fresh,
+            VectorQueries.srpIndexRows)
+          ()
+        }
+      } finally { graft.tables.TempDirs.delete(scratch); () }
+    }
+}

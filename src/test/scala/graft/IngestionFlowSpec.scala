@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.VectorIndex
+import graft.sources.Tables
+import graft.streaming.IngestionFlows
+import graft.tables.TableStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup-on-ingest flows: a corpus grown through micro-batches
+  * must end in the same state as a batch build — decisions table equal
+  * to x34's clustering of the unioned corpus, stored ANN indexes
+  * covering every vector without a rebuild — and replaying a batch
+  * must change nothing anywhere (content-level idempotence). */
+class IngestionFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("document ingest: near-dup of an admitted doc is dropped; replay is a no-op") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingdoc").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root)
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    // batch 1: two distinct docs
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "completely different content about spark engines"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === 2)
+    val log1 = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log1 === Map(1L -> true, 5L -> true), "no dups yet — both admitted")
+    // batch 2: doc 7 duplicates doc 1's text → same fingerprint →
+    // non-canonical in the recomputed clustering → dropped
+    ms.addData((7L, "the quick brown fox jumps over the lazy dog"))
+    run(flows.documentIngestFlow(df))
+    val log2 = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log2(7L) === false, "near-dup of stored corpus must be dropped")
+    val dec = store.load("dedup_decisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dec === Set((1L, 1L, true), (7L, 1L, false)))
+    // batch 3: REPLAY of batch 2 — nothing may change
+    val v0 = (store.load("documents").count(), store.load("ingest_log").count())
+    ms.addData((7L, "the quick brown fox jumps over the lazy dog"))
+    run(flows.documentIngestFlow(df))
+    assert((store.load("documents").count(),
+      store.load("ingest_log").count()) === v0, "replay must be a no-op")
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("document ingest over the fixture corpus matches x34 on the union") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingfix").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root)
+    val docs = Tables.table(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mid = docs.length / 2
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    ms.addData(docs.take(mid): _*)
+    run(flows.documentIngestFlow(df))
+    ms.addData(docs.drop(mid): _*)
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === docs.length.toLong)
+    // the derived decision table IS x34's canonical selection over the
+    // full (unioned) corpus — same rows, same clusters, same flags
+    val viaFlow = store.load("dedup_decisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaX34 = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaFlow === viaX34, "flow decisions diverge from x34 clustering")
+    // every doc has exactly one logged verdict; second-batch verdicts
+    // agree with the final decision table (their arrival state IS the
+    // final state)
+    assert(store.load("ingest_log").count() === docs.length.toLong)
+    val finalDec = viaFlow.map(t => t._1 -> t._3).toMap
+    val lateLog = store.load("ingest_log")
+      .filter(col("doc_id").isin(docs.drop(mid).map(_._1): _*))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    lateLog.foreach { case (id, admitted) =>
+      assert(admitted === finalDec.getOrElse(id, true),
+        s"doc $id: arrival verdict != final clustering")
+    }
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("embedding ingest: stored indexes absorb batches without rebuild; replay is a no-op") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ingemb").toString
+    val emb = Tables.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") < 40).write.parquet(s"$dir/embeddings.parquet")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ingemb-store").toString)
+    val flows = new IngestionFlows(spark, store, dir)
+    // build the serving indexes on the seed corpus (the query path)
+    val ivf0 = VectorIndex.forDir(spark, dir)
+    val srp0 = VectorIndex.srpForDir(spark, dir,
+      graft.operators.VectorQueries.srpIndexRows)
+    val rows = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    def df = ms.toDS().toDF("vec_id", "embedding")
+    ms.addData(rows: _*)
+    run(flows.embeddingIngestFlow(df))
+    // the flow grew the corpus and ingested — the SAME index objects
+    // now cover 50 vectors (no rebuild on the ingest path)
+    assert(VectorIndex.forDir(spark, dir) eq ivf0, "flow ingest must not rebuild IVF")
+    assert(VectorIndex.srpForDir(spark, dir,
+      graft.operators.VectorQueries.srpIndexRows) eq srp0,
+      "flow ingest must not rebuild SRP")
+    assert(ivf0.corpus.count() === 50)
+    assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() === 50)
+    // REPLAY the same batch: content-level idempotence — corpus and
+    // indexes unchanged, still no rebuild
+    ms.addData(rows: _*)
+    run(flows.embeddingIngestFlow(df))
+    assert(spark.read.parquet(s"$dir/embeddings.parquet").count() === 50,
+      "replayed batch must not double-append the corpus")
+    assert(VectorIndex.forDir(spark, dir) eq ivf0)
+    assert(ivf0.corpus.count() === 50)
+    assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
+    graft.tables.TempDirs.delete(dir)
+  }
+}
