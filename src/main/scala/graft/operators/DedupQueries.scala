@@ -170,6 +170,53 @@ object DedupQueries {
       .distinct()
   }
 
+  // Above this many distinct present fingerprints the x25 quotient
+  // neighbor table stops being "small" (rows ≈ present × 137; 2¹⁴
+  // fps → ~2.2M rows ≈ 50 MB broadcast) and the banded candidate
+  // join wins. The 16-bit space saturates at 65536 — the guard is
+  // insurance for a wider-fingerprint future, not a path this
+  // corpus hits (sf0.1 has ~2.2k present fps).
+  private val QuotientMaxFps = 1 << 14
+
+  /** x25's pair generation: (doc_a, doc_b, hamming), doc_a < doc_b,
+    * Hamming(fa, fb) ≤ 2, UNORDERED. Quotient path when the present
+    * fingerprint count is small (the 16-bit norm): the Hamming-≤2
+    * fp neighbor table is built distributedly (present × 137 masks,
+    * semi-joined to present — bounded by fp space, not corpus) and
+    * broadcast into two equi-joins. Past `maxQuotientFps` (spec knob;
+    * wider-fingerprint insurance) it falls back to the banded
+    * candidate join — identical results, pinned by spec. */
+  private[graft] def simhashPairs(s: SparkSession, d: String,
+      maxQuotientFps: Long = QuotientMaxFps): DataFrame = {
+    val fps = simhashFps(s, d)
+    val presentDf = fps.select(col("f")).distinct()
+    if (presentDf.count() > maxQuotientFps)
+      simhashCandidates(s, d)
+        .withColumn("hamming",
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    else {
+      val masks = Seq(0L) ++ (0 until 16).map(1L << _) ++
+        (for (i <- 0 until 16; j <- i + 1 until 16)
+          yield (1L << i) | (1L << j))
+      val maskArr = array(masks.map(m =>
+        struct(lit(m).as("m"),
+          lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
+      val nbr = presentDf.select(col("f").as("fa"),
+          explode(maskArr).as("mk"))
+        .select(col("fa"), col("fa").bitwiseXOR(col("mk.m")).as("fb"),
+          col("mk.h").as("hamming"))
+        .join(presentDf.select(col("f").as("fb")), Seq("fb"), "left_semi")
+      fps.as("x")
+        .join(broadcast(nbr), col("x.f") === col("fa"))
+        .join(fps.as("y"),
+          col("y.f") === col("fb") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("hamming").cast("int").as("hamming"))
+    }
+  }
+
   /** Near-dup clustering on the FINGERPRINT QUOTIENT graph (the x34
     * engine, factored out so the ingestion flow can recompute the
     * dedup-decision table per micro-batch over a TableStore corpus):
@@ -429,47 +476,27 @@ object DedupQueries {
     // QUOTIENT formulation (r8, same insight as x34): the pair
     // predicate depends only on the fingerprints, and the fingerprint
     // space is ≤2¹⁶ at any corpus scale — so the candidate structure
-    // is a driver-built NEIGHBOR TABLE of present fingerprint pairs
-    // within Hamming ≤ 2: each present fp × 137 masks, BOTH
-    // directions (the doc_a < doc_b guard is on doc ids, so a pair
-    // may need either fp orientation) — ≤ ~9M rows fully saturated,
-    // bounded by the fp space, independent of corpus size. Docs pick
-    // up their pairs through two broadcast
-    // joins against it: no banding explode, no candidate shuffle, no
-    // distinct — each unordered doc pair emits exactly once via the
-    // doc_a < doc_b guard because (fa, fb) neighbor rows are unique.
-    // The banding path survives in simhashCandidates as the
-    // general-width formulation (a 64-bit fingerprint would overflow
-    // the quotient) and as the spec's ground truth. Wall-clock at
-    // sf0.1 is unchanged (~1.4 s) because the query is OUTPUT-bound —
-    // 1.08M qualifying pairs shuffle into the ordered result; what
-    // the quotient removes is the corpus-sized banding explode and
-    // candidate shuffle, which is the part that grows at 100 TB.
+    // is a NEIGHBOR TABLE of present fingerprint pairs within
+    // Hamming ≤ 2, built DISTRIBUTEDLY (r9): present fps × the 137
+    // masks exploded, semi-joined back to the present set — nothing
+    // corpus-scale and nothing materialized on the driver (the r8
+    // version built ~present×137 boxed tuples driver-side). Docs pick
+    // up their pairs through two broadcast joins against it: no
+    // banding explode, no candidate shuffle, no distinct — each
+    // unordered doc pair emits exactly once via the doc_a < doc_b
+    // guard because (fa, fb) neighbor rows are unique. A SATURATION
+    // GUARD (r9) falls back to the banded simhashCandidates path when
+    // the present-fp count would make the broadcast neighbor table
+    // large (a wider-fingerprint future, not this 16-bit one): the
+    // two paths are result-identical (DedupHotPathSpec pins it), the
+    // banded one just shuffles candidates instead of broadcasting
+    // neighbors. Wall-clock at sf0.1 is OUTPUT-bound — 1.08M
+    // qualifying pairs through the mandated total ORDER BY.
     Query("x25_simhash_neardup",
       s"WITH $simhashCandSql " +
         "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
         "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
-      (s, d) =>
-        val fps = simhashFps(s, d)
-        val present = fps.select(col("f")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        val masks = Seq(0L) ++ (0 until 16).map(1L << _) ++
-          (for (i <- 0 until 16; j <- i + 1 until 16)
-            yield (1L << i) | (1L << j))
-        val nbrs = present.iterator.flatMap { f =>
-          masks.iterator
-            .filter(m => present.contains(f ^ m))
-            .map(m => (f, f ^ m, java.lang.Long.bitCount(m)))
-        }.toSeq
-        import s.implicits._
-        val nbrDf = nbrs.toDF("fa", "fb", "hamming")
-        fps.as("x")
-          .join(broadcast(nbrDf), col("x.f") === col("fa"))
-          .join(fps.as("y"),
-            col("y.f") === col("fb") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("hamming").cast("int").as("hamming"))
-          .orderBy("doc_a", "doc_b")
+      (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // near-dup CLUSTERING — the step that turns pairwise near-dup

@@ -167,6 +167,19 @@ class DedupHotPathSpec extends AnyFunSuite {
     }
   }
 
+  test("x25 saturation fallback: banded path returns the identical pair set") {
+    // force the guard (maxQuotientFps = 0 → every corpus "saturates")
+    // and compare against the default quotient path — the two
+    // formulations must agree pair-for-pair including hamming values
+    val quotient = DedupQueries.simhashPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = DedupQueries.simhashPairs(spark, TestSpark.sf,
+      maxQuotientFps = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(quotient.nonEmpty)
+    assert(banded === quotient, "fallback path diverged from quotient path")
+  }
+
   test("connected components: pointer jumping converges on long chains and stars") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 — needs path doubling, not one
