@@ -111,11 +111,14 @@ private[graft] object StoredIndexes {
     * plan over the old index keeps its snapshot (the same retention
     * contract TableStore documents); retired roots stay registered
     * with TempDirs and fall at JVM exit, bounded by rebuilds per JVM.
-    * `kind` names the index in [[buildLog]]. */
+    * `kind` names the index in [[buildLog]]. `cacheKey` overrides the
+    * map key when one corpus dir can host several index variants
+    * (parameterized builds); the fingerprint is always of `dir`. */
   def versioned[A](m: java.util.concurrent.ConcurrentHashMap[
-      String, Cached[A]], dir: String, file: String, kind: String)(
+      String, Cached[A]], dir: String, file: String, kind: String,
+      cacheKey: String = null)(
       mk: String => A): A =
-    m.compute(dir, (_, prev) => {
+    m.compute(if (cacheKey == null) dir else cacheKey, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
       else rebuildEntry(fp, kind, dataListing(dir, file))(mk)

@@ -43,6 +43,19 @@ object VectorIndex {
   val Dim = 64
   val Scale = 65536 // 2^16: x·Scale is exact in double
 
+  /** IVF build knobs. The defaults are ORACLE-PINNED (x20Sql replays
+    * exactly this build relationally), so x20 hash-matches DuckDB;
+    * production tunes them per corpus — cells ∝ √n is the usual IVF
+    * sizing, `iters` trades build cost for centroid quality, `dim`
+    * follows the embedding column. Non-default builds get their own
+    * cache entry + stored tables (keyed by (dir, params)), so tuning
+    * experiments never evict the serving index. */
+  final case class IvfParams(cells: Int = Cells, iters: Int = Iters,
+      dim: Int = Dim)
+
+  private def ivfKey(dir: String, p: IvfParams): String =
+    s"$dir|ivf|${p.cells}|${p.iters}|${p.dim}"
+
   /** A built index: the centroid routing table (kept in memory — it is
     * Cells×Dim numbers) plus the TableStore holding the
     * cell-partitioned corpus. */
@@ -73,9 +86,11 @@ object VectorIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Ivf]]()
 
-  def forDir(spark: SparkSession, dir: String): Ivf =
+  def forDir(spark: SparkSession, dir: String,
+      params: IvfParams = IvfParams()): Ivf =
     StoredIndexes.versioned(cache, dir, "embeddings.parquet",
-      "graft-ivf-index")(root => build(spark, dir, root))
+      "graft-ivf-index", cacheKey = ivfKey(dir, params))(
+      root => build(spark, dir, root, params))
 
   /** Incrementally absorb new vectors into the stored IVF index
     * WITHOUT a rebuild: assigns them to cells with the FROZEN
@@ -102,12 +117,14 @@ object VectorIndex {
     * in — the caller owns the corpus writer, per the contract. With
     * no index built yet this is just a build over the full corpus. */
   def ingest(spark: SparkSession, dir: String, rows: DataFrame): Ivf =
-    cache.compute(dir, (_, prev) => {
+    // ingest maintains the DEFAULT-params serving index (the one the
+    // declared queries probe); parameter experiments rebuild via forDir
+    cache.compute(ivfKey(dir, IvfParams()), (_, prev) => {
       val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
       def corpusRows(): Long = table(spark, dir, "embeddings").count()
       def full() = StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
-        listing, corpusRows())(root => build(spark, dir, root))
+        listing, corpusRows())(root => build(spark, dir, root, IvfParams()))
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         full()
       else {
@@ -234,30 +251,31 @@ object VectorIndex {
   }
 
   /** k-means over the fixed-point projection: deterministic seeds
-    * (vec_id < Cells), Iters Lloyd rounds, then the corpus +
+    * (vec_id < cells), `iters` Lloyd rounds, then the corpus +
     * centroids written through TableStore at `root`. */
-  private def build(spark: SparkSession, dir: String, root: String): Ivf = {
+  private def build(spark: SparkSession, dir: String, root: String,
+      p: IvfParams): Ivf = {
     val base = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
           x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
       .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
-    val seeds = base.filter(col("vec_id") < Cells)
+    val seeds = base.filter(col("vec_id") < p.cells)
       .select(col("vec_id"), col("pd")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     var cents: Array[(Long, Array[Double])] = seeds
-    for (_ <- 0 until Iters) {
+    for (_ <- 0 until p.iters) {
       val assigned = assignCells(base, cents)
-      val aggCols = (0 until Dim)
+      val aggCols = (0 until p.dim)
         .map(i => sum(element_at(col("pfp"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("cnt")
       val agg = assigned.groupBy("cell")
         .agg(aggCols.head, aggCols.tail: _*).collect()
       cents = agg.map { r =>
-        val cnt = r.getLong(Dim + 1)
+        val cnt = r.getLong(p.dim + 1)
         (r.getLong(0),
-          Array.tabulate(Dim)(i => r.getLong(i + 1).toDouble / cnt))
+          Array.tabulate(p.dim)(i => r.getLong(i + 1).toDouble / cnt))
       }.sortBy(_._1)
     }
     val fin = assignCells(base, cents)

@@ -188,6 +188,42 @@ class VectorSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("IVF recall curve: NProbe 1/3/8 monotone vs brute force; parameterized builds coexist") {
+    import graft.operators.VectorIndex
+    val qe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(idx: VectorIndex.Ivf, nProbe: Int): Double = {
+      val cells = idx.probeCells(VectorIndex.fixedPoint(qe), nProbe)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val got = idx.corpus.filter(col("cell").isin(cells: _*))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          VectorFns.cosine(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val idx = VectorIndex.forDir(spark, TestSpark.sf)
+    val Seq(r1, r3, r8) = Seq(1, 3, 8).map(recallAt(idx, _))
+    // probing more cells only widens the candidate pool, so recall
+    // against the exact top-10 is monotone; probing ALL cells IS the
+    // brute-force scan
+    assert(r1 <= r3 && r3 <= r8, s"recall not monotone: $r1 / $r3 / $r8")
+    assert(r8 === 1.0, "full probe must equal brute force")
+    assert(r3 >= 0.9, s"NProbe=3 recall $r3 regressed below the pinned 0.9")
+    // a non-default build (more, rougher cells) lives in its own cache
+    // entry and still recovers the exact top-10 when probing all cells
+    val idx2 = VectorIndex.forDir(spark, TestSpark.sf,
+      VectorIndex.IvfParams(cells = 16, iters = 1))
+    assert(!(idx2 eq idx))
+    assert(idx2.centroids.length > 8 && idx2.centroids.length <= 16)
+    assert(recallAt(idx2, idx2.centroids.length) === 1.0)
+    // and the default entry was not evicted by the experiment
+    assert(VectorIndex.forDir(spark, TestSpark.sf) eq idx)
+  }
+
   test("incremental ingest: new vectors join the stored indexes without a rebuild") {
     import graft.operators.VectorIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-ving").toString
