@@ -99,13 +99,14 @@ final class TableStore(spark: SparkSession, root: String,
   /** Atomically flip the table to version `next` = `segs`. The segment
     * data is fully materialized BEFORE the pointer flips; concurrent
     * readers see old-or-new, never partial. */
+  private def partHeader(partitionBy: Seq[String]): Seq[String] =
+    if (partitionBy.nonEmpty) Seq(s"#partitionBy=${partitionBy.mkString(",")}")
+    else Nil
+
   private def publish(name: String, segs: Seq[String], next: Int,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val header =
-      if (partitionBy.nonEmpty) Seq(s"#partitionBy=${partitionBy.mkString(",")}")
-      else Nil
+      headers: Seq[String] = Nil): Unit = {
     Files.write(tdir(name).resolve(s"m$next"),
-      (header ++ segs).mkString("\n").getBytes)
+      (headers ++ segs).mkString("\n").getBytes)
     val tmp = tdir(name).resolve("_current_tmp")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
@@ -132,16 +133,23 @@ final class TableStore(spark: SparkSession, root: String,
     * Partitioned tables with several delta segments read one scan per
     * segment unioned together — Spark's multi-path partition
     * discovery rejects sibling hive roots, and partition filters push
-    * through the union into every branch, so pruning is preserved. */
+    * through the union into every branch, so pruning is preserved.
+    * Bucketed tables resolve through the session catalog — that is
+    * where Spark keeps the CLUSTERED BY metadata that lets a join or
+    * aggregation on the bucket key skip its Exchange. */
   def load(name: String): DataFrame = {
     val v = currentVersion(name)
     require(v >= 0, s"table $name does not exist")
     val lines = manifestLines(name, v)
-    val dirs = lines.filterNot(_.startsWith("#"))
-      .map(s => tdir(name).resolve(s).toString)
-    val partitioned = lines.exists(_.startsWith("#partitionBy="))
-    if (!partitioned || dirs.length == 1) spark.read.parquet(dirs: _*)
-    else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
+    lines.find(_.startsWith("#bucketed=")) match {
+      case Some(h) => spark.table(h.stripPrefix("#bucketed="))
+      case None =>
+        val dirs = lines.filterNot(_.startsWith("#"))
+          .map(s => tdir(name).resolve(s).toString)
+        val partitioned = lines.exists(_.startsWith("#partitionBy="))
+        if (!partitioned || dirs.length == 1) spark.read.parquet(dirs: _*)
+        else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
+    }
   }
 
   def init(name: String, df: DataFrame): Unit = replace(name, df)
@@ -159,8 +167,48 @@ final class TableStore(spark: SparkSession, root: String,
     writeLock(name).synchronized {
       val next = currentVersion(name) + 1
       publish(name, Seq(writeSegment(name, next, df, partitionBy)), next,
-        partitionBy)
+        partHeader(partitionBy))
     }
+
+  /** Bucketed snapshot publish — the fact-to-fact co-location layout:
+    * rows are hash-CLUSTERED BY `bucketBy` into `numBuckets` files
+    * (optionally sorted within each bucket), and the bucketing spec is
+    * registered in the session catalog, which is where Spark's planner
+    * reads the `HashPartitioning` it needs to ELIDE the Exchange under
+    * a join or aggregation on the bucket key. Two fact tables bucketed
+    * on their join key with the same bucket count sort-merge-join with
+    * ZERO shuffle of either side — at 100 TB that is the difference
+    * between a co-located merge and re-shuffling both fact tables per
+    * query (the layout Delta/Iceberg express as CLUSTERED BY; the
+    * production swap SCALING.md names). Each version registers its own
+    * catalog entry over an external path inside this store, so the
+    * snapshot/versioning contract is unchanged. Bucketed tables are
+    * replace-only: a plain parquet append cannot extend hash-bucketed
+    * files without breaking the bucket invariant (production formats
+    * append per-bucket; this store's appends reject instead of
+    * silently degrading the layout). */
+  def replaceBucketed(name: String, df: DataFrame, bucketBy: Seq[String],
+      numBuckets: Int, sortBy: Seq[String] = Nil): Unit =
+    writeLock(name).synchronized {
+      val next = currentVersion(name) + 1
+      val seg = s"d$next"
+      val catalog = catalogId(name, next)
+      val w = df.write.mode("overwrite").format("parquet")
+        .option("path", tdir(name).resolve(seg).toString)
+        .bucketBy(numBuckets, bucketBy.head, bucketBy.drop(1): _*)
+      (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.drop(1): _*) else w)
+        .saveAsTable(catalog)
+      publish(name, Seq(seg), next, headers = Seq(s"#bucketed=$catalog"))
+    }
+
+  /** Session-catalog identifier for version `v` of bucketed table
+    * `name` in THIS store (several stores can host a `name`). */
+  private def catalogId(name: String, v: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"graft_${h}_${name}_v$v"
+  }
 
   /** Append rows to an insert-only table (notifications, rejections,
     * growing stored indexes): writes ONLY the new rows as a segment;
@@ -173,6 +221,10 @@ final class TableStore(spark: SparkSession, root: String,
     writeLock(name).synchronized {
       if (!exists(name)) replace(name, df)
       else {
+        require(!manifestLines(name, currentVersion(name))
+          .exists(_.startsWith("#bucketed=")),
+          s"table $name is bucketed — bucketed tables are replace-only " +
+            "(a plain append would break the bucket invariant)")
         val parts = partitionColumns(name)
         // a zero-row partitionBy write emits NO parquet files (only
         // _SUCCESS), so recording it in the manifest would make every
@@ -188,7 +240,7 @@ final class TableStore(spark: SparkSession, root: String,
           else {
             val next = v + 1
             publish(name, segs :+ writeSegment(name, next, df, parts), next,
-              parts)
+              partHeader(parts))
           }
         }
       }

@@ -96,13 +96,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("x25_simhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quotient join degenerated:\n$p")
-    // the Hamming-≤2 candidate structure is the driver-built neighbor
+    // the Hamming-≤2 candidate structure is the distributed neighbor
     // table (bounded by the 2^16 fp space), broadcast into two
-    // fingerprint equi-joins; the corpus-sized banding explode of the
-    // r7 plan is gone — no Generate node anywhere
-    assert(p.contains("LocalTableScan"), s"neighbor table missing:\n$p")
+    // fingerprint equi-joins
     assert(p.contains("BroadcastHashJoin"), s"neighbor join not broadcast:\n$p")
-    assert(!p.contains("Generate"), s"banding explode resurfaced:\n$p")
+    // the only explode allowed is the 137-mask expansion over the
+    // DISTINCT-fp aggregate (≤2^16 rows at any corpus size); the r7
+    // corpus-scale banding explode fed straight off the document scan
+    val lines = p.linesIterator.toIndexedSeq
+    val gens = lines.zipWithIndex.filter(_._1.contains("Generate"))
+    assert(gens.nonEmpty, s"mask expansion missing:\n$p")
+    gens.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("HashAggregate"),
+        s"explode input is not the bounded fp aggregate:\n$p")
+    }
   }
 
   test("x33: interval predicate rides a hash equi-join, not a nested loop") {
@@ -122,6 +129,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"scoring still joins:\n$p")
     assert(!p.contains("Generate"), s"scoring still explodes trigrams:\n$p")
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+  }
+
+  test("bucketed fact-fact join: sort-merge with ZERO exchange on the bucket key") {
+    import graft.sources.Tables
+    import graft.tables.TableStore
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val store = new TableStore(spark, root)
+    store.replaceBucketed("orders_b",
+      Tables.table(spark, TestSpark.sf, "orders"),
+      bucketBy = Seq("o_orderkey"), numBuckets = 8,
+      sortBy = Seq("o_orderkey"))
+    store.replaceBucketed("lineitem_b",
+      Tables.table(spark, TestSpark.sf, "lineitem"),
+      bucketBy = Seq("l_orderkey"), numBuckets = 8,
+      sortBy = Seq("l_orderkey"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAq = spark.conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", prevBc)
+    // disable broadcast so the test exercises the co-located merge
+    // path (a broadcast join would trivially have no exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = store.load("orders_b")
+        .join(store.load("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      assert(j.count() > 0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // both the join AND the aggregation ride the bucket layout's
+      // HashPartitioning — neither fact table shuffles at all
+      assert(!p.contains("Exchange"),
+        s"bucketed join/agg still shuffles:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAq)
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_")).foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      graft.tables.TempDirs.delete(root)
+    }
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {
