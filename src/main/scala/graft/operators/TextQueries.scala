@@ -226,11 +226,7 @@ object TextQueries {
         // shared machinery with x7/x8): the r7 formulation evaluated
         // the tokenize+explode lineage twice, once per branch; here
         // both branches scan the compact table, and split is
-        // recomputed from doc_id (it is a pure hash of it). Hash
-        // equality stands in for shingle equality: a 64-bit collision
-        // could only ADD a contaminated flag (conservative for a
-        // decontamination audit), and at fixture scale the oracle
-        // hash-gate confirms zero collisions in practice.
+        // recomputed from doc_id (it is a pure hash of it).
         val eligible = table(s, d, "documents")
           .filter(col("text").isNotNull)
           .select(col("doc_id"), col("lang"), split.as("split"),
@@ -241,8 +237,40 @@ object TextQueries {
         val ex = graft.operators.ShingleIndex.forDir(s, d).load("ex8h")
         val trainG = ex.filter(col("split") === "train")
           .select(col("h")).distinct()
-        val contaminated = ex.filter(col("split") === "test")
+        // stage 1, hash-level candidates off the compact index: test
+        // docs holding a shingle hash seen in train. Stage 2 (r9)
+        // makes the verdict COLLISION-PROOF at any scale: the exact
+        // shingle STRINGS are recomputed for the candidate docs on
+        // both sides (scans semi-pruned to candidates — cost is
+        // proportional to actual contamination, the output floor, not
+        // the corpus) and only string-confirmed hits count. A 64-bit
+        // xxhash collision now yields a discarded candidate instead
+        // of a divergence from the string-based oracle.
+        val candRows = ex.filter(col("split") === "test")
           .join(trainG, Seq("h"), "left_semi")
+        val candHashes = candRows.select(col("h")).distinct()
+        val candTestDocs = candRows.select(col("doc_id")).distinct()
+        val candTrainDocs = ex.filter(col("split") === "train")
+          .join(candHashes, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        // candidate docs' shingle strings, immediately re-pruned to
+        // the candidate HASHES so the string distinct/join shuffles
+        // only matched shingles (∝ hits), never a candidate doc's
+        // whole vocabulary
+        def candShingles(ids: org.apache.spark.sql.DataFrame) =
+          table(s, d, "documents")
+            .join(ids, Seq("doc_id"), "left_semi")
+            .filter(col("text").isNotNull)
+            .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+            .filter(size(col("ts")) >= 8)
+            .select(col("doc_id"),
+              explode(TextFns.shingles(col("ts"), 8)).as("g"))
+            .join(candHashes.withColumnRenamed("h", "__h"),
+              xxhash64(col("g")) === col("__h"), "left_semi")
+        val trainStr = candShingles(candTrainDocs)
+          .select(col("g")).distinct()
+        val contaminated = candShingles(candTestDocs)
+          .join(trainStr, Seq("g"), "left_semi")
           .select(col("doc_id")).distinct()
           .withColumn("__c", lit(1))
         eligible.filter(col("split") === "test")

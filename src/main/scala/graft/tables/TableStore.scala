@@ -148,7 +148,16 @@ final class TableStore(spark: SparkSession, root: String,
           .map(s => tdir(name).resolve(s).toString)
         val partitioned = lines.exists(_.startsWith("#partitionBy="))
         if (!partitioned || dirs.length == 1) spark.read.parquet(dirs: _*)
-        else dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_))
+        else {
+          // pin every segment to the first segment's schema: hive
+          // partition-column type inference runs per segment, so a
+          // segment whose partition values happen to all look numeric
+          // could otherwise infer a different type than its siblings
+          // and unionByName would silently coerce
+          val schema = spark.read.parquet(dirs.head).schema
+          dirs.map(d => spark.read.schema(schema).parquet(d))
+            .reduce(_.unionByName(_))
+        }
     }
   }
 
