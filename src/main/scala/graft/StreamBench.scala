@@ -73,8 +73,7 @@ object StreamBench {
       store
     }
 
-    def run(metric: String, stateful: Boolean, nRounds: Int,
-        rocksdb: Boolean = false): Unit = {
+    def stateProvider(rocksdb: Boolean): Unit =
       if (rocksdb) {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -83,6 +82,10 @@ object StreamBench {
           "true")
       } else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    def run(metric: String, stateful: Boolean, nRounds: Int,
+        rocksdb: Boolean = false): Unit = {
+      stateProvider(rocksdb)
       val store = freshStore()
       // long-running trigger so each addData round is its own
       // micro-batch of ONE live query (state carries over in the
@@ -116,7 +119,9 @@ object StreamBench {
     // connector puts on the topics.
     def jq(doc: String): String =
       "\"" + doc.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def runConsumer(metric: String, nRounds: Int): Unit = {
+    def runConsumer(metric: String, nRounds: Int,
+        rocksdb: Boolean = false): Unit = {
+      stateProvider(rocksdb)
       val store = freshStore()
       val flows = new Flows(spark, store, trigger = Trigger.ProcessingTime(0))
       val inserts = requests.map { r =>
@@ -185,6 +190,10 @@ object StreamBench {
     if (variant == "both" || variant == "consumer") {
       runConsumer("consumer_throughput", 1)
       runConsumer("consumer_throughput_multibatch", rounds)
+      // the saga on the deployment-grade state provider, mirroring the
+      // admission flow's RocksDB+changelog regime
+      runConsumer("consumer_throughput_multibatch_rocksdb", rounds,
+        rocksdb = true)
     }
     spark.stop()
   }
