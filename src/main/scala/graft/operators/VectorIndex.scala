@@ -56,6 +56,15 @@ object VectorIndex {
   private def ivfKey(dir: String, p: IvfParams): String =
     s"$dir|ivf|${p.cells}|${p.iters}|${p.dim}"
 
+  /** The standard IVF sizing rule, cells ≈ √n (never below the
+    * oracle-pinned default): balances the driver-ranked routing table
+    * (Cells×Dim numbers) against per-cell scan width — at 10⁹ vectors
+    * this yields ~31.6k cells of ~31.6k vectors, keeping both the
+    * probe ranking and the probed partitions bounded. */
+  def sizedParams(corpusRows: Long): IvfParams =
+    IvfParams(cells =
+      math.max(Cells.toDouble, math.sqrt(corpusRows.toDouble)).toInt)
+
   /** A built index: the centroid routing table (kept in memory — it is
     * Cells×Dim numbers) plus the TableStore holding the
     * cell-partitioned corpus. */

@@ -222,6 +222,9 @@ class VectorSpec extends AnyFunSuite {
     assert(recallAt(idx2, idx2.centroids.length) === 1.0)
     // and the default entry was not evicted by the experiment
     assert(VectorIndex.forDir(spark, TestSpark.sf) eq idx)
+    // the √n sizing rule: production cell counts, floor at the default
+    assert(VectorIndex.sizedParams(1000000000L).cells === 31622)
+    assert(VectorIndex.sizedParams(10L).cells === VectorIndex.Cells)
   }
 
   test("incremental ingest: new vectors join the stored indexes without a rebuild") {
