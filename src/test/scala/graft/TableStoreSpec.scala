@@ -234,6 +234,32 @@ class TableStoreSpec extends AnyFunSuite {
       s"compacted table lost pruning:\n$plan")
   }
 
+  test("bucketed replace: content round-trips, versions supersede, appends reject") {
+    import spark.implicits._
+    val store = fresh()
+    val v1 = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    store.replaceBucketed("b", v1, bucketBy = Seq("k"), numBuckets = 4,
+      sortBy = Seq("k"))
+    assert(store.load("b").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq === (1 to 100).map(i => (i.toLong, s"r$i")))
+    // a second bucketed publish supersedes the first (fresh catalog
+    // entry per version — readers of the new snapshot see new content)
+    val v2 = (1 to 50).map(i => (i.toLong, s"x$i")).toDF("k", "v")
+    store.replaceBucketed("b", v2, bucketBy = Seq("k"), numBuckets = 4)
+    val got = store.load("b").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 50 && got.forall(_._2.startsWith("x")))
+    // bucketed tables are replace-only: a plain append would break the
+    // bucket invariant and must reject loudly
+    val ex = intercept[IllegalArgumentException] {
+      store.append("b", Seq((999L, "z")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("replace-only"))
+    // cleanup the session-catalog entries this test registered
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_")).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+  }
+
   test("MVCC: a plan captured before a write keeps its snapshot") {
     import spark.implicits._
     val store = fresh()
