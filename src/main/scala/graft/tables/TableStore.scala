@@ -322,7 +322,16 @@ final class TableStore(spark: SparkSession, root: String,
           val staleManifest = n.startsWith("m") &&
             n.drop(1).forall(_.isDigit) && n.drop(1).toInt < floor
           val staleSegment = Files.isDirectory(p) && !live.contains(n)
-          if (staleManifest) Files.delete(p)
+          if (staleManifest) {
+            // a superseded bucketed version also owns a session-catalog
+            // entry; drop it with the manifest so the catalog never
+            // lists tables whose files this GC is about to delete
+            new String(Files.readAllBytes(p)).split("\n")
+              .find(_.startsWith("#bucketed=")).foreach(h =>
+                spark.sql("DROP TABLE IF EXISTS " +
+                  h.stripPrefix("#bucketed=")))
+            Files.delete(p)
+          }
           else if (staleSegment) deleteRecursively(p)
         }
       } finally stream.close()

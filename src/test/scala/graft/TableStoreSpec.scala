@@ -236,7 +236,13 @@ class TableStoreSpec extends AnyFunSuite {
 
   test("bucketed replace: content round-trips, versions supersede, appends reject") {
     import spark.implicits._
-    val store = fresh()
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, root)
+    // this store's catalog-name prefix (same derivation as catalogId),
+    // so assertions don't collide with other suites' bucketed tables
+    val pfx = "graft_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
     val v1 = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
     store.replaceBucketed("b", v1, bucketBy = Seq("k"), numBuckets = 4,
       sortBy = Seq("k"))
@@ -254,10 +260,19 @@ class TableStoreSpec extends AnyFunSuite {
       store.append("b", Seq((999L, "z")).toDF("k", "v"))
     }
     assert(ex.getMessage.contains("replace-only"))
+    // vacuum drops the superseded version's catalog entry along with
+    // its manifest — the catalog never lists tables whose files are
+    // gone (v2's entry survives; v1's is dropped)
+    store.vacuum("b", keepVersions = 1)
+    val remaining = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(pfx)).toSeq
+    assert(remaining.length === 1,
+      s"stale bucketed catalog entries survived vacuum: $remaining")
+    assert(store.load("b").count() === 50)
     // cleanup the session-catalog entries this test registered
     spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_")).foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+      .map(_.name).filter(_.startsWith(pfx)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("MVCC: a plan captured before a write keeps its snapshot") {
