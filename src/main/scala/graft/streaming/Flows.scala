@@ -45,24 +45,8 @@ final class Flows(spark: SparkSession, store: TableStore,
       Seq.empty[(String, String)].toDF("flow", "raw"))
 
   private def start(df: DataFrame, name: String)(
-      body: DataFrame => Unit): StreamingQuery = {
-    val w = df.writeStream
-      .queryName(name)
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batchId-based replay protection is only sound when batchIds
-        // are monotonic across restarts, i.e. with a persistent
-        // checkpoint. A temp checkpoint restarts numbering at 0 on
-        // every start() and the guard would silently drop real batches.
-        if (checkpointRoot.isEmpty || batchId > store.lastCommitted(name)) {
-          body(batch)
-          if (checkpointRoot.isDefined) store.commitBatch(name, batchId)
-        }
-      }
-    checkpointRoot.foreach(r => w.option("checkpointLocation", s"$r/$name"))
-    w.start()
-  }
+      body: DataFrame => Unit): StreamingQuery =
+    FlowRunner.start(store, checkpointRoot, trigger, df, name)(body)
 
   /** O25 deviation, wired: malformed CDC payloads (null id after
     * parsing) land verbatim in the `dead_letter` table instead of the

@@ -54,22 +54,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
-      body: DataFrame => Unit): StreamingQuery = {
-    val w = df.writeStream
-      .queryName(name)
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // same replay guard as Flows.start: batchId protection only
-        // with a persistent checkpoint (temp checkpoints restart at 0)
-        if (checkpointRoot.isEmpty || batchId > store.lastCommitted(name)) {
-          body(batch)
-          if (checkpointRoot.isDefined) store.commitBatch(name, batchId)
-        }
-      }
-    checkpointRoot.foreach(r => w.option("checkpointLocation", s"$r/$name"))
-    w.start()
-  }
+      body: DataFrame => Unit): StreamingQuery =
+    FlowRunner.start(store, checkpointRoot, trigger, df, name)(body)
 
   /** New documents → corpus + recomputed dedup decisions + per-doc
     * admit/drop log. Input schema: (doc_id long, text string). */
