@@ -31,6 +31,12 @@ object TextFns {
   def shingles(ts: Column, n: Int = 3): Column =
     graft.functions.expressions.TextExpressions.shingles_distinct(ts, n)
 
+  /** ALL word n-gram shingles in order, duplicates kept — the
+    * multiplicity carrier for repetition scoring and boilerplate
+    * mining. Empty for arrays shorter than n, like [[shingles]]. */
+  def allShingles(ts: Column, n: Int = 3): Column =
+    graft.functions.expressions.TextExpressions.shingles_all(ts, n)
+
   /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
   def hexDigit(hexStr: Column, i: Int): Column = {
     val a = ascii(substring(hexStr, i, 1))
@@ -83,9 +89,12 @@ object TextFns {
     def tokenCount(text: String): String =
       s"CAST(len(string_split($text, ' ')) AS BIGINT)"
 
-    def shingles(ts: String, n: Int = 3): String = {
+    def shingles(ts: String, n: Int = 3): String =
+      s"list_distinct(${allShingles(ts, n)})"
+
+    def allShingles(ts: String, n: Int = 3): String = {
       val parts = (1 to n).map(k => s"$ts[i+$k]").mkString(" || ' ' || ")
-      s"list_distinct(list_transform(range(len($ts) - ${n - 1}), i -> $parts))"
+      s"list_transform(range(len($ts) - ${n - 1}), i -> $parts)"
     }
 
     def hexDigit(m: String, i: Int): String =

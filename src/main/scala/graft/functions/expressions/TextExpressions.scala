@@ -62,6 +62,28 @@ object TextExprUtil {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** ALL n-gram shingles (space-joined) in document order, duplicates
+    * kept — bit-identical to list_transform(range(len-n+1), ...) with
+    * no list_distinct. Empty output for arrays shorter than n. The
+    * multiplicity carrier for repetition scoring / boilerplate mining
+    * (x38/x39), where the duplicate count IS the signal. */
+  def shinglesAll(ts: ArrayData, n: Int): ArrayData = {
+    val len = ts.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = ts.getUTF8String(i + k); k += 1 }
+      // concat_ws skips nulls; split() never yields them, but stay exact
+      out(i) = UTF8String.concatWs(sep, parts.filter(_ != null).toIndexedSeq: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character n-grams, first-occurrence order — the set
     * DuckDB's list_distinct(list_transform(range(1, len-n+2), i ->
     * substr(s, i, n))) produces. Returns EMPTY for strings shorter
@@ -267,6 +289,16 @@ case class ShinglesDistinct(child: Expression, n: Int) extends TextUnary {
   override def prettyName: String = "shingles_distinct"
 }
 
+case class ShinglesAll(child: Expression, n: Int) extends TextUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.shinglesAll(a.asInstanceOf[ArrayData], n)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.shinglesAll($c, $n)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingles_all"
+}
+
 case class RollingHashFp(child: Expression) extends TextUnaryNullableLong {
   override protected def nullSafeEval(a: Any): Any =
     TextExprUtil.rollingFp(a.asInstanceOf[ArrayData])
@@ -318,6 +350,8 @@ object TextExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
   def shingles_distinct(ts: Column, n: Int = 3): Column =
     Bridge.column(ShinglesDistinct(expr(ts), n))
+  def shingles_all(ts: Column, n: Int = 3): Column =
+    Bridge.column(ShinglesAll(expr(ts), n))
   def rolling_fp(ts: Column): Column = Bridge.column(RollingHashFp(expr(ts)))
   def simhash16(ts: Column): Column = Bridge.column(SimHash16(expr(ts)))
   def minhash_bands(sh: Column): Column = Bridge.column(MinHashBands(expr(sh)))

@@ -428,5 +428,65 @@ object TextQueries {
             graft.functions.expressions.TextExpressions
               .simhash16(TextFns.tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")
+    },
+
+    // repetition-based quality score (the Gopher-style duplicate-ngram
+    // rule): the fraction of a document's word 5-grams that repeat an
+    // earlier 5-gram of the SAME document. High values flag
+    // boilerplate/degenerate text a pretraining filter drops. Total
+    // grams come from the token count (len-4), distinct grams from the
+    // codegen shingle expression — a pure narrow map, single scan
+    // stage at 100 TB; the ORDER BY exists only for the oracle.
+    Query("x38_repetition",
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, " +
+        "CAST(greatest(len(ts) - 4, 0) AS BIGINT) AS n_grams, " +
+        s"CAST(len(${Sql.shingles("ts", 5)}) AS BIGINT) AS n_distinct, " +
+        s"round(1 - CAST(len(${Sql.shingles("ts", 5)}) AS DOUBLE) / " +
+        "nullif(greatest(len(ts) - 4, 0), 0), 6) AS rep_ratio " +
+        "FROM t ORDER BY doc_id") {
+      (s, d) =>
+        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+          .select(col("doc_id"),
+            greatest(size(col("ts")) - 4, lit(0)).cast("bigint")
+              .as("n_grams"),
+            size(TextFns.shingles(col("ts"), 5)).cast("bigint")
+              .as("n_distinct"),
+            round(lit(1) - size(TextFns.shingles(col("ts"), 5))
+              .cast("double") /
+              nullif(greatest(size(col("ts")) - 4, lit(0)), lit(0)), 6)
+              .as("rep_ratio"))
+          .orderBy("doc_id")
+    },
+
+    // corpus-level boilerplate mining: ALL word 5-grams (duplicates
+    // kept — multiplicity is the signal) exploded and counted across
+    // the corpus; grams shared by ≥2 occurrences surface repeated
+    // templates (headers, footers, licence blocks). Scale shape: the
+    // explode feeds a hash aggregate with map-side partial combine
+    // (shuffle volume ≈ distinct grams per partition, not total
+    // grams) and the top-k is TakeOrdered, never a global sort. At
+    // 100 TB the group key would be xxhash64(gram) — an 8-byte
+    // shuffle key — with exemplar strings recovered for the top-k
+    // candidates only; the string-keyed form is kept for exact
+    // oracle parity at gate scale.
+    Query("x39_boilerplate", {
+      s"WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        s"g AS (SELECT unnest(${Sql.allShingles("ts", 5)}) AS gram FROM t) " +
+        "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram " +
+        "HAVING COUNT(*) >= 2 ORDER BY n DESC, gram LIMIT 50"
+    }) {
+      (s, d) =>
+        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
+          .select(explode(
+            TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .orderBy(col("n").desc, col("gram"))
+          .limit(50)
     })
 }

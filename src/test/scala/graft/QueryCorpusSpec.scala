@@ -10,7 +10,7 @@ class QueryCorpusSpec extends AnyFunSuite {
 
   // queries where an empty result is legitimate at tiny SF
   private val mayBeEmpty = Set("x7_ngram_jaccard", "x8_minhash_lsh",
-    "x10_embed_neardup")
+    "x10_embed_neardup", "x39_boilerplate")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name} executes") {

@@ -56,6 +56,37 @@ class TextNullSpec extends AnyFunSuite {
       Seq("a b", "b c"))
   }
 
+  test("shingles_all: duplicates kept in order; empty below n; HOF parity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")), // repeats must survive
+      (2L, Seq("x")),                     // shorter than n → EMPTY
+      (3L, Seq("a", null, "b"))           // concat_ws skips nulls
+    ).toDF("id", "ts")
+    val rows = df.select(col("id"),
+        TextExpressions.shingles_all(col("ts"), 2).as("g"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) === Seq("a b", "b a", "a b", "b a"))
+    assert(rows(1).getSeq[String](1) === Seq.empty)
+    assert(rows(2).getSeq[String](1) === Seq("a", "b"))
+    // distinct-by-first-occurrence of shingles_all == shingles_distinct
+    val both = df.select(
+        array_distinct(TextExpressions.shingles_all(col("ts"), 2)).as("a"),
+        TextExpressions.shingles_distinct(col("ts"), 2).as("d"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // HOF parity where the sequence formulation is well-defined (n ≤ len)
+    val hof = df.filter(size(col("ts")) >= 2)
+      .select(col("id"), transform(sequence(lit(0), size(col("ts")) - 2),
+        i => concat_ws(" ", col("ts")(i), col("ts")(i + 1))).as("g"))
+      .orderBy("id").collect()
+    val exprSide = df.filter(size(col("ts")) >= 2)
+      .select(col("id"), TextExpressions.shingles_all(col("ts"), 2).as("g"))
+      .orderBy("id").collect()
+    assert(exprSide.map(_.getSeq[String](1)).toSeq ===
+      hof.map(_.getSeq[String](1)).toSeq)
+  }
+
   test("char_ngrams: HOF parity, short-string emptiness, multibyte chars") {
     import spark.implicits._
     val df = Seq(
