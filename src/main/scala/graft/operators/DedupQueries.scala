@@ -566,5 +566,40 @@ object DedupQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         verified(cand, shingled(s, d))
+    },
+
+    // canonical-corpus materialization — the dedup family's actual
+    // OUTPUT: the training corpus after near-dup removal. Composes
+    // x34's quotient clustering into an anti-join: a document is kept
+    // iff it is its cluster's canonical member (min doc_id) or it has
+    // no near-dup at all (absent from the pair graph — including
+    // null-text docs, which cannot pair). Scale shape: the cluster
+    // frame comes from the ≤2¹⁶-fp quotient (corpus-size-independent
+    // candidate structure), the drop list is ∝ duplicate docs, and
+    // the anti-join shuffles on doc_id (AQE broadcasts it while
+    // small). Narrow metadata projection — re-attaching full text is
+    // the same join, just wider.
+    Query("x40_dedup_canonical",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "dropped AS (SELECT doc_id FROM cc WHERE doc_id != cluster) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "LEFT JOIN dropped x ON d.doc_id = x.doc_id " +
+        "WHERE x.doc_id IS NULL ORDER BY d.doc_id") {
+      (s, d) =>
+        val dropped = quotientClusters(s, simhashFps(s, d))
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id"))
+        table(s, d, "documents")
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
     })
 }

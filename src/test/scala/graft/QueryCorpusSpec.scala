@@ -30,6 +30,18 @@ class QueryCorpusSpec extends AnyFunSuite {
     SparkEntry.oracleSql.keys.foreach(k => assert(qnames.contains(k)))
   }
 
+  test("x40 canonical corpus = documents minus x34's non-canonical members") {
+    val all = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonCanonical = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.col("canonical")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = SparkEntry.queries("x40_dedup_canonical")(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (all -- nonCanonical))
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
