@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.{DedupQueries, VectorIndex, VectorQueries}
 import graft.tables.TableStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -46,19 +46,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * reflects the current global truth, while `ingest_log` records what
  * was decided when; readers wanting the current drop list read the
  * decision table, not the log.
+ *
+ * Quality gate (r9): [[IngestQuality]] thresholds reject documents
+ * BEFORE the corpus sees them — the x38-style repetition rule
+ * (duplicate-5-gram fraction) and a minimum token count, both narrow
+ * codegen maps over the batch only. A quality-rejected doc is never
+ * appended, never fingerprints into the decision table, and logs
+ * `(admitted=false, reason='quality')`; near-dup drops log
+ * `reason='near_dup'`. The default gate is permissive (admit all) so
+ * dedup-only deployments are unchanged.
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
     checkpointRoot: Option[String] = None,
-    trigger: Trigger = Trigger.AvailableNow()) {
+    trigger: Trigger = Trigger.AvailableNow(),
+    quality: IngestQuality = IngestQuality()) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
       body: DataFrame => Unit): StreamingQuery =
     FlowRunner.start(store, checkpointRoot, trigger, df, name)(body)
 
-  /** New documents → corpus + recomputed dedup decisions + per-doc
-    * admit/drop log. Input schema: (doc_id long, text string). */
+  /** New documents → quality gate → corpus + recomputed dedup
+    * decisions + per-doc admit/drop log. Input schema: (doc_id long,
+    * text string). */
   def documentIngestFlow(newDocs: DataFrame): StreamingQuery =
     start(newDocs, "document_ingest") { batch0 =>
       // the batch feeds the corpus append AND the new-doc log; persist
@@ -67,12 +78,23 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       try {
         // which of the batch are genuinely new (replay / re-send of an
         // already-ingested doc must be a no-op end to end)
-        val fresh = (
+        val notInCorpus =
           if (!store.exists("documents")) batch
           else batch.join(store.load("documents").select("doc_id"),
-            Seq("doc_id"), "left_anti")).persist()
+            Seq("doc_id"), "left_anti")
+        // quality gate over the NEW docs only (already-admitted docs
+        // are settled): x38's repetition rule + a token-count floor,
+        // one codegen map over the batch. Rejected docs never reach
+        // the corpus or the fingerprint scan.
+        val failed = quality.failure(col("text"))
+        val fresh = notInCorpus.filter(failed.isNull).persist()
+        val rejected = notInCorpus.filter(failed.isNotNull)
+          .select(col("doc_id"), lit(false).as("admitted"),
+            failed.as("reason")).persist()
         try {
-          store.appendUnique("documents", batch, Seq("doc_id"))
+          store.appendUnique("documents", fresh, Seq("doc_id"))
+          if (!rejected.isEmpty)
+            store.appendUnique("ingest_log", rejected, Seq("doc_id"))
           if (!fresh.isEmpty) {
             // recompute the derived decision table on the grown corpus
             // — per-batch cost: one narrow codegen scan + bounded agg
@@ -87,10 +109,12 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 .select(col("doc_id"), col("canonical")),
                 Seq("doc_id"), "left_outer")
               .select(col("doc_id"),
-                coalesce(col("canonical"), lit(true)).as("admitted"))
+                coalesce(col("canonical"), lit(true)).as("admitted"),
+                when(not(coalesce(col("canonical"), lit(true))),
+                  lit("near_dup")).as("reason"))
             store.appendUnique("ingest_log", admitted, Seq("doc_id"))
           }
-        } finally { fresh.unpersist(); () }
+        } finally { fresh.unpersist(); rejected.unpersist(); () }
       } finally { batch.unpersist(); () }
     }
 
@@ -130,4 +154,31 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         }
       } finally { graft.tables.TempDirs.delete(scratch); () }
     }
+}
+
+/** Admission thresholds for [[IngestionFlows.documentIngestFlow]]:
+  * reject when the token count is under `minTokens` or the
+  * duplicate-5-gram fraction (x38's repetition rule) exceeds
+  * `maxRepetition`. The default admits everything — an inactive rule
+  * contributes no predicate, so null-text docs pass a permissive gate
+  * exactly as they did before the gate existed. */
+final case class IngestQuality(minTokens: Int = 0,
+    maxRepetition: Double = 1.0) {
+
+  /** Null when the text passes, the rejection reason otherwise —
+    * one codegen map over the batch, no shuffle. */
+  private[streaming] def failure(text: Column): Column = {
+    val ts = graft.functions.TextFns.tokens(text)
+    val nTok = size(ts)
+    val nGrams = greatest(nTok - 4, lit(0))
+    val rep = when(nGrams > 0, lit(1) -
+      size(graft.functions.TextFns.shingles(ts, 5)).cast("double") / nGrams)
+      .otherwise(lit(0.0))
+    val tokFail =
+      if (minTokens > 0) text.isNull || nTok < minTokens else lit(false)
+    val repFail =
+      if (maxRepetition < 1.0) text.isNotNull && rep > maxRepetition
+      else lit(false)
+    when(tokFail || repFail, lit("quality"))
+  }
 }

@@ -56,6 +56,53 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("quality gate: short/repetitive docs rejected before the corpus; replay no-op") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingqual").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      quality = graft.streaming.IngestQuality(
+        minTokens = 4, maxRepetition = 0.5))
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    ms.addData(
+      (1L, "a perfectly reasonable document about spark engines"),
+      (2L, "too short"),                                    // < 4 tokens
+      (3L, "spam spam spam spam spam spam spam spam"))      // rep 0.75
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").collect().map(_.getLong(0)).toSet
+      === Set(1L), "only the quality-passing doc reaches the corpus")
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(log === Map(
+      1L -> ((true, None)),
+      2L -> ((false, Some("quality"))),
+      3L -> ((false, Some("quality")))))
+    // rejected docs never fingerprint: the decision table knows only doc 1
+    assert(store.load("dedup_decisions").collect().isEmpty ||
+      store.load("dedup_decisions").collect().map(_.getLong(0)).toSet
+        .subsetOf(Set(1L)))
+    // near-dup of the admitted doc still drops with its own reason
+    ms.addData((9L, "a perfectly reasonable document about spark engines"))
+    run(flows.documentIngestFlow(df))
+    val log9 = store.load("ingest_log").filter(col("doc_id") === 9L)
+      .collect().head
+    assert(log9.getBoolean(1) === false &&
+      log9.getString(2) === "near_dup")
+    // replay of everything: nothing changes anywhere
+    val v0 = (store.load("documents").count(),
+      store.load("ingest_log").count())
+    ms.addData((2L, "too short"),
+      (3L, "spam spam spam spam spam spam spam spam"),
+      (9L, "a perfectly reasonable document about spark engines"))
+    run(flows.documentIngestFlow(df))
+    assert((store.load("documents").count(),
+      store.load("ingest_log").count()) === v0)
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("document ingest over the fixture corpus matches x34 on the union") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
