@@ -33,7 +33,11 @@ object TextFns {
 
   /** ALL word n-gram shingles in order, duplicates kept — the
     * multiplicity carrier for repetition scoring and boilerplate
-    * mining. Empty for arrays shorter than n, like [[shingles]]. */
+    * mining. Empty for arrays shorter than n, like [[shingles]].
+    * Null tokens are skipped inside their grams (concat_ws
+    * semantics); [[Sql.allShingles]]'s `||` nulls the whole gram
+    * instead — the twins agree only on null-free arrays (which
+    * [[tokens]] always produces). */
   def allShingles(ts: Column, n: Int = 3): Column =
     graft.functions.expressions.TextExpressions.shingles_all(ts, n)
 

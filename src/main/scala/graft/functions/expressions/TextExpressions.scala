@@ -64,7 +64,12 @@ object TextExprUtil {
 
   /** ALL n-gram shingles (space-joined) in document order, duplicates
     * kept — bit-identical to list_transform(range(len-n+1), ...) with
-    * no list_distinct. Empty output for arrays shorter than n. The
+    * no list_distinct FOR NULL-FREE ARRAYS (every production call site
+    * feeds tokens(), whose split() never yields null). A null token is
+    * SKIPPED inside its grams (concat_ws semantics, spec-pinned),
+    * where the SQL twin's `||` would null the whole gram — callers
+    * joining hand-built null-bearing arrays against the oracle must
+    * null-filter first. Empty output for arrays shorter than n. The
     * multiplicity carrier for repetition scoring / boilerplate mining
     * (x38/x39), where the duplicate count IS the signal. */
   def shinglesAll(ts: ArrayData, n: Int): ArrayData = {

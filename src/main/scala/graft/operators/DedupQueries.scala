@@ -186,11 +186,21 @@ object DedupQueries {
     * broadcast into two equi-joins. Past `maxQuotientFps` (spec knob;
     * wider-fingerprint insurance) it falls back to the banded
     * candidate join — identical results, pinned by spec. */
+  // Guard statistic for the quotient-vs-banded choice: the distinct
+  // present-fingerprint count is stable per corpus version, so it is
+  // computed once per version (same fingerprint-keyed lifecycle as the
+  // stored indexes, cost in the bench `build` section) instead of
+  // paying a corpus scan per invocation just to pick a path.
+  private val presentFpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[java.lang.Long]]()
+
   private[graft] def simhashPairs(s: SparkSession, d: String,
       maxQuotientFps: Long = QuotientMaxFps): DataFrame = {
     val fps = simhashFps(s, d)
     val presentDf = fps.select(col("f")).distinct()
-    if (presentDf.count() > maxQuotientFps)
+    val nPresent: Long = StoredIndexes.versionedValue(presentFpCache, d,
+      "documents.parquet", "graft-simhash-present") { presentDf.count() }
+    if (nPresent > maxQuotientFps)
       simhashCandidates(s, d)
         .withColumn("hamming",
           bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))

@@ -123,4 +123,24 @@ private[graft] object StoredIndexes {
       if (prev != null && prev.fingerprint == fp) prev
       else rebuildEntry(fp, kind, dataListing(dir, file))(mk)
     }).index
+
+  /** [[versioned]] for DRIVER-VALUE artifacts (a learned profile, a
+    * guard statistic): same fingerprint-keyed once-per-corpus-version
+    * contract and the same build-cost accounting, but no scratch root
+    * is allocated — the value lives on the driver, so there is nothing
+    * to put on disk. */
+  def versionedValue[A](m: java.util.concurrent.ConcurrentHashMap[
+      String, Cached[A]], dir: String, file: String, kind: String)(
+      mk: => A): A =
+    m.compute(dir, (_, prev) => {
+      val fp = fingerprint(dir, file)
+      if (prev != null && prev.fingerprint == fp) prev
+      else {
+        val t0 = System.nanoTime()
+        val built = Cached(fp, "", mk)
+        buildLog.merge(kind, (System.nanoTime() - t0) / 1e9,
+          (a, b) => a + b)
+        built
+      }
+    }).index
 }

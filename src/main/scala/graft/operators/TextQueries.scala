@@ -35,8 +35,8 @@ object TextQueries {
 
   private def trigramProfile(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, Seq[String])] =
-    StoredIndexes.versioned(profCache, d, "documents.parquet",
-      "graft-trigram-profile") { _ =>
+    StoredIndexes.versionedValue(profCache, d, "documents.parquet",
+      "graft-trigram-profile") {
       val wProf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
       table(s, d, "documents")

@@ -131,9 +131,9 @@ object VectorIndex {
     cache.compute(ivfKey(dir, IvfParams()), (_, prev) => {
       val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      def corpusRows(): Long = table(spark, dir, "embeddings").count()
+      lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
       def full() = StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
-        listing, corpusRows())(root => build(spark, dir, root, IvfParams()))
+        listing, nCorpus)(root => build(spark, dir, root, IvfParams()))
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         full()
       else {
@@ -142,7 +142,7 @@ object VectorIndex {
         // the IVF corpus count is a parquet metadata read
         val covered =
           if (prev.rows >= 0) prev.rows else prev.index.corpus.count()
-        if (covered + deltaN != corpusRows()) full()
+        if (covered + deltaN != nCorpus) full()
         else {
           val base = rows
             .select(col("vec_id"), col("embedding"),
@@ -202,9 +202,9 @@ object VectorIndex {
     srpCache.compute(dir, (_, prev) => {
       val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
-      def corpusRows(): Long = table(spark, dir, "embeddings").count()
+      lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
       def fullEntry() = StoredIndexes.rebuildEntry(fp, "graft-srp-index",
-        listing, corpusRows())(full)
+        listing, nCorpus)(full)
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         fullEntry()
       else {
@@ -213,7 +213,7 @@ object VectorIndex {
           if (prev.rows >= 0) prev.rows
           else prev.index.load("srp_idx")
             .select(col("vec_id")).distinct().count()
-        if (covered + deltaN != corpusRows()) fullEntry()
+        if (covered + deltaN != nCorpus) fullEntry()
         else {
           prev.index.append("srp_idx", index(rows).repartition(col("tb")))
           StoredIndexes.Cached(fp, prev.root, prev.index, listing,

@@ -76,21 +76,30 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       // so the stream source is scanned once
       val batch = batch0.dropDuplicates("doc_id").persist()
       try {
-        // which of the batch are genuinely new (replay / re-send of an
-        // already-ingested doc must be a no-op end to end)
-        val notInCorpus =
-          if (!store.exists("documents")) batch
-          else batch.join(store.load("documents").select("doc_id"),
+        // which of the batch are genuinely new: a doc is settled once
+        // its VERDICT is logged — the ingest_log is written LAST, so a
+        // batch that crashed mid-way (corpus appended, derived writes
+        // lost) replays in full. Every write below is key-idempotent
+        // (appendUnique) or a derived-table recompute, so reprocessing
+        // an already-appended doc is harmless; keying freshness off the
+        // FIRST write (the corpus) instead would make that crash-replay
+        // a silent no-op that permanently loses the doc's verdict.
+        val notLogged =
+          if (!store.exists("ingest_log")) batch
+          else batch.join(store.load("ingest_log").select("doc_id"),
             Seq("doc_id"), "left_anti")
-        // quality gate over the NEW docs only (already-admitted docs
-        // are settled): x38's repetition rule + a token-count floor,
-        // one codegen map over the batch. Rejected docs never reach
-        // the corpus or the fingerprint scan.
-        val failed = quality.failure(col("text"))
-        val fresh = notInCorpus.filter(failed.isNull).persist()
-        val rejected = notInCorpus.filter(failed.isNotNull)
+        // quality gate over the NEW docs only (already-logged docs are
+        // settled): x38's repetition rule + a token-count floor, one
+        // codegen map over the batch. Rejected docs never reach the
+        // corpus or the fingerprint scan. One persisted frame carries
+        // the anti-join + gate result so neither runs twice.
+        val gated = notLogged
+          .withColumn("_fail", quality.failure(col("text"))).persist()
+        val fresh = gated.filter(col("_fail").isNull)
+          .select(col("doc_id"), col("text"))
+        val rejected = gated.filter(col("_fail").isNotNull)
           .select(col("doc_id"), lit(false).as("admitted"),
-            failed.as("reason")).persist()
+            col("_fail").as("reason"))
         try {
           store.appendUnique("documents", fresh, Seq("doc_id"))
           if (!rejected.isEmpty)
@@ -114,7 +123,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                   lit("near_dup")).as("reason"))
             store.appendUnique("ingest_log", admitted, Seq("doc_id"))
           }
-        } finally { fresh.unpersist(); rejected.unpersist(); () }
+        } finally { gated.unpersist(); () }
       } finally { batch.unpersist(); () }
     }
 

@@ -142,7 +142,32 @@ final class TableStore(spark: SparkSession, root: String,
     require(v >= 0, s"table $name does not exist")
     val lines = manifestLines(name, v)
     lines.find(_.startsWith("#bucketed=")) match {
-      case Some(h) => spark.table(h.stripPrefix("#bucketed="))
+      case Some(h) =>
+        val catalog = h.stripPrefix("#bucketed=")
+        // the catalog entry dies with the SparkSession but the manifest
+        // and data files are durable — a fresh session re-registers the
+        // recorded CLUSTERED BY spec over the existing segment before
+        // reading, so bucketed tables honor the same restart contract
+        // as every other table kind
+        if (!spark.catalog.tableExists(catalog))
+          lines.find(_.startsWith("#bucketSpec="))
+            .map(_.stripPrefix("#bucketSpec=").split("\\|", -1)) match {
+            case Some(Array(n, by, sort)) =>
+              val dir = tdir(name)
+                .resolve(lines.filterNot(_.startsWith("#")).head).toString
+              val schema = spark.read.parquet(dir).schema
+              val sorted = if (sort.nonEmpty)
+                s" SORTED BY (${sort.split(",").mkString(", ")})" else ""
+              spark.sql(s"CREATE TABLE IF NOT EXISTS $catalog " +
+                s"(${schema.toDDL}) USING parquet " +
+                s"CLUSTERED BY (${by.split(",").mkString(", ")})$sorted " +
+                s"INTO ${n.toInt} BUCKETS LOCATION '$dir'")
+              ()
+            case _ => throw new IllegalStateException(
+              s"bucketed table $name has no catalog entry in this " +
+                "session and its manifest carries no #bucketSpec header")
+          }
+        spark.table(catalog)
       case None =>
         val dirs = lines.filterNot(_.startsWith("#"))
           .map(s => tdir(name).resolve(s).toString)
@@ -207,7 +232,11 @@ final class TableStore(spark: SparkSession, root: String,
         .bucketBy(numBuckets, bucketBy.head, bucketBy.drop(1): _*)
       (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.drop(1): _*) else w)
         .saveAsTable(catalog)
-      publish(name, Seq(seg), next, headers = Seq(s"#bucketed=$catalog"))
+      // record the bucket spec itself, not just the catalog name: the
+      // session catalog is in-memory, so a later session re-creates the
+      // entry from this header (see load)
+      publish(name, Seq(seg), next, headers = Seq(s"#bucketed=$catalog",
+        s"#bucketSpec=$numBuckets|${bucketBy.mkString(",")}|${sortBy.mkString(",")}"))
     }
 
   /** Session-catalog identifier for version `v` of bucketed table

@@ -56,6 +56,39 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("crash window: corpus appended but verdict lost — replay recovers the log") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingcrash").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root)
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    ms.addData((1L, "the quick brown fox jumps over the lazy dog"))
+    run(flows.documentIngestFlow(df))
+    // simulate a batch that died AFTER the corpus append but BEFORE the
+    // decision recompute / log write: the doc is in `documents` with no
+    // verdict anywhere
+    store.appendUnique("documents",
+      Seq((7L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), Seq("doc_id"))
+    assert(!store.load("ingest_log").collect().map(_.getLong(0)).contains(7L))
+    // the replayed batch must complete the lost derived writes: verdict
+    // logged (near-dup of doc 1), decision table covers the doc, and the
+    // corpus does NOT double-append
+    ms.addData((7L, "the quick brown fox jumps over the lazy dog"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === 2, "no double append")
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log === Map(1L -> true, 7L -> false),
+      "replay recovers the lost verdict")
+    val dec = store.load("dedup_decisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dec === Set((1L, 1L, true), (7L, 1L, false)))
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("quality gate: short/repetitive docs rejected before the corpus; replay no-op") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -275,6 +275,41 @@ class TableStoreSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucketed table survives a session restart: re-registered from the manifest spec") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, root)
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    store.replaceBucketed("b", df, bucketBy = Seq("k"), numBuckets = 4,
+      sortBy = Seq("k"))
+    // simulate a JVM restart: the session catalog is in-memory, so a
+    // new session starts without the entry — drop it (the table is
+    // EXTERNAL: data files under the store root survive the drop)
+    val pfx = "graft_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(pfx)).foreach(t =>
+        spark.sql(s"DROP TABLE $t"))
+    // load() must re-create the catalog entry from the #bucketSpec
+    // manifest header and serve the same content...
+    val got = store.load("b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === (1 to 100).map(i => (i.toLong, s"r$i")))
+    // ...with the bucketing METADATA intact: an aggregation on the
+    // bucket key must still ride the stored HashPartitioning with no
+    // Exchange (the whole point of the layout surviving restarts)
+    val agg = store.load("b").groupBy("k").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"restart lost the bucket spec — agg re-shuffles:\n$plan")
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(pfx)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("MVCC: a plan captured before a write keeps its snapshot") {
     import spark.implicits._
     val store = fresh()
