@@ -461,6 +461,94 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // deterministic stratified downsampling — the data-MIXING op every
+    // pretraining pipeline runs before export: each language is sampled
+    // down so its expected character mass matches the smallest
+    // language's, making the training mix balanced instead of
+    // majority-dominated. The rate table is corpus metadata (one tiny
+    // agg); membership is a pure hash of doc_id against the stratum's
+    // threshold, so the sample is reproducible across runs, engines and
+    // cluster sizes, and a grown corpus keeps old members stable.
+    // Scale shape: one partial-combine agg for the rate table (n_langs
+    // rows), broadcast back, then a NARROW filter over the corpus — the
+    // kept-count audit reported here adds one more tiny agg. The float
+    // threshold floor(1e4·min/chars) is exact while 1e4·min < 2^53;
+    // a >2^49-char (~0.5 PB) stratum would switch to integer division.
+    Query("x41_stratified_sample", {
+      val bkt = Sql.md5Bits16("md5(CAST(d.doc_id AS VARCHAR))") + " % 10000"
+      "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang), " +
+        "t AS (SELECT lang, n_docs, chars, " +
+        "CAST(floor(10000.0 * (SELECT MIN(chars) FROM c) / chars) AS BIGINT) AS thr " +
+        "FROM c), " +
+        "k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept " +
+        s"FROM documents d JOIN t ON d.lang = t.lang WHERE $bkt < t.thr " +
+        "GROUP BY d.lang) " +
+        "SELECT t.lang, t.n_docs, t.chars, t.thr, " +
+        "COALESCE(k.n_kept, 0) AS n_kept " +
+        "FROM t LEFT JOIN k ON t.lang = k.lang ORDER BY t.lang"
+    }) {
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val c = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        val t = c.crossJoin(broadcast(c.agg(min(col("chars")).as("mn"))))
+          .withColumn("thr",
+            floor(lit(10000.0) * col("mn") / col("chars")).cast("bigint"))
+          .drop("mn")
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 10000
+        val k = docs.join(broadcast(t.select(col("lang"), col("thr"))), "lang")
+          .filter(bkt < col("thr"))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        t.join(k, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("chars"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("lang")
+      }
+    },
+
+    // corpus-frequency familiarity score — the deterministic stand-in
+    // for the CCNet-style LM-perplexity filter: a document scores the
+    // mean corpus document-frequency of its distinct character
+    // trigrams, so text whose character patterns are common across the
+    // corpus scores high and noisy/degenerate text scores low. The
+    // score is integer arithmetic until one final division (float SUMs
+    // are order-dependent across engines; BIGINT sums are not), so it
+    // hash-matches the oracle exactly. Scale shape: explode → df table
+    // (bounded by the trigram VOCABULARY, not the corpus) → probe join
+    // back → one per-doc agg. AQE broadcasts the df table (observed:
+    // 377 grams at sf0.1), so the heavy exploded scan joins with no
+    // second corpus-scale shuffle; past the broadcast threshold both
+    // join inputs shuffle on the gram key from the SAME exploded
+    // lineage and ReuseExchange dedupes the pass. No driver-side
+    // structure — the df table stays distributed either way.
+    Query("x42_familiarity",
+      "WITH tg AS (SELECT doc_id, unnest(list_distinct(" +
+        "list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)))) AS g " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tg GROUP BY g), " +
+        "sc AS (SELECT t.doc_id, CAST(SUM(f.df) AS BIGINT) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tg t JOIN f USING (g) " +
+        "GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, COALESCE(sc.n, 0) AS n_grams, " +
+        "round(CAST(sc.s AS DOUBLE) / sc.n, 6) AS familiarity " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id " +
+        "ORDER BY d.doc_id") {
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val tg = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(graft.functions.expressions
+            .TextExpressions.char_ngrams(col("text"), 3)).as("g"))
+        val f = tg.groupBy("g").agg(count(lit(1)).as("df"))
+        val sc = tg.join(f, "g").groupBy("doc_id")
+          .agg(sum(col("df")).as("s"), count(lit(1)).as("n"))
+        docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_grams"),
+            round(col("s").cast("double") / col("n"), 6).as("familiarity"))
+          .orderBy("doc_id")
+      }
+    },
+
     // corpus-level boilerplate mining: ALL word 5-grams (duplicates
     // kept — multiplicity is the signal) exploded and counted across
     // the corpus; grams shared by ≥2 occurrences surface repeated
