@@ -500,7 +500,7 @@ object TextQueries {
         val k = docs.join(broadcast(t.select(col("lang"), col("thr"))), "lang")
           .filter(bkt < col("thr"))
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-        t.join(k, Seq("lang"), "left")
+        t.join(broadcast(k), Seq("lang"), "left")
           .select(col("lang"), col("n_docs"), col("chars"), col("thr"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"))
           .orderBy("lang")

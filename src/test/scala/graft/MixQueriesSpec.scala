@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge and hand-computed-value contracts for the mix-balancing and
+  * familiarity queries (x41/x42) that the sf0.01 oracle gate cannot
+  * exercise: the fixture corpus has no null/short texts and no
+  * single-doc stratum, and the gate checks one corpus state, not
+  * determinism across invocations. */
+class MixQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Corpus dir with hand-sized strata: lang "aa" is the min-char-mass
+    * stratum (1000 chars), "bb" carries exactly 3× that. */
+  private def mixCorpus(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mix").toString
+    val docs = Seq(
+      (1L, "x " * 250, "aa", 500L),
+      (2L, "y " * 250, "aa", 500L),
+      (3L, "z " * 500, "bb", 1000L),
+      (4L, "w " * 500, "bb", 1000L),
+      (5L, "v " * 500, "bb", 1000L))
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x41: min stratum keeps everything, 3x stratum gets floor(10000/3)") {
+    val dir = mixCorpus()
+    val q = SparkEntry.queries("x41_stratified_sample")
+    val rows = q(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // min stratum: threshold saturates at 10000 and bkt ∈ [0, 10000),
+    // so EVERY doc is kept — balancing never drops from the floor
+    assert(rows("aa") === ((2L, 1000L, 10000L, 2L)))
+    // 3× stratum: thr = floor(10000 * 1000 / 3000) = 3333, kept ≤ n
+    val (nB, charsB, thrB, keptB) = rows("bb")
+    assert((nB, charsB, thrB) === ((3L, 3000L, 3333L)))
+    assert(keptB <= 3L)
+    // determinism: a second invocation returns the identical audit
+    // (membership is a pure hash — nothing is sampled at random)
+    assert(q(spark, dir).collect().toSeq ===
+      q(spark, dir).collect().toSeq)
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("x41: growing one stratum never changes another stratum's row") {
+    import spark.implicits._
+    val dir = mixCorpus()
+    val q = SparkEntry.queries("x41_stratified_sample")
+    val before = q(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // append to bb only; aa's chars, threshold and kept set are
+    // functions of (its own mass, the global min) — the min is still
+    // aa's own 1000, so aa's row must be byte-identical
+    Seq((6L, "u " * 500, "bb", 1000L)).toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val after = q(spark, dir).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(after("aa") === before("aa"))
+    assert(after("bb").head === "bb")
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("x42: hand-computed scores; null and sub-trigram docs score null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fam").toString
+    // trigram df: abc→3 (docs 1,2,3), bcd→1, bcx→1
+    Seq(
+      (1L, "abcd", "aa", 4L),   // {abc, bcd}: (3+1)/2 = 2.0
+      (2L, "abcx", "aa", 4L),   // {abc, bcx}: (3+1)/2 = 2.0
+      (3L, "abc", "aa", 3L),    // {abc}: 3/1 = 3.0
+      (4L, "ab", "aa", 2L),     // shorter than a trigram: no grams
+      (5L, null.asInstanceOf[String], "aa", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x42_familiarity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 2.0), (2L, 2L, 2.0), (3L, 1L, 3.0),
+      (4L, 0L, null), (5L, 0L, null)))
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("x41 plan: the corpus is never shuffled — rate table broadcasts back") {
+    val dir = mixCorpus()
+    val df = SparkEntry.queries("x41_stratified_sample")(spark, dir)
+    df.collect()
+    // the adaptive plan string appends the pre-AQE "Initial Plan" —
+    // assert on the FINAL plan section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the only joins are broadcasts (rate table, audit); a sort-merge
+    // join would mean the full corpus shuffled on lang
+    assert(!plan.contains("SortMergeJoin"),
+      s"x41 shuffled the corpus:\n$plan")
+    graft.tables.TempDirs.delete(dir)
+  }
+}
