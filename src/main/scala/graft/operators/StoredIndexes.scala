@@ -91,18 +91,25 @@ private[graft] object StoredIndexes {
       now: Map[String, String]): Boolean =
     covered.forall { case (f, sig) => now.get(f).contains(sig) }
 
+  /** Run `mk`, accumulating its wall-clock under `kind` in
+    * [[buildLog]] — the ONE timed build path, shared by every cache
+    * entry constructor so the bench `build` section cannot
+    * under-report. */
+  private def timedBuild[A](kind: String)(mk: => A): A = {
+    val t0 = System.nanoTime()
+    val built = mk
+    buildLog.merge(kind, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
+    built
+  }
+
   /** Build a fresh cache entry into a registered scratch root,
-    * recording the build seconds under `kind` — the ONE logged build
-    * path, shared by [[versioned]] and the ingest APIs so the bench
-    * `build` section cannot under-report. */
+    * recording the build seconds under `kind` (via [[timedBuild]]),
+    * shared by [[versioned]] and the ingest APIs. */
   def rebuildEntry[A](fp: String, kind: String,
       files: Map[String, String] = Map.empty, rows: Long = -1L)(
       mk: String => A): Cached[A] = {
     val root = graft.tables.TempDirs.scratch(kind)
-    val t0 = System.nanoTime()
-    val built = Cached(fp, root, mk(root), files, rows)
-    buildLog.merge(kind, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
-    built
+    timedBuild(kind)(Cached(fp, root, mk(root), files, rows))
   }
 
   /** Serve `m(dir)` if its fingerprint still matches, else (re)build
@@ -135,12 +142,6 @@ private[graft] object StoredIndexes {
     m.compute(dir, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
-      else {
-        val t0 = System.nanoTime()
-        val built = Cached(fp, "", mk)
-        buildLog.merge(kind, (System.nanoTime() - t0) / 1e9,
-          (a, b) => a + b)
-        built
-      }
+      else timedBuild(kind)(Cached(fp, "", mk))
     }).index
 }

@@ -53,8 +53,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * codegen maps over the batch only. A quality-rejected doc is never
  * appended, never fingerprints into the decision table, and logs
  * `(admitted=false, reason='quality')`; near-dup drops log
- * `reason='near_dup'`. The default gate is permissive (admit all) so
- * dedup-only deployments are unchanged.
+ * `reason='near_dup'`. A quality rejection is NOT final: the doc never
+ * entered the corpus, so re-sending it with corrected content
+ * re-evaluates the gate and an upsert supersedes the stale log row —
+ * whereas admitted/near-dup docs are settled (they are in the corpus)
+ * and re-sends of them are dropped. The default gate is permissive
+ * (admit all) so dedup-only deployments are unchanged.
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
@@ -80,20 +84,25 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         // its VERDICT is logged — the ingest_log is written LAST, so a
         // batch that crashed mid-way (corpus appended, derived writes
         // lost) replays in full. Every write below is key-idempotent
-        // (appendUnique) or a derived-table recompute, so reprocessing
-        // an already-appended doc is harmless; keying freshness off the
-        // FIRST write (the corpus) instead would make that crash-replay
-        // a silent no-op that permanently loses the doc's verdict.
-        val notLogged =
+        // (appendUnique/upsert) or a derived-table recompute, so
+        // reprocessing an already-appended doc is harmless; keying
+        // freshness off the FIRST write (the corpus) instead would make
+        // that crash-replay a silent no-op that permanently loses the
+        // doc's verdict. QUALITY rejections are NOT settled: the doc
+        // never reached the corpus, so a re-send with corrected content
+        // re-enters the gate (and its log row is superseded via upsert
+        // below) instead of being permanently anti-joined away.
+        val notSettled =
           if (!store.exists("ingest_log")) batch
-          else batch.join(store.load("ingest_log").select("doc_id"),
-            Seq("doc_id"), "left_anti")
+          else batch.join(store.load("ingest_log")
+            .filter(col("reason").isNull || col("reason") =!= "quality")
+            .select("doc_id"), Seq("doc_id"), "left_anti")
         // quality gate over the NEW docs only (already-logged docs are
         // settled): x38's repetition rule + a token-count floor, one
         // codegen map over the batch. Rejected docs never reach the
         // corpus or the fingerprint scan. One persisted frame carries
         // the anti-join + gate result so neither runs twice.
-        val gated = notLogged
+        val gated = notSettled
           .withColumn("_fail", quality.failure(col("text"))).persist()
         val fresh = gated.filter(col("_fail").isNull)
           .select(col("doc_id"), col("text"))
@@ -121,7 +130,10 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 coalesce(col("canonical"), lit(true)).as("admitted"),
                 when(not(coalesce(col("canonical"), lit(true))),
                   lit("near_dup")).as("reason"))
-            store.appendUnique("ingest_log", admitted, Seq("doc_id"))
+            // upsert, not appendUnique: a doc whose earlier quality
+            // rejection was corrected by this batch has a stale
+            // (admitted=false,'quality') row to supersede
+            store.upsert("ingest_log", admitted, Seq("doc_id"))
           }
         } finally { gated.unpersist(); () }
       } finally { batch.unpersist(); () }

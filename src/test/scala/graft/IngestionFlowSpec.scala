@@ -136,6 +136,48 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("quality rejection is not final: a corrected re-send is admitted") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingresend").toString
+    val store = new TableStore(spark, root)
+    // a persistent checkpoint, so each run() below delivers only the
+    // NEW sends (the corrected re-send must arrive in its own batch,
+    // not unioned with the stale one it corrects)
+    val flows = new IngestionFlows(spark, store, root,
+      checkpointRoot = Some(s"$root/_ckpt"),
+      quality = graft.streaming.IngestQuality(minTokens = 4))
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    // batch 1: doc 9 fails the gate — logged, never enters the corpus
+    ms.addData((9L, "too short"))
+    run(flows.documentIngestFlow(df))
+    assert(!store.exists("documents") ||
+      store.load("documents").collect().isEmpty)
+    val log1 = store.load("ingest_log").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(log1 === Seq((9L, false, "quality")))
+    // batch 2: the producer re-sends doc 9 with corrected content — the
+    // gate re-evaluates (a quality rejection is not settled), the doc
+    // enters the corpus, and the stale log row is SUPERSEDED in place
+    ms.addData((9L, "a corrected perfectly valid document about engines"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").collect().map(_.getLong(0)).toSeq
+      === Seq(9L), "corrected re-send must reach the corpus")
+    val log2 = store.load("ingest_log").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+      .toSeq
+    assert(log2 === Seq((9L, true, None)),
+      "exactly one log row per doc; the quality row must be superseded")
+    // batch 3: replaying the corrected send is a no-op — the doc is now
+    // settled (admitted)
+    ms.addData((9L, "a corrected perfectly valid document about engines"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === 1L &&
+      store.load("ingest_log").count() === 1L)
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("document ingest over the fixture corpus matches x34 on the union") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -310,6 +310,50 @@ class TableStoreSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("upsert supersedes same-key rows and keeps the rest") {
+    import spark.implicits._
+    val store = fresh()
+    // creates on first use
+    store.upsert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(store.load("t").count() === 2)
+    // incoming rows WIN over stored ones (unlike appendUnique); other
+    // keys are untouched
+    store.upsert("t", Seq((2, "B2"), (3, "c")).toDF("k", "v"), Seq("k"))
+    val got = store.load("t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+    // exactly one row per key survives — no duplicate (2, ...) rows
+    assert(store.load("t").count() === 3)
+    // idempotent: replaying the same upsert changes nothing
+    store.upsert("t", Seq((2, "B2"), (3, "c")).toDF("k", "v"), Seq("k"))
+    assert(store.load("t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap === got)
+  }
+
+  test("bucketed restart re-registration survives a quoted store path") {
+    import spark.implicits._
+    // a store root containing a single quote: the re-registration DDL
+    // interpolates the LOCATION literal, which must escape it
+    val root = Files.createTempDirectory("graft-store-o'brien").toString
+    val store = new TableStore(spark, root)
+    val df = (1 to 20).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    store.replaceBucketed("b", df, bucketBy = Seq("k"), numBuckets = 2,
+      sortBy = Seq("k"))
+    val pfx = "graft_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_))
+      .mkString
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(pfx)).foreach(t =>
+        spark.sql(s"DROP TABLE $t"))
+    val got = store.load("b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got === (1 to 20).map(i => (i.toLong, s"r$i")))
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(pfx)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("MVCC: a plan captured before a write keeps its snapshot") {
     import spark.implicits._
     val store = fresh()
