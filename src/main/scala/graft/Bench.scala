@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * and let a later run silently read an earlier run's cache), and an
   * explicit GC tick runs after each query OUTSIDE the timed section.
   * Spark's ContextCleaner releases broadcast/shuffle/RDD state only
-  * when driver-side references are garbage-collected; across 69
+  * when driver-side references are garbage-collected; across 70+
   * queries × 2 runs on one JVM, waiting for organic GC lets dead
   * state accumulate until allocation-heavy queries pay for it in GC
   * thrash (observed: 20–100× degradation late in a run). The JSON

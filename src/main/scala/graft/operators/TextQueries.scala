@@ -615,6 +615,51 @@ object TextQueries {
     // shuffle key — with exemplar strings recovered for the top-k
     // candidates only; the string-keyed form is kept for exact
     // oracle parity at gate scale.
+    // deterministic sequence packing — the EXPORT-side op every
+    // pretraining pipeline runs after filtering/dedup: documents are
+    // concatenated in a stable order into fixed-token-budget training
+    // sequences, and each doc is assigned (shard, bin, pos) = which
+    // sequence it starts in and at what token offset. Packing is
+    // per-SHARD (shard = pure hash of doc_id), so it is reproducible
+    // across engines and cluster sizes AND embarrassingly parallel:
+    // the only shuffle is one hash partition on shard, the running
+    // offset is a per-shard window cumsum (no global sort, no driver
+    // state), and production sets n_shards ∝ cluster width so every
+    // executor packs its shards independently. A GLOBAL cumsum would
+    // serialize on one task — the shard decomposition is the 100 TB
+    // shape. Budget 1024 stands in for the training context length.
+    Query("x43_seq_pack", {
+      val shard = "CAST(" +
+        Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 8 AS BIGINT)"
+      "WITH t AS (SELECT doc_id, " + shard + " AS shard, " +
+        s"${Sql.tokenCount("text")} AS n_tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, shard, n_tok, " +
+        "COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum " +
+        "FROM t) " +
+        "SELECT doc_id, shard, n_tok, " +
+        "CAST(floor(cum / 1024.0) AS BIGINT) AS bin, " +
+        "CAST(cum % 1024 AS BIGINT) AS pos " +
+        "FROM c ORDER BY doc_id"
+    }) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            (TextFns.md5Bits16(col("doc_id").cast("string")) % 8)
+              .cast("bigint").as("shard"),
+            size(TextFns.tokens(col("text"))).cast("bigint").as("n_tok"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("shard"), col("n_tok"),
+            floor(col("cum") / 1024.0).cast("bigint").as("bin"),
+            (col("cum") % 1024).cast("bigint").as("pos"))
+          .orderBy("doc_id")
+      }
+    },
+
     Query("x39_boilerplate", {
       s"WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
         "WHERE text IS NOT NULL), " +

@@ -87,6 +87,61 @@ class MixQueriesSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("x43: packing reconstructs from (shard, doc order); appends never move old docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pack").toString
+    val mk = (n: Int) => (1 to n).map(i =>
+      (i.toLong, ("tok " * (i * 37 % 400 + 1)).trim, "aa", 0L))
+    mk(60).toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q = SparkEntry.queries("x43_seq_pack")
+    val rows = q(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // reconstruct: within each shard in doc_id order, bin/pos must be
+    // exactly the running-offset decomposition of the token stream
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, nTok, bin, pos) =>
+        assert(bin === cum / 1024 && pos === cum % 1024,
+          s"doc $id in shard $shard: expected offset $cum")
+        cum += nTok
+      }
+    }
+    // stream-append stability: new docs with HIGHER doc_ids pack AFTER
+    // the existing ones, so no already-exported assignment ever moves
+    val before = rows.map(r => r._1 -> r).toMap
+    mk(80).drop(60).toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val after = q(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    before.foreach { case (id, row) =>
+      assert(after.find(_._1 == id).contains(row),
+        s"append moved doc $id's packed position")
+    }
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("x43 plan: one shard hash partition, no global-sort packing") {
+    val dir = mixCorpus()
+    val df = SparkEntry.queries("x43_seq_pack")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the packing itself shuffles once, on shard; the only other
+    // exchange is the output ORDER BY's range partition (the oracle
+    // determinism contract, not the operator)
+    assert(plan.contains("hashpartitioning(shard"),
+      s"x43 lost its per-shard decomposition:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) === 1 &&
+      exchanges.length <= 2,
+      s"x43 shuffles more than shard + output sort: $exchanges\n$plan")
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("x41 plan: the corpus is never shuffled — rate table broadcasts back") {
     val dir = mixCorpus()
     val df = SparkEntry.queries("x41_stratified_sample")(spark, dir)
