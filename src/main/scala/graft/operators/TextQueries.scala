@@ -67,8 +67,10 @@ object TextQueries {
   private val dfCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Option[Seq[(String, Long)]]]]()
 
-  private def trigramDf(s: org.apache.spark.sql.SparkSession,
-      d: String): Option[Seq[(String, Long)]] =
+  /** `cap` is overridable only so specs can force the saturation
+    * fallback on a small corpus; production callers use the default. */
+  private[graft] def trigramDf(s: org.apache.spark.sql.SparkSession,
+      d: String, cap: Int = MaxDfGrams): Option[Seq[(String, Long)]] =
     StoredIndexes.versionedValue(dfCache, d, "documents.parquet",
       "graft-trigram-df") {
       val rows = table(s, d, "documents")
@@ -76,8 +78,8 @@ object TextQueries {
         .select(explode(graft.functions.expressions
           .TextExpressions.char_ngrams(col("text"), 3)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("df"))
-        .limit(MaxDfGrams + 1).collect()
-      if (rows.length > MaxDfGrams) None
+        .limit(cap + 1).collect()
+      if (rows.length > cap) None
       else Some(rows.map(r => (r.getString(0), r.getLong(1))).toSeq)
     }
 

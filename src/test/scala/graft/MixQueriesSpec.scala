@@ -87,6 +87,41 @@ class MixQueriesSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("x42: saturation fallback (distributed df) returns identical scores") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fam-fb").toString
+    Seq(
+      (1L, "abcd", "aa", 4L), (2L, "abcx", "aa", 4L),
+      (3L, "abc", "aa", 3L), (4L, "ab", "aa", 2L),
+      (5L, null.asInstanceOf[String], "aa", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // poison the per-dir cache with cap=0: every vocabulary exceeds it,
+    // so the query invocation below takes the distributed-df branch
+    assert(graft.operators.TextQueries.trigramDf(spark, dir, cap = 0).isEmpty)
+    val rows = SparkEntry.queries("x42_familiarity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 2.0), (2L, 2L, 2.0), (3L, 1L, 3.0),
+      (4L, 0L, null), (5L, 0L, null)),
+      "fallback path diverged from the broadcast path's scores")
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("x41: empty corpus returns an empty, correctly-typed audit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mix-empty").toString
+    Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("x41_stratified_sample")(spark, dir)
+    assert(df.columns.toSeq ===
+      Seq("lang", "n_docs", "chars", "thr", "n_kept"))
+    assert(df.collect().isEmpty)
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("x43: packing reconstructs from (shard, doc order); appends never move old docs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pack").toString

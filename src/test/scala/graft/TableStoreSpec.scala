@@ -330,6 +330,29 @@ class TableStoreSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getString(1)).toMap === got)
   }
 
+  test("upsert keeps a partitioned table's layout (pruning still works)") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("t", Seq((1, "p1", "a"), (2, "p2", "b"))
+      .toDF("k", "part", "v"), partitionBy = Seq("part"))
+    store.upsert("t", Seq((2, "p2", "B2"), (3, "p1", "c"))
+      .toDF("k", "part", "v"), Seq("k"))
+    assert(store.load("t").select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+      === Set((1, "a"), (2, "B2"), (3, "c")))
+    // the rewrite must preserve the hive layout: a partition filter
+    // still prunes to only p1's files at execution time
+    assert(store.partitionColumns("t") === Seq("part"))
+    val pruned = store.load("t").filter(col("part") === "p1")
+    assert(pruned.collect().length === 2)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head
+      .metrics("numFiles").value
+    val p1Files = store.load("t").inputFiles.count(_.contains("part=p1"))
+    assert(scanned === p1Files && p1Files <
+      store.load("t").inputFiles.length,
+      s"partition pruning lost after upsert: scanned $scanned")
+  }
+
   test("bucketed restart re-registration survives a quoted store path") {
     import spark.implicits._
     // a store root containing a single quote: the re-registration DDL
