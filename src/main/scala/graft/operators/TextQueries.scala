@@ -507,7 +507,10 @@ object TextQueries {
     // table lazy re-ran the corpus agg at every reference (5 scans).
     // The float threshold floor(1e4·min/chars) is exact while
     // 1e4·min < 2^53; a >2^49-char (~0.5 PB) stratum would switch to
-    // integer division.
+    // integer division. NOTE the collect runs when the BUILDER runs:
+    // a query value snapshots the rate table at construction and is
+    // rebuilt per invocation — invoke the builder per corpus version
+    // (the same build-at-declare contract as the stored-index probes).
     Query("x41_stratified_sample", {
       val bkt = Sql.md5Bits16("md5(CAST(d.doc_id AS VARCHAR))") + " % 10000"
       "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
@@ -532,17 +535,19 @@ object TextQueries {
           .collect()
         val strata = cRows.map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) None else Some(r.getLong(2))))
-        val masses = strata.flatMap(_._3)
-        if (masses.isEmpty)
+        if (strata.isEmpty)
           Seq.empty[(String, Long, Long, Long, Long)]
             .toDF("lang", "n_docs", "chars", "thr", "n_kept")
         else {
-          val mn = masses.min
+          // min over the non-null masses; a stratum with NULL mass (all
+          // n_chars NULL) still emits its row, with NULL thr — exactly
+          // what MIN/floor-over-NULL yield in the SQL oracle
+          val mnOpt = strata.flatMap(_._3).minOption
           // same IEEE arithmetic the previous distributed form (and the
           // DuckDB oracle) evaluate: floor(1e4 * min / chars) on doubles
           val t = strata.toSeq.map { case (lang, n, chOpt) =>
             (lang, n, chOpt.map(Long.box).orNull,
-              chOpt.map(ch => Long.box(
+              (for (mn <- mnOpt; ch <- chOpt) yield Long.box(
                 math.floor(10000.0 * mn / ch).toLong)).orNull)
           }.toDF("lang", "n_docs", "chars", "thr")
           val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 10000
@@ -617,6 +622,24 @@ object TextQueries {
     // shuffle key — with exemplar strings recovered for the top-k
     // candidates only; the string-keyed form is kept for exact
     // oracle parity at gate scale.
+    Query("x39_boilerplate", {
+      s"WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        s"g AS (SELECT unnest(${Sql.allShingles("ts", 5)}) AS gram FROM t) " +
+        "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram " +
+        "HAVING COUNT(*) >= 2 ORDER BY n DESC, gram LIMIT 50"
+    }) {
+      (s, d) =>
+        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
+          .select(explode(
+            TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .orderBy(col("n").desc, col("gram"))
+          .limit(50)
+    },
+
     // deterministic sequence packing — the EXPORT-side op every
     // pretraining pipeline runs after filtering/dedup: documents are
     // concatenated in a stable order into fixed-token-budget training
@@ -660,23 +683,5 @@ object TextQueries {
             (col("cum") % 1024).cast("bigint").as("pos"))
           .orderBy("doc_id")
       }
-    },
-
-    Query("x39_boilerplate", {
-      s"WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
-        "WHERE text IS NOT NULL), " +
-        s"g AS (SELECT unnest(${Sql.allShingles("ts", 5)}) AS gram FROM t) " +
-        "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram " +
-        "HAVING COUNT(*) >= 2 ORDER BY n DESC, gram LIMIT 50"
-    }) {
-      (s, d) =>
-        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
-          .select(explode(
-            TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
-          .groupBy("gram")
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .orderBy(col("n").desc, col("gram"))
-          .limit(50)
     })
 }

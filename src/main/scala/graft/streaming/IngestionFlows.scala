@@ -76,9 +76,20 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     * text string). */
   def documentIngestFlow(newDocs: DataFrame): StreamingQuery =
     start(newDocs, "document_ingest") { batch0 =>
-      // the batch feeds the corpus append AND the new-doc log; persist
-      // so the stream source is scanned once
-      val batch = batch0.dropDuplicates("doc_id").persist()
+      // deterministic in-batch dedup: one micro-batch can carry several
+      // sends of a doc_id (a stale row AND its correction) — prefer the
+      // gate-PASSING row, then the longest text, then lexicographic, so
+      // the corrected-re-send contract cannot depend on partition order
+      // (a bare dropDuplicates picks an arbitrary winner). The batch
+      // feeds the corpus append AND the new-doc log; persist so the
+      // stream source is scanned once.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(
+          quality.failure(col("text")).isNotNull.cast("int"),
+          coalesce(length(col("text")), lit(-1)).desc,
+          col("text").asc_nulls_last)
+      val batch = batch0.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn").persist()
       try {
         // which of the batch are genuinely new: a doc is settled once
         // its VERDICT is logged — the ingest_log is written LAST, so a

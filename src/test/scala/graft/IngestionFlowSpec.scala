@@ -178,6 +178,29 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("same-batch stale + corrected send: the gate-passing row wins") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingrace").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      quality = graft.streaming.IngestQuality(minTokens = 4))
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    // both sends land in ONE micro-batch; admission must not depend on
+    // partition order — the quality-passing correction wins
+    ms.addData((9L, "too short"),
+      (9L, "a corrected perfectly valid document about engines"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").collect().map(_.getLong(0)).toSeq
+      === Seq(9L), "the corrected row must win the in-batch dedup")
+    val log = store.load("ingest_log").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+      .toSeq
+    assert(log === Seq((9L, true, None)))
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("document ingest over the fixture corpus matches x34 on the union") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -109,6 +109,25 @@ class MixQueriesSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("x41: all-NULL char mass emits rows with NULL thresholds, not empty") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mix-null").toString
+    Seq((1L, "x", "aa", null.asInstanceOf[java.lang.Long]),
+      (2L, "y", "bb", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // MIN over all-NULL masses is NULL → thr NULL → nothing kept; the
+    // strata rows themselves must still appear (oracle parity: the SQL
+    // emits one row per lang with NULL chars/thr)
+    val rows = SparkEntry.queries("x41_stratified_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(("aa", 1L, null, null, 0L),
+      ("bb", 1L, null, null, 0L)))
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("x41: empty corpus returns an empty, correctly-typed audit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mix-empty").toString
