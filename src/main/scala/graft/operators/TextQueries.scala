@@ -236,6 +236,50 @@ object TextQueries {
     // the corpus grows (old docs keep their split). A narrow map — no
     // shuffle except the stratification audit aggregate reported here
     // (per-language split counts + within-language fraction).
+    // per-source data card — the mix report every pretraining pipeline
+    // publishes before export: per crawl/source, document and character
+    // counts, the source's share of total corpus characters, and
+    // token/duplication stats. All ratios derive from BIGINT sums with
+    // ONE final division (float partial-aggregation order never enters,
+    // so the result hash-matches the oracle bit-for-bit). Scale shape:
+    // one narrow scan → hash agg with map-side combine to n_sources
+    // rows (bounded corpus metadata); the share window runs over that
+    // bounded output, not the corpus.
+    Query("x44_source_mix",
+      "WITH t AS (SELECT source, n_chars, " +
+        "len(string_split(text, ' ')) AS nt, " +
+        "len(list_distinct(string_split(text, ' '))) AS nd " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars, " +
+        "round(CAST(SUM(n_chars) AS DOUBLE) / SUM(SUM(n_chars)) OVER (), 6) AS char_share, " +
+        "CAST(SUM(nt) AS BIGINT) AS tokens, " +
+        "round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) AS avg_tokens, " +
+        "round(1 - CAST(SUM(nd) AS DOUBLE) / SUM(nt), 6) AS dup_ratio " +
+        "FROM t GROUP BY source ORDER BY source") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ts = TextFns.tokens(col("text"))
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("source"), col("n_chars"),
+            size(ts).as("nt"), size(array_distinct(ts)).as("nd"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(col("nt")).as("tokens"), sum(col("nd")).as("nds"))
+          .withColumn("char_share", round(col("chars").cast("double") /
+            sum(col("chars")).over(Window.partitionBy()), 6))
+          .select(col("source"), col("n_docs").cast("bigint").as("n_docs"),
+            col("chars").cast("bigint").as("chars"), col("char_share"),
+            col("tokens").cast("bigint").as("tokens"),
+            round(col("tokens").cast("double") / col("n_docs"), 4)
+              .as("avg_tokens"),
+            round(lit(1) - col("nds").cast("double") / col("tokens"), 6)
+              .as("dup_ratio"))
+          .orderBy("source")
+      }
+    },
+
     Query("x35_train_split",
       "WITH b AS (SELECT lang, " +
         Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100 AS bkt " +
