@@ -80,15 +80,19 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       // sends of a doc_id (a stale row AND its correction) — prefer the
       // gate-PASSING row, then the longest text, then lexicographic, so
       // the corrected-re-send contract cannot depend on partition order
-      // (a bare dropDuplicates picks an arbitrary winner). The batch
+      // (a bare dropDuplicates picks an arbitrary winner). The gate
+      // verdict is computed ONCE here and carried through the batch (it
+      // both orders the dedup and decides admission below). The batch
       // feeds the corpus append AND the new-doc log; persist so the
       // stream source is scanned once.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(
-          quality.failure(col("text")).isNotNull.cast("int"),
+          col("_fail").isNotNull.cast("int"),
           coalesce(length(col("text")), lit(-1)).desc,
           col("text").asc_nulls_last)
-      val batch = batch0.withColumn("_rn", row_number().over(w))
+      val batch = batch0
+        .withColumn("_fail", quality.failure(col("text")))
+        .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn").persist()
       try {
         // which of the batch are genuinely new: a doc is settled once
@@ -110,11 +114,11 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             .select("doc_id"), Seq("doc_id"), "left_anti")
         // quality gate over the NEW docs only (already-logged docs are
         // settled): x38's repetition rule + a token-count floor, one
-        // codegen map over the batch. Rejected docs never reach the
-        // corpus or the fingerprint scan. One persisted frame carries
-        // the anti-join + gate result so neither runs twice.
-        val gated = notSettled
-          .withColumn("_fail", quality.failure(col("text"))).persist()
+        // codegen map — the `_fail` verdict was computed with the batch
+        // above. Rejected docs never reach the corpus or the
+        // fingerprint scan. One persisted frame carries the anti-join
+        // result so it does not run twice.
+        val gated = notSettled.persist()
         val fresh = gated.filter(col("_fail").isNull)
           .select(col("doc_id"), col("text"))
         val rejected = gated.filter(col("_fail").isNotNull)
