@@ -276,7 +276,10 @@ object TextQueries {
               .as("avg_tokens"),
             round(lit(1) - col("nds").cast("double") / col("tokens"), 6)
               .as("dup_ratio"))
-          .orderBy("source")
+          // NULLS LAST to match DuckDB's ascending default (Spark's is
+          // nulls-first) — a NULL source group must not break the
+          // positional oracle compare
+          .orderBy(col("source").asc_nulls_last)
       }
     },
 

@@ -76,81 +76,70 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     * text string). */
   def documentIngestFlow(newDocs: DataFrame): StreamingQuery =
     start(newDocs, "document_ingest") { batch0 =>
-      // deterministic in-batch dedup: one micro-batch can carry several
-      // sends of a doc_id (a stale row AND its correction) — prefer the
-      // gate-PASSING row, then the longest text, then lexicographic, so
-      // the corrected-re-send contract cannot depend on partition order
-      // (a bare dropDuplicates picks an arbitrary winner). The gate
-      // verdict is computed ONCE here and carried through the batch (it
-      // both orders the dedup and decides admission below). The batch
-      // feeds the corpus append AND the new-doc log; persist so the
-      // stream source is scanned once.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(
+      // which of the batch are genuinely new: a doc is settled once its
+      // VERDICT is logged — the ingest_log is written LAST, so a batch
+      // that crashed mid-way (corpus appended, derived writes lost)
+      // replays in full. Every write below is key-idempotent
+      // (appendUnique/upsert) or a derived-table recompute, so
+      // reprocessing an already-appended doc is harmless; keying
+      // freshness off the FIRST write (the corpus) instead would make
+      // that crash-replay a silent no-op that permanently loses the
+      // doc's verdict. QUALITY rejections are NOT settled: the doc
+      // never reached the corpus, so a re-send with corrected content
+      // re-enters the gate (and its log row is superseded via upsert
+      // below) instead of being permanently anti-joined away. The
+      // anti-join runs FIRST so the gate and the dedup window below
+      // cost O(new rows), not O(batch), on replay-heavy batches.
+      val unsettled =
+        if (!store.exists("ingest_log")) batch0
+        else batch0.join(store.load("ingest_log")
+          .filter(col("reason").isNull || col("reason") =!= "quality")
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      // quality gate (x38's repetition rule + a token-count floor, one
+      // codegen map) evaluated ONCE per row; then deterministic
+      // in-batch dedup — a micro-batch can carry several sends of a
+      // doc_id (a stale row AND its correction), so prefer the
+      // gate-PASSING row, then the longest text, then lexicographic:
+      // the corrected-re-send contract must not depend on partition
+      // order (a bare dropDuplicates picks an arbitrary winner). One
+      // persisted frame feeds the corpus append AND the new-doc log.
+      val batch = graft.tables.MergeOps.dedupBy(
+        unsettled.withColumn("_fail", quality.failure(col("text"))),
+        Seq("doc_id"), Seq(
           col("_fail").isNotNull.cast("int"),
           coalesce(length(col("text")), lit(-1)).desc,
-          col("text").asc_nulls_last)
-      val batch = batch0
-        .withColumn("_fail", quality.failure(col("text")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn").persist()
+          col("text").asc_nulls_last)).persist()
       try {
-        // which of the batch are genuinely new: a doc is settled once
-        // its VERDICT is logged — the ingest_log is written LAST, so a
-        // batch that crashed mid-way (corpus appended, derived writes
-        // lost) replays in full. Every write below is key-idempotent
-        // (appendUnique/upsert) or a derived-table recompute, so
-        // reprocessing an already-appended doc is harmless; keying
-        // freshness off the FIRST write (the corpus) instead would make
-        // that crash-replay a silent no-op that permanently loses the
-        // doc's verdict. QUALITY rejections are NOT settled: the doc
-        // never reached the corpus, so a re-send with corrected content
-        // re-enters the gate (and its log row is superseded via upsert
-        // below) instead of being permanently anti-joined away.
-        val notSettled =
-          if (!store.exists("ingest_log")) batch
-          else batch.join(store.load("ingest_log")
-            .filter(col("reason").isNull || col("reason") =!= "quality")
-            .select("doc_id"), Seq("doc_id"), "left_anti")
-        // quality gate over the NEW docs only (already-logged docs are
-        // settled): x38's repetition rule + a token-count floor, one
-        // codegen map — the `_fail` verdict was computed with the batch
-        // above. Rejected docs never reach the corpus or the
-        // fingerprint scan. One persisted frame carries the anti-join
-        // result so it does not run twice.
-        val gated = notSettled.persist()
-        val fresh = gated.filter(col("_fail").isNull)
+        val fresh = batch.filter(col("_fail").isNull)
           .select(col("doc_id"), col("text"))
-        val rejected = gated.filter(col("_fail").isNotNull)
+        val rejected = batch.filter(col("_fail").isNotNull)
           .select(col("doc_id"), lit(false).as("admitted"),
             col("_fail").as("reason"))
-        try {
-          store.appendUnique("documents", fresh, Seq("doc_id"))
-          if (!rejected.isEmpty)
-            store.appendUnique("ingest_log", rejected, Seq("doc_id"))
-          if (!fresh.isEmpty) {
-            // recompute the derived decision table on the grown corpus
-            // — per-batch cost: one narrow codegen scan + bounded agg
-            val decisions = DedupQueries.quotientClusters(spark,
-              DedupQueries.simhashFpsOf(store.load("documents")))
-            store.replace("dedup_decisions", decisions)
-            // the new docs' verdicts: a new doc is DROPPED iff the
-            // current clustering marks it non-canonical (near-dup of a
-            // smaller-id doc); docs outside any cluster are admitted
-            val admitted = fresh.select(col("doc_id"))
-              .join(store.load("dedup_decisions")
-                .select(col("doc_id"), col("canonical")),
-                Seq("doc_id"), "left_outer")
-              .select(col("doc_id"),
-                coalesce(col("canonical"), lit(true)).as("admitted"),
-                when(not(coalesce(col("canonical"), lit(true))),
-                  lit("near_dup")).as("reason"))
-            // upsert, not appendUnique: a doc whose earlier quality
-            // rejection was corrected by this batch has a stale
-            // (admitted=false,'quality') row to supersede
-            store.upsert("ingest_log", admitted, Seq("doc_id"))
-          }
-        } finally { gated.unpersist(); () }
+        store.appendUnique("documents", fresh, Seq("doc_id"))
+        if (!rejected.isEmpty)
+          store.appendUnique("ingest_log", rejected, Seq("doc_id"))
+        if (!fresh.isEmpty) {
+          // recompute the derived decision table on the grown corpus
+          // — per-batch cost: one narrow codegen scan + bounded agg
+          val decisions = DedupQueries.quotientClusters(spark,
+            DedupQueries.simhashFpsOf(store.load("documents")))
+          store.replace("dedup_decisions", decisions)
+          // the new docs' verdicts: a new doc is DROPPED iff the
+          // current clustering marks it non-canonical (near-dup of a
+          // smaller-id doc); docs outside any cluster are admitted
+          val admitted = fresh.select(col("doc_id"))
+            .join(store.load("dedup_decisions")
+              .select(col("doc_id"), col("canonical")),
+              Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("canonical"), lit(true)).as("admitted"),
+              when(not(coalesce(col("canonical"), lit(true))),
+                lit("near_dup")).as("reason"))
+          // upsert, not appendUnique: a doc whose earlier quality
+          // rejection was corrected by this batch has a stale
+          // (admitted=false,'quality') row to supersede
+          store.upsert("ingest_log", admitted, Seq("doc_id"))
+        }
       } finally { batch.unpersist(); () }
     }
 

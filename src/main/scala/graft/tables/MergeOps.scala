@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
  */
 object MergeOps {
 
+  /** One row per `key`: the FIRST by `tieBreak` ordering, an arbitrary
+    * row when the ordering is empty (dropDuplicates — a hash agg, no
+    * window shuffle). The ONE in-batch keyed dedup shared by the
+    * idempotent merges, TableStore.appendUnique and the ingest flows,
+    * so ordering/determinism fixes land in one place. */
+  def dedupBy(df: DataFrame, key: Seq[String],
+      tieBreak: Seq[Column] = Nil): DataFrame =
+    if (tieBreak.isEmpty) df.dropDuplicates(key)
+    else {
+      val w = Window.partitionBy(key.map(col): _*).orderBy(tieBreak: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === lit(1)).drop("__rn")
+    }
+
   /** O17/O22 — insert-if-absent on a unique key. Duplicate keys inside
     * the batch collapse to the first row by `tieBreak` ordering;
     * rows whose key already exists in the target are dropped
@@ -28,11 +42,8 @@ object MergeOps {
     * inventario/main.go:91-93). */
   def insertIfAbsent(target: DataFrame, batch: DataFrame, key: Seq[String],
       tieBreak: Seq[Column] = Nil): DataFrame = {
-    val ordered = if (tieBreak.nonEmpty) tieBreak else Seq(lit(1))
-    val w = Window.partitionBy(key.map(col): _*).orderBy(ordered: _*)
-    val dedup = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    val fresh = dedup.join(target.select(key.map(col): _*), key, "left_anti")
+    val fresh = dedupBy(batch, key, tieBreak)
+      .join(target.select(key.map(col): _*), key, "left_anti")
     target.unionByName(fresh.select(target.columns.map(col): _*))
   }
 

@@ -299,13 +299,7 @@ final class TableStore(spark: SparkSession, root: String,
     * READ for the anti-join. */
   def appendUnique(name: String, df: DataFrame, key: Seq[String],
       tieBreak: Seq[Column] = Nil): Unit = {
-    val dedup =
-      if (tieBreak.isEmpty) df.dropDuplicates(key)
-      else {
-        val w = Window.partitionBy(key.map(col): _*).orderBy(tieBreak: _*)
-        df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === lit(1)).drop("__rn")
-      }
+    val dedup = MergeOps.dedupBy(df, key, tieBreak)
     // the lock spans the anti-join read as well as the write: two
     // concurrent appendUniques could otherwise both miss a key in the
     // snapshot and both append it
