@@ -616,5 +616,100 @@ object CoreQueries {
           .groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("u"))
           .orderBy("event_type")
+    },
+
+    // TPC-H Q3 shape (shipping priority): top unshipped-revenue orders
+    // for one market segment at a cutoff date. Scale shape: the
+    // segment-filtered customer table broadcasts, orders and lineitem
+    // carry their date filters down to the parquet scan, the fact join
+    // shuffles once on the order key (which the groupBy then reuses),
+    // and the top-10 is TakeOrdered — no global sort. The fixture has
+    // no o_shippriority column; o_orderpriority stands in.
+    Query("x45_tpch3",
+      "SELECT l_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-03-15' " +
+        "AND l_shipdate > TIMESTAMP '1998-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+          .join(table(s, d, "orders")
+            .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): top customers by
+    // returned revenue in one quarter. Same scale skeleton as x45 —
+    // quarter filter pushed to the orders scan, returnflag filter to
+    // the lineitem scan, nation broadcast, one fact shuffle on the
+    // order key, then a second bounded shuffle on the customer key,
+    // top-20 via TakeOrdered.
+    Query("x46_tpch10",
+      "SELECT c_custkey, c_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "AND l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20") {
+      (s, d) =>
+        table(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(table(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-04-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+    },
+
+    // HyperLogLog++ distinct sketch per group — the 100 TB form of
+    // q20: COUNT(DISTINCT) shuffles every distinct (group, user) pair,
+    // while the sketch shuffles one fixed-size register array per
+    // group per partition (map-side merged, mergeable across shards /
+    // days / incremental refreshes). rsd 2 % ≈ 1.5 KB of registers.
+    // No SQL oracle — Spark's HLL++ and DuckDB's sketch implementations
+    // differ by design; the driver does a rows-only check and
+    // SketchSpec pins the estimate within the configured error of the
+    // exact count.
+    Query.unchecked("x48_distinct_sketch") {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
     })
 }

@@ -730,5 +730,55 @@ object TextQueries {
             (col("cum") % 1024).cast("bigint").as("pos"))
           .orderBy("doc_id")
       }
+    },
+
+    // collocation mining: bigrams whose observed frequency beats the
+    // independence expectation — lift = P(w1 w2) / (P(w1)·P(w2)) =
+    // c12·N / (c1·c2) — surfacing multi-word units for tokenizer /
+    // phrase-vocabulary work (x39 ranks raw frequency; this ranks
+    // association strength). Lift rather than log-PMI so the only
+    // float op is one correctly-rounded IEEE division chain — no
+    // libm log whose last ulp could differ across engines. Scale
+    // shape: counts are all BIGINT hash aggregates with map-side
+    // combine; the unigram table is VOCABULARY-bounded, so both
+    // count joins broadcast; N comes from token counts (no second
+    // corpus explode); top-50 is TakeOrdered. At 100 TB the c1·c2
+    // product would move to DOUBLE to dodge int64 overflow.
+    Query("x47_colloc_lift",
+      "WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(ts) AS w FROM t) GROUP BY w), " +
+        s"bc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM " +
+        s"(SELECT unnest(${Sql.allShingles("ts", 2)}) AS gram FROM t) " +
+        "GROUP BY gram HAVING COUNT(*) >= 5), " +
+        "n AS (SELECT CAST(SUM(CASE WHEN len(ts) >= 2 THEN len(ts) - 1 " +
+        "ELSE 0 END) AS BIGINT) AS nb FROM t) " +
+        "SELECT gram, c12, round(CAST(c12 AS DOUBLE) * nb / (c1.c * c2.c), 6) " +
+        "AS lift FROM bc CROSS JOIN n " +
+        "JOIN uc c1 ON string_split(gram, ' ')[1] = c1.w " +
+        "JOIN uc c2 ON string_split(gram, ' ')[2] = c2.w " +
+        "ORDER BY lift DESC, gram LIMIT 50") {
+      (s, d) => {
+        val t = table(s, d, "documents").filter(col("text").isNotNull)
+          .select(TextFns.tokens(col("text")).as("ts"))
+        val uc = t.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bc = t.select(explode(TextFns.allShingles(col("ts"), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val n = t.agg(sum(when(size(col("ts")) >= 2, size(col("ts")) - 1)
+          .otherwise(0)).cast("bigint").as("nb"))
+        bc.crossJoin(broadcast(n))
+          .join(broadcast(uc.select(col("w").as("w1"), col("c").as("c1"))),
+            split(col("gram"), " ")(0) === col("w1"))
+          .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c2"))),
+            split(col("gram"), " ")(1) === col("w2"))
+          .select(col("gram"), col("c12"),
+            round(col("c12").cast("double") * col("nb") /
+              (col("c1") * col("c2")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("gram"))
+          .limit(50)
+      }
     })
 }

@@ -68,11 +68,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("no query degenerates to a cross product except the intended all-pairs ones") {
-    // crossJoin-by-design: ONLY the single-row query-vector broadcasts
-    // remain (x10's all-pairs baseline is gone — LSH-prefiltered since
-    // r7, so no declared query carries an O(n²) join anymore)
+    // crossJoin-by-design: ONLY the single-row broadcasts remain — the
+    // query-vector joins and x47's scalar total-bigram-count join
+    // (x10's all-pairs baseline is gone — LSH-prefiltered since r7, so
+    // no declared query carries an O(n²) join anymore)
     val intended = Set("q23_knn", "x9_knn_cosine", "x11_ann_lsh",
-      "x20_ann_ivf")
+      "x20_ann_ivf", "x47_colloc_lift")
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -90,6 +91,27 @@ class PlanSpec extends AnyFunSuite {
         s"$n: part filter not pushed to the scan:\n$p")
       assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
     }
+  }
+
+  test("x45/x46: date+segment filters pushed, dims broadcast, top-k not global sort") {
+    Seq("x45_tpch3" -> "c_mktsegment", "x46_tpch10" -> "l_returnflag")
+      .foreach { case (n, filtered) =>
+        val p = plan(n)
+        assert(p.contains("BroadcastHashJoin"), s"$n: dims not broadcast:\n$p")
+        assert(p.matches(s"(?s).*PushedFilters: \\[[^\\]]*EqualTo\\($filtered,.*"),
+          s"$n: $filtered filter not pushed to the scan:\n$p")
+        assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(o_orderdate,.*"),
+          s"$n: order-date range not pushed to the scan:\n$p")
+        assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
+        assert(p.contains("TakeOrderedAndProject"), s"$n: top-k does a full sort:\n$p")
+      }
+  }
+
+  test("x47: counts partial-aggregate, unigram joins broadcast, top-k not global sort") {
+    val p = plan("x47_colloc_lift")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"unigram join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k does a full sort:\n$p")
   }
 
   test("x25: pairs come from the broadcast fingerprint neighbor table — no banding explode") {
