@@ -25,14 +25,26 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and floor-truncate to µs —
-      // the same truncation DuckDB applies casting TIMESTAMP_NS →
-      // TIMESTAMP, so oracle comparisons agree.
+      // Fixture vintages differ on events.ts: it has shipped both as
+      // INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+      // nanosAsLong surfaces it as a raw long) and as TIMESTAMP(MICROS)
+      // with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Branch on the
+      // type the reader actually produces so either vintage yields a
+      // session-TZ TimestampType column: nanos are floor-truncated to µs
+      // (the truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP),
+      // and NTZ is cast to LTZ — instant-preserving because every engine
+      // session pins spark.sql.session.timeZone=UTC.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every analytic table as a temp view (for spark.sql paths). */
