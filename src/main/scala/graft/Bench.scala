@@ -52,10 +52,17 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try {
         exec(fn) // warmup: codegen + parquet footer caches
+        // two timed runs, keep the MIN: noise on a shared VM is strictly
+        // one-sided (contention only ever adds time), and a single timed
+        // sample has recorded 5-7x spikes (r9: x10 10.6s vs a 1.4-1.7s
+        // local band) that say nothing about the plan. gc covers both
+        // runs so a collection paid in either still shows in the artifact.
         val g0 = gcSeconds()
-        val t0 = System.nanoTime()
-        exec(fn)
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(fn)
+          (System.nanoTime() - t0) / 1e9
+        }.min
         val gc = gcSeconds() - g0
         System.gc() // untimed: release dead broadcast/shuffle refs now
         (name, sec, gc)
