@@ -1,0 +1,343 @@
+package graft.api
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.tables.{MergeOps, TableStore}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * O6/O7 — the reference's HTTP read/write surface, re-expressed as a
+ * parameter-binding layer over the engine's tables.
+ *
+ * Route inventory mirrors the two Go services exactly
+ * (eventos/main.go:38-41, reservas/main.go:48-53):
+ *
+ *   GET    /eventos                     list events
+ *   GET    /eventos/{nombre}            point lookup by unique name
+ *   POST   /eventos                     create (estado=A, fresh id)
+ *   DELETE /eventos/{nombre}            organizer cancel (estado→C)
+ *   GET    /reservas/eventos            list inventory
+ *   GET    /reservas/eventos/{nombre}   inventory point lookup
+ *   GET    /reservas/{evento}/{email}   customer's reservations
+ *   GET    /reservas/{id}               reservation by 24-hex id
+ *   POST   /reservas                    reserve seats (guarded decrement)
+ *   DELETE /reservas/{id}               customer cancel (CAS A→X)
+ *
+ * JSON field names and error texts follow the Go structs' marshal
+ * output (contratos/contratos.go:7-37 — `Inventario.Disponible`,
+ * `DetReserva`'s `idres`/`nombre`/`canres` renames, `Reserva`'s `_id`)
+ * so a reference client can point at this service unchanged.
+ *
+ * Semantics: each parameter binds into a Catalyst filter on the backing
+ * table (point lookups are pushed-down scans, never driver-side
+ * seeks), and each write is the corresponding MergeOps primitive — the
+ * SAME primitives the streaming flows run, so the sync API and the
+ * async saga cannot disagree on admission rules. POST /reservas
+ * collapses the reference's async saga (guarded inventory decrement,
+ * then the reservation row landing via CDC) into one handler: it
+ * applies the O19 guarded decrement and persists the settled
+ * reservation row, which is exactly the saga's fixed point (S2/S4
+ * prove the async route reaches the same state).
+ *
+ * Scale stance: this is the interactive seam, not the bulk path —
+ * handlers serialize through one writer lock (the reference leans on
+ * Mongo's per-document findAndModify for the same guarantee), reads
+ * collect only point lookups or dimension-sized listings, and bulk
+ * mutation traffic belongs on the streaming flows. The server is
+ * JDK-built-in (com.sun.net.httpserver), so the API layer adds no
+ * dependency beyond Spark itself.
+ */
+final class RestService(spark: SparkSession, store: TableStore,
+    port: Int = 0, idGen: () => String = RestService.objectIdGen()) {
+
+  private val mapper = new ObjectMapper()
+  private val lock = new Object
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/eventos", (ex: HttpExchange) => safely(ex)(routeEventos))
+  server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
+  server.setExecutor(null) // single-threaded: writes serialize anyway
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ------------------------------------------------------------------
+  // routing
+  // ------------------------------------------------------------------
+
+  private def segments(ex: HttpExchange): List[String] =
+    ex.getRequestURI.getPath.split("/").toList
+      .filter(_.nonEmpty).map(URLDecoder.decode(_, UTF_8))
+
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+    try f(ex)
+    catch {
+      case e: Throwable => reply(ex, 500, s"Internal Server Error: ${e.getMessage}")
+    } finally ex.close()
+
+  private def routeEventos(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex)) match {
+      case ("GET", List("eventos")) => listEventos(ex)
+      case ("GET", List("eventos", nombre)) => getEvento(ex, nombre)
+      case ("POST", List("eventos")) => postEvento(ex)
+      case ("DELETE", List("eventos", nombre)) => deleteEvento(ex, nombre)
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  private def routeReservas(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex)) match {
+      case ("GET", List("reservas", "eventos")) => listInventario(ex)
+      case ("GET", List("reservas", "eventos", nombre)) => getInventario(ex, nombre)
+      case ("GET", List("reservas", evento, email)) => getReservasCliente(ex, evento, email)
+      case ("GET", List("reservas", id)) => getReservaId(ex, id)
+      case ("POST", List("reservas")) => postReserva(ex)
+      case ("DELETE", List("reservas", id)) => deleteReservaId(ex, id)
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  // ------------------------------------------------------------------
+  // read handlers — each URL parameter becomes a pushed-down filter
+  // ------------------------------------------------------------------
+
+  private def eventoJson(r: Row): String = Json.obj(
+    "Id" -> r.getAs[String]("id"), "Nombre" -> r.getAs[String]("nombre"),
+    "Capacidad" -> r.getAs[Int]("capacidad"),
+    "Categoria" -> r.getAs[String]("categoria"),
+    "Estado" -> r.getAs[String]("estado"))
+
+  private def inventarioJson(r: Row): String = Json.obj(
+    "Id" -> r.getAs[String]("id"), "Nombre" -> r.getAs[String]("nombre"),
+    "Disponible" -> r.getAs[Int]("capacidad"),
+    "Categoria" -> r.getAs[String]("categoria"),
+    "Estado" -> r.getAs[String]("estado"))
+
+  private def reservaJson(id: String, evento: String, estado: String,
+      email: String, cantidad: Int): String = Json.obj(
+    "_id" -> id, "Evento" -> evento, "Estado" -> estado,
+    "Email" -> email, "Cantidad" -> cantidad)
+
+  private def detReservaJson(r: Row): String = Json.obj(
+    "idres" -> r.getAs[String]("id"), "nombre" -> r.getAs[String]("evento"),
+    "Estado" -> r.getAs[String]("estado"), "Email" -> r.getAs[String]("email"),
+    "canres" -> r.getAs[Int]("cantidad"))
+
+  private def listEventos(ex: HttpExchange): Unit =
+    replyJson(ex, 200, Json.arr(store.load("eventos")
+      .orderBy("id").collect().toSeq.map(eventoJson)))
+
+  private def getEvento(ex: HttpExchange, nombre: String): Unit =
+    store.load("eventos").filter(col("nombre") === nombre)
+      .collect().headOption match {
+      case Some(r) => replyJson(ex, 200, eventoJson(r))
+      case None => reply(ex, 404, "Not Found")
+    }
+
+  private def listInventario(ex: HttpExchange): Unit =
+    replyJson(ex, 200, Json.arr(store.load("inventario")
+      .orderBy("id").collect().toSeq.map(inventarioJson)))
+
+  private def getInventario(ex: HttpExchange, nombre: String): Unit =
+    store.load("inventario").filter(col("nombre") === nombre)
+      .collect().headOption match {
+      case Some(r) => replyJson(ex, 200, inventarioJson(r))
+      case None => reply(ex, 404, "Not Found")
+    }
+
+  private def getReservasCliente(ex: HttpExchange, evento: String,
+      email: String): Unit =
+    replyJson(ex, 200, Json.arr(store.load("reservas")
+      .filter(col("evento") === evento && col("email") === email)
+      .orderBy("id").collect().toSeq.map(detReservaJson)))
+
+  private def getReservaId(ex: HttpExchange, id: String): Unit =
+    if (!RestService.isHexId(id))
+      reply(ex, 400, "id incorrecta, el formato es /id/(12 bytes hex)")
+    else store.load("reservas").filter(col("id") === id)
+      .collect().headOption match {
+      case Some(r) => replyJson(ex, 200, reservaJson(r.getAs[String]("id"),
+        r.getAs[String]("evento"), r.getAs[String]("estado"),
+        r.getAs[String]("email"), r.getAs[Int]("cantidad")))
+      case None => reply(ex, 404, "Not Found")
+    }
+
+  // ------------------------------------------------------------------
+  // write handlers — MergeOps primitives behind parameter binding
+  // ------------------------------------------------------------------
+
+  private def body(ex: HttpExchange): Option[JsonNode] =
+    try Option(mapper.readTree(new String(
+      ex.getRequestBody.readAllBytes(), UTF_8)))
+    catch { case _: Throwable => None }
+
+  /** Case-insensitive field access — Go's encoding/json matches request
+    * fields to struct names case-insensitively, so `nombre` and
+    * `Nombre` both bind. */
+  private def field(n: JsonNode, name: String): Option[JsonNode] = {
+    val it = n.fields()
+    var found: Option[JsonNode] = None
+    while (it.hasNext && found.isEmpty) {
+      val e = it.next()
+      if (e.getKey.equalsIgnoreCase(name)) found = Some(e.getValue)
+    }
+    found
+  }
+  private def str(n: JsonNode, name: String): String =
+    field(n, name).map(_.asText("")).getOrElse("")
+  private def int(n: JsonNode, name: String): Int =
+    field(n, name).map(_.asInt(0)).getOrElse(0)
+
+  private def postEvento(ex: HttpExchange): Unit = body(ex) match {
+    case None => reply(ex, 400, "JSON no válido")
+    case Some(js) => lock.synchronized {
+      import spark.implicits._
+      val (id, nombre) = (idGen(), str(js, "Nombre"))
+      val row = Seq((id, nombre, int(js, "Capacidad"),
+        str(js, "Categoria"), "A"))
+        .toDF("id", "nombre", "capacidad", "categoria", "estado")
+      val target = store.load("eventos")
+      // O17 insert-if-absent on the unique name (eventos/main.go:75-78:
+      // duplicate insert → 400 "ya existente")
+      if (target.filter(col("nombre") === nombre).limit(1).count() > 0)
+        reply(ex, 400, s"Evento $nombre ya existente")
+      else {
+        store.replace("eventos",
+          MergeOps.insertIfAbsent(target, row, Seq("nombre")))
+        replyJson(ex, 200, Json.obj("Id" -> id, "Nombre" -> nombre,
+          "Capacidad" -> int(js, "Capacidad"),
+          "Categoria" -> str(js, "Categoria"), "Estado" -> "A"))
+      }
+    }
+  }
+
+  private def deleteEvento(ex: HttpExchange, nombre: String): Unit =
+    lock.synchronized {
+      import spark.implicits._
+      val target = store.load("eventos")
+      if (target.filter(col("nombre") === nombre).limit(1).count() == 0)
+        reply(ex, 404, "Not Found")
+      else {
+        // O18 guarded update: estado→C by unique name (main.go:49)
+        store.replace("eventos", MergeOps.guardedUpdate(target,
+          Seq(nombre).toDF("nombre"), Seq("nombre"), lit(true),
+          Map("estado" -> lit("C"))))
+        reply(ex, 200, s"Evento: $nombre cancelado")
+      }
+    }
+
+  private def postReserva(ex: HttpExchange): Unit = body(ex) match {
+    case None => reply(ex, 400, "JSON no válido")
+    case Some(js) =>
+      val (evento, email, cant) =
+        (str(js, "Evento"), str(js, "Email"), int(js, "Cantidad"))
+      if (cant <= 0) reply(ex, 400, "Cantidad incorrecta")
+      else lock.synchronized {
+        import spark.implicits._
+        val id = idGen()
+        val inv = store.load("inventario")
+        // O19 guarded decrement (reservas/main.go:152-166): nombre
+        // matches AND estado='A' AND capacidad covers the request
+        val guard = col("nombre") === evento && col("estado") === "A" &&
+          col("capacidad") >= cant
+        if (inv.filter(guard).limit(1).count() == 0)
+          reply(ex, 404,
+            s"evento $evento no encontrado o sin capacidad en este momento")
+        else {
+          store.replace("inventario", MergeOps.guardedUpdate(inv,
+            Seq(evento).toDF("nombre"), Seq("nombre"),
+            col("estado") === "A" && col("capacidad") >= cant,
+            Map("capacidad" -> (col("capacidad") - cant),
+              "idres" -> lit(id), "email" -> lit(email),
+              "canres" -> lit(cant))))
+          // the saga's settled end-state: the reservation row the
+          // async route lands via CDC (S2/S4)
+          store.append("reservas", Seq((id, evento, "A", email, cant))
+            .toDF("id", "evento", "estado", "email", "cantidad"))
+          replyJson(ex, 200, reservaJson(id, evento, "A", email, cant))
+        }
+      }
+  }
+
+  private def deleteReservaId(ex: HttpExchange, id: String): Unit =
+    if (!RestService.isHexId(id))
+      reply(ex, 400, "id incorrecta, el formato es /id/(12 bytes hex)")
+    else lock.synchronized {
+      import spark.implicits._
+      val target = store.load("reservas")
+      val hit = target.filter(col("id") === id && col("estado") === "A")
+        .collect().headOption
+      hit match {
+        case None =>
+          reply(ex, 404, s"reserva Id $id no encontrada o ya cancelada")
+        case Some(r) =>
+          // O20 CAS A→X (reservas/main.go:186-195)
+          store.replace("reservas", MergeOps.guardedUpdate(target,
+            Seq(id).toDF("id"), Seq("id"), col("estado") === "A",
+            Map("estado" -> lit("X"))))
+          reply(ex, 200, s"reserva Id: $id Cliente: " +
+            s"${r.getAs[String]("email")} Evento: " +
+            s"${r.getAs[String]("evento")} cancelada")
+      }
+    }
+
+  // ------------------------------------------------------------------
+
+  private def reply(ex: HttpExchange, code: Int, text: String): Unit = {
+    val bytes = text.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def replyJson(ex: HttpExchange, code: Int, json: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json;charset=utf8")
+    reply(ex, code, json)
+  }
+}
+
+object RestService {
+  /** bson.ObjectId stand-in: 24 hex chars, time-prefixed + counter —
+    * unique and roughly sortable like the original. */
+  def objectIdGen(): () => String = {
+    val counter = new AtomicLong(new java.util.Random().nextInt(1 << 24))
+    () => {
+      val secs = (System.currentTimeMillis() / 1000) & 0xffffffffL
+      f"$secs%08x${counter.getAndIncrement() & 0xffffffffffffffffL}%016x"
+    }
+  }
+
+  def isHexId(s: String): Boolean =
+    s.length == 24 && s.forall(c => "0123456789abcdefABCDEF".indexOf(c) >= 0)
+}
+
+/** Minimal JSON emission for the fixed response shapes (no reflection,
+  * no extra dependency; requests parse through jackson which ships with
+  * Spark). */
+private object Json {
+  def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+  def value(v: Any): String = v match {
+    case s: String => "\"" + esc(s) + "\""
+    case null => "null"
+    case other => other.toString
+  }
+  def obj(fields: (String, Any)*): String =
+    fields.map { case (k, v) => "\"" + k + "\":" + value(v) }
+      .mkString("{", ",", "}")
+  def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
+}

@@ -1,0 +1,160 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.api.RestService
+import graft.sources.Tables
+import graft.tables.TableStore
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O6/O7 — the HTTP parameter-binding layer over the engine's tables,
+  * driven over a real socket. Routes, JSON field names, status codes
+  * and error texts mirror the reference services
+  * (eventos/main.go:38-41, reservas/main.go:48-53), replayed against
+  * the FIXTURES.md seed state. */
+class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+
+  private var root: String = _
+  private var svc: RestService = _
+  private val seq = new AtomicLong(1)
+
+  override def beforeAll(): Unit = {
+    root = Files.createTempDirectory("graft-rest").toString
+    val store = new TableStore(spark, root)
+    store.init("eventos", Tables.eventos(spark))
+    store.init("inventario", Tables.inventario(spark))
+    store.init("reservas", Tables.reservas(spark))
+    // deterministic 24-hex ids so assertions can name them
+    svc = new RestService(spark, store,
+      idGen = () => f"${seq.getAndIncrement()}%024x")
+    svc.start()
+  }
+
+  override def afterAll(): Unit = if (svc != null) svc.stop()
+
+  private def http(method: String, path: String, body: String = null)
+      : (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:${svc.boundPort}$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes(UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), UTF_8)
+    (code, text.trim)
+  }
+
+  test("GET /eventos lists all events with Go-marshal field names") {
+    val (code, bodyText) = http("GET", "/eventos")
+    assert(code === 200)
+    assert(bodyText.startsWith("[") && bodyText.count(_ == '{') === 3)
+    assert(bodyText.contains("\"Nombre\":\"Opera Boheme\""))
+    assert(bodyText.contains("\"Capacidad\":20"))
+    assert(bodyText.contains("\"Estado\":\"C\"")) // Final Futbol
+  }
+
+  test("GET /eventos/{nombre} binds the path param into a point lookup") {
+    val (code, bodyText) = http("GET", "/eventos/Opera%20Boheme")
+    assert(code === 200)
+    assert(bodyText.contains("\"Nombre\":\"Opera Boheme\"") &&
+      bodyText.contains("\"Categoria\":\"Opera\""))
+    assert(http("GET", "/eventos/No%20Existe")._1 === 404)
+  }
+
+  test("POST /eventos creates with estado=A; duplicate name is a 400") {
+    val (code, bodyText) = http("POST", "/eventos",
+      """{"Nombre": "Concierto Jazz", "Capacidad": 50, "Categoria": "Music"}""")
+    assert(code === 200)
+    assert(bodyText.contains("\"Estado\":\"A\"") &&
+      bodyText.contains("\"Capacidad\":50"))
+    val (c2, t2) = http("GET", "/eventos/Concierto%20Jazz")
+    assert(c2 === 200 && t2.contains("\"Categoria\":\"Music\""))
+    val (c3, t3) = http("POST", "/eventos",
+      """{"Nombre": "Concierto Jazz", "Capacidad": 9, "Categoria": "Music"}""")
+    assert(c3 === 400 && t3 === "Evento Concierto Jazz ya existente")
+    assert(http("POST", "/eventos", "not json")._1 === 400)
+  }
+
+  test("DELETE /eventos/{nombre} cancels (estado→C) like the organizer route") {
+    http("POST", "/eventos",
+      """{"Nombre": "Feria Libro", "Capacidad": 10, "Categoria": "Expo"}""")
+    val (code, text) = http("DELETE", "/eventos/Feria%20Libro")
+    assert(code === 200 && text === "Evento: Feria Libro cancelado")
+    assert(http("GET", "/eventos/Feria%20Libro")._2
+      .contains("\"Estado\":\"C\""))
+    assert(http("DELETE", "/eventos/No%20Existe")._1 === 404)
+  }
+
+  test("GET /reservas/eventos exposes inventory as Inventario (Disponible)") {
+    val (code, bodyText) = http("GET", "/reservas/eventos")
+    assert(code === 200)
+    assert(bodyText.contains("\"Disponible\":17")) // Boheme: 20 − 3 active
+    val (c2, t2) = http("GET", "/reservas/eventos/Opera%20Rigoletto")
+    assert(c2 === 200 && t2.contains("\"Disponible\":27"))
+  }
+
+  test("POST /reservas admits a covered request and decrements inventory") {
+    val (code, bodyText) = http("POST", "/reservas",
+      """{"Evento": "Opera Boheme", "Email": "new@x.com", "Cantidad": 2}""")
+    assert(code === 200)
+    assert(bodyText.contains("\"Estado\":\"A\"") &&
+      bodyText.contains("\"Cantidad\":2"))
+    // guarded decrement landed: 17 − 2
+    assert(http("GET", "/reservas/eventos/Opera%20Boheme")._2
+      .contains("\"Disponible\":15"))
+    // the settled reservation row is readable by id
+    val id = bodyText.split("\"_id\":\"")(1).takeWhile(_ != '"')
+    val (c2, t2) = http("GET", s"/reservas/$id")
+    assert(c2 === 200 && t2.contains("\"Email\":\"new@x.com\""))
+  }
+
+  test("POST /reservas rejections mirror the reference's guards") {
+    assert(http("POST", "/reservas",
+      """{"Evento": "Opera Boheme", "Email": "a@x.com", "Cantidad": 0}""")
+      ===(400, "Cantidad incorrecta"))
+    // capacity guard: more seats than remain
+    val (c1, t1) = http("POST", "/reservas",
+      """{"Evento": "Opera Boheme", "Email": "a@x.com", "Cantidad": 999}""")
+    assert(c1 === 404 && t1.contains("sin capacidad"))
+    // estado guard: Final Futbol is cancelled (estado=C)
+    assert(http("POST", "/reservas",
+      """{"Evento": "Final Futbol", "Email": "a@x.com", "Cantidad": 1}""")._1
+      === 404)
+    // unknown event
+    assert(http("POST", "/reservas",
+      """{"Evento": "Nada", "Email": "a@x.com", "Cantidad": 1}""")._1 === 404)
+  }
+
+  test("GET /reservas/{evento}/{email} returns DetReserva renames") {
+    val (code, bodyText) =
+      http("GET", "/reservas/Opera%20Boheme/pepediaz@gmail.com")
+    assert(code === 200)
+    // seed has an active and a customer-cancelled reservation for pepe
+    assert(bodyText.count(_ == '{') === 2)
+    assert(bodyText.contains("\"idres\":") &&
+      bodyText.contains("\"nombre\":\"Opera Boheme\"") &&
+      bodyText.contains("\"canres\":3"))
+  }
+
+  test("DELETE /reservas/{id} is a CAS A→X; repeat and bad ids rejected") {
+    val seeded = "619c1dae4b21200001952449" // pepe's active reserva
+    val (code, text) = http("DELETE", s"/reservas/$seeded")
+    assert(code === 200)
+    assert(text === s"reserva Id: $seeded Cliente: pepediaz@gmail.com " +
+      "Evento: Opera Boheme cancelada")
+    // second cancel: guard fails (estado already X)
+    val (c2, t2) = http("DELETE", s"/reservas/$seeded")
+    assert(c2 === 404 && t2.contains("ya cancelada"))
+    assert(http("DELETE", "/reservas/zzz")._1 === 400)
+    assert(http("GET", "/reservas/zzz")._1 === 400)
+    assert(http("DELETE", "/reservas/" + "0" * 24)._1 === 404)
+  }
+}
