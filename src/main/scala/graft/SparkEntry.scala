@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofQueries, BoletiaQueries, BucketedQueries, CoreQueries, DedupQueries, MediaQueries, StatefulQueries, TextQueries, VectorQueries}
+import graft.operators.{AsofQueries, BoletiaQueries, BucketedQueries, CoreQueries, DedupQueries, GraphQueries, MediaQueries, StatefulQueries, TextQueries, VectorQueries}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,7 +12,8 @@ object SparkEntry {
   val declared: Seq[Query] =
     CoreQueries.all ++ BoletiaQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ VectorQueries.all ++ MediaQueries.all ++
-      StatefulQueries.all ++ AsofQueries.all ++ BucketedQueries.all
+      StatefulQueries.all ++ AsofQueries.all ++ BucketedQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast-join enrichment + aggregation (survey Q16). */

@@ -711,5 +711,43 @@ object CoreQueries {
           .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
             count(lit(1)).as("n_events"))
           .orderBy("event_type")
+    },
+
+    // Window FRAMES — running aggregates over an ordered per-key
+    // frame (ROWS BETWEEN), the op class the tumbling q15 and the
+    // rank-based q14/x14 don't touch: a 4-row moving average and a
+    // cumulative sum per user in (ts, event_id) order. Scale shape:
+    // one shuffle on user_id, then each frame is evaluated inside the
+    // partition with O(1) incremental state per row — no self-join,
+    // no re-scan per frame. Float parity: DuckDB evaluates window
+    // sums over a segment tree (tree-order association) while Spark
+    // folds incrementally, so the running sum goes through exact
+    // DECIMAL (events.value is 2-dp) and only the division back to
+    // DOUBLE is float — identical IEEE ops on both engines.
+    Query("x49_window_frame",
+      "SELECT user_id, event_id, ts, " +
+        "round(CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w4 AS DOUBLE) " +
+        "/ COUNT(*) OVER w4, 6) AS mavg4, " +
+        "CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER wc AS DOUBLE) AS cum " +
+        "FROM events WHERE user_id < 30 " +
+        "WINDOW " +
+        "w4 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), " +
+        "wc AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, ts, event_id") {
+      (s, d) =>
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val w4 = ord.rowsBetween(-3, Window.currentRow)
+        val wc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dec = col("value").cast("decimal(10,2)")
+        table(s, d, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(sum(dec).over(w4).cast("double") /
+              count(lit(1)).over(w4), 6).as("mavg4"),
+            sum(dec).over(wc).cast("double").as("cum"))
+          .orderBy("user_id", "ts", "event_id")
     })
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables.table
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph computation as a DataFrame superstep loop — the
+ * general-purpose sibling of the dedup family's connected components
+ * (DedupQueries x34/x40): PageRank over the nation-level trade graph
+ * (customer nation → supplier nation, weighted by lineitem count).
+ * In a training-data pipeline this is the domain/source authority
+ *-weighting step (CommonCrawl-style host ranking feeding quality
+ * mixes); here the fixture's trade graph stands in for the host graph.
+ *
+ * Shape: the edge list is ONE pass over the fact table (two broadcast
+ * dimension joins + a single shuffle to group by (src,dst)); each
+ * PageRank superstep is then an equi-join of the 25-row rank vector
+ * with the edge list plus a groupBy — at web scale the rank vector
+ * shuffles on dst, partitioned identically across iterations so the
+ * join co-locates. Iterations are UNROLLED into one plan here (3 fixed
+ * supersteps, matching the oracle's CTE chain — the edge-building
+ * subtree dedupes through ReuseExchange); an open-ended convergence
+ * loop would materialize each superstep like the CC operator does
+ * (DedupQueries), which is the cluster-correct pattern for deep
+ * iteration.
+ *
+ * Oracle parity: edge weights are exact counts, transition
+ * probabilities w/Σw and the damping update 0.006 + 0.85·Σ are the
+ * same IEEE double ops on both engines; only the Σ association order
+ * differs (≤25 addends), which round(…, 6) absorbs.
+ */
+object GraphQueries {
+
+  val all: Seq[Query] = Seq(
+    Query("x50_pagerank",
+      "WITH e AS (" +
+        "SELECT c_nationkey AS src, s_nationkey AS dst, " +
+        "CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1, 2), " +
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1), " +
+        "ew AS (SELECT e.src, e.dst, e.w / outw.ow AS p " +
+        "FROM e JOIN outw USING (src)), " +
+        "n AS (SELECT n_nationkey AS id, n_name FROM nation), " +
+        "r0 AS (SELECT id, 0.04 AS r FROM n), " +
+        "r1 AS (SELECT n.id, 0.006 + 0.85 * COALESCE(SUM(r0.r * ew.p), 0) AS r " +
+        "FROM n LEFT JOIN ew ON ew.dst = n.id LEFT JOIN r0 ON r0.id = ew.src " +
+        "GROUP BY n.id), " +
+        "r2 AS (SELECT n.id, 0.006 + 0.85 * COALESCE(SUM(r1.r * ew.p), 0) AS r " +
+        "FROM n LEFT JOIN ew ON ew.dst = n.id LEFT JOIN r1 ON r1.id = ew.src " +
+        "GROUP BY n.id), " +
+        "r3 AS (SELECT n.id, 0.006 + 0.85 * COALESCE(SUM(r2.r * ew.p), 0) AS r " +
+        "FROM n LEFT JOIN ew ON ew.dst = n.id LEFT JOIN r2 ON r2.id = ew.src " +
+        "GROUP BY n.id) " +
+        "SELECT n.n_name, round(r3.r, 6) AS rank " +
+        "FROM n JOIN r3 ON r3.id = n.id ORDER BY n.n_name") {
+      (s, d) =>
+        // edge list: one fact pass, dims broadcast, one (src,dst) shuffle
+        val e = table(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(table(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(table(s, d, "customer")
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, d, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+        val ew = e.join(outw, "src")
+          .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+        val n = table(s, d, "nation")
+          .select(col("n_nationkey").as("id"), col("n_name"))
+        var r = n.select(col("id"), lit(0.04).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = ew
+            .join(r.select(col("id").as("src_id"), col("r")),
+              col("src") === col("src_id"))
+            .groupBy(col("dst"))
+            .agg(sum(col("r") * col("p")).as("contrib"))
+          r = n.select(col("id"))
+            .join(contrib, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (lit(0.006) + lit(0.85) *
+                coalesce(col("contrib"), lit(0.0))).as("r"))
+        }
+        n.join(r, "id")
+          .select(col("n_name"), round(col("r"), 6).as("rank"))
+          .orderBy("n_name")
+    })
+}

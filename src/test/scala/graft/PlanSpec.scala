@@ -141,6 +141,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__bin"), s"bin bucketing missing from the join:\n$p")
   }
 
+  test("x49: user filter pushed to the scan, both frames share one Window pass") {
+    val p = plan("x49_window_frame")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(user_id,30\\).*"),
+      s"user filter not pushed to the scan:\n$p")
+    // the moving-average and cumulative frames share PARTITION BY +
+    // ORDER BY, so Catalyst must evaluate them in ONE Window operator
+    // over one user_id shuffle — a second Window would double the sort
+    assert(p.linesIterator.count(_.contains("- Window ")) == 1,
+      s"frames did not collapse into one Window pass:\n$p")
+    assert(!p.contains("Join"), s"frame computation grew a join:\n$p")
+  }
+
+  test("x50: dims broadcast into the edge pass; no cartesian growth from iteration") {
+    val p = plan("x50_pagerank")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"superstep join degenerated:\n$p")
+    assert(p.contains("partial_count"), s"edge counts lack map-side combine:\n$p")
+  }
+
   test("x26: scoring is a single narrow scan — no join, no second explode") {
     // the profile is learned eagerly (100 rows collected at build time)
     // and baked into the scoring expressions as literals, so the
