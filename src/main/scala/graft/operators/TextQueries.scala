@@ -780,5 +780,78 @@ object TextQueries {
           .orderBy(col("lift").desc, col("gram"))
           .limit(50)
       }
+    },
+
+    // Unigram Shannon entropy per document, summarized per language —
+    // the information-density quality signal (low-entropy docs are
+    // repetitive/templated, a standard pretraining filter axis
+    // alongside x38's repetition ratios). Scale shape: one explode →
+    // (doc, word) hash count with map-side combine → per-doc total →
+    // one entropy aggregate; everything keys on doc_id so the three
+    // aggregations share one shuffle lineage, and the final per-lang
+    // rollup is n_langs rows. Float parity: p and log2(p) are the same
+    // IEEE ops both engines; per-doc h is rounded to 6 dp BEFORE the
+    // language average (absorbing libm-log2 last-ulp and Σ-association
+    // differences), and the summary rounds to 4.
+    Query("x51_entropy",
+      "WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
+        "AS word FROM documents WHERE text IS NOT NULL AND text <> ''), " +
+        "cnt AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM w " +
+        "GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1), " +
+        "ent AS (SELECT cnt.doc_id, cnt.lang, " +
+        "-SUM((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))) AS h " +
+        "FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "round(AVG(round(h, 6)), 4) AS avg_entropy, " +
+        "round(MIN(h), 4) AS min_entropy, " +
+        "round(MAX(h), 4) AS max_entropy " +
+        "FROM ent GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val cnt = table(s, d, "documents")
+          .filter(col("text").isNotNull && col("text") =!= "")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        val p = col("c") / col("n").cast("double")
+        val ent = cnt.join(tot, "doc_id")
+          .groupBy("doc_id", "lang")
+          .agg((-sum(p * log2(p))).as("h"))
+        ent.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(round(col("h"), 6)), 4).as("avg_entropy"),
+            round(min(col("h")), 4).as("min_entropy"),
+            round(max(col("h")), 4).as("max_entropy"))
+          .orderBy("lang")
+      }
+    },
+
+    // Length-decile stratification per language (ntile) — the
+    // curriculum/mix-building view: which length bands exist per
+    // language and how documents spread across them (feeds x41's
+    // stratified sampling with length-aware strata). ntile is the one
+    // ranking window class the corpus didn't cover (row_number/rank in
+    // q14/x14, frames in x49); output is pure integers over a total
+    // (n_chars, doc_id) order, so the oracle matches bit-for-bit.
+    // Scale: one lang shuffle; the decile assignment is a single
+    // in-partition pass, and the rollup is at most langs×10 rows.
+    Query("x52_length_deciles",
+      "WITH d AS (SELECT lang, n_chars, " +
+        "ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) " +
+        "AS decile FROM documents) " +
+        "SELECT lang, decile, COUNT(*) AS n, MIN(n_chars) AS lo, " +
+        "MAX(n_chars) AS hi FROM d GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        table(s, d, "documents")
+          .select(col("lang"), col("n_chars"),
+            ntile(10).over(w).as("decile"))
+          .groupBy("lang", "decile")
+          .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+            max(col("n_chars")).as("hi"))
+          .orderBy("lang", "decile")
+      }
     })
 }
