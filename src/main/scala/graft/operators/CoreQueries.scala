@@ -713,6 +713,81 @@ object CoreQueries {
           .orderBy("event_type")
     },
 
+    // Statistical aggregates — Pearson correlation and sample stddev
+    // per group, computed from EXACT decimal moment sums (n, Σx, Σy,
+    // Σx², Σy², Σxy) rather than the built-in corr/stddev: the five
+    // sums are map-side-combinable single-pass partials (the 100 TB
+    // form — mergeable across partitions/shards exactly like a count),
+    // and because they are exact DECIMAL, the only float work is the
+    // final closed-form expression — the same IEEE op chain on both
+    // engines, so the result hash-matches where built-in Welford-style
+    // implementations would drift in the last ulp.
+    Query("x53_stats",
+      "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * " +
+        "sqrt(n * syy - sy * sy)), 6) AS corr_qty_price, " +
+        "round(sqrt((n * syy - sy * sy) / " +
+        "(CAST(n AS DOUBLE) * (n - 1))), 4) AS stddev_price " +
+        "FROM m ORDER BY l_returnflag") {
+      (s, d) =>
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        val m = table(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+        m.select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round(sqrt((col("n") * col("syy") - col("sy") * col("sy")) /
+            (col("n").cast("double") * (col("n") - 1))), 4)
+            .as("stddev_price"))
+          .orderBy("l_returnflag")
+    },
+
+    // GROUPING SETS with an ARBITRARY set list — q19's rollup and
+    // x15's cube are the hierarchical/exhaustive special cases; this
+    // is the general form ((lang,source),(lang),(source),()) with
+    // GROUPING() markers disambiguating real NULLs from subtotal
+    // rows. One shuffle: Spark expands the sets map-side and
+    // aggregates all four groupings in a single pass.
+    Query("x54_grouping_sets",
+      "SELECT lang, source, COUNT(*) AS n, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars, " +
+        "CAST(GROUPING(lang) AS INT) AS g_lang, " +
+        "CAST(GROUPING(source) AS INT) AS g_source " +
+        "FROM documents " +
+        "GROUP BY GROUPING SETS ((lang, source), (lang), (source), ()) " +
+        "ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST") {
+      (s, d) =>
+        table(s, d, "documents")
+          .groupingSets(
+            Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+              Seq(col("source")), Seq.empty),
+            col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("bigint").as("chars"),
+            grouping(col("lang")).cast("int").as("g_lang"),
+            grouping(col("source")).cast("int").as("g_source"))
+          .orderBy(col("g_lang"), col("g_source"),
+            col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    },
+
     // Window FRAMES — running aggregates over an ordered per-key
     // frame (ROWS BETWEEN), the op class the tumbling q15 and the
     // rank-based q14/x14 don't touch: a 4-row moving average and a
