@@ -713,6 +713,24 @@ object CoreQueries {
           .orderBy("event_type")
     },
 
+    // Approximate percentile sketch per group — x17's 100 TB form:
+    // the exact median shuffles every value to its group; the sketch
+    // (Greenwald-Khanna in Spark, t-digest elsewhere) keeps a bounded
+    // summary per partition and merges — mergeable across shards/days
+    // like x48's HLL registers. No SQL oracle (sketch algorithms
+    // differ by design); rows-only driver check, approx-vs-exact error
+    // pinned in SketchSpec.
+    Query.unchecked("x55_quantile_sketch") {
+      (s, d) =>
+        table(s, d, "events")
+          .groupBy("event_type")
+          .agg(percentile_approx(col("value"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+              .as("p50_p95_p99"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+    },
+
     // Statistical aggregates — Pearson correlation and sample stddev
     // per group, computed from EXACT decimal moment sums (n, Σx, Σy,
     // Σx², Σy², Σxy) rather than the built-in corr/stddev: the five

@@ -24,6 +24,33 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("x55 grouped quantile sketch lands inside a ±2-percentile rank window") {
+    // GK sketches guarantee RANK error (returned value's true rank is
+    // within ±ε·n of the target), not value error — so the bound is a
+    // rank window: approx pXX must lie between the exact pXX∓2
+    // order statistics (inclusive; with small per-group samples the
+    // window can collapse onto a single repeated value).
+    val ev = Tables.table(spark, TestSpark.sf, "events")
+    val approx = SparkEntry.queries("x55_quantile_sketch")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.48)).as("p48"),
+        percentile(col("value"), lit(0.52)).as("p52"),
+        percentile(col("value"), lit(0.93)).as("p93"),
+        percentile(col("value"), lit(0.97)).as("p97"))
+      .collect()
+    assert(exact.nonEmpty && approx.nonEmpty)
+    exact.foreach { r =>
+      val a = approx(r.getString(0))
+      assert(a(0) >= r.getAs[Double]("p48") && a(0) <= r.getAs[Double]("p52"),
+        s"${r.getString(0)} p50 ${a(0)} outside " +
+          s"[${r.getAs[Double]("p48")}, ${r.getAs[Double]("p52")}]")
+      assert(a(1) >= r.getAs[Double]("p93") && a(1) <= r.getAs[Double]("p97"),
+        s"${r.getString(0)} p95 ${a(1)} outside " +
+          s"[${r.getAs[Double]("p93")}, ${r.getAs[Double]("p97")}]")
+    }
+  }
+
   test("approx percentile within one percentile-bucket of exact (x17's scale path)") {
     val ev = Tables.table(spark, TestSpark.sf, "events")
     val rows = ev.agg(
