@@ -731,6 +731,36 @@ object CoreQueries {
           .orderBy("event_type")
     },
 
+    // FULL OUTER join — the one join class the corpus didn't cover
+    // (inner/semi/anti/left-outer/as-of/range all exist): per-nation
+    // high-balance customer vs supplier counts, keeping nations
+    // present on EITHER side (at sf0.01: 10 customer-only and 4
+    // supplier-only nations). Scale shape: both sides pre-aggregate
+    // to nation cardinality BEFORE the join (the groupBy shuffles are
+    // on the fact tables, the outer join touches only bounded
+    // aggregates), and the acctbal filters push to the scans.
+    Query("x56_full_outer",
+      "WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS custs " +
+        "FROM customer WHERE c_acctbal > 9900 GROUP BY 1), " +
+        "s AS (SELECT s_nationkey AS nk, COUNT(*) AS supps " +
+        "FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) " +
+        "SELECT COALESCE(c.nk, s.nk) AS nk, " +
+        "COALESCE(custs, 0) AS custs, COALESCE(supps, 0) AS supps " +
+        "FROM c FULL JOIN s ON c.nk = s.nk ORDER BY nk") {
+      (s, d) =>
+        val c = table(s, d, "customer").filter(col("c_acctbal") > 9900)
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).as("custs"))
+        val sup = table(s, d, "supplier").filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).as("supps"))
+        c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nk"),
+            coalesce(col("custs"), lit(0)).as("custs"),
+            coalesce(col("supps"), lit(0)).as("supps"))
+          .orderBy("nk")
+    },
+
     // Statistical aggregates — Pearson correlation and sample stddev
     // per group, computed from EXACT decimal moment sums (n, Σx, Σy,
     // Σx², Σy², Σxy) rather than the built-in corr/stddev: the five
