@@ -54,13 +54,15 @@ import org.apache.spark.sql.functions._
  * dependency beyond Spark itself.
  */
 final class RestService(spark: SparkSession, store: TableStore,
-    port: Int = 0, idGen: () => String = RestService.objectIdGen()) {
+    port: Int = 0, idGen: () => String = RestService.objectIdGen(),
+    analyticsDir: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val lock = new Object
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/eventos", (ex: HttpExchange) => safely(ex)(routeEventos))
   server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
+  server.createContext("/query", (ex: HttpExchange) => safely(ex)(routeQuery))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
@@ -98,6 +100,32 @@ final class RestService(spark: SparkSession, store: TableStore,
       case ("GET", List("reservas", id)) => getReservaId(ex, id)
       case ("POST", List("reservas")) => postReserva(ex)
       case ("DELETE", List("reservas", id)) => deleteReservaId(ex, id)
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  /** GET /query/{name}[?limit=N] — the analytics side of O6: every
+    * declared engine query (SparkEntry.queries) becomes an HTTP
+    * endpoint over `analyticsDir`. The name binds to the prebuilt
+    * Catalyst plan; `limit` caps the response rows DRIVER-SIDE VIA THE
+    * PLAN (a `.limit` on top — TakeOrdered/CollectLimit, never a full
+    * collect of an unbounded result). Rows serialize through Spark's
+    * own toJSON (schema-faithful, codegen'd). */
+  private def routeQuery(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex), analyticsDir) match {
+      case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
+      case ("GET", List("query", name), Some(dir)) =>
+        graft.SparkEntry.queries.get(name) match {
+          case None => reply(ex, 404, s"unknown query $name")
+          case Some(build) =>
+            val limit = Option(ex.getRequestURI.getQuery)
+              .flatMap(_.split("&").collectFirst {
+                case p if p.startsWith("limit=") =>
+                  p.drop(6).toIntOption.getOrElse(100)
+              }).getOrElse(100).min(10000).max(1)
+            val rows = build(spark, dir).limit(limit)
+              .toJSON.collect()
+            replyJson(ex, 200, rows.mkString("[", ",", "]"))
+        }
       case _ => reply(ex, 404, "Not Found")
     }
 

@@ -217,6 +217,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes the partitioned fact at runtime") {
+    // the date-partitioned-fact ⋈ filtered-dim shape: at 100 TB the
+    // dim filter must reach the fact scan as a RUNTIME partition
+    // filter (DPP) — static pruning can't see through the join, and
+    // reading every date directory to then discard 29/30 of the rows
+    // is the canonical scale failure
+    import graft.sources.Tables
+    import graft.tables.TableStore
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val store = new TableStore(spark, root)
+    store.replace("events_p",
+      Tables.table(spark, TestSpark.sf, "events")
+        .withColumn("d", to_date(col("ts"))),
+      partitionBy = Seq("d"))
+    try {
+      val fact = store.load("events_p")
+      val dim = fact.select(col("d").as("dim_d")).distinct()
+        .withColumn("tag", when(dayofmonth(col("dim_d")) === 1, "keep"))
+        .filter(col("tag") === "keep")
+      val j = fact.join(dim, col("d") === col("dim_d"))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no DPP filter on the fact scan:\n$p")
+      assert(j.collect().nonEmpty)
+    } finally graft.tables.TempDirs.delete(root)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)

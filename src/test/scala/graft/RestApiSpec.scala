@@ -31,7 +31,8 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.init("reservas", Tables.reservas(spark))
     // deterministic 24-hex ids so assertions can name them
     svc = new RestService(spark, store,
-      idGen = () => f"${seq.getAndIncrement()}%024x")
+      idGen = () => f"${seq.getAndIncrement()}%024x",
+      analyticsDir = Some(TestSpark.sf))
     svc.start()
   }
 
@@ -142,6 +143,17 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bodyText.contains("\"idres\":") &&
       bodyText.contains("\"nombre\":\"Opera Boheme\"") &&
       bodyText.contains("\"canres\":3"))
+  }
+
+  test("GET /query/{name} exposes every declared engine query over HTTP") {
+    val (code, bodyText) = http("GET", "/query/q1_scan")
+    assert(code === 200)
+    assert(bodyText.contains("\"r_regionkey\":0") &&
+      bodyText.contains("\"r_name\":"))
+    // limit binds into the plan
+    val (c2, t2) = http("GET", "/query/q13_topk?limit=3")
+    assert(c2 === 200 && t2.count(_ == '{') === 3)
+    assert(http("GET", "/query/no_such_query")._1 === 404)
   }
 
   test("DELETE /reservas/{id} is a CAS A→X; repeat and bad ids rejected") {
