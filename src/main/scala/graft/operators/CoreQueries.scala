@@ -731,6 +731,30 @@ object CoreQueries {
           .orderBy("event_type")
     },
 
+    // Count-min-sketch heavy hitters — the third sketch family next to
+    // x48's HLL (distinct) and x55's quantiles: frequency estimation
+    // over a key space too large to count exactly. The sketch is a
+    // fixed-size register grid built with map-side partial merges (one
+    // grid per partition, merged associatively — the same mergeability
+    // story as the other sketches); the probe loop runs driver-side
+    // over the candidate keys. At 100 TB the candidate set comes from
+    // a coarse pre-pass or is the known entity vocabulary; here it is
+    // the full (bounded) user id range. Deterministic seed, but no SQL
+    // oracle (DuckDB has no CMS) — rows-only check, overestimate-only
+    // error bound pinned in SketchSpec.
+    Query.unchecked("x57_heavy_hitters") {
+      (s, d) =>
+        import s.implicits._
+        val ev = table(s, d, "events")
+        val cms = ev.stat.countMinSketch(
+          col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
+        val ids = ev.agg(max(col("user_id"))).collect().head.getLong(0)
+        (0L to ids).map(u => (u, cms.estimateCount(u)))
+          .toDF("user_id", "est_events")
+          .orderBy(col("est_events").desc, col("user_id"))
+          .limit(10)
+    },
+
     // FULL OUTER join — the one join class the corpus didn't cover
     // (inner/semi/anti/left-outer/as-of/range all exist): per-nation
     // high-balance customer vs supplier counts, keeping nations

@@ -51,6 +51,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("x57 count-min heavy hitters: overestimate-only within eps*N, top set sane") {
+    val ev = Tables.table(spark, TestSpark.sf, "events")
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val est = SparkEntry.queries("x57_heavy_hitters")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(est.length === 10)
+    est.foreach { case (u, e) =>
+      val ex = exact.getOrElse(u, 0L)
+      assert(e >= ex, s"CMS underestimated user $u: $e < $ex")
+      assert(e <= ex + math.ceil(0.001 * n).toLong + 1,
+        s"CMS overestimate out of bound for user $u: $e vs $ex (n=$n)")
+    }
+  }
+
   test("approx percentile within one percentile-bucket of exact (x17's scale path)") {
     val ev = Tables.table(spark, TestSpark.sf, "events")
     val rows = ev.agg(
