@@ -40,6 +40,34 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redeliveries within the watermark, evicts after") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[ReqEv]
+    val q = graft.streaming.StreamDedup.withinWatermark(
+        ms.toDS().toDF(), Seq("req_id"), tsCol = "req_ts",
+        watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sd_dedup").start()
+    try {
+      // duplicate redelivery inside the watermark window → one row
+      ms.addData(ReqEv("r1", "Opera Boheme", t("10:00")),
+        ReqEv("r1", "Opera Boheme", t("10:02")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT req_id FROM sd_dedup").count() === 1)
+      // advance the watermark far past r1's window so its key evicts
+      ms.addData(ReqEv("r-adv", "x", t("12:00")))
+      q.processAllAvailable()
+      // a replay AFTER eviction is emitted again — windowed
+      // idempotence by contract; the keyed MERGE downstream absorbs it
+      ms.addData(ReqEv("r1", "Opera Boheme", t("12:01")))
+      q.processAllAvailable()
+      val r1s = spark.sql(
+        "SELECT req_id FROM sd_dedup WHERE req_id = 'r1'").count()
+      assert(r1s === 2, s"expected re-emission after state eviction, got $r1s")
+    } finally q.stop()
+  }
+
   test("left-outer emits the abandoned request only after its window expires") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
