@@ -48,6 +48,39 @@ import org.apache.spark.sql.functions._
  */
 object DedupQueries {
 
+  /** x58 — duplicate-GROUP materialization: documents sharing a 5-token
+    * prefix, with the member list aggregated per group (the audit view
+    * a dedup reviewer reads — x39 ranks boilerplate GRAMS, this lists
+    * the documents carrying each shared template head; array
+    * aggregation is also the one agg class the corpus didn't cover).
+    * Members sort numerically inside the group and render as one
+    * string so both engines serialize identically. Scale: one hash
+    * aggregate on the prefix; HAVING prunes singleton groups before
+    * the member lists materialize anything wide, and the top-50 is
+    * TakeOrdered. */
+  private val x58: graft.Query = graft.Query("x58_dup_groups",
+    "WITH g AS (SELECT array_to_string(string_split(text, ' ')[1:5], ' ') " +
+      "AS prefix, COUNT(*) AS n_docs, " +
+      "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids " +
+      "FROM documents WHERE text IS NOT NULL " +
+      "GROUP BY 1 HAVING COUNT(*) > 1) " +
+      "SELECT prefix, n_docs, doc_ids FROM g " +
+      "ORDER BY n_docs DESC, prefix LIMIT 50") {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(array_join(slice(split(col("text"), " "), 1, 5), " ")
+          .as("prefix"), col("doc_id"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("doc_ids"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("prefix"))
+        .limit(50)
+  }
+
   private val Threshold = 0.8
   /** Prefix length for Jaccard ≥ Threshold: n − ⌈0.8n⌉ + 1 = ⌊n/5⌋+1. */
   private def prefixLen(n: org.apache.spark.sql.Column) =
@@ -438,6 +471,7 @@ object DedupQueries {
       "ORDER BY doc_a, doc_b"
 
   val all: Seq[Query] = Seq(
+    x58,
 
     // exact dedup via content hash (survey Q21)
     Query("q21_dedup_exact",
