@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through a `noop`-format write so the full plan
   * materializes (a bare count() would let Catalyst prune projections).
-  * One untimed warmup run amortizes JVM/codegen cost, then the timed
-  * run measures steady-state execution — what a long-lived cluster
+  * One untimed warmup PASS over the suite amortizes JVM/codegen cost,
+  * then two timed passes over the whole suite give two time-separated
+  * samples per query; the recorded time is their min (contention noise
+  * is one-sided) — steady-state execution, what a long-lived cluster
   * actually sees.
   *
   * Hygiene between queries: nothing in any query builder persists or
@@ -48,39 +50,59 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
+
+    // One untimed warmup PASS over the whole suite, then two timed
+    // PASSES — i.e. the two samples of a query are separated by a full
+    // suite traversal (~30s+), not run back-to-back. Back-to-back
+    // min-of-2 still records contention spikes: a sustained busy window
+    // on a shared VM poisons BOTH adjacent samples (r10: x39 recorded
+    // 16.5s in the driver artifact vs a 0.66-1.08s local band).
+    // Interleaving makes the two samples independent draws, so min-of-2
+    // actually rejects one-sided noise. Per-run times are kept in the
+    // artifact ("runs") so a consumer can see both samples, and "gc" is
+    // the GC delta of the run that produced the min.
+    def timedPass(): Map[String, (Double, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        exec(fn) // warmup: codegen + parquet footer caches
-        // two timed runs, keep the MIN: noise on a shared VM is strictly
-        // one-sided (contention only ever adds time), and a single timed
-        // sample has recorded 5-7x spikes (r9: x10 10.6s vs a 1.4-1.7s
-        // local band) that say nothing about the plan. gc covers both
-        // runs so a collection paid in either still shows in the artifact.
         val g0 = gcSeconds()
-        val sec = (0 until 2).map { _ =>
-          val t0 = System.nanoTime()
-          exec(fn)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val t0 = System.nanoTime()
+        exec(fn)
+        val sec = (System.nanoTime() - t0) / 1e9
         val gc = gcSeconds() - g0
         System.gc() // untimed: release dead broadcast/shuffle refs now
-        (name, sec, gc)
+        (name, (sec, gc))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (name, -1.0, 0.0)
+          (name, (-1.0, 0.0))
       }
+    }.toMap
+
+    names.foreach { name => // warmup: codegen + parquet footer caches
+      try exec(SparkEntry.queries(name))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warmup failed: ${e.getMessage}") }
+    }
+    System.gc()
+    val passes = Seq(timedPass(), timedPass())
+    val results = names.map { name =>
+      val samples = passes.map(_(name))
+      val ok = samples.filter(_._1 >= 0)
+      val (sec, gc) = if (ok.isEmpty) (-1.0, 0.0) else ok.minBy(_._1)
+      (name, sec, gc, samples.map(_._1))
     }
     // the driver records a bounded TAIL of stdout: keep the line short
     // (3-decimal times) and put the headline total LAST so a front-
     // truncated capture still contains it (BENCH_r03 lost its total to
     // exactly this). The full line is also written to bench_out.json.
     def r3(v: Double): Double = math.round(v * 1000) / 1e3
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + r3(g) }
+    val gcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // amortized build cost of the stored indexes (IVF/SRP/shingle),
     // paid during warmup: the timed numbers above are probe-only by
     // design (build-once/probe-many serving accounting), and this
@@ -93,7 +115,7 @@ object Bench {
     }
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc":$gcs,"build":$builds,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","protocol":"min-of-2-interleaved","queries":$qs,"gc":$gcs,"runs":$runs,"build":$builds,"value":$total}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes)
     catch { case _: Throwable => () }

@@ -80,7 +80,11 @@ final class RestService(spark: SparkSession, store: TableStore,
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
     try f(ex)
     catch {
-      case e: Throwable => reply(ex, 500, s"Internal Server Error: ${e.getMessage}")
+      case e: Throwable =>
+        // if the handler already sent headers, this second reply throws;
+        // swallow it rather than escaping into the HttpServer dispatcher
+        try reply(ex, 500, s"Internal Server Error: ${e.getMessage}")
+        catch { case _: Throwable => () }
     } finally ex.close()
 
   private def routeEventos(ex: HttpExchange): Unit =
@@ -317,8 +321,9 @@ final class RestService(spark: SparkSession, store: TableStore,
 
   private def reply(ex: HttpExchange, code: Int, text: String): Unit = {
     val bytes = text.getBytes(UTF_8)
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    // JDK HttpServer: length 0 means "chunked/arbitrary", -1 means empty
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
   }
 
   private def replyJson(ex: HttpExchange, code: Int, json: String): Unit = {

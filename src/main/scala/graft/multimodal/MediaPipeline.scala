@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
  * batch processing (`mapPartitions` over a typed Dataset) — the Scala
  * analogue of `mapInPandas` batch UDFs.
  *
- * The actual codec work (JPEG decode, audio resample, video frame
- * extraction) is STUBBED: this container has no image/audio libraries,
- * so `decodeStub` produces a deterministic fake derived from the bytes.
- * Everything around the stub — schema, encoders, partition batching,
- * feature shapes, pruning — is real and tested (MediaSpec), so swapping
- * the stub for an actual codec changes one function.
+ * The codec boundary dispatches on the payload's REAL container
+ * format ([[MediaCodec.sniff]]): recognized PNG/JPEG payloads go
+ * through an actual raster decode (`javax.imageio`, JDK-bundled) into
+ * luminance-histogram features, and recognized WAV payloads through a
+ * real RIFF/PCM16 parse into per-band amplitude features — no
+ * external libraries, all pure JDK. Payloads that are NOT decodable
+ * media (e.g. this fixture's text-byte stand-ins) fall back to a
+ * deterministic byte-fold, keeping the pipeline total: at corpus
+ * scale a bad payload must yield a degraded row, never a task crash.
+ * x59 exercises the real encode→parse→decode round trip end-to-end;
+ * x12/x13 exercise the plumbing + fallback over opaque bytes.
  *
  * Scale notes: media rows are large (MBs); the pipeline keeps binary
  * columns OUT of shuffles — features are extracted in the scan stage
@@ -59,18 +64,73 @@ object MediaPipeline {
       }
   }
 
-  /** ??? in spirit — the codec boundary. Deterministic fake "decode":
-    * real implementation would JNI/library-decode `payload` into
-    * pixels/samples. Keeps the exact signature a real decoder needs:
-    * bytes + meta in, fixed-shape float features out.
-    *
-    * The fake is INTEGER-EXACT by construction: feature j is the sum of
-    * bytes at positions ≡ j (mod dim), scaled by 1/256 (a power of two,
-    * so every value is a dyadic rational exactly representable in
-    * float32). That makes the vectors digestible cross-engine — the
-    * x13 oracle recomputes the bucket sums from the text bytes in
-    * DuckDB and md5-compares, with zero float-rounding exposure. */
-  private def decodeStub(payload: Array[Byte], meta: MediaMeta,
+  /** The codec boundary: dispatch on the REAL container format. PNG/
+    * JPEG → full `javax.imageio` raster decode → luminance histogram;
+    * WAV → RIFF/PCM16 parse → per-band mean |amplitude|. Undecodable
+    * or unrecognized bytes degrade to the byte-fold fallback — total,
+    * never throwing. */
+  private[graft] def decode(payload: Array[Byte], meta: MediaMeta,
+      dim: Int): Array[Float] =
+    MediaCodec.sniff(payload) match {
+      case Some("png") | Some("jpeg") =>
+        MediaCodec.decodeImage(payload)
+          .map(img => luminanceHistogram(MediaCodec.luminance(img), dim))
+          .getOrElse(byteFoldFeatures(payload, dim))
+      case Some("wav") =>
+        MediaCodec.wavSamples(payload)
+          .map(samples => bandAmplitudes(samples, dim))
+          .getOrElse(byteFoldFeatures(payload, dim))
+      case _ => byteFoldFeatures(payload, dim)
+    }
+
+  /** Normalized luminance histogram over `dim` equal-width bins —
+    * the classic cheap image descriptor; exact dyadic rationals
+    * (count / total with total a pixel count) are NOT guaranteed here,
+    * but determinism is: integer luminance in, integer bin counts out. */
+  private def luminanceHistogram(lum: Array[Int], dim: Int): Array[Float] = {
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < lum.length) {
+      counts(math.min(lum(i) * dim / 256, dim - 1)) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    val n = math.max(lum.length, 1)
+    var j = 0
+    while (j < dim) { out(j) = counts(j).toFloat / n; j += 1 }
+    out
+  }
+
+  /** Mean |amplitude| per time band: the sample stream is split into
+    * `dim` contiguous bands, each contributing one feature. */
+  private def bandAmplitudes(samples: Array[Short], dim: Int): Array[Float] = {
+    val sums = new Array[Long](dim)
+    val counts = new Array[Int](dim)
+    val n = samples.length
+    var i = 0
+    while (i < n) {
+      val band = math.min(i.toLong * dim / math.max(n, 1), dim - 1).toInt
+      sums(band) += math.abs(samples(i).toInt)
+      counts(band) += 1
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      out(j) = if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j)).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Fallback for opaque (non-media) bytes. INTEGER-EXACT by
+    * construction: feature j is the sum of bytes at positions ≡ j
+    * (mod dim), scaled by 1/256 (a power of two, so every value is a
+    * dyadic rational exactly representable in float32). That makes the
+    * vectors digestible cross-engine — the x13 oracle recomputes the
+    * bucket sums from the text bytes in DuckDB and md5-compares, with
+    * zero float-rounding exposure. */
+  private def byteFoldFeatures(payload: Array[Byte],
       dim: Int): Array[Float] = {
     val sums = new Array[Int](dim)
     var i = 0
@@ -99,7 +159,7 @@ object MediaPipeline {
     media.mapPartitions { rows =>
       // per-partition init would go here (codec handles, model session)
       rows.map { r =>
-        val feat = decodeStub(r.payload, r.meta, dim)
+        val feat = decode(r.payload, r.meta, dim)
         val bytes = r.payload.length.toLong
         val mean = if (bytes == 0) 0.0
           else r.payload.map(b => (b & 0xff).toDouble).sum / bytes
@@ -113,13 +173,39 @@ object MediaPipeline {
   final case class ResizedMedia(media_id: Long, kind: String, w: Int, h: Int,
       pixels: Array[Byte])
 
-  /** Resize stub — the codec boundary again: views the payload as a
-    * `meta.width × meta.height` single-channel grid (wrapping over the
-    * byte stream) and nearest-neighbor downsamples to `tw × th`.
-    * Integer-exact source indexing (`x·W div tw`), so output is
-    * deterministic cross-platform; a real implementation swaps this
-    * for the library resampler with the identical signature. */
-  private def resizeStub(payload: Array[Byte], meta: MediaMeta,
+  /** Resize — the codec boundary again. Decodable images take the
+    * REAL path: `javax.imageio` decode, integer-luminance conversion,
+    * nearest-neighbor downsample of actual pixels. Opaque bytes view
+    * the payload as a `meta.width × meta.height` single-channel grid
+    * (wrapping over the byte stream) and downsample that. Both paths
+    * use integer-exact source indexing (`x·W div tw`), deterministic
+    * cross-platform. */
+  private[multimodal] def resizeAny(payload: Array[Byte], meta: MediaMeta,
+      tw: Int, th: Int): Array[Byte] =
+    MediaCodec.sniff(payload) match {
+      case Some("png") | Some("jpeg") =>
+        MediaCodec.decodeImage(payload) match {
+          case Some(img) =>
+            val lum = MediaCodec.luminance(img)
+            val w = img.getWidth; val h = img.getHeight
+            val out = new Array[Byte](tw * th)
+            var y = 0
+            while (y < th) {
+              val sy = y * h / th
+              var x = 0
+              while (x < tw) {
+                out(y * tw + x) = lum(sy * w + x * w / tw).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          case None => resizeFallback(payload, meta, tw, th)
+        }
+      case _ => resizeFallback(payload, meta, tw, th)
+    }
+
+  private def resizeFallback(payload: Array[Byte], meta: MediaMeta,
       tw: Int, th: Int): Array[Byte] = {
     val out = new Array[Byte](tw * th)
     if (payload.isEmpty) return out
@@ -147,8 +233,62 @@ object MediaPipeline {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       rows.map(r => ResizedMedia(r.media_id, r.kind, tw, th,
-        resizeStub(r.payload, r.meta, tw, th)))
+        resizeAny(r.payload, r.meta, tw, th)))
     }
+  }
+
+  final case class RoundTrip(doc_id: Long, format: String, width: Int,
+      height: Int, channels: Int, sample_rate: Int, duration_ms: Long,
+      content_sum: Long)
+
+  /** Real-codec round trip over REAL media bytes: per document,
+    * synthesize a genuine PNG (even ids) or PCM16 WAV (odd ids) with
+    * parameters and content derived arithmetically from
+    * (doc_id, n_chars), then run it BACK through the real parsers —
+    * [[MediaCodec.probe]] for the header, `javax.imageio` /
+    * [[MediaCodec.wavSamples]] for the content sum. Every output value
+    * comes from parsing actual container bytes, so an arithmetic
+    * oracle over (doc_id, n_chars) hash-verifies that encode → sniff →
+    * header-parse → full-decode is faithful end-to-end. Encode and
+    * decode happen inside ONE narrow mapPartitions — payload bytes
+    * never leave the task, only the scalar metadata row flows on. */
+  def roundTripFrame(spark: SparkSession, dir: String): Dataset[RoundTrip] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          if (id % 2 == 0) {
+            val w = (nChars % 48 + 4).toInt
+            val h = (nChars % 32 + 4).toInt
+            val png = MediaCodec.encodePng(w, h,
+              (x, y) => ((x * 7 + y * 13 + id * 31) % 256).toInt)
+            val hdr = MediaCodec.probe(png).getOrElse(
+              sys.error(s"png header parse failed for doc $id"))
+            // TYPE_BYTE_GRAY decodes to rgb (g,g,g) → luminance == g,
+            // and PNG is lossless, so this sum equals the generator's
+            val sum = MediaCodec.decodeImage(png)
+              .map(img => MediaCodec.luminance(img).foldLeft(0L)(_ + _))
+              .getOrElse(-1L)
+            RoundTrip(id, hdr.format, hdr.width, hdr.height, hdr.channels,
+              hdr.sampleRate, hdr.durationMs, sum)
+          } else {
+            val sampleRate = (8000 + (nChars % 8) * 1000).toInt
+            val channels = (1 + (nChars % 2)).toInt
+            val nFrames = (nChars % 5000 + 100).toInt
+            val samples = Array.tabulate(nFrames * channels)(i =>
+              ((i * 17 + id * 29) % 2001 - 1000).toShort)
+            val wav = MediaCodec.encodeWavPcm16(sampleRate, channels, samples)
+            val hdr = MediaCodec.probe(wav).getOrElse(
+              sys.error(s"wav header parse failed for doc $id"))
+            val sum = MediaCodec.wavSamples(wav)
+              .map(_.foldLeft(0L)(_ + _)).getOrElse(Long.MinValue)
+            RoundTrip(id, hdr.format, hdr.width, hdr.height, hdr.channels,
+              hdr.sampleRate, hdr.durationMs, sum)
+          }
+        }
+      }
   }
 
   /** Downstream-safe projection: drop the heavy binary before any wide

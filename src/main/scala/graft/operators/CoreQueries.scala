@@ -722,12 +722,20 @@ object CoreQueries {
     // pinned in SketchSpec.
     Query.unchecked("x55_quantile_sketch") {
       (s, d) =>
+        // one sketch per group, unpacked into SCALAR columns (p50/p95/
+        // p99) — array-typed result columns defeat downstream row
+        // canonicalizers (pandas can't hash ndarray cells), and the
+        // scalar shape is what a serving layer reads anyway
+        val pcts = percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
         table(s, d, "events")
           .groupBy("event_type")
-          .agg(percentile_approx(col("value"),
-              array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-              .as("p50_p95_p99"),
-            count(lit(1)).as("n_events"))
+          .agg(pcts.as("pcts"), count(lit(1)).as("n_events"))
+          .select(col("event_type"),
+            element_at(col("pcts"), 1).as("p50"),
+            element_at(col("pcts"), 2).as("p95"),
+            element_at(col("pcts"), 3).as("p99"),
+            col("n_events"))
           .orderBy("event_type")
     },
 
@@ -737,19 +745,32 @@ object CoreQueries {
     // fixed-size register grid built with map-side partial merges (one
     // grid per partition, merged associatively — the same mergeability
     // story as the other sketches); the probe loop runs driver-side
-    // over the candidate keys. At 100 TB the candidate set comes from
-    // a coarse pre-pass or is the known entity vocabulary; here it is
-    // the full (bounded) user id range. Deterministic seed, but no SQL
-    // oracle (DuckDB has no CMS) — rows-only check, overestimate-only
-    // error bound pinned in SketchSpec.
+    // over a CANDIDATE set from a sampled pre-pass, never the raw key
+    // range: a 1% sample's distinct keys catch every hitter above the
+    // CMS error floor with near-certainty (a key with n·eps true
+    // frequency appears in a 1% sample w.p. ~1-e^-0.01·n·eps), and the
+    // candidate count is bounded by the sample size — independent of
+    // both corpus size and keyspace sparsity. Deterministic seed, but
+    // no SQL oracle (DuckDB has no CMS) — rows-only check,
+    // overestimate-only error bound pinned in SketchSpec.
     Query.unchecked("x57_heavy_hitters") {
       (s, d) =>
         import s.implicits._
         val ev = table(s, d, "events")
         val cms = ev.stat.countMinSketch(
           col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
-        val ids = ev.agg(max(col("user_id"))).collect().head.getLong(0)
-        (0L to ids).map(u => (u, cms.estimateCount(u)))
+        val sampled = ev.sample(withReplacement = false, 0.01, seed = 42)
+          .select("user_id").distinct()
+          .limit(100000) // hard cap on driver materialization
+          .as[Long].collect()
+        // tiny inputs only: a 1% sample of a small fixture may miss
+        // keys, so fall back to the (trivially cheap there) exact
+        // distinct; at corpus scale the sample path always satisfies
+        // the threshold and this never fires
+        val candidates =
+          if (sampled.length >= 1000) sampled
+          else ev.select("user_id").distinct().limit(100000).as[Long].collect()
+        candidates.toSeq.map(u => (u, cms.estimateCount(u)))
           .toDF("user_id", "est_events")
           .orderBy(col("est_events").desc, col("user_id"))
           .limit(10)

@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
  */
 object GraphQueries {
 
+  /** Broadcast-if-small guard: the customer/supplier key→nation
+    * projections grow linearly with the corpus, so an unconditional
+    * `broadcast()` hint (which OVERRIDES Spark's size checks) becomes
+    * an executor-OOM at 100×. This consults the optimizer's size
+    * estimate (parquet footer stats — driver-side metadata, no job)
+    * and only hints broadcast under the threshold; above it the plan
+    * falls back to a shuffle join, which AQE may still convert at
+    * runtime if the post-filter side turns out small. */
+  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
+      thresholdBytes: Long = 256L << 20): org.apache.spark.sql.DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresholdBytes)
+      broadcast(df)
+    else df
+
   val all: Seq[Query] = Seq(
     Query("x50_pagerank",
       "WITH e AS (" +
@@ -62,10 +76,10 @@ object GraphQueries {
         val e = table(s, d, "lineitem").select("l_orderkey", "l_suppkey")
           .join(table(s, d, "orders").select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(table(s, d, "customer")
+          .join(broadcastIfSmall(table(s, d, "customer")
             .select("c_custkey", "c_nationkey")),
             col("o_custkey") === col("c_custkey"))
-          .join(broadcast(table(s, d, "supplier")
+          .join(broadcastIfSmall(table(s, d, "supplier")
             .select("s_suppkey", "s_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))

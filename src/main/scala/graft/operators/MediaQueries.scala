@@ -65,5 +65,37 @@ object MediaQueries {
             col("byte_mean"), col("frames_sampled"),
             md5(concat_ws(",", sums: _*)).as("feature_digest"))
           .orderBy("media_id")
+    },
+
+    // Real-codec round trip: Spark synthesizes GENUINE PNG / PCM16-WAV
+    // bytes per document, then parses them back with the real byte-
+    // level parsers (MediaCodec: IHDR / SOF-walk / RIFF-walk) and a
+    // real raster decode (javax.imageio). The oracle recomputes every
+    // field arithmetically from (doc_id, n_chars) — a hash match
+    // proves the encode→sniff→header-parse→full-decode chain is
+    // faithful on real container bytes, not a fake. content_sum is the
+    // decoded pixel-luminance sum (PNG is lossless; gray g decodes to
+    // luminance g exactly) resp. the PCM16 sample sum.
+    Query("x59_media_roundtrip",
+      "SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 48 + 4 ELSE 0 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 32 + 4 ELSE 0 END AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + n_chars % 2 END AS INT) AS channels, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (n_chars % 8) * 1000 END AS INT) AS sample_rate, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE " +
+        "((n_chars % 5000 + 100) * 1000) // (8000 + (n_chars % 8) * 1000) " +
+        "END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN " +
+        "list_sum(list_transform(range((n_chars % 48 + 4) * (n_chars % 32 + 4)), " +
+        "k -> ((k % (n_chars % 48 + 4)) * 7 + (k // (n_chars % 48 + 4)) * 13 " +
+        "+ doc_id * 31) % 256)) " +
+        "ELSE " +
+        "list_sum(list_transform(range((n_chars % 5000 + 100) * (1 + n_chars % 2)), " +
+        "i -> (i * 17 + doc_id * 29) % 2001 - 1000)) " +
+        "END AS BIGINT) AS content_sum " +
+        "FROM documents ORDER BY doc_id") {
+      (s, d) =>
+        MediaPipeline.roundTripFrame(s, d).toDF().orderBy("doc_id")
     })
 }

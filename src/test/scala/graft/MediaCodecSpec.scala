@@ -1,0 +1,96 @@
+package graft
+
+import graft.multimodal.{MediaCodec, MediaPipeline}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real codec layer: byte-level container parsers (PNG IHDR, JPEG
+  * SOF walk, RIFF/WAVE chunk walk), full JDK decode, and the
+  * deterministic encoders — all pure JVM, all total on garbage input. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  test("png: encode → sniff + IHDR parse + lossless pixel round trip") {
+    val w = 37; val h = 23
+    def pix(x: Int, y: Int): Int = (x * 7 + y * 13 + 5) % 256
+    val png = MediaCodec.encodePng(w, h, pix)
+    assert(MediaCodec.sniff(png) === Some("png"))
+    val hdr = MediaCodec.probe(png).get
+    assert(hdr.format === "png" && hdr.width === w && hdr.height === h)
+    assert(hdr.channels === 1 && hdr.bitDepth === 8)
+    val img = MediaCodec.decodeImage(png).get
+    assert(img.getWidth === w && img.getHeight === h)
+    val lum = MediaCodec.luminance(img)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(lum(y * w + x) === pix(x, y), s"pixel ($x,$y)")
+  }
+
+  test("jpeg: encode → SOF header parse agrees with full decode dims") {
+    val w = 41; val h = 17
+    val jpg = MediaCodec.encodeJpeg(w, h, (x, y) => (x * 65536 + y * 256 + 128))
+    assert(MediaCodec.sniff(jpg) === Some("jpeg"))
+    val hdr = MediaCodec.probe(jpg).get
+    assert(hdr.format === "jpeg" && hdr.width === w && hdr.height === h)
+    assert(hdr.channels === 3 && hdr.bitDepth === 8)
+    val img = MediaCodec.decodeImage(jpg).get
+    assert(img.getWidth === w && img.getHeight === h)
+  }
+
+  test("wav: encode → RIFF parse + exact PCM16 sample round trip") {
+    val samples = Array.tabulate(730)(i => ((i * 131) % 2001 - 1000).toShort)
+    val wav = MediaCodec.encodeWavPcm16(sampleRate = 11000, channels = 2, samples)
+    assert(MediaCodec.sniff(wav) === Some("wav"))
+    val hdr = MediaCodec.probe(wav).get
+    assert(hdr.format === "wav" && hdr.channels === 2)
+    assert(hdr.sampleRate === 11000 && hdr.bitDepth === 16)
+    assert(hdr.width === 0 && hdr.height === 0)
+    // 730 interleaved samples / 2 channels = 365 frames
+    assert(hdr.durationMs === 365L * 1000 / 11000)
+    assert(MediaCodec.wavSamples(wav).get.toSeq === samples.toSeq)
+  }
+
+  test("wav: chunk walk skips foreign chunks before fmt/data") {
+    val samples = Array.tabulate(64)(i => (i * 3).toShort)
+    val plain = MediaCodec.encodeWavPcm16(8000, 1, samples)
+    // splice a LIST chunk (odd-length, exercising word alignment)
+    // between WAVE and fmt
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = plain.take(12) ++ junk ++ plain.drop(12)
+    val hdr = MediaCodec.probe(spliced).get
+    assert(hdr.sampleRate === 8000 && hdr.channels === 1)
+    assert(MediaCodec.wavSamples(spliced).get.toSeq === samples.toSeq)
+  }
+
+  test("parsers are total: garbage, truncation, wrong formats → None") {
+    val garbage = Array.tabulate(64)(i => (i * 97).toByte)
+    assert(MediaCodec.sniff(garbage) === None)
+    assert(MediaCodec.probe(garbage) === None)
+    assert(MediaCodec.decodeImage(garbage) === None)
+    assert(MediaCodec.wavSamples(garbage) === None)
+    assert(MediaCodec.sniff(Array.emptyByteArray) === None)
+    assert(MediaCodec.probe("hello world, plain text".getBytes("UTF-8")) === None)
+    val png = MediaCodec.encodePng(9, 9, (_, _) => 42)
+    for (cut <- Seq(4, 12, 20, 25))
+      assert(MediaCodec.pngInfo(png.take(cut)) === None, s"cut=$cut")
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, Array.fill(10)(1.toShort))
+    assert(MediaCodec.wavInfo(wav.take(30)) === None) // truncated mid-fmt
+  }
+
+  test("pipeline decode dispatch: real media → real features, text → byte-fold") {
+    val meta = MediaPipeline.MediaMeta("png", 10, 10, 1, 0L)
+    // a flat 50%-gray image: every pixel in one luminance bin
+    val png = MediaCodec.encodePng(10, 10, (_, _) => 128)
+    val feat = MediaPipeline.decode(png, meta, 16)
+    assert(feat.length === 16)
+    assert(feat(128 * 16 / 256) === 1.0f) // all mass in bin 8
+    assert(feat.sum === 1.0f)
+    // constant-amplitude audio: every band mean |amp| = 500
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, Array.fill(1600)(500.toShort))
+    val afeat = MediaPipeline.decode(wav, meta.copy(format = "wav"), 16)
+    assert(afeat.length === 16 && afeat.forall(_ === 500.0f))
+    // opaque text bytes keep the integer-exact byte-fold contract
+    val text = "abcdefgh".getBytes("UTF-8")
+    val tfeat = MediaPipeline.decode(text, meta, 4)
+    assert(tfeat.toSeq === Seq(
+      ('a' + 'e') / 256.0f, ('b' + 'f') / 256.0f,
+      ('c' + 'g') / 256.0f, ('d' + 'h') / 256.0f))
+  }
+}

@@ -32,7 +32,9 @@ class SketchSpec extends AnyFunSuite {
     // window can collapse onto a single repeated value).
     val ev = Tables.table(spark, TestSpark.sf, "events")
     val approx = SparkEntry.queries("x55_quantile_sketch")(spark, TestSpark.sf)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2)))
+      .toMap
     val exact = ev.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.48)).as("p48"),
         percentile(col("value"), lit(0.52)).as("p52"),
