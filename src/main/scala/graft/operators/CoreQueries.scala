@@ -917,5 +917,48 @@ object CoreQueries {
               count(lit(1)).over(w4), 6).as("mavg4"),
             sum(dec).over(wc).cast("double").as("cum"))
           .orderBy("user_id", "ts", "event_id")
+    },
+
+    // BATCH sessionization — gaps-and-islands: the offline twin of the
+    // streaming session_window (S9). A session boundary opens wherever
+    // the per-user event gap exceeds 30 minutes; the running sum of
+    // boundary flags names the session. Shape at scale: ONE user_id
+    // shuffle feeds the lag window, the running-sum window AND the
+    // (user_id, sess_id) aggregate — the window sort is shared and the
+    // final groupBy's keys are a superset of the partitioning, so no
+    // second exchange. Deterministic total order via (ts, event_id);
+    // gap arithmetic in integer epoch-µs on both engines.
+    Query("x60_sessionize",
+      "WITH g AS (SELECT user_id, event_id, ts, " +
+        "CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL " +
+        "OR epoch_us(CAST(ts AS TIMESTAMP)) " +
+        "- LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS s0 FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT user_id, ts, SUM(s0) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS sess_id FROM g) " +
+        "SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, " +
+        "CAST(MAX(ts) AS TIMESTAMP) AS session_end, " +
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, sess_id " +
+        "ORDER BY user_id, session_start") {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("s0",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("s0")).over(wRun))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start")
     })
 }

@@ -853,5 +853,47 @@ object TextQueries {
             max(col("n_chars")).as("hi"))
           .orderBy("lang", "decile")
       }
+    },
+
+    // TF-IDF top terms per document — the keyword/salience view next
+    // to x47's corpus-global collocation lift: term frequency × inverse
+    // document frequency, top-3 per doc. Scale shape: ONE corpus
+    // explode → (doc_id, token) hash agg with map-side combine (tf);
+    // df folds tf by token (vocabulary-bounded, broadcast back into
+    // the probe join); the per-doc top-3 window rides a doc_id
+    // shuffle of the tf table — never of the corpus text. Floats:
+    // score is rounded to 6 places BEFORE ranking and output on BOTH
+    // engines, with a token tie-break, so libm-ln last-ulp differences
+    // can neither reorder nor reach the hash.
+    Query("x61_tfidf",
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2), " +
+        "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), " +
+        "sc AS (SELECT doc_id, tf.token, " +
+        "round(tf * ln(n.n / df.df), 6) AS score " +
+        "FROM tf JOIN df ON tf.token = df.token CROSS JOIN n), " +
+        "r AS (SELECT doc_id, token, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM sc) " +
+        "SELECT doc_id, rnk, token, score FROM r WHERE rnk <= 3 " +
+        "ORDER BY doc_id, rnk") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        val tf = docs.select(col("doc_id"), explode(col("ts")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = table(s, d, "documents").count().toDouble
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(broadcast(dfTab), "token")
+          .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+          .orderBy("doc_id", "rnk")
+      }
     })
 }
