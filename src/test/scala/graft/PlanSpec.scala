@@ -153,6 +153,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"frame computation grew a join:\n$p")
   }
 
+  test("x60: sessionization rides ONE user_id exchange end-to-end") {
+    val p = plan("x60_sessionize")
+    // lag window, running-sum window and the (user_id, sess_id)
+    // aggregate must all reuse the single user_id hash exchange —
+    // HashPartitioning(user_id) satisfies the aggregate's clustering
+    // because the partition keys are a subset of the grouping keys.
+    // (The only other exchange is the rangepartitioning for the
+    // deterministic output ORDER BY.)
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"sessionization grew a join:\n$p")
+  }
+
+  test("x61: df broadcast into the probe join; top-3 pushed below the shuffle") {
+    val p = plan("x61_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df join shuffled both sides:\n$p")
+    // two corpus passes by design: the df pass map-side-combines down
+    // to vocabulary cardinality before its exchange (cheaper at scale
+    // than shuffling the corpus-sized tf table by token), so both
+    // explodes must be followed by partial aggregation
+    assert(p.linesIterator.count(_.contains("explode")) == 2, s"plan shape:\n$p")
+    assert(p.contains("partial_count"), s"counts lack map-side combine:\n$p")
+    // rank<=3 must become a WindowGroupLimit evaluated partially
+    // BEFORE the doc_id exchange — only ≤3 rows per (doc, partition)
+    // travel the wire, not the full scored tf table
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"top-k not pushed below the shuffle:\n$p")
+  }
+
   test("x50: dims broadcast into the edge pass; no cartesian growth from iteration") {
     val p = plan("x50_pagerank")
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
