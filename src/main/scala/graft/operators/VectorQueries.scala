@@ -264,5 +264,46 @@ object VectorQueries {
             round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
+    },
+
+    // SemDeDup-style semantic dedup decision view: assign every vector
+    // to a cluster, elect the lowest-id member as the cluster
+    // prototype, and flag members whose cosine to the prototype
+    // crosses the dedup threshold. Unlike x10 (PAIRWISE near-dup via
+    // the banded index), this is the linear-cost cluster form — one
+    // cosine per vector against its prototype, never member×member.
+    // The cluster here is the SRP table-0 bucket (deterministic and
+    // oracle-expressible; production swaps in the IVF k-means cell —
+    // same shape). Scale: assignment is a narrow map, the prototype
+    // table is cluster-bounded and BROADCAST, so the whole decision
+    // view is one scan + one tiny agg — no corpus shuffle at all
+    // beyond the deterministic output sort. is_dup compares the
+    // 6-rounded cosine on both engines, so a last-ulp libm difference
+    // cannot flip a decision.
+    Query("x62_semantic_dedup",
+      s"WITH c AS (SELECT vec_id, ${tbSql(0)} AS cl, embedding " +
+        "FROM embeddings), " +
+        "k AS (SELECT cl, MIN(vec_id) AS canonical FROM c GROUP BY 1), " +
+        "j AS (SELECT c.vec_id, c.cl, k.canonical, " +
+        s"${Sql.cosine("c.embedding", "e2.embedding")} AS cos " +
+        "FROM c JOIN k ON c.cl = k.cl " +
+        "JOIN embeddings e2 ON e2.vec_id = k.canonical) " +
+        "SELECT vec_id, cl, canonical, round(cos, 6) AS cos, " +
+        "(round(cos, 6) >= 0.30 AND vec_id <> canonical) AS is_dup " +
+        "FROM j ORDER BY vec_id") {
+      (s, d) =>
+        val c = emb(s, d).select(col("vec_id"),
+          tbColumn(0, col("embedding")).as("cl"), col("embedding"))
+        val k = c.groupBy("cl").agg(min(col("vec_id")).as("canonical"))
+        val proto = k.join(c.select(col("vec_id").as("canonical"),
+            col("embedding").as("ec")), Seq("canonical"))
+          .select(col("cl"), col("canonical"), col("ec"))
+        c.join(broadcast(proto), Seq("cl"))
+          .withColumn("cos",
+            round(VectorFns.cosine(col("embedding"), col("ec")), 6))
+          .select(col("vec_id"), col("cl"), col("canonical"), col("cos"),
+            (col("cos") >= 0.30 && col("vec_id") =!= col("canonical"))
+              .as("is_dup"))
+          .orderBy("vec_id")
     })
 }
