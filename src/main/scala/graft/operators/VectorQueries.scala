@@ -305,5 +305,69 @@ object VectorQueries {
             (col("cos") >= 0.30 && col("vec_id") =!= col("canonical"))
               .as("is_dup"))
           .orderBy("vec_id")
+    },
+
+    // int8 scalar quantization — the embedding-COMPRESSION op a 100 TB
+    // vector store runs before anything else: a float32 corpus quantized
+    // to per-dimension uint8 codes is 4× smaller (64 B vs 256 B per
+    // vector here), which is the difference between an ANN index that
+    // fits executor memory and one that spills. Codebook = per-dimension
+    // (min, max) over the corpus: ONE posexplode → partial-combine agg
+    // down to n_dims rows (corpus metadata, the bounded kind of
+    // driver collect — same contract as x41's rate table), after which
+    // encode + reconstruction error is a pure NARROW map (single scan
+    // stage at any corpus size; codes would be written next to the IVF
+    // cells of x20 and searched via asymmetric distance). Determinism:
+    // codes use floor(x + 0.5) — floor is an exact IEEE op with no
+    // engine rounding-mode variance (Spark round() HALF_UP vs C round()
+    // never enters) — and every error term is (v−deq)·(v−deq) single
+    // multiplies, so the only cross-engine exposure is the 64-term sum
+    // reassociation, absorbed by round(·, 6) after sqrt. code_sum is
+    // pure-integer exact.
+    Query("x63_scalar_quant",
+      "WITH stats AS (SELECT t.i, " +
+        "MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn, " +
+        "MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx " +
+        "FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i) " +
+        "GROUP BY t.i), " +
+        "enc AS (SELECT vec_id, s.i, s.mn, s.mx, " +
+        "CAST(embedding[s.i] AS DOUBLE) AS v, " +
+        "CASE WHEN s.mx > s.mn THEN " +
+        "floor((CAST(embedding[s.i] AS DOUBLE) - s.mn) * 255 / (s.mx - s.mn) + 0.5) " +
+        "ELSE 0 END AS code FROM embeddings CROSS JOIN stats s) " +
+        "SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum, " +
+        "round(sqrt(SUM((v - (mn + code * (mx - mn) / 255)) * " +
+        "(v - (mn + code * (mx - mn) / 255)))), 6) AS l2_err " +
+        "FROM enc GROUP BY vec_id ORDER BY vec_id") {
+      (s, d) => {
+        val dims = 64
+        val stats = emb(s, d)
+          .select(posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy("i").agg(min(col("v").cast("double")).as("mn"),
+            max(col("v").cast("double")).as("mx"))
+          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+        val mns = array((0 until dims).map(i => lit(stats(i)._1)): _*)
+        val mxs = array((0 until dims).map(i => lit(stats(i)._2)): _*)
+        def mn(i: Column) = element_at(mns, i + 1)
+        def mx(i: Column) = element_at(mxs, i + 1)
+        def code(v: Column, i: Column): Column =
+          when(mx(i) > mn(i),
+            floor((v.cast("double") - mn(i)) * 255 / (mx(i) - mn(i)) + 0.5))
+            .otherwise(lit(0.0))
+        def errsq(v: Column, i: Column): Column = {
+          val deq = mn(i) + code(v, i) * (mx(i) - mn(i)) / 255
+          (v.cast("double") - deq) * (v.cast("double") - deq)
+        }
+        emb(s, d).select(col("vec_id"),
+            transform(col("embedding"), (v, i) => code(v, i)).as("codes"),
+            transform(col("embedding"), (v, i) => errsq(v, i)).as("errs"))
+          .select(col("vec_id"),
+            aggregate(col("codes"), lit(0L), (acc, c) =>
+              acc + c.cast("long")).as("code_sum"),
+            round(sqrt(aggregate(col("errs"), lit(0.0), (acc, e) => acc + e)), 6)
+              .as("l2_err"))
+          .orderBy("vec_id")
+      }
     })
 }

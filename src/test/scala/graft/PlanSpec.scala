@@ -279,6 +279,18 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.tables.TempDirs.delete(root)
   }
 
+  test("x63_scalar_quant: encode is a narrow map — no join, no shuffle before the output sort") {
+    // the codebook is 64 rows of collected corpus metadata baked in as
+    // literals, so the encode+error scan must be join-free: one scan,
+    // one projection of array transforms, then only the output sort's
+    // range exchange. A join or extra exchange here means the codebook
+    // got re-derived per row — the shape that breaks at 100 TB
+    val p = plan("x63_scalar_quant")
+    assert(!p.contains("Join"), s"encode stage joins against the codebook:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"encode stage shuffles beyond the output sort:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)
