@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,16 +83,33 @@ final class KafkaLiteTable(host: String, port: Int, topics: Array[String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new KafkaLiteScan(host, port, topics)
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownLimit {
+      // column pruning: a query over `value` alone must not deserialize
+      // and ship topic/partition/offset/key for every record — at
+      // broker-borne 100 TB the payload column is the bulk, but the
+      // metadata columns are still real bytes per record
+      private var pruned: StructType = KafkaLiteSourceProvider.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // preserve source column order regardless of projection order
+        pruned = StructType(KafkaLiteSourceProvider.schema.fields
+          .filter(f => requiredSchema.fieldNames.contains(f.name)))
+      // limit pushdown: cap each partition's fetched range at `limit`
+      // records (offsets are dense, so [from, from+limit) is exact per
+      // partition). Partial push — Spark keeps its global Limit since
+      // multiple partitions each contribute up to `limit`.
+      private var limit: Option[Int] = None
+      override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+      override def build(): Scan = new KafkaLiteScan(host, port, topics,
+        pruned, limit)
     }
 }
 
-final class KafkaLiteScan(host: String, port: Int, topics: Array[String])
-    extends Scan {
-  override def readSchema(): StructType = KafkaLiteSourceProvider.schema
+final class KafkaLiteScan(host: String, port: Int, topics: Array[String],
+    pruned: StructType, limit: Option[Int]) extends Scan {
+  override def readSchema(): StructType = pruned
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaLiteMicroBatchStream(host, port, topics)
+    new KafkaLiteMicroBatchStream(host, port, topics, pruned)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val c = new KafkaLiteClient(host, port)
@@ -101,12 +118,13 @@ final class KafkaLiteScan(host: String, port: Int, topics: Array[String])
           throw new IllegalArgumentException(s"unknown topic: $t"))
         (0 until parts).map { p =>
           val (lo, hi) = c.offsets(t, p)
-          KafkaLiteInputPartition(host, port, t, p, lo, hi)
+          val capped = limit.fold(hi)(n => math.min(hi, lo + n))
+          KafkaLiteInputPartition(host, port, t, p, lo, capped)
         }
       } finally c.close()
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KafkaLiteReaderFactory
+      new KafkaLiteReaderFactory(pruned.fieldNames)
   }
 }
 
@@ -131,7 +149,9 @@ object KafkaLiteOffset {
 }
 
 final class KafkaLiteMicroBatchStream(host: String, port: Int,
-    topics: Array[String]) extends MicroBatchStream {
+    topics: Array[String],
+    pruned: StructType = KafkaLiteSourceProvider.schema)
+    extends MicroBatchStream {
 
   private def withClient[A](f: KafkaLiteClient => A): A = {
     val c = new KafkaLiteClient(host, port)
@@ -171,7 +191,7 @@ final class KafkaLiteMicroBatchStream(host: String, port: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KafkaLiteReaderFactory
+    new KafkaLiteReaderFactory(pruned.fieldNames)
 
   override def commit(end: Offset): Unit = () // offsets live in Spark's log
   override def stop(): Unit = ()
@@ -181,7 +201,8 @@ final case class KafkaLiteInputPartition(host: String, port: Int,
     topic: String, partition: Int, from: Long, until: Long)
     extends InputPartition
 
-final class KafkaLiteReaderFactory extends PartitionReaderFactory {
+final class KafkaLiteReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KafkaLiteInputPartition]
     new PartitionReader[InternalRow] {
@@ -201,10 +222,17 @@ final class KafkaLiteReaderFactory extends PartitionReaderFactory {
         } else false
       }
 
-      override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(p.topic), p.partition, current.offset,
-        if (current.key == null) null else UTF8String.fromBytes(current.key),
-        if (current.value == null) null else UTF8String.fromBytes(current.value))
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toIndexedSeq.map {
+          case "topic" => UTF8String.fromString(p.topic)
+          case "partition" => p.partition
+          case "offset" => current.offset
+          case "key" =>
+            if (current.key == null) null else UTF8String.fromBytes(current.key)
+          case "value" =>
+            if (current.value == null) null
+            else UTF8String.fromBytes(current.value)
+        })
 
       override def close(): Unit = client.close()
     }

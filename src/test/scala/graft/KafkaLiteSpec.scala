@@ -109,6 +109,35 @@ class KafkaLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("batch read: column pruning and limit reach the scan") {
+    withBroker { b =>
+      val c = new KafkaLiteClient("localhost", b.port)
+      try {
+        c.createTopic("prune", 2)
+        c.produceStrings("prune", (1 to 40).map(i => (s"k$i", s"v$i")))
+        val df = KafkaLiteSourceProvider.readBatch(
+          spark, "localhost", b.port, Seq("prune")).select("value")
+        val scan = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).mkString("\n")
+        // the physical scan's output must be the pruned single column —
+        // metadata columns not deserialized/shipped per record
+        assert(scan.contains("value") && !scan.contains("offset"),
+          s"scan did not prune columns:\n$scan")
+        assert(df.count() === 40)
+        // limit pushdown caps the per-partition fetch range: with
+        // limit 3 over 2 partitions the scan surfaces at most 6 rows
+        // (Spark's global Limit still trims to exactly 3 — partial push)
+        val limited = KafkaLiteSourceProvider.readBatch(
+          spark, "localhost", b.port, Seq("prune")).limit(3)
+        assert(limited.collect().length === 3)
+        val scanned = limited.queryExecution.executedPlan.collectLeaves()
+          .head.metrics("numOutputRows").value
+        assert(scanned <= 6,
+          s"limit not pushed: scan surfaced $scanned of 40 rows")
+      } finally c.close()
+    }
+  }
+
   // ---- streaming: checkpoint-resume ----------------------------------
 
   test("streaming resume: restart from checkpoint consumes only new offsets") {
