@@ -33,6 +33,46 @@ object VectorQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 
+  // ------------------------------------------------- scalar quantization
+  // x63/x64 shared codebook: per-dimension (min, max) over the corpus.
+  // One posexplode → partial-combine agg to n_dims rows (bounded corpus
+  // metadata, collected under x41's rate-table contract) so downstream
+  // encode/search stages are join-free narrow maps over literal arrays.
+
+  private val SqDims = 64
+
+  /** DuckDB replica of the codebook CTE (named `stats`). */
+  private val sqStatsSql: String =
+    "stats AS (SELECT t.i, " +
+      "MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn, " +
+      "MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx " +
+      s"FROM embeddings CROSS JOIN generate_series(1, $SqDims) AS t(i) " +
+      "GROUP BY t.i)"
+
+  private def sqStats(s: SparkSession, d: String): Map[Int, (Double, Double)] =
+    emb(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("i").agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+  /** Literal-array codebook: encode/dequantize expressions over a
+    * (value, 0-based index) pair — floor(x+0.5) keeps the code free of
+    * engine rounding-mode variance (see x63's header). */
+  private final class Codebook(stats: Map[Int, (Double, Double)]) {
+    private val mns = array((0 until SqDims).map(i => lit(stats(i)._1)): _*)
+    private val mxs = array((0 until SqDims).map(i => lit(stats(i)._2)): _*)
+    def mn(i: Column): Column = element_at(mns, i + 1)
+    def mx(i: Column): Column = element_at(mxs, i + 1)
+    def code(v: Column, i: Column): Column =
+      when(mx(i) > mn(i),
+        floor((v.cast("double") - mn(i)) * 255 / (mx(i) - mn(i)) + 0.5))
+        .otherwise(lit(0.0))
+    def deq(v: Column, i: Column): Column =
+      mn(i) + code(v, i) * (mx(i) - mn(i)) / 255
+  }
+
   // ---------------------------------------------------------------- LSH
   private val L = 8 // hash tables
   private val K = 4 // sign bits per table
@@ -307,6 +347,8 @@ object VectorQueries {
           .orderBy("vec_id")
     },
 
+    // (x63/x64 share the scalar-quantization codebook: sqStatsSql /
+    // sqStats below)
     // int8 scalar quantization — the embedding-COMPRESSION op a 100 TB
     // vector store runs before anything else: a float32 corpus quantized
     // to per-dimension uint8 codes is 4× smaller (64 B vs 256 B per
@@ -325,11 +367,7 @@ object VectorQueries {
     // reassociation, absorbed by round(·, 6) after sqrt. code_sum is
     // pure-integer exact.
     Query("x63_scalar_quant",
-      "WITH stats AS (SELECT t.i, " +
-        "MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn, " +
-        "MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx " +
-        "FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i) " +
-        "GROUP BY t.i), " +
+      s"WITH $sqStatsSql, " +
         "enc AS (SELECT vec_id, s.i, s.mn, s.mx, " +
         "CAST(embedding[s.i] AS DOUBLE) AS v, " +
         "CASE WHEN s.mx > s.mn THEN " +
@@ -340,25 +378,10 @@ object VectorQueries {
         "(v - (mn + code * (mx - mn) / 255)))), 6) AS l2_err " +
         "FROM enc GROUP BY vec_id ORDER BY vec_id") {
       (s, d) => {
-        val dims = 64
-        val stats = emb(s, d)
-          .select(posexplode(col("embedding")).as(Seq("i", "v")))
-          .groupBy("i").agg(min(col("v").cast("double")).as("mn"),
-            max(col("v").cast("double")).as("mx"))
-          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
-          .toMap
-        val mns = array((0 until dims).map(i => lit(stats(i)._1)): _*)
-        val mxs = array((0 until dims).map(i => lit(stats(i)._2)): _*)
-        def mn(i: Column) = element_at(mns, i + 1)
-        def mx(i: Column) = element_at(mxs, i + 1)
-        def code(v: Column, i: Column): Column =
-          when(mx(i) > mn(i),
-            floor((v.cast("double") - mn(i)) * 255 / (mx(i) - mn(i)) + 0.5))
-            .otherwise(lit(0.0))
-        def errsq(v: Column, i: Column): Column = {
-          val deq = mn(i) + code(v, i) * (mx(i) - mn(i)) / 255
-          (v.cast("double") - deq) * (v.cast("double") - deq)
-        }
+        val cb = new Codebook(sqStats(s, d))
+        import cb.{code, deq}
+        def errsq(v: Column, i: Column): Column =
+          (v.cast("double") - deq(v, i)) * (v.cast("double") - deq(v, i))
         emb(s, d).select(col("vec_id"),
             transform(col("embedding"), (v, i) => code(v, i)).as("codes"),
             transform(col("embedding"), (v, i) => errsq(v, i)).as("errs"))
@@ -368,6 +391,46 @@ object VectorQueries {
             round(sqrt(aggregate(col("errs"), lit(0.0), (acc, e) => acc + e)), 6)
               .as("l2_err"))
           .orderBy("vec_id")
+      }
+    },
+
+    // asymmetric-distance kNN over the quantized corpus — the SEARCH
+    // half of x63: the query vector stays full-precision float, the
+    // corpus side is reconstructed from its uint8 codes, and top-k
+    // runs on the asymmetric L2 (ADC, the standard quantized-search
+    // distance). At 100 TB this is what the ANN store actually
+    // executes: scan CODES (4× less IO than floats — or 1 byte/dim
+    // from the x20 IVF cells' posting lists), reconstruct against the
+    // broadcast codebook in-register, TakeOrdered k — no global sort,
+    // no float corpus read. Distances are 6-rounded before ranking
+    // with a vec_id tiebreak so sum reassociation cannot reorder
+    // engines; VectorSpec pins recall against the exact q23 top-k.
+    Query("x64_adc_knn",
+      s"WITH $sqStatsSql, " +
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+        "enc AS (SELECT e.vec_id, s.i, s.mn, s.mx, " +
+        "CAST(q.qe[s.i] AS DOUBLE) AS qv, " +
+        "CASE WHEN s.mx > s.mn THEN " +
+        "floor((CAST(e.embedding[s.i] AS DOUBLE) - s.mn) * 255 / (s.mx - s.mn) + 0.5) " +
+        "ELSE 0 END AS code " +
+        "FROM embeddings e CROSS JOIN stats s CROSS JOIN q) " +
+        "SELECT vec_id, round(SUM((qv - (mn + code * (mx - mn) / 255)) * " +
+        "(qv - (mn + code * (mx - mn) / 255))), 6) AS adc_dist " +
+        "FROM enc GROUP BY vec_id ORDER BY adc_dist, vec_id LIMIT 10") {
+      (s, d) => {
+        val cb = new Codebook(sqStats(s, d))
+        import cb.deq
+        val q = emb(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding")).collect().head.getSeq[Float](0)
+        val qArr = array(q.map(f => lit(f.toDouble)): _*)
+        def qv(i: Column): Column = element_at(qArr, i + 1)
+        emb(s, d).select(col("vec_id"),
+            transform(col("embedding"), (v, i) =>
+              (qv(i) - deq(v, i)) * (qv(i) - deq(v, i))).as("terms"))
+          .select(col("vec_id"),
+            round(aggregate(col("terms"), lit(0.0), (acc, t) => acc + t), 6)
+              .as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id")).limit(10)
       }
     })
 }

@@ -152,6 +152,21 @@ class VectorSpec extends AnyFunSuite {
     assert(numFiles <= 8, s"probe read $numFiles bucket files (> 8)")
   }
 
+  test("ADC kNN over uint8 codes recalls the exact L2 top-10 almost fully") {
+    // x64 ranks by asymmetric distance against RECONSTRUCTED corpus
+    // vectors; with 255-level scalar quantization the reconstruction
+    // error is far below typical inter-vector L2 gaps, so the ADC
+    // top-10 should agree with the exact q23 top-10 on ≥ 8 ids (exact
+    // agreement is not guaranteed: two true distances closer than the
+    // quantization noise floor may swap)
+    val exact = SparkEntry.queries("q23_knn")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val adc = SparkEntry.queries("x64_adc_knn")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = exact.intersect(adc).size
+    assert(overlap >= 8, s"ADC recall too low: $overlap/10 vs exact top-10")
+  }
+
   test("ANN LSH recalls ≥ 3 of the exact cosine top-10 and ranks exactly") {
     val exact = SparkEntry.queries("x9_knn_cosine")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
