@@ -54,6 +54,31 @@ object TextFns {
       hexDigit(m, 3) * 16 + hexDigit(m, 4)
   }
 
+  /** First 24 bits of md5(s) as an integer in [0, 2^24) — enough hash
+    * width that winnowing's per-window minima rarely tie, while staying
+    * cheap pure-hex arithmetic both engines evaluate identically. */
+  def md5Bits24(s: Column): Column = {
+    val m = md5(s)
+    (1 to 6).map(i => hexDigit(m, i) * (1 << (4 * (6 - i))))
+      .reduce(_ + _).cast("long")
+  }
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken '03) of a
+    * token array: 24-bit md5 hashes of k-token grams, minimum per
+    * w-window, distinct. Guarantee: two docs sharing a run of
+    * ≥ k+w−1 tokens share ≥ 1 fingerprint. Caller filters to
+    * size(ts) ≥ k. Pure array ops — no explode, no shuffle. */
+  def winnowFps(ts: Column, k: Int = 4, w: Int = 4): Column = {
+    val grams = transform(sequence(lit(0), size(ts) - k), i =>
+      md5Bits24(concat_ws(" ",
+        (1 to k).map(j => element_at(ts, i + j)): _*)))
+    // one clamped window when there are fewer grams than w
+    array_distinct(transform(
+      sequence(lit(0),
+        when(size(grams) < w, lit(0)).otherwise(size(grams) - w)),
+      i => array_min(slice(grams, i + 1, lit(w)))))
+  }
+
   /** Polynomial rolling-hash fingerprint of the token stream, mod 1e9+7.
     * Token code = 131*len + first-char codepoint; the fold is sequential
     * (order-sensitive), which is the point of a document fingerprint.
@@ -108,6 +133,11 @@ object TextFns {
     def md5Bits16(m: String): String =
       s"(${hexDigit(m, 1)} * 4096 + ${hexDigit(m, 2)} * 256 + " +
         s"${hexDigit(m, 3)} * 16 + ${hexDigit(m, 4)})"
+
+    def md5Bits24(m: String): String =
+      "CAST((" + (1 to 6).map(i =>
+        s"${hexDigit(m, i)} * ${1 << (4 * (6 - i))}").mkString(" + ") +
+        ") AS BIGINT)"
 
     def fingerprint(ts: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($ts, " +

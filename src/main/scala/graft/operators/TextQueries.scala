@@ -895,5 +895,48 @@ object TextQueries {
           .select(col("doc_id"), col("rnk"), col("token"), col("score"))
           .orderBy("doc_id", "rnk")
       }
+    },
+
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    // the MOSS algorithm): per-window minima over rolling k-gram
+    // hashes give a POSITION-ROBUST fingerprint set with a guaranteed
+    // density bound — unlike MinHash (x8, whole-doc similarity) it
+    // detects SUBSTRING-level overlap (a copied paragraph inside an
+    // otherwise-novel doc), and unlike the contamination index (x36,
+    // exact shingle membership) its window minima survive small edits
+    // between matches. Parameters: k=4 token grams, w=4 windows →
+    // any shared run of ≥ k+w-1 = 7 tokens is guaranteed to share a
+    // fingerprint. Scale shape: a pure NARROW map — grams, 24-bit md5
+    // hashes and window minima are all array ops inside one projection
+    // (no explode, no shuffle; the per-doc output is the distinct-min
+    // set summarized to exact integers). At 100 TB the fps would flow
+    // into the same inverted index x36 builds; this query pins the
+    // fingerprint computation itself.
+    Query("x65_winnowing", {
+      val gram = "ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]"
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "h AS (SELECT doc_id, list_transform(range(len(ts) - 3), " +
+        s"i -> ${Sql.md5Bits24(s"md5($gram)")}) AS hs FROM t " +
+        "WHERE len(ts) >= 4), " +
+        "f AS (SELECT doc_id, len(hs) AS m, list_distinct(" +
+        "list_transform(range(CASE WHEN len(hs) < 4 THEN 1 " +
+        "ELSE len(hs) - 3 END), " +
+        "i -> list_min(list_slice(hs, i + 1, i + 4)))) AS fps FROM h) " +
+        "SELECT doc_id, CAST(m AS BIGINT) AS n_grams, " +
+        "CAST(len(fps) AS BIGINT) AS n_fps, " +
+        "CAST(list_sum(fps) AS BIGINT) AS fp_sum " +
+        "FROM f ORDER BY doc_id"
+    }) {
+      (s, d) =>
+        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 4)
+          .select(col("doc_id"), (size(col("ts")) - 3).as("m"),
+            TextFns.winnowFps(col("ts")).as("fps"))
+          .select(col("doc_id"), col("m").cast("bigint").as("n_grams"),
+            size(col("fps")).cast("bigint").as("n_fps"),
+            aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+          .orderBy("doc_id")
     })
 }
