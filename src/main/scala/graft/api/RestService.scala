@@ -63,6 +63,7 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/eventos", (ex: HttpExchange) => safely(ex)(routeEventos))
   server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
   server.createContext("/query", (ex: HttpExchange) => safely(ex)(routeQuery))
+  server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(routeMetrics))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
@@ -104,6 +105,29 @@ final class RestService(spark: SparkSession, store: TableStore,
       case ("GET", List("reservas", id)) => getReservaId(ex, id)
       case ("POST", List("reservas")) => postReserva(ex)
       case ("DELETE", List("reservas", id)) => deleteReservaId(ex, id)
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  /** GET /metrics[/{flow}] — the ops surface over FlowMetrics'
+    * `flow_metrics` table: the most recent batches (bounded by a
+    * plan-side top-k on batch_id desc, never an unbounded collect), so
+    * a dashboard or a lag alarm reads consumer telemetry over HTTP the
+    * same way data readers use /query. 404s cleanly when no listener
+    * has ever recorded a batch. */
+  private def routeMetrics(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex)) match {
+      case ("GET", "metrics" :: rest) if rest.length <= 1 =>
+        if (!store.exists("flow_metrics"))
+          reply(ex, 404, "no flow metrics recorded")
+        else {
+          val base = store.load("flow_metrics")
+          val scoped = rest.headOption.fold(base)(f =>
+            base.filter(col("flow") === f))
+          val rows = scoped
+            .orderBy(col("batch_id").desc, col("run_id"))
+            .limit(100).toJSON.collect()
+          replyJson(ex, 200, rows.mkString("[", ",", "]"))
+        }
       case _ => reply(ex, 404, "Not Found")
     }
 

@@ -156,6 +156,25 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/query/no_such_query")._1 === 404)
   }
 
+  test("GET /metrics surfaces flow telemetry; 404 before any batch recorded") {
+    assert(http("GET", "/metrics")._1 === 404) // listener never ran here
+    // seed one telemetry row the way FlowMetrics would
+    import spark.implicits._
+    val store = new TableStore(spark, root)
+    store.appendUnique("flow_metrics",
+      Seq(("document_ingest", "run-1", 0L,
+        new java.sql.Timestamp(0).toString, 42L, 17L, 0L, "files"))
+        .toDF("flow", "run_id", "batch_id", "ts", "input_rows",
+          "trigger_ms", "state_rows", "sources"),
+      Seq("run_id", "batch_id"))
+    val (code, bodyText) = http("GET", "/metrics")
+    assert(code === 200 && bodyText.contains("\"input_rows\":42"))
+    val (c2, t2) = http("GET", "/metrics/document_ingest")
+    assert(c2 === 200 && t2.contains("\"flow\":\"document_ingest\""))
+    val (c3, t3) = http("GET", "/metrics/no_such_flow")
+    assert(c3 === 200 && t3 === "[]") // scoped to an unknown flow: empty
+  }
+
   test("DELETE /reservas/{id} is a CAS A→X; repeat and bad ids rejected") {
     val seeded = "619c1dae4b21200001952449" // pepe's active reserva
     val (code, text) = http("DELETE", s"/reservas/$seeded")
