@@ -938,5 +938,71 @@ object TextQueries {
             size(col("fps")).cast("bigint").as("n_fps"),
             aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
           .orderBy("doc_id")
+    },
+
+    // PII detection + redaction — the compliance pass every pretraining
+    // pipeline runs before export: find emails / IPv4s / phone-shaped
+    // spans, count them, and replace them with class tags. The fixture
+    // corpus is PII-free word soup, so (the x59 pattern) each document
+    // first gets DETERMINISTIC synthetic PII derived from its doc_id
+    // appended — the detectors then prove themselves on text that
+    // genuinely contains what they claim to find, and the oracle
+    // recomputes the same synth + scrub. Patterns are dialect-portable
+    // (same chars mean the same thing to Java regex and RE2); counts
+    // are exact integers and the redacted text is compared by md5, so
+    // the match is bit-level. Scale: a pure narrow map — regex count +
+    // three chained regexp_replace per row, single scan stage.
+    Query("x66_pii_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b555-\\d{4}\\b"
+      "WITH t AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '.com from ' || " +
+        "CAST(doc_id % 250 AS VARCHAR) || '.' || " +
+        "CAST(doc_id % 200 AS VARCHAR) || '.' || " +
+        "CAST(doc_id % 100 AS VARCHAR) || '.' || " +
+        "CAST(doc_id % 50 AS VARCHAR) || ' tel 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT doc_id, synth, " +
+        s"CAST(len(regexp_extract_all(synth, '$email')) AS BIGINT) AS n_email, " +
+        s"CAST(len(regexp_extract_all(synth, '$ip')) AS BIGINT) AS n_ip, " +
+        s"CAST(len(regexp_extract_all(synth, '$phone')) AS BIGINT) AS n_phone, " +
+        s"regexp_replace(regexp_replace(regexp_replace(synth, " +
+        s"'$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), " +
+        s"'$phone', '[PHONE]', 'g') AS red FROM t) " +
+        "SELECT doc_id, n_email, n_ip, n_phone, " +
+        "CAST(length(red) AS BIGINT) AS red_len, md5(red) AS red_md5 " +
+        "FROM r ORDER BY doc_id"
+    }) {
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\b555-\\d{4}\\b"
+        val synth = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".com from "),
+          (col("doc_id") % 250).cast("string"), lit("."),
+          (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"), lit("."),
+          (col("doc_id") % 50).cast("string"), lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        spreadScan(s, table(s, d, "documents")).filter(col("text").isNotNull)
+          .select(col("doc_id"), synth.as("synth"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("synth"), lit(email), lit(0)))
+              .cast("bigint").as("n_email"),
+            size(regexp_extract_all(col("synth"), lit(ip), lit(0)))
+              .cast("bigint").as("n_ip"),
+            size(regexp_extract_all(col("synth"), lit(phone), lit(0)))
+              .cast("bigint").as("n_phone"),
+            regexp_replace(regexp_replace(regexp_replace(col("synth"),
+              email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]").as("red"))
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+            length(col("red")).cast("bigint").as("red_len"),
+            md5(col("red")).as("red_md5"))
+          .orderBy("doc_id")
+      }
     })
 }
