@@ -1004,5 +1004,57 @@ object TextQueries {
             md5(col("red")).as("red_md5"))
           .orderBy("doc_id")
       }
+    },
+
+    // Intra-document chunk-level dedup — the WITHIN-document cleaning
+    // pass (C4/RefinedWeb remove repeated lines inside one page; the
+    // corpus-level dedups q21/x7/x8 only compare ACROSS documents).
+    // Chunks are consecutive 8-token windows (the fixture has no line
+    // breaks; real corpora would split on '\n' with the same shape).
+    // Scale: a pure narrow map — chunking, distinct-count and the
+    // dup fraction are array ops (transform/slice/array_distinct)
+    // inside ONE projection, no explode, no per-chunk shuffle; the
+    // only aggregation is the n_langs-row rollup. Float parity: the
+    // per-doc fraction is an exact small-integer division rounded to
+    // 6 dp before the language average (x51's discipline).
+    Query("x68_intradoc_dedup",
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL " +
+        "AND len(string_split(text, ' ')) >= 8), " +
+        "d AS (SELECT doc_id, lang, " +
+        "CAST(len(ts) // 8 AS BIGINT) AS n_chunks, " +
+        "CAST(len(list_distinct(list_transform(range(len(ts) // 8), " +
+        "i -> array_to_string(ts[(i*8+1):(i*8+8)], ' ')))) AS BIGINT) " +
+        "AS n_uniq FROM t) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chunks) AS BIGINT) AS chunks, " +
+        "CAST(SUM(n_chunks - n_uniq) AS BIGINT) AS dup_chunks, " +
+        "round(AVG(round((n_chunks - n_uniq) / " +
+        "CAST(n_chunks AS DOUBLE), 6)), 4) AS avg_dup_frac, " +
+        "round(MAX(round((n_chunks - n_uniq) / " +
+        "CAST(n_chunks AS DOUBLE), 6)), 4) AS max_dup_frac " +
+        "FROM d GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val ts = split(col("text"), " ")
+        val m = floor(size(col("ts")) / 8).cast("int")
+        val chunks = transform(sequence(lit(0), col("m") - 1),
+          i => concat_ws(" ", slice(col("ts"), i * 8 + 1, lit(8))))
+        val frac = round((col("n_chunks") - col("n_uniq")) /
+          col("n_chunks").cast("double"), 6)
+        table(s, d, "documents")
+          .filter(col("text").isNotNull && size(split(col("text"), " ")) >= 8)
+          .select(col("doc_id"), col("lang"), ts.as("ts"))
+          .select(col("doc_id"), col("lang"), col("ts"), m.as("m"))
+          .select(col("doc_id"), col("lang"),
+            col("m").cast("bigint").as("n_chunks"),
+            size(array_distinct(chunks)).cast("bigint").as("n_uniq"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("chunks"),
+            sum(col("n_chunks") - col("n_uniq")).as("dup_chunks"),
+            round(avg(frac), 4).as("avg_dup_frac"),
+            round(max(frac), 4).as("max_dup_frac"))
+          .orderBy("lang")
+      }
     })
 }

@@ -344,6 +344,40 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** OPTIMIZE — small-file compaction. Rewrites the table as ONE
+    * segment of ~`targetRowsPerFile`-row files (per partition directory
+    * for partitioned layouts, with rows clustered so each directory is
+    * written by as few tasks as hold its rows). The append path bounds
+    * SEGMENT count (manifest length) but not file count or size — a
+    * streaming flow committing small batches accretes many tiny files,
+    * and at 100 TB tiny files are the classic scan killer (per-file
+    * open/footer cost dominates; row-group pruning loses leverage).
+    * Content is byte-identical by construction (same rows, fresh
+    * layout); the version flip is atomic like every publish, and
+    * superseded versions age out via the usual vacuum horizon. The
+    * production swap is Delta OPTIMIZE / Iceberg rewrite_data_files.
+    * Bucketed tables are refused: their file count IS the bucket spec.
+    * Cost: one full read + write of the table — schedule off-peak like
+    * any OPTIMIZE. */
+  def compact(name: String, targetRowsPerFile: Long = 1L << 20): Unit =
+    writeLock(name).synchronized {
+      require(exists(name), s"table $name does not exist")
+      require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+      require(!manifestLines(name, currentVersion(name))
+        .exists(_.startsWith("#bucketed=")),
+        s"table $name is bucketed — its layout is fixed by the bucket " +
+          "spec; re-publish with replaceBucketed to change it")
+      val parts = partitionColumns(name)
+      val df = load(name)
+      val rows = df.count()
+      val nFiles = math.max(1L,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val shaped =
+        if (parts.isEmpty) df.repartition(nFiles)
+        else df.repartition(nFiles, parts.map(col): _*)
+      replace(name, shaped, parts)
+    }
+
   /** VACUUM — retention-horizon GC of superseded versions. Keeps the
     * newest `keepVersions` manifests (the current one always included)
     * and every segment any kept manifest references; deletes older

@@ -66,6 +66,52 @@ class TableStoreSpec extends AnyFunSuite {
       s"compaction never ran: ${segDirs.length} segments")
   }
 
+  test("compact: many tiny files rewrite into few, content identical") {
+    import spark.implicits._
+    val store = fresh()
+    // 12 appends of 50 rows each, every segment multi-file
+    store.init("t", (0 until 50).map(i => (i, i.toString))
+      .toDF("k", "v").repartition(4))
+    (1 to 11).foreach(b => store.append("t",
+      (b * 50 until b * 50 + 50).map(i => (i, i.toString))
+        .toDF("k", "v").repartition(4)))
+    val before = store.load("t")
+    val filesBefore = before.inputFiles.length
+    val sumBefore = before.agg(sum(col("k"))).head.getLong(0)
+    store.compact("t", targetRowsPerFile = 200)
+    val after = store.load("t")
+    assert(after.count() === 600)
+    assert(after.agg(sum(col("k"))).head.getLong(0) === sumBefore)
+    assert(after.inputFiles.length === 3, // ceil(600/200)
+      s"expected 3 files, got ${after.inputFiles.length} (was $filesBefore)")
+    // single fresh segment — the manifest no longer unions deltas
+    assert(after.inputFiles.map(f =>
+      Paths.get(f.stripPrefix("file:")).getParent.toString)
+      .distinct.length === 1)
+  }
+
+  test("compact keeps a partitioned layout and its pruning") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("t", (0 until 300).map(i => (i, s"p${i % 3}"))
+      .toDF("k", "part").repartition(8), partitionBy = Seq("part"))
+    (1 to 3).foreach(b => store.append("t",
+      (300 + b * 10 until 310 + b * 10).map(i => (i, s"p${i % 3}"))
+        .toDF("k", "part").repartition(8)))
+    store.compact("t", targetRowsPerFile = 1000)
+    assert(store.partitionColumns("t") === Seq("part"))
+    val after = store.load("t")
+    assert(after.count() === 330)
+    val pruned = after.filter(col("part") === "p1")
+      .queryExecution.executedPlan.toString
+    assert(pruned.matches("(?s).*PartitionFilters: \\[[^\\]]*part.*"),
+      s"partition pruning lost after compact:\n$pruned")
+    // bucketed tables refuse: their file layout is the bucket spec
+    store.replaceBucketed("b", Seq((1, "a")).toDF("k", "v"),
+      bucketBy = Seq("k"), numBuckets = 2)
+    intercept[IllegalArgumentException](store.compact("b"))
+  }
+
   test("concurrent appends to a shared sink lose no rows") {
     // dead_letter is appended to by several flows concurrently; without
     // per-table write serialization two appends can both read version v
