@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables.table
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality surface: column profiling and declarative expectation
+ * audits — the publish-gate every training-data pipeline runs before
+ * a corpus ships (Deequ/Great-Expectations re-expressed Spark-first,
+ * and the engine-grade form of the reference's field validations,
+ * reservas/main.go:117-131, which reject bad rows one request at a
+ * time).
+ *
+ * Scale shape: both operators are ONE scan. The profile computes
+ * every column's aggregates in a single Aggregate node (Spark's
+ * multi-count-distinct planning expands, map-side combines, and
+ * shares the one pass); the audit folds every rule into SUM(CASE)
+ * partials — adding a rule adds a column to the aggregation buffer,
+ * never a pass. Referential checks are the one exception (they need
+ * the dim side) and ride a broadcast semi/anti join. Output is
+ * rule-cardinality rows (a report, not data), so nothing downstream
+ * ever shuffles corpus-scale bytes.
+ */
+object QualityOps {
+
+  /** One declarative constraint over a relation. */
+  final case class Expectation(name: String, holds: Column)
+
+  /** Single-pass audit: one row per rule with its violation count.
+    * Three-valued logic is resolved the strict way: a rule that
+    * evaluates NULL on a row counts as a VIOLATION (when(holds, 0)
+    * .otherwise(1) — `unknown` must not slip through a quality gate),
+    * so rules need no defensive isNotNull conjuncts.
+    * Row order follows rule declaration order via the leading index. */
+  def audit(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "no expectations declared")
+    val one = df.agg(
+      count(lit(1)).as("_n"),
+      rules.map(r => sum(when(r.holds, 0L).otherwise(1L))
+        .as(s"_v_${r.name}")): _*)
+    rules.zipWithIndex.map { case (r, i) =>
+      one.select(lit(i).as("_ord"), lit(r.name).as("rule"),
+        coalesce(col(s"_v_${r.name}"), lit(0L)).as("violations"),
+        col("_n").cast("long").as("total"))
+    }.reduce(_.unionByName(_))
+      .orderBy("_ord").drop("_ord")
+  }
+
+  /** Referential-integrity violation count: fact keys absent from the
+    * dim. Null keys are counted separately by a not-null rule, not
+    * here. */
+  def refViolations(fact: DataFrame, key: Column,
+      dim: DataFrame, dimKey: Column): Long =
+    fact.select(key.as("_k")).filter(col("_k").isNotNull)
+      .join(dim.select(dimKey.as("_k")), Seq("_k"), "left_anti")
+      .count()
+
+  val all: Seq[Query] = Seq(
+
+    // Column profile of the documents corpus — the data card's
+    // statistical page: per column, row/null/distinct counts and a
+    // lo/hi range (text profiles its LENGTH — a raw min/max over
+    // bodies is useless and collation-fragile). One scan; the 1-row
+    // aggregate fans out to a 5-row report.
+    Query("x70_table_profile",
+      "WITH a AS (SELECT COUNT(*) AS n, " +
+        "COUNT(doc_id) AS c1, COUNT(DISTINCT doc_id) AS d1, " +
+        "CAST(MIN(doc_id) AS VARCHAR) AS lo1, CAST(MAX(doc_id) AS VARCHAR) AS hi1, " +
+        "COUNT(lang) AS c2, COUNT(DISTINCT lang) AS d2, " +
+        "MIN(lang) AS lo2, MAX(lang) AS hi2, " +
+        "COUNT(source) AS c3, COUNT(DISTINCT source) AS d3, " +
+        "MIN(source) AS lo3, MAX(source) AS hi3, " +
+        "COUNT(n_chars) AS c4, COUNT(DISTINCT n_chars) AS d4, " +
+        "CAST(MIN(n_chars) AS VARCHAR) AS lo4, CAST(MAX(n_chars) AS VARCHAR) AS hi4, " +
+        "COUNT(text) AS c5, COUNT(DISTINCT text) AS d5, " +
+        "CAST(MIN(length(text)) AS VARCHAR) AS lo5, " +
+        "CAST(MAX(length(text)) AS VARCHAR) AS hi5 FROM documents) " +
+        "SELECT 'doc_id' AS col, n - c1 AS n_null, d1 AS n_distinct, lo1 AS lo, hi1 AS hi FROM a " +
+        "UNION ALL SELECT 'lang', n - c2, d2, lo2, hi2 FROM a " +
+        "UNION ALL SELECT 'n_chars', n - c4, d4, lo4, hi4 FROM a " +
+        "UNION ALL SELECT 'source', n - c3, d3, lo3, hi3 FROM a " +
+        "UNION ALL SELECT 'text', n - c5, d5, lo5, hi5 FROM a " +
+        "ORDER BY col") {
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        def prof(name: String, c: Column, lo: Column, hi: Column) = Seq(
+          (count(c), s"c_$name"), (countDistinct(c), s"d_$name"),
+          (min(lo).cast("string"), s"lo_$name"),
+          (max(hi).cast("string"), s"hi_$name"))
+        val cols =
+          prof("doc_id", col("doc_id"), col("doc_id"), col("doc_id")) ++
+          prof("lang", col("lang"), col("lang"), col("lang")) ++
+          prof("source", col("source"), col("source"), col("source")) ++
+          prof("n_chars", col("n_chars"), col("n_chars"), col("n_chars")) ++
+          prof("text", col("text"), length(col("text")), length(col("text")))
+        val one = docs.agg(count(lit(1)).as("n"),
+          cols.map { case (e, a) => e.as(a) }: _*)
+        Seq("doc_id", "lang", "n_chars", "source", "text").map(name =>
+          one.select(lit(name).as("col"),
+            (col("n") - col(s"c_$name")).cast("long").as("n_null"),
+            col(s"d_$name").cast("long").as("n_distinct"),
+            col(s"lo_$name").as("lo"), col(s"hi_$name").as("hi")))
+          .reduce(_.unionByName(_))
+          .orderBy("col")
+      }
+    },
+
+    // Expectation audit over lineitem — the declarative constraint
+    // gate: domain ranges, not-null, cross-field consistency, plus
+    // one referential check against orders (the broadcast-anti-join
+    // exception to the single-pass rule). Counts are integers; the
+    // report is rule-cardinality rows.
+    Query("x71_expectations",
+      "WITH v AS (SELECT " +
+        "SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS r0, " +
+        "SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS r1, " +
+        "SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.5 THEN 0 ELSE 1 END) AS r2, " +
+        "SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS r3, " +
+        "COUNT(*) AS n FROM lineitem), " +
+        "ref AS (SELECT COUNT(*) AS r4 FROM lineitem l " +
+        "WHERE l_orderkey IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) " +
+        "SELECT rule, violations, total FROM (" +
+        "SELECT 'orderkey_not_null' AS rule, CAST(r0 AS BIGINT) AS violations, CAST(n AS BIGINT) AS total FROM v " +
+        "UNION ALL SELECT 'quantity_in_1_50', CAST(r1 AS BIGINT), CAST(n AS BIGINT) FROM v " +
+        "UNION ALL SELECT 'discount_in_0_half', CAST(r2 AS BIGINT), CAST(n AS BIGINT) FROM v " +
+        "UNION ALL SELECT 'price_positive', CAST(r3 AS BIGINT), CAST(n AS BIGINT) FROM v " +
+        "UNION ALL SELECT 'orderkey_in_orders', CAST(r4 AS BIGINT), CAST(n AS BIGINT) FROM v, ref" +
+        ") ORDER BY rule") {
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val base = audit(li, Seq(
+          Expectation("orderkey_not_null", col("l_orderkey").isNotNull),
+          Expectation("quantity_in_1_50",
+            col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          Expectation("discount_in_0_half",
+            col("l_discount") >= 0.0 && col("l_discount") <= 0.5),
+          Expectation("price_positive", col("l_extendedprice") > 0.0)))
+        val n = li.count()
+        val refBad = refViolations(li, col("l_orderkey"),
+          table(s, d, "orders"), col("o_orderkey"))
+        import s.implicits._
+        base.unionByName(
+          Seq(("orderkey_in_orders", refBad, n))
+            .toDF("rule", "violations", "total"))
+          .orderBy("rule")
+      }
+    })
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.QualityOps
+import graft.operators.QualityOps.Expectation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Declarative quality audit: known-defect synthetic rows produce
+  * exactly the declared violation counts, in one pass. */
+class QualityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("audit counts violations per rule over one scan") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), 10, "ok"), (Some(2), -5, "ok"), (None, 3, "bad"),
+      (Some(4), 200, null.asInstanceOf[String]), (Some(5), 7, "ok"))
+      .toDF("id", "qty", "status")
+    val out = QualityOps.audit(df, Seq(
+      Expectation("id_not_null", col("id").isNotNull),
+      Expectation("qty_in_range", col("qty").between(0, 100)),
+      Expectation("status_not_null", col("status").isNotNull)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("id_not_null", 1L, 5L),
+      ("qty_in_range", 2L, 5L),
+      ("status_not_null", 1L, 5L)))
+  }
+
+  test("null-valued predicates count as violations (three-valued logic pinned)") {
+    import spark.implicits._
+    // status = null makes (status = 'ok') NULL, not false; a naive
+    // when(!holds, 1) folds NULL to PASS and silently admits bad rows.
+    // The audit resolves unknown as violation, so the naive rule —
+    // no defensive isNotNull conjunct — still counts the null row.
+    val df = Seq(("a", "ok"), ("b", null.asInstanceOf[String])).toDF("k", "s")
+    val out = QualityOps.audit(df, Seq(
+      Expectation("s_ok", col("s") === "ok")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("s_ok", 1L)))
+  }
+
+  test("refViolations counts dangling keys, ignores nulls") {
+    import spark.implicits._
+    val fact = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val dim = Seq(1, 2, 3).toDF("pk")
+    assert(QualityOps.refViolations(fact, col("fk"), dim, col("pk")) === 1L)
+  }
+
+  test("audit on an empty relation reports zero violations, zero total") {
+    import spark.implicits._
+    val df = Seq.empty[(Int, Int)].toDF("a", "b")
+    val out = QualityOps.audit(df,
+      Seq(Expectation("a_pos", col("a") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a_pos", 0L, 0L)))
+  }
+}
