@@ -36,16 +36,22 @@ object QualityOps {
     * Row order follows rule declaration order via the leading index. */
   def audit(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "no expectations declared")
+    // one action, one scan: every rule folds into the same Aggregate
+    // buffer; the report row is O(rules) scalars on the driver (a
+    // per-branch live union would re-run the scan per rule instead)
     val one = df.agg(
       count(lit(1)).as("_n"),
       rules.map(r => sum(when(r.holds, 0L).otherwise(1L))
-        .as(s"_v_${r.name}")): _*)
-    rules.zipWithIndex.map { case (r, i) =>
-      one.select(lit(i).as("_ord"), lit(r.name).as("rule"),
-        coalesce(col(s"_v_${r.name}"), lit(0L)).as("violations"),
-        col("_n").cast("long").as("total"))
-    }.reduce(_.unionByName(_))
-      .orderBy("_ord").drop("_ord")
+        .as(s"_v_${r.name}")): _*).head
+    val n = one.getAs[Long]("_n")
+    def v(name: String): Long = {
+      val i = one.fieldIndex(s"_v_$name")
+      if (one.isNullAt(i)) 0L else one.getLong(i)
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    rules.map(r => (r.name, v(r.name), n))
+      .toDF("rule", "violations", "total")
   }
 
   /** Referential-integrity violation count: fact keys absent from the
@@ -95,14 +101,21 @@ object QualityOps {
           prof("source", col("source"), col("source"), col("source")) ++
           prof("n_chars", col("n_chars"), col("n_chars"), col("n_chars")) ++
           prof("text", col("text"), length(col("text")), length(col("text")))
+        // ONE action materializes the single bounded report row (the
+        // x41 rate-table contract: driver holds O(columns) scalars,
+        // never data); fanning the union out as 5 live subplans would
+        // instead re-run the aggregate — and the scan — per branch
+        // (column pruning makes each branch a distinct subplan, so
+        // exchange reuse cannot dedupe them)
         val one = docs.agg(count(lit(1)).as("n"),
-          cols.map { case (e, a) => e.as(a) }: _*)
-        Seq("doc_id", "lang", "n_chars", "source", "text").map(name =>
-          one.select(lit(name).as("col"),
-            (col("n") - col(s"c_$name")).cast("long").as("n_null"),
-            col(s"d_$name").cast("long").as("n_distinct"),
-            col(s"lo_$name").as("lo"), col(s"hi_$name").as("hi")))
-          .reduce(_.unionByName(_))
+          cols.map { case (e, a) => e.as(a) }: _*).head
+        val n = one.getAs[Long]("n")
+        import s.implicits._
+        Seq("doc_id", "lang", "n_chars", "source", "text").map { name =>
+          (name, n - one.getAs[Long](s"c_$name"),
+            one.getAs[Long](s"d_$name"),
+            one.getAs[String](s"lo_$name"), one.getAs[String](s"hi_$name"))
+        }.toDF("col", "n_null", "n_distinct", "lo", "hi")
           .orderBy("col")
       }
     },
