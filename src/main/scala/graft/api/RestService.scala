@@ -64,6 +64,7 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
   server.createContext("/query", (ex: HttpExchange) => safely(ex)(routeQuery))
   server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(routeMetrics))
+  server.createContext("/tables", (ex: HttpExchange) => safely(ex)(routeTables))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
@@ -153,6 +154,59 @@ final class RestService(spark: SparkSession, store: TableStore,
             val rows = build(spark, dir).limit(limit)
               .toJSON.collect()
             replyJson(ex, 200, rows.mkString("[", ",", "]"))
+        }
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  // time-travel / CDC surface over the versioned store: version
+  // numbers, snapshot-as-of reads, and the change feed between two
+  // versions — the lakehouse control-plane calls (Delta DESCRIBE
+  // HISTORY / VERSION AS OF / table_changes) a downstream incremental
+  // consumer drives through. Reads are limit-capped in-plan like
+  // /query; the CDC fast path stays O(delta) end-to-end.
+  private def qparam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+      .collectFirst { case p if p.startsWith(name + "=") =>
+        URLDecoder.decode(p.drop(name.length + 1), UTF_8) })
+
+  private def rowLimit(ex: HttpExchange): Int =
+    qparam(ex, "limit").flatMap(_.toIntOption)
+      .getOrElse(100).min(10000).max(1)
+
+  private def routeTables(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex)) match {
+      case ("GET", List("tables", name, "version")) =>
+        if (!store.exists(name)) reply(ex, 404, s"unknown table $name")
+        else replyJson(ex, 200, Json.obj("name" -> name,
+          "version" -> store.version(name)))
+      case ("GET", List("tables", name, "at", v)) =>
+        v.toIntOption match {
+          case None => reply(ex, 400, s"bad version $v")
+          case Some(ver) =>
+            if (!store.exists(name)) reply(ex, 404, s"unknown table $name")
+            else try {
+              val rows = store.loadVersion(name, ver)
+                .limit(rowLimit(ex)).toJSON.collect()
+              replyJson(ex, 200, rows.mkString("[", ",", "]"))
+            } catch { case e: IllegalArgumentException =>
+              reply(ex, 404, e.getMessage) }
+        }
+      case ("GET", List("tables", name, "changes")) =>
+        (qparam(ex, "from").flatMap(_.toIntOption),
+          qparam(ex, "to").flatMap(_.toIntOption),
+          qparam(ex, "key").map(_.split(",").toSeq.filter(_.nonEmpty))) match {
+          case (Some(f), to, Some(key)) if key.nonEmpty =>
+            if (!store.exists(name)) reply(ex, 404, s"unknown table $name")
+            else try {
+              val rows = store.changesBetween(name, f,
+                  to.getOrElse(store.version(name)), key)
+                .limit(rowLimit(ex)).toJSON.collect()
+              replyJson(ex, 200, rows.mkString("[", ",", "]"))
+            } catch { case e: IllegalArgumentException =>
+              reply(ex, 400, e.getMessage) }
+          case _ => reply(ex, 400,
+            "changes needs from=<version> and key=<col,...> " +
+              "(to=<version> defaults to current)")
         }
       case _ => reply(ex, 404, "Not Found")
     }

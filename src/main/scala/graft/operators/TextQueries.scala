@@ -1056,5 +1056,171 @@ object TextQueries {
             round(max(frac), 4).as("max_dup_frac"))
           .orderBy("lang")
       }
+    },
+
+    // CROSS-document repeated-span coverage — the substring-dedup audit
+    // of Lee et al. '22 ("Deduplicating Training Data Makes Language
+    // Models Better"): how much of each language's corpus consists of
+    // 5-gram spans that also occur in ANOTHER document (x68 measures
+    // within-doc repetition; this measures the cross-doc kind exact
+    // dedup misses when documents overlap without being identical).
+    // Shape: one explode (the corpus-scale pass every gram query
+    // pays), a (doc,gram) partial agg (collapses within-doc
+    // multiplicity BEFORE the gram-keyed stage, so a pathological
+    // million-repeat doc contributes one row), then gram-keyed
+    // doc-frequency, a gram-keyed join back and two tiny rollups. No
+    // driver materialization — the repeated-gram set stays
+    // distributed (it is O(shared vocabulary), not bounded, so no
+    // broadcast hint; AQE may still choose one at runtime).
+    Query("x72_repeated_spans",
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"g AS (SELECT doc_id, lang, unnest(${Sql.allShingles("ts", 5)}) " +
+        "AS gram FROM t), " +
+        "dg AS (SELECT doc_id, lang, gram, COUNT(*) AS c FROM g " +
+        "GROUP BY doc_id, lang, gram), " +
+        "nd AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2), " +
+        "p AS (SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_grams, " +
+        "CAST(SUM(CASE WHEN gram IN (SELECT gram FROM nd) THEN c " +
+        "ELSE 0 END) AS BIGINT) AS n_rep FROM dg GROUP BY doc_id, lang) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_grams) AS BIGINT) AS grams, " +
+        "CAST(SUM(n_rep) AS BIGINT) AS rep_grams, " +
+        "CAST(SUM(n_rep) AS DOUBLE) / SUM(n_grams) AS dup_frac " +
+        "FROM p GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val g = spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), explode(
+            TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
+        // (doc, gram) occurrence counts; gram doc-frequency is then a
+        // plain COUNT over this (no countDistinct pass)
+        val dg = g.groupBy("doc_id", "lang", "gram")
+          .agg(count(lit(1)).as("c"))
+        val rep = dg.groupBy("gram").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gram"), lit(1).as("is_rep"))
+        dg.join(rep, Seq("gram"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("c")).as("n_grams"),
+            sum(when(col("is_rep") === 1, col("c")).otherwise(0)).as("n_rep"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("grams"),
+            sum(col("n_rep")).as("rep_grams"),
+            (sum(col("n_rep")).cast("double") / sum(col("n_grams")))
+              .as("dup_frac"))
+          .orderBy("lang")
+      }
+    },
+
+    // Boilerplate FILTER — x39 mines the top-50 cross-corpus repeated
+    // 5-grams; this applies that list as a cleanup gate (the C4/CCNet
+    // boilerplate-removal step): a document whose gram stream is ≥ 50%
+    // mined boilerplate is dropped, and the survivors roll up into a
+    // per-language data card. The mined list is LIMIT-50 by
+    // construction, so its join side is broadcast explicitly — at
+    // 100 TB the filter is one explode + one broadcast-semi pass after
+    // the (amortizable) mining agg.
+    Query("x73_boilerplate_filter",
+      "WITH t AS (SELECT doc_id, lang, n_chars, " +
+        "string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        s"g AS (SELECT doc_id, unnest(${Sql.allShingles("ts", 5)}) " +
+        "AS gram FROM t), " +
+        "b AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM g " +
+        "GROUP BY gram HAVING COUNT(*) >= 2 " +
+        "ORDER BY n DESC, gram LIMIT 50)), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN gram IN (SELECT gram FROM b) THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_b FROM g GROUP BY doc_id), " +
+        "v AS (SELECT t.doc_id, t.lang, t.n_chars, " +
+        "CASE WHEN p.n_grams IS NULL THEN 0.0 " +
+        "ELSE CAST(p.n_b AS DOUBLE) / p.n_grams END AS density " +
+        "FROM t LEFT JOIN p USING (doc_id)) " +
+        "SELECT lang, " +
+        "CAST(SUM(CASE WHEN density < 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS kept_docs, " +
+        "CAST(SUM(CASE WHEN density < 0.5 THEN n_chars ELSE 0 END) " +
+        "AS BIGINT) AS kept_chars, " +
+        "CAST(SUM(CASE WHEN density >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS dropped_docs, " +
+        "round(AVG(density), 4) AS avg_density " +
+        "FROM v GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val t = spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            TextFns.allShingles(TextFns.tokens(col("text")), 5).as("grams"))
+        val g = t.select(col("doc_id"), explode(col("grams")).as("gram"))
+        val b = g.groupBy("gram").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .orderBy(col("n").desc, col("gram")).limit(50)
+          .select(col("gram"), lit(1).as("is_b"))
+        val p = g.join(broadcast(b), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("is_b") === 1, 1).otherwise(0)).as("n_b"))
+        val density = when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("n_b").cast("double") / col("n_grams"))
+        t.select(col("doc_id"), col("lang"), col("n_chars"))
+          .join(p, Seq("doc_id"), "left")
+          .withColumn("density", density)
+          .groupBy("lang")
+          .agg(sum(when(col("density") < 0.5, 1).otherwise(0))
+              .as("kept_docs"),
+            sum(when(col("density") < 0.5, col("n_chars")).otherwise(0))
+              .as("kept_chars"),
+            sum(when(col("density") >= 0.5, 1).otherwise(0))
+              .as("dropped_docs"),
+            round(avg(col("density")), 4).as("avg_density"))
+          .orderBy("lang")
+      }
+    },
+
+    // Corpus admission GATE — the composed keep/drop verdict a Dolma/
+    // FineWeb-style pipeline ends with: every document gets exactly one
+    // verdict by fixed priority (too_short → duplicate → low_quality →
+    // keep), reusing the corpus's own oracle-proven signals (q21's
+    // md5 identity for exact dup with min-doc_id canonical, x4's
+    // distinct-token ratio for quality). Output is the per-reason data
+    // card. Shape: one md5-keyed agg for canonicals, one md5-keyed
+    // join back, one tiny rollup — the gate itself is a pure per-row
+    // CASE, so the whole decision runs in two shuffles at any scale.
+    Query("x74_corpus_gate",
+      "WITH c AS (SELECT doc_id, n_chars, text, " +
+        "CASE WHEN text IS NOT NULL THEN md5(text) END AS h, " +
+        "string_split(text, ' ') AS ts FROM documents), " +
+        "m AS (SELECT h, MIN(doc_id) AS canon FROM c " +
+        "WHERE h IS NOT NULL GROUP BY h), " +
+        "v AS (SELECT c.doc_id, c.n_chars, " +
+        "CASE WHEN c.text IS NULL OR c.n_chars < 50 THEN 'too_short' " +
+        "WHEN c.doc_id <> m.canon THEN 'duplicate' " +
+        "WHEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) < 0.3 " +
+        "THEN 'low_quality' ELSE 'keep' END AS reason " +
+        "FROM c LEFT JOIN m ON c.h = m.h) " +
+        "SELECT reason, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars " +
+        "FROM v GROUP BY reason ORDER BY reason") {
+      (s, d) => {
+        val c = spreadScan(s, table(s, d, "documents"))
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            md5(col("text")).as("h"),
+            TextFns.tokens(col("text")).as("ts"))
+        val m = c.filter(col("h").isNotNull)
+          .groupBy("h").agg(min(col("doc_id")).as("canon"))
+        val reason =
+          when(col("text").isNull || col("n_chars") < 50, "too_short")
+            .when(col("doc_id") =!= col("canon"), "duplicate")
+            .when(size(array_distinct(col("ts"))).cast("double") /
+              size(col("ts")) < 0.3, "low_quality")
+            .otherwise("keep")
+        c.join(m, Seq("h"), "left")
+          .select(col("n_chars"), reason.as("reason"))
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("reason")
+      }
     })
 }

@@ -21,11 +21,12 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var root: String = _
   private var svc: RestService = _
+  private var store: TableStore = _
   private val seq = new AtomicLong(1)
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft-rest").toString
-    val store = new TableStore(spark, root)
+    store = new TableStore(spark, root)
     store.init("eventos", Tables.eventos(spark))
     store.init("inventario", Tables.inventario(spark))
     store.init("reservas", Tables.reservas(spark))
@@ -187,5 +188,32 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("DELETE", "/reservas/zzz")._1 === 400)
     assert(http("GET", "/reservas/zzz")._1 === 400)
     assert(http("DELETE", "/reservas/" + "0" * 24)._1 === 404)
+  }
+
+  test("GET /tables/{name} version, time travel, and change feed") {
+    import spark.implicits._
+    store.init("tt_demo", Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    store.append("tt_demo", Seq((3, "c")).toDF("k", "v")) // v1
+    store.upsert("tt_demo", Seq((1, "A")).toDF("k", "v"), Seq("k")) // v2
+
+    val (vc, vt) = http("GET", "/tables/tt_demo/version")
+    assert(vc === 200 && vt === "{\"name\":\"tt_demo\",\"version\":2}")
+
+    val (ac, at) = http("GET", "/tables/tt_demo/at/0")
+    assert(ac === 200 && at.count(_ == '{') === 2 &&
+      at.contains("\"v\":\"a\""))
+    assert(http("GET", "/tables/tt_demo/at/9")._1 === 404)
+    assert(http("GET", "/tables/tt_demo/at/x")._1 === 400)
+
+    // append-only hop v0→v1: one insert row
+    val (c1, t1) = http("GET", "/tables/tt_demo/changes?from=0&to=1&key=k")
+    assert(c1 === 200 && t1.count(_ == '{') === 1 &&
+      t1.contains("\"_op\":\"insert\"") && t1.contains("\"k\":3"))
+    // rewriting hop v0→v2: the upsert shows as an update
+    val (c2, t2) = http("GET", "/tables/tt_demo/changes?from=0&key=k")
+    assert(c2 === 200 && t2.contains("\"_op\":\"update\"") &&
+      t2.contains("\"v\":\"A\""))
+    assert(http("GET", "/tables/tt_demo/changes?from=0")._1 === 400)
+    assert(http("GET", "/tables/nope/version")._1 === 404)
   }
 }

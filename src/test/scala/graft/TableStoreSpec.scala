@@ -433,4 +433,64 @@ class TableStoreSpec extends AnyFunSuite {
     assert(snapshot.collect().map(_.getInt(0)).toSeq === Seq(1))
     assert(store.load("t").count() === 2)
   }
+
+  test("time travel: loadVersion binds each historical snapshot by number") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v")) // v0
+    store.append("t", Seq((2, "b")).toDF("k", "v")) // v1
+    store.upsert("t", Seq((1, "A"), (3, "c")).toDF("k", "v"), Seq("k")) // v2
+    assert(store.version("t") === 2)
+    def rows(v: Int) = store.loadVersion("t", v).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(0) === Seq((1, "a")))
+    assert(rows(1) === Seq((1, "a"), (2, "b")))
+    assert(rows(2) === Seq((1, "A"), (2, "b"), (3, "c")))
+    val e = intercept[IllegalArgumentException](store.loadVersion("t", 7))
+    assert(e.getMessage.contains("no readable version 7"))
+  }
+
+  test("time travel: a vacuumed version fails with a pointed error") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v"))
+    store.replace("t", Seq((2, "b")).toDF("k", "v"))
+    store.replace("t", Seq((3, "c")).toDF("k", "v"))
+    store.vacuum("t", keepVersions = 1)
+    val e = intercept[IllegalArgumentException](store.loadVersion("t", 0))
+    assert(e.getMessage.contains("vacuumed"))
+    assert(store.loadVersion("t", 2).count() === 1)
+  }
+
+  test("CDC fast path: append-only chain diffs read ONLY the delta segments") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", (1 to 100).map(i => (i, s"v$i")).toDF("k", "v")) // v0
+    store.append("t", Seq((101, "x")).toDF("k", "v")) // v1
+    store.append("t", Seq((102, "y")).toDF("k", "v")) // v2
+    val cdc = store.changesBetween("t", 0, 2, Seq("k"))
+    val got = cdc.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getString(2))).sortBy(_._1).toSeq
+    assert(got === Seq((101, "x", "insert"), (102, "y", "insert")))
+    // the v0 base segment (100 rows) must not be in the scan at all
+    val dirs = cdc.inputFiles.map(f => java.nio.file.Paths
+      .get(f.stripPrefix("file:")).getParent.getFileName.toString).distinct
+    assert(dirs.sorted.toSeq === Seq("d1", "d2"))
+  }
+
+  test("CDC general path: a rewriting transition yields insert/update/delete") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")) // v0
+    // upsert: 1 updated, 4 inserted; then a replace dropping key 2
+    store.upsert("t", Seq((1, "A"), (4, "d")).toDF("k", "v"), Seq("k")) // v1
+    store.replace("t", store.load("t").filter(col("k") =!= 2)) // v2
+    val got = store.changesBetween("t", 0, 2, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1, "A", "update"), (2, "b", "delete"),
+      (4, "d", "insert")))
+    // self-diff is empty; delete rows carry the departed values
+    assert(store.changesBetween("t", 2, 2, Seq("k")).count() === 0)
+  }
 }
