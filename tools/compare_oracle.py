@@ -36,6 +36,14 @@ for name, sql in sorted(oracle.items()):
     # driver sorts columns by name
     want = want[sorted(want.columns)]
     got = got[sorted(got.columns)] if set(got.columns)==set(want.columns) else got
+    # Spark parquet timestamps read back tz-aware (isAdjustedToUTC);
+    # DuckDB's fetchdf returns naive UTC — normalize both to naive so
+    # the str() compare matches the driver's canonicalizer
+    for df in (want, got):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64") and getattr(
+                    df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     if list(got.columns) != list(want.columns):
         fails.append((name, f"columns: engine={list(got.columns)} oracle={list(want.columns)}")); continue
     if len(got) != len(want):
