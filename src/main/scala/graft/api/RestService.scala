@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
  *   POST   /reservas                    reserve seats (guarded decrement)
  *   DELETE /reservas/{id}               customer cancel (CAS A→X)
  *
+ * Engine-side control-plane routes beyond the reference:
+ *
+ *   GET /query/{name}?limit=            any declared query, limit-capped
+ *   GET /metrics[/{flow}]               per-batch flow telemetry rows
+ *   GET /tables/{t}/version             live version number
+ *   GET /tables/{t}/at/{v}?limit=       time-travel snapshot read
+ *   GET /tables/{t}/changes?from=&to=&key=   version-diff CDC feed
+ *
  * JSON field names and error texts follow the Go structs' marshal
  * output (contratos/contratos.go:7-37 — `Inventario.Disponible`,
  * `DetReserva`'s `idres`/`nombre`/`canres` renames, `Reserva`'s `_id`)

@@ -67,17 +67,13 @@ object TextFns {
     * token array: 24-bit md5 hashes of k-token grams, minimum per
     * w-window, distinct. Guarantee: two docs sharing a run of
     * ≥ k+w−1 tokens share ≥ 1 fingerprint. Caller filters to
-    * size(ts) ≥ k. Pure array ops — no explode, no shuffle. */
-  def winnowFps(ts: Column, k: Int = 4, w: Int = 4): Column = {
-    val grams = transform(sequence(lit(0), size(ts) - k), i =>
-      md5Bits24(concat_ws(" ",
-        (1 to k).map(j => element_at(ts, i + j)): _*)))
-    // one clamped window when there are fewer grams than w
-    array_distinct(transform(
-      sequence(lit(0),
-        when(size(grams) < w, lit(0)).otherwise(size(grams) - w)),
-      i => array_min(slice(grams, i + 1, lit(w)))))
-  }
+    * size(ts) ≥ k. Codegen expression — the higher-order-function
+    * formulation it replaces (transform/array_min/slice over md5 hex
+    * arithmetic) was CodegenFallback: its Project ran interpreted and
+    * recomputed each gram's md5 once per hex digit, 19 s at sf0.1
+    * (69 s under full-suite memory pressure) vs ~1 s fused. */
+  def winnowFps(ts: Column, k: Int = 4, w: Int = 4): Column =
+    graft.functions.expressions.TextExpressions.winnow_fps(ts, k, w)
 
   /** Polynomial rolling-hash fingerprint of the token stream, mod 1e9+7.
     * Token code = 131*len + first-char codepoint; the fold is sequential

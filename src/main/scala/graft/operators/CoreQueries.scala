@@ -960,5 +960,39 @@ object CoreQueries {
           .select(col("user_id"), col("session_start"),
             col("session_end"), col("n_events"))
           .orderBy("user_id", "session_start")
+    },
+
+    // RANGE window frame over EVENT TIME — x49 covers ROWS frames
+    // (positional); this is the time-bounded kind: per event, that
+    // user's activity in the PRECEDING HOUR (count + exact-DECIMAL
+    // sum), the per-row trailing-window feature a fraud/feature
+    // pipeline computes. Frame bounds ride epoch MICROSECONDS
+    // (unix_micros / epoch_us — exact integers on both engines), and
+    // RANGE includes all ts-peers regardless of tie order, so the
+    // result is deterministic without an event_id tiebreak in the
+    // frame spec. One user_id shuffle + sort; the frame itself is
+    // O(1)-incremental per row at any scale.
+    Query("x75_range_frame",
+      "SELECT user_id, event_id, n_1h, sum_1h FROM (" +
+        "SELECT user_id, event_id, " +
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS " +
+        "DOUBLE) AS sum_1h " +
+        "FROM events WHERE user_id < 100 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) " +
+        "ORDER BY user_id, event_id") {
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        table(s, d, "events")
+          .filter(col("user_id") < 100)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).cast("bigint").as("n_1h"),
+            sum(col("value").cast("decimal(10,2)")).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("user_id", "event_id")
+      }
     })
 }

@@ -461,6 +461,59 @@ final class TableStore(spark: SparkSession, root: String,
       replace(name, shaped, parts)
     }
 
+  /** True iff `toV`'s manifest EXTENDS `fromV`'s — the append-only
+    * chain whose version diff is pure inserts readable from the delta
+    * segments alone. */
+  private def appendOnlyBetween(name: String, fromV: Int, toV: Int): Boolean = {
+    val fl = manifestLines(name, fromV)
+    val tl = manifestLines(name, toV)
+    !(fl ++ tl).exists(_.startsWith("#bucketed=")) &&
+      tl.filterNot(_.startsWith("#"))
+        .startsWith(fl.filterNot(_.startsWith("#")))
+  }
+
+  /** Incremental replication: bring `dst` (hosted by this store) up to
+    * `src`'s current snapshot by applying the version diff since the
+    * last sync — the CDC CONSUMER side of [[changesBetween]], the
+    * downstream-materialization pattern (Delta CDF reader feeding a
+    * derived table). Returns the src version synced to.
+    *
+    * Cost: an append-only hop applies O(delta) via the idempotent
+    * appendUnique (a crash between apply and the sync-log commit
+    * replays harmlessly); a rewriting hop applies changed-key
+    * anti-join + union — O(dst + change), never O(history). A sync
+    * whose base version has been vacuumed falls back to one full
+    * resync and is caught up from there on. `key` must be a unique
+    * key of `src`, as in [[changesBetween]]. */
+  def syncTo(src: String, dst: String, key: Seq[String]): Int = {
+    val flow = s"_sync_${src}__$dst"
+    val cur = version(src)
+    require(cur >= 0, s"table $src does not exist")
+    val last = lastCommitted(flow).toInt
+    if (!exists(dst) || last < 0) {
+      replace(dst, loadVersion(src, cur), partitionColumns(src))
+      commitBatch(flow, cur)
+      return cur
+    }
+    if (last == cur) return cur
+    // base version aged out of the vacuum horizon → one full resync
+    if (!Files.exists(tdir(src).resolve(s"m$last")))
+      replace(dst, loadVersion(src, cur), partitionColumns(src))
+    else if (appendOnlyBetween(src, last, cur))
+      appendUnique(dst, changesBetween(src, last, cur, key).drop("_op"), key)
+    else {
+      val changes = changesBetween(src, last, cur, key).persist()
+      try {
+        val changedKeys = changes.select(key.map(col): _*)
+        val kept = load(dst).join(changedKeys, key, "left_anti")
+        val upserts = changes.filter(col("_op") =!= "delete").drop("_op")
+        replace(dst, kept.unionByName(upserts), partitionColumns(dst))
+      } finally changes.unpersist()
+    }
+    commitBatch(flow, cur)
+    cur
+  }
+
   /** VACUUM — retention-horizon GC of superseded versions. Keeps the
     * newest `keepVersions` manifests (the current one always included)
     * and every segment any kept manifest references; deletes older

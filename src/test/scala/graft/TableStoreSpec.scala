@@ -493,4 +493,54 @@ class TableStoreSpec extends AnyFunSuite {
     // self-diff is empty; delete rows carry the departed values
     assert(store.changesBetween("t", 2, 2, Seq("k")).count() === 0)
   }
+
+  private def content(store: TableStore, name: String) =
+    store.load(name).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("syncTo: append-only hops replicate O(delta); repeat is a no-op") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("src", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.syncTo("src", "dst", Seq("k")) === 0) // initial full copy
+    assert(content(store, "dst") === Seq((1, "a"), (2, "b")))
+    store.append("src", Seq((3, "c")).toDF("k", "v"))
+    store.append("src", Seq((4, "d")).toDF("k", "v"))
+    assert(store.syncTo("src", "dst", Seq("k")) === 2)
+    assert(content(store, "dst") === Seq((1, "a"), (2, "b"), (3, "c"),
+      (4, "d")))
+    // the incremental apply landed as a DELTA segment on dst, not a
+    // rewrite: dst's scan now covers two segment dirs
+    val segs = store.load("dst").inputFiles.map(f => java.nio.file.Paths
+      .get(f.stripPrefix("file:")).getParent.getFileName.toString).distinct
+    assert(segs.length === 2, s"expected base+delta segments, got $segs")
+    // already-synced: version unchanged, content unchanged
+    assert(store.syncTo("src", "dst", Seq("k")) === 2)
+    assert(content(store, "dst") === Seq((1, "a"), (2, "b"), (3, "c"),
+      (4, "d")))
+  }
+
+  test("syncTo: rewriting hops reconcile updates and deletes") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("src", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    store.syncTo("src", "dst", Seq("k"))
+    store.upsert("src", Seq((1, "A"), (4, "d")).toDF("k", "v"), Seq("k"))
+    store.replace("src", store.load("src").filter(col("k") =!= 2))
+    store.syncTo("src", "dst", Seq("k"))
+    assert(content(store, "dst") === content(store, "src"))
+    assert(content(store, "dst") === Seq((1, "A"), (3, "c"), (4, "d")))
+  }
+
+  test("syncTo: a vacuumed base version falls back to a full resync") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("src", Seq((1, "a")).toDF("k", "v"))
+    store.syncTo("src", "dst", Seq("k")) // synced at v0
+    store.replace("src", Seq((2, "b")).toDF("k", "v"))
+    store.replace("src", Seq((3, "c")).toDF("k", "v"))
+    store.vacuum("src", keepVersions = 1) // v0 (the sync base) is gone
+    assert(store.syncTo("src", "dst", Seq("k")) === 2)
+    assert(content(store, "dst") === Seq((3, "c")))
+  }
 }
