@@ -291,6 +291,43 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"encode stage shuffles beyond the output sort:\n$p")
   }
 
+  test("x72: the (doc,gram) partial agg rides the doc_id exchange — no shuffle between explode and agg") {
+    // the per-doc gram-count stage must aggregate on the SAME doc_id
+    // partitioning the spread scan established (HashPartitioning on a
+    // subset of the grouping keys satisfies the clustering), so the
+    // pathological million-repeat doc collapses map-side BEFORE any
+    // gram-keyed stage — the guard that bounds the explode's output
+    val p = plan("x72_repeated_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, s"no explode in:\n$p")
+    // walking UP from the explode, the first aggregation-or-exchange
+    // node must be the (doc,gram) HashAggregate, not an Exchange
+    val above = lines.take(gen).reverse
+      .find(l => l.contains("HashAggregate") || l.contains("Exchange"))
+    assert(above.exists(_.contains("HashAggregate")),
+      s"exchange slipped between explode and the (doc,gram) agg:\n$p")
+  }
+
+  test("x73: the mined top-50 boilerplate list is TakeOrdered and broadcast into the probe") {
+    val p = plan("x73_boilerplate_filter")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"mining does a global sort for top-50:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 50-row mined list is not broadcast:\n$p")
+  }
+
+  test("x75: user filter pushed to the scan, one Window pass, no join") {
+    val p = plan("x75_range_frame")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(user_id,100\\).*"),
+      s"user filter not pushed to the scan:\n$p")
+    assert(p.linesIterator.count(_.contains("- Window ")) == 1,
+      s"range frame did not stay one Window pass:\n$p")
+    assert(!p.contains("Join"), s"frame computation grew a join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)
