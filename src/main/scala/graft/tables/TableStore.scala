@@ -96,6 +96,17 @@ final class TableStore(spark: SparkSession, root: String,
       .getOrElse(Nil)
   }
 
+  /** The schema recorded by version `v`'s manifest, present once a
+    * table has EVOLVED past its files' own footers (older segments
+    * then lack the newer columns and must be read under the recorded
+    * superset schema, which fills them as null). */
+  private def recordedSchema(name: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(name, v).find(_.startsWith("#schema="))
+      .map(h => org.apache.spark.sql.types.DataType
+        .fromJson(h.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Atomically flip the table to version `next` = `segs`. The segment
     * data is fully materialized BEFORE the pointer flips; concurrent
     * readers see old-or-new, never partial. */
@@ -195,21 +206,33 @@ final class TableStore(spark: SparkSession, root: String,
       case None =>
         val dirs = lines.filterNot(_.startsWith("#"))
           .map(s => tdir(name).resolve(s).toString)
-        readDirs(dirs, lines.exists(_.startsWith("#partitionBy=")))
+        readDirs(dirs, lines.exists(_.startsWith("#partitionBy=")),
+          recordedSchema(name, v))
     }
   }
 
-  private def readDirs(dirs: Seq[String], partitioned: Boolean): DataFrame =
-    if (!partitioned || dirs.length == 1) spark.read.parquet(dirs: _*)
-    else {
-      // pin every segment to the first segment's schema: hive
-      // partition-column type inference runs per segment, so a
-      // segment whose partition values happen to all look numeric
-      // could otherwise infer a different type than its siblings
-      // and unionByName would silently coerce
-      val schema = spark.read.parquet(dirs.head).schema
-      dirs.map(d => spark.read.schema(schema).parquet(d))
-        .reduce(_.unionByName(_))
+  private def readDirs(dirs: Seq[String], partitioned: Boolean,
+      recorded: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    recorded match {
+      // an evolved table reads under its RECORDED superset schema —
+      // parquet fills columns missing from older segments as null
+      case Some(sch) =>
+        if (dirs.length == 1 || !partitioned)
+          spark.read.schema(sch).parquet(dirs: _*)
+        else dirs.map(d => spark.read.schema(sch).parquet(d))
+          .reduce(_.unionByName(_))
+      case None if !partitioned || dirs.length == 1 =>
+        spark.read.parquet(dirs: _*)
+      case None =>
+        // pin every segment to the first segment's schema: hive
+        // partition-column type inference runs per segment, so a
+        // segment whose partition values happen to all look numeric
+        // could otherwise infer a different type than its siblings
+        // and unionByName would silently coerce
+        val schema = spark.read.parquet(dirs.head).schema
+        dirs.map(d => spark.read.schema(schema).parquet(d))
+          .reduce(_.unionByName(_))
     }
 
   /** Change-data-feed between two versions — the rows a downstream
@@ -247,18 +270,24 @@ final class TableStore(spark: SparkSession, root: String,
         .map(s => tdir(name).resolve(s).toString)
       if (delta.isEmpty) // identical manifests (e.g. self-diff)
         loadVersion(name, toV).limit(0).withColumn("_op", lit("insert"))
-      else readDirs(delta, toLines.exists(_.startsWith("#partitionBy=")))
+      else readDirs(delta, toLines.exists(_.startsWith("#partitionBy=")),
+          recordedSchema(name, toV))
         .withColumn("_op", lit("insert"))
     }
     else {
       import org.apache.spark.sql.functions.{coalesce, when, xxhash64}
       // presence markers, not key-IS-NULL probes: a legitimately NULL
       // key column must not masquerade as an absent join side
-      val o = loadVersion(name, fromV)
+      val nRaw = loadVersion(name, toV)
+      val cols = nRaw.columns.toSeq
+      val oRaw = loadVersion(name, fromV)
+      // align the old snapshot to the new schema (a column added by
+      // evolution since fromV reads as null on the old side)
+      val o = oRaw.select(cols.map(c =>
+          if (oRaw.columns.contains(c)) col(c)
+          else lit(null).cast(nRaw.schema(c).dataType).as(c)): _*)
         .withColumn("_o_present", lit(true)).alias("o")
-      val n = loadVersion(name, toV)
-        .withColumn("_n_present", lit(true)).alias("n")
-      val cols = loadVersion(name, toV).columns.toSeq
+      val n = nRaw.withColumn("_n_present", lit(true)).alias("n")
       val payload = cols.filterNot(key.contains)
       def rowHash(side: String) = // key-only tables carry no payload
         if (payload.isEmpty) lit(0L)
@@ -345,7 +374,15 @@ final class TableStore(spark: SparkSession, root: String,
     * partitioned one). Appends into a partitioned table write
     * hive-partitioned segments matching the recorded layout, so
     * partition discovery and pruning keep working across segments. */
-  def append(name: String, df: DataFrame): Unit =
+  /** `evolveSchema = true` lets a batch ADD nullable columns (and omit
+    * existing ones — filled as null): the table's live schema becomes
+    * the union, recorded in the manifest so older segments read under
+    * it with the new columns null — Delta `mergeSchema` semantics.
+    * Retyping or any schema change without the flag is rejected with a
+    * pointed error (the fixture-drift class the schema-guard specs
+    * exist for), never silently coerced. */
+  def append(name: String, df: DataFrame,
+      evolveSchema: Boolean = false): Unit =
     writeLock(name).synchronized {
       if (!exists(name)) replace(name, df)
       else {
@@ -362,13 +399,50 @@ final class TableStore(spark: SparkSession, root: String,
         // harmless, so they keep the cheap no-action path)
         if (parts.isEmpty || !df.isEmpty) {
           val v = currentVersion(name)
+          val cur = recordedSchema(name, v).getOrElse(load(name).schema)
+          val curTypes = cur.fields
+            .map(f => f.name -> f.dataType.catalogString).toMap
+          df.schema.fields.filter(f => curTypes.contains(f.name))
+            .foreach(f => require(
+              curTypes(f.name) == f.dataType.catalogString,
+              s"append to $name would RETYPE column ${f.name}: table " +
+                s"has ${curTypes(f.name)}, batch has " +
+                s"${f.dataType.catalogString} — schema evolution only " +
+                "adds nullable columns"))
+          val newCols = df.schema.fields
+            .filterNot(f => curTypes.contains(f.name))
+          val missing = cur.fieldNames
+            .filterNot(df.schema.fieldNames.contains).toSeq
+          val (aligned, evolvedHeader) =
+            if (newCols.isEmpty && missing.isEmpty)
+              (df.select(cur.fieldNames.map(col).toSeq: _*),
+                manifestLines(name, v).find(_.startsWith("#schema=")))
+            else {
+              require(evolveSchema,
+                s"append to $name changes the schema (adds " +
+                  s"[${newCols.map(_.name).mkString(",")}], omits " +
+                  s"[${missing.mkString(",")}]) — pass " +
+                  "evolveSchema = true to evolve, or align the batch")
+              val evolved = org.apache.spark.sql.types.StructType(
+                cur.fields ++ newCols.map(_.copy(nullable = true)))
+              val sel = evolved.fields.toSeq.map(f =>
+                if (df.columns.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name))
+              (df.select(sel: _*),
+                if (newCols.isEmpty) // pure-omission batch: no evolution
+                  manifestLines(name, v).find(_.startsWith("#schema="))
+                else Some(s"#schema=${evolved.json}"))
+            }
           val segs = segments(name, v)
           if (segs.length >= CompactThreshold)
-            replace(name, load(name).unionByName(df), parts)
+            // the rewrite materializes the (possibly evolved) schema
+            // into the files themselves — no header needed afterwards
+            replace(name, load(name).unionByName(aligned,
+              allowMissingColumns = true), parts)
           else {
             val next = v + 1
-            publish(name, segs :+ writeSegment(name, next, df, parts), next,
-              partHeader(parts))
+            publish(name, segs :+ writeSegment(name, next, aligned, parts),
+              next, partHeader(parts) ++ evolvedHeader.toSeq)
           }
         }
       }

@@ -532,6 +532,55 @@ class TableStoreSpec extends AnyFunSuite {
     assert(content(store, "dst") === Seq((1, "A"), (3, "c"), (4, "d")))
   }
 
+  test("schema evolution: unflagged drift rejects; evolveSchema adds nullable columns") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v"))
+    // silent drift: extra column without the flag → pointed rejection
+    val e1 = intercept[IllegalArgumentException](
+      store.append("t", Seq((2, "b", 9.5)).toDF("k", "v", "score")))
+    assert(e1.getMessage.contains("score") &&
+      e1.getMessage.contains("evolveSchema"))
+    // retype is never allowed, flag or not
+    val e2 = intercept[IllegalArgumentException](
+      store.append("t", Seq(("3", "c")).toDF("k", "v"),
+        evolveSchema = true))
+    assert(e2.getMessage.contains("RETYPE"))
+    // evolution: new nullable column; old segment reads it as null
+    store.append("t", Seq((2, "b", 9.5)).toDF("k", "v", "score"),
+      evolveSchema = true)
+    val rows = store.load("t").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq === Seq((1, "a", None), (2, "b", Some(9.5))))
+    // a later batch may omit the evolved column (filled as null)
+    store.append("t", Seq((3, "d")).toDF("k", "v"), evolveSchema = true)
+    assert(store.load("t").filter(col("k") === 3)
+      .select("score").collect().head.isNullAt(0))
+    // compact materializes the evolved schema into the files
+    store.compact("t")
+    assert(store.load("t").schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(store.load("t").count() === 3)
+  }
+
+  test("schema evolution: CDC across an evolving history aligns the old side") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a")).toDF("k", "v")) // v0
+    store.append("t", Seq((2, "b", 7.0)).toDF("k", "v", "score"),
+      evolveSchema = true) // v1 (append-only fast path)
+    val fast = store.changesBetween("t", 0, 1, Seq("k")).collect()
+    assert(fast.map(r => (r.getInt(0), r.getString(1),
+      r.getDouble(2), r.getString(3))).toSeq === Seq((2, "b", 7.0, "insert")))
+    // rewriting hop: general path must null-fill the old side's
+    // missing column instead of failing resolution
+    store.upsert("t", Seq((1, "A", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v", "score"), Seq("k")) // v2
+    val gen = store.changesBetween("t", 0, 2, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(3))).sortBy(_._1)
+    assert(gen.toSeq === Seq((1, "A", "update"), (2, "b", "insert")))
+  }
+
   test("syncTo: a vacuumed base version falls back to a full resync") {
     import spark.implicits._
     val store = fresh()
