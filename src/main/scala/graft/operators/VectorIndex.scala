@@ -150,7 +150,8 @@ object VectorIndex {
                 x => floor(x.cast("double") * Scale).cast("bigint")).as("pfp"))
             .withColumn("pd", transform(col("pfp"), f => f.cast("double")))
           val assigned = assignCells(base, prev.index.centroids)
-            .select(col("vec_id"), col("embedding"), col("cell"))
+            .select(col("vec_id"), col("embedding"),
+              col("cell").cast("int").as("cell"))
           prev.index.store.append("ivf_corpus",
             assigned.repartition(col("cell")))
           StoredIndexes.Cached(fp, prev.root, prev.index, listing,
@@ -287,8 +288,13 @@ object VectorIndex {
           Array.tabulate(p.dim)(i => r.getLong(i + 1).toDouble / cnt))
       }.sortBy(_._1)
     }
+    // cell is written as INT explicitly (cells ∝ √n stays far under
+    // 2³¹ at any feasible corpus) so the stored type matches what
+    // hive partition inference reads back — appends then never see a
+    // writer-bigint / recorded-int mismatch
     val fin = assignCells(base, cents)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast("int").as("cell"))
     val store = new TableStore(spark, root)
     // repartition by cell first so each cell directory is one file —
     // at scale this is the co-location that makes a probe read

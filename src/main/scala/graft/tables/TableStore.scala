@@ -402,7 +402,17 @@ final class TableStore(spark: SparkSession, root: String,
           val cur = recordedSchema(name, v).getOrElse(load(name).schema)
           val curTypes = cur.fields
             .map(f => f.name -> f.dataType.catalogString).toMap
-          df.schema.fields.filter(f => curTypes.contains(f.name))
+          // Partition columns carry NO type on disk — the value is the
+          // path string (cell=42/), and the recorded type is whatever
+          // hive inference read back from those strings. A writer that
+          // computed the value as bigint (or a numeric string) while
+          // inference pinned int produces the IDENTICAL layout, so a
+          // type mismatch there is not a retype; reads stay pinned to
+          // the recorded schema either way. Only data columns — whose
+          // parquet encoding DOES carry the type — get the hard check.
+          df.schema.fields
+            .filter(f => curTypes.contains(f.name) &&
+              !parts.contains(f.name))
             .foreach(f => require(
               curTypes(f.name) == f.dataType.catalogString,
               s"append to $name would RETYPE column ${f.name}: table " +

@@ -563,6 +563,29 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("t").count() === 3)
   }
 
+  test("partition columns align integral types instead of failing retype") {
+    import spark.implicits._
+    val store = fresh()
+    // writer computes the partition value as INT; hive inference reads
+    // the path-encoded value back as int too, so the recorded type is
+    // int. A later append that computed the SAME values as BIGINT is
+    // the identical on-disk layout (cell=7/) — it must align, not fail.
+    store.replace("t", Seq((1L, 7), (2L, 8)).toDF("id", "cell"),
+      partitionBy = Seq("cell"))
+    store.append("t",
+      Seq((3L, 7L)).toDF("id", "cell"))
+    val got = store.load("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.get(1)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // read type stays pinned to the recorded int — no per-segment drift
+    assert(store.load("t").schema("cell").dataType.catalogString === "int")
+    // a NON-partition integral mismatch is still a hard retype error
+    val e = intercept[IllegalArgumentException](
+      store.append("t", Seq((4, 9L)).toDF("id", "cell")
+        .select(col("id").cast("int").as("id"), col("cell"))))
+    assert(e.getMessage.contains("RETYPE") && e.getMessage.contains("id"))
+  }
+
   test("schema evolution: CDC across an evolving history aligns the old side") {
     import spark.implicits._
     val store = fresh()
