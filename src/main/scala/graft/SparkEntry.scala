@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofQueries, BloomJoin, BoletiaQueries, BucketedQueries, CoreQueries, DedupQueries, GraphQueries, MediaQueries, QualityOps, StatefulQueries, TextQueries, VectorQueries, ZOrderQueries}
+import graft.operators.{AsofQueries, BloomJoin, BoletiaQueries, BucketedQueries, CoreQueries, DedupQueries, GraphQueries, LinkQueries, MediaQueries, QualityOps, StatefulQueries, TextQueries, TpchQueries, VectorQueries, ZOrderQueries}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,7 +14,7 @@ object SparkEntry {
       DedupQueries.all ++ VectorQueries.all ++ MediaQueries.all ++
       StatefulQueries.all ++ AsofQueries.all ++ BucketedQueries.all ++
       GraphQueries.all ++ BloomJoin.all ++ ZOrderQueries.all ++
-      QualityOps.all
+      QualityOps.all ++ TpchQueries.all ++ LinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast-join enrichment + aggregation (survey Q16). */

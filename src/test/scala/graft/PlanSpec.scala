@@ -328,6 +328,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"frame computation grew a join:\n$p")
   }
 
+  test("x76/x77: TPC-H Q5/Q7 — dims broadcast, date filters pushed to the fact scan") {
+    for ((name, pushedCol) <- Seq("x76_tpch5" -> "o_orderdate",
+        "x77_tpch7" -> "l_shipdate")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: no broadcast dims:\n$p")
+      assert(p.matches(s"(?s).*PushedFilters: \\[[^\\]]*\\($pushedCol.*"),
+        s"$name: date filter not pushed to the scan:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: join degenerated:\n$p")
+    }
+  }
+
+  test("x78/x79: Q14/Q19 — part pruned before broadcast, single partial-agg fact pass") {
+    for (name <- Seq("x78_tpch14", "x79_tpch19")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: part not broadcast:\n$p")
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      // exactly one SHUFFLE: the single-row final aggregation (the
+      // part side's BroadcastExchange is not a shuffle)
+      assert(p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")) <= 1,
+        s"$name: more than the one final-agg shuffle:\n$p")
+    }
+    // Q19's brand disjunction common factor reaches the part scan
+    val p19 = plan("x79_tpch19")
+    assert(p19.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(p_brand.*"),
+      s"x79: brand IN-list not pushed to the part scan:\n$p19")
+  }
+
+  test("x80: rank-filter compiles to WindowGroupLimit (map-side top-k, no full sort)") {
+    val p = plan("x80_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= 5 did not push a group limit below the shuffle:\n$p")
+  }
+
+  test("x81: blocked ER pairs ride an equi-join, never a cartesian") {
+    val p = plan("x81_er_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degenerated to all-pairs:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)
