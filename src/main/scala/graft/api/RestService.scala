@@ -73,6 +73,7 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/query", (ex: HttpExchange) => safely(ex)(routeQuery))
   server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(routeMetrics))
   server.createContext("/tables", (ex: HttpExchange) => safely(ex)(routeTables))
+  server.createContext("/subjects", (ex: HttpExchange) => safely(ex)(routeSubjects))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
@@ -114,6 +115,23 @@ final class RestService(spark: SparkSession, store: TableStore,
       case ("GET", List("reservas", id)) => getReservaId(ex, id)
       case ("POST", List("reservas")) => postReserva(ex)
       case ("DELETE", List("reservas", id)) => deleteReservaId(ex, id)
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  /** DELETE /subjects/{email} — data-subject erasure (GDPR art. 17)
+    * over the operational tables, the [[graft.tables.Gdpr]] purge
+    * behind the same writer lock every other mutation takes. Returns
+    * the per-table affected-row report; idempotent, so a retried
+    * erasure request reports zeros rather than erroring. */
+  private def routeSubjects(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex)) match {
+      case ("DELETE", List("subjects", email)) => lock.synchronized {
+        val rep = graft.tables.Gdpr.purgeSubject(store, email)
+        replyJson(ex, 200,
+          s"""{"redacted_reservas":${rep.redactedReservas},""" +
+            s""""deleted_notificaciones":${rep.deletedNotificaciones},""" +
+            s""""deleted_dead_letter":${rep.deletedDeadLetter}}""")
+      }
       case _ => reply(ex, 404, "Not Found")
     }
 

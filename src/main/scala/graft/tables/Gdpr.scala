@@ -1,0 +1,68 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-subject erasure (GDPR art. 17 "right to be forgotten") over the
+ * operational tables — the data-governance mutation the reference's
+ * insert/update-only collections (README.md:47) have no answer to.
+ *
+ * Erasure is NOT uniform row deletion: reservas rows are the seat
+ * accounting the B2 capacity invariant folds over (contratos.go:7-37
+ * — evento/cantidad/estado), so deleting them would corrupt inventory
+ * math for everyone else. The standard split:
+ *
+ *  - reservas: REDACT — the email column is replaced with a constant
+ *    tombstone via a keyed upsert; evento/cantidad/estado survive, so
+ *    every aggregate and the admission registries are untouched.
+ *  - notificaciones: DELETE — a per-subject message log with no
+ *    accounting role; rows are addressed to the subject's email.
+ *  - dead_letter: DELETE rows whose raw payload CONTAINS the email —
+ *    quarantined malformed messages can carry PII verbatim.
+ *
+ * All three legs are [[TableStore]] primitives (upsert / deleteWhere),
+ * so they inherit its properties: copy-on-write at segment
+ * granularity, atomic version flips, CDC visibility of the change,
+ * and — deliberately — time travel to pre-erasure snapshots until the
+ * vacuum horizon passes (production erasure SLAs are retention-window
+ * bounded for exactly this reason; `store.vacuum(name, 1)` force-
+ * expires history immediately). The purge is idempotent: a second run
+ * matches nothing and publishes nothing.
+ */
+object Gdpr {
+
+  /** Tombstone written over redacted PII columns. Constant (not a
+    * per-subject hash): erased rows must not stay linkable. */
+  val Tombstone = "<erased>"
+
+  final case class PurgeReport(
+      redactedReservas: Long,
+      deletedNotificaciones: Long,
+      deletedDeadLetter: Long) {
+    def total: Long =
+      redactedReservas + deletedNotificaciones + deletedDeadLetter
+  }
+
+  /** Erase `email` from the operational tables of `store`. Missing
+    * tables are skipped (a young deployment may not have produced
+    * notifications yet). Returns per-table affected-row counts. */
+  def purgeSubject(store: TableStore, email: String): PurgeReport = {
+    val redacted =
+      if (!store.exists("reservas")) 0L
+      else {
+        val hit = store.load("reservas").filter(col("email") === email)
+        val n = hit.count()
+        if (n > 0L)
+          store.upsert("reservas",
+            hit.withColumn("email", lit(Tombstone)), Seq("id"))
+        n
+      }
+    val notif =
+      if (!store.exists("notificaciones")) 0L
+      else store.deleteWhere("notificaciones", col("email") === email)
+    val dead =
+      if (!store.exists("dead_letter")) 0L
+      else store.deleteWhere("dead_letter", col("raw").contains(email))
+    PurgeReport(redacted, notif, dead)
+  }
+}

@@ -545,6 +545,86 @@ final class TableStore(spark: SparkSession, root: String,
       replace(name, shaped, parts)
     }
 
+  /** Targeted row deletion — `DELETE FROM name WHERE predicate`, the
+    * third mutation class next to append and upsert (the reference
+    * never deletes — README.md:47 — but a data-governance request,
+    * GDPR erasure being the canonical one, needs it as a first-class
+    * table op). Returns the number of rows deleted.
+    *
+    * Scale shape (the Delta/Iceberg copy-on-write DELETE): the
+    * predicate is evaluated PER SEGMENT, and only segments that
+    * actually contain matches are rewritten — the match probe is a
+    * predicate-pushed count whose parquet min/max row-group stats let
+    * untouched segments answer from footers, so a targeted delete on
+    * a 100 TB table rewrites O(affected segments), not O(table).
+    * Untouched segment directories are carried into the new manifest
+    * byte-identical. SQL DELETE semantics: rows where the predicate
+    * is NULL survive. A segment whose every row matches is DROPPED
+    * from the manifest rather than rewritten (a zero-row partitioned
+    * write emits no readable files). No-match deletes publish nothing
+    * (version unchanged). Prior versions still time-travel to the
+    * deleted rows until vacuumed, and `changesBetween` across the
+    * delete reports them as `_op = delete` via its rewriting-
+    * transition diff. Bucketed tables are refused (replace-only, like
+    * compact). If a delete empties the table entirely, an empty FLAT
+    * segment with the full recorded schema is published (the
+    * partition layout carries no information at zero rows; the next
+    * replace re-establishes it). */
+  def deleteWhere(name: String, predicate: Column): Long =
+    writeLock(name).synchronized {
+      require(exists(name), s"table $name does not exist")
+      val v = currentVersion(name)
+      val lines = manifestLines(name, v)
+      require(!lines.exists(_.startsWith("#bucketed=")),
+        s"table $name is bucketed — bucketed tables are replace-only")
+      val parts = partitionColumns(name)
+      val segs = segments(name, v)
+      val dirs = segs.map(s => tdir(name).resolve(s).toString)
+      // pin one schema across segments, same rule as readDirs: the
+      // recorded (evolved) superset when present, else the first
+      // segment's — per-segment hive inference must not diverge
+      val pinned = recordedSchema(name, v)
+        .getOrElse(spark.read.parquet(dirs.head).schema)
+      val keep = !org.apache.spark.sql.functions
+        .coalesce(predicate, lit(false))
+      var deleted = 0L
+      val rewritten = segs.zip(dirs).zipWithIndex.flatMap {
+        case ((seg, dir), i) =>
+          val sdf = spark.read.schema(pinned).parquet(dir)
+          val hits = sdf.filter(
+            org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
+            .count()
+          if (hits == 0L) Some(seg) // untouched — carried as-is
+          else {
+            deleted += hits
+            val kept = sdf.filter(keep)
+            if (kept.isEmpty) None // fully-deleted segment: drop
+            else {
+              val next = v + 1
+              val newSeg = s"d${next}_$i"
+              val w = kept.write.mode("overwrite")
+              (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+                .parquet(tdir(name).resolve(newSeg).toString)
+              Some(newSeg)
+            }
+          }
+      }
+      if (deleted > 0L) {
+        val headers = lines.filter(_.startsWith("#"))
+        if (rewritten.nonEmpty)
+          publish(name, rewritten, v + 1, headers)
+        else {
+          // table emptied: one empty flat segment carrying the full
+          // schema (partition columns become ordinary columns)
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinned)
+          publish(name, Seq(writeSegment(name, v + 1, empty)), v + 1,
+            headers.filterNot(_.startsWith("#partitionBy=")))
+        }
+      }
+      deleted
+    }
+
   /** True iff `toV`'s manifest EXTENDS `fromV`'s — the append-only
     * chain whose version diff is pure inserts readable from the delta
     * segments alone. */

@@ -216,4 +216,23 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/tables/tt_demo/changes?from=0")._1 === 400)
     assert(http("GET", "/tables/nope/version")._1 === 404)
   }
+
+  test("DELETE /subjects/{email} purges PII and reports per-table counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pii = "pepediaz@gmail.com"
+    store.init("notificaciones",
+      Seq(("r1", pii, "s", "b")).toDF("id", "email", "subject", "body"))
+    val nBefore = store.load("reservas").count()
+    val (code, text) = http("DELETE", s"/subjects/$pii")
+    assert(code === 200)
+    assert(text.contains("\"deleted_notificaciones\":1"))
+    // accounting rows survive redacted; the message log row is gone
+    assert(store.load("reservas").count() === nBefore)
+    assert(store.load("reservas").filter(col("email") === pii).count() === 0)
+    assert(store.load("notificaciones").count() === 0)
+    // idempotent: a retry reports zeros with a 200
+    val (c2, t2) = http("DELETE", s"/subjects/$pii")
+    assert(c2 === 200 && t2.contains("\"redacted_reservas\":0"))
+  }
 }

@@ -563,6 +563,61 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.load("t").count() === 3)
   }
 
+  test("deleteWhere rewrites only segments containing matches") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.append("t", Seq((3, "c"), (4, "d")).toDF("k", "v"))
+    store.append("t", Seq((5, "e"), (6, "f")).toDF("k", "v"))
+    val before = store.load("t").inputFiles.toSet
+    val vBefore = store.version("t")
+    // k = 3 lives only in the middle segment
+    assert(store.deleteWhere("t", col("k") === 3) === 1L)
+    assert(store.version("t") === vBefore + 1)
+    assert(store.load("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 4, 5, 6))
+    val after = store.load("t").inputFiles.toSet
+    // segments 1 and 3 are carried byte-identical (same files);
+    // only the matched segment was rewritten
+    assert((before & after).nonEmpty, "untouched segments were rewritten")
+    assert(before != after)
+    // prior version still time-travels to the deleted row
+    assert(store.loadVersion("t", vBefore).filter(col("k") === 3)
+      .count() === 1L)
+    // CDC across the delete reports it as _op = delete
+    val ch = store.changesBetween("t", vBefore, vBefore + 1, Seq("k"))
+    assert(ch.filter(col("_op") === "delete").select("k").as[Int]
+      .collect().toSeq === Seq(3))
+  }
+
+  test("deleteWhere: NULL predicate rows survive; no-match publishes nothing") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, Some(10)), (2, None), (3, Some(30)))
+      .toDF("k", "score"))
+    // score > 20 is NULL for k=2 — SQL DELETE keeps it
+    assert(store.deleteWhere("t", col("score") > 20) === 1L)
+    assert(store.load("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2))
+    val v = store.version("t")
+    assert(store.deleteWhere("t", col("score") > 999) === 0L)
+    assert(store.version("t") === v, "no-match delete bumped the version")
+  }
+
+  test("deleteWhere: partitioned layout preserved; full wipe leaves readable empty table") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("t", Seq((1, "x"), (2, "y"), (3, "x")).toDF("k", "part"),
+      partitionBy = Seq("part"))
+    assert(store.deleteWhere("t", col("part") === "y") === 1L)
+    assert(store.partitionColumns("t") === Seq("part"))
+    assert(store.load("t").count() === 2L)
+    // fully-deleted segments drop; wiping everything stays readable
+    assert(store.deleteWhere("t", lit(true)) === 2L)
+    assert(store.load("t").count() === 0L)
+    assert(store.load("t").schema.fieldNames.toSet === Set("k", "part"))
+  }
+
   test("partition columns align integral types instead of failing retype") {
     import spark.implicits._
     val store = fresh()
