@@ -144,6 +144,12 @@ final class TableStore(spark: SparkSession, root: String,
     * the handle time travel and CDC take. */
   def version(name: String): Int = currentVersion(name)
 
+  /** True iff version `v` of `name` is still readable (its manifest
+    * has not been vacuumed) — the probe incremental consumers use to
+    * decide between a delta read and a full resync. */
+  def versionExists(name: String, v: Int): Boolean =
+    v >= 0 && Files.exists(tdir(name).resolve(s"m$v"))
+
   /** Snapshot read: bound to the segment list current at call time.
     * Partitioned tables with several delta segments read one scan per
     * segment unioned together — Spark's multi-path partition
