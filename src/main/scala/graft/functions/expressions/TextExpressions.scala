@@ -35,6 +35,62 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextExprUtil {
 
+  // per-thread DP scratch for editAtMost — the hot loop allocates
+  // nothing per comparison; grown on demand, never shrunk
+  private val dpLocal = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](2 * 64)
+  }
+
+  /** levenshtein(a, b) if ≤ k, else −1. See [[EditDistanceAtMost]]. */
+  def editAtMost(ua: UTF8String, ub: UTF8String, k: Int): Int = {
+    val a = ua.toString; val b = ub.toString
+    var s = 0
+    var ae = a.length; var be = b.length
+    // trim common prefix, then common suffix
+    while (s < ae && s < be && a.charAt(s) == b.charAt(s)) s += 1
+    while (ae > s && be > s && a.charAt(ae - 1) == b.charAt(be - 1)) {
+      ae -= 1; be -= 1
+    }
+    val n = ae - s; val m = be - s
+    if (math.abs(n - m) > k) return -1
+    if (n == 0) return if (m <= k) m else -1
+    if (m == 0) return if (n <= k) n else -1
+    var buf = dpLocal.get()
+    if (buf.length < 2 * (m + 1)) {
+      buf = new Array[Int](2 * (m + 1))
+      dpLocal.set(buf)
+    }
+    val inf = k + 1
+    // prev row at offset 0, current at offset m+1; swap by index base
+    var pb = 0; var cb = m + 1
+    var j = 0
+    while (j <= m) { buf(pb + j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      buf(cb) = if (i <= k) i else inf
+      var rowMin = buf(cb)
+      val ci = a.charAt(s + i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = if (ci == b.charAt(s + j - 1)) 0 else 1
+        var v = buf(pb + j - 1) + cost
+        val del = buf(pb + j) + 1
+        if (del < v) v = del
+        val ins = buf(cb + j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        buf(cb + j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return -1 // no extension can shrink the distance
+      val t = pb; pb = cb; cb = t
+      i += 1
+    }
+    val d = buf(pb + m)
+    if (d <= k) d else -1
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -416,6 +472,47 @@ case class CharNgramsDistinct(child: Expression, n: Int) extends UnaryExpression
   override def prettyName: String = "char_ngrams_distinct"
 }
 
+/** Bounded edit distance: levenshtein(a, b) when ≤ `k`, else −1 —
+  * semantically `levenshtein(l, r, threshold)` but built for the
+  * blocked-ER verify loop where it runs millions of times per task:
+  *
+  *  1. common prefix AND suffix trim first (near-duplicate pairs
+  *     share most of their characters, so the DP usually runs on a
+  *     handful of chars instead of the full strings);
+  *  2. length-difference gate after trimming (|Δlen| > k → −1 with
+  *     zero DP work);
+  *  3. two-row DP with early exit the first row whose minimum
+  *     exceeds k — adversarial dissimilar pairs stop after ~k+1 rows;
+  *  4. the row buffers live in a ThreadLocal scratch, so the hot loop
+  *     allocates NOTHING per call (the built-in allocates two arrays
+  *     per comparison).
+  *
+  * Unicode note: distances count UTF-16 units of the decoded string,
+  * identical to Spark's and DuckDB's levenshtein for BMP text (the
+  * oracle parity domain). doGenCode emits one static call, keeping
+  * the surrounding codegen span fused. */
+case class EditDistanceAtMost(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 0, "threshold must be non-negative")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.editAtMost(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil" +
+        s".editAtMost($a, $b, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "edit_at_most"
+}
+
 object TextExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
   def shingles_distinct(ts: Column, n: Int = 3): Column =
@@ -429,4 +526,6 @@ object TextExpressions {
     Bridge.column(WinnowFpsExpr(expr(ts), k, w))
   def char_ngrams(s: Column, n: Int = 3): Column =
     Bridge.column(CharNgramsDistinct(expr(s), n))
+  def edit_at_most(a: Column, b: Column, k: Int): Column =
+    Bridge.column(EditDistanceAtMost(expr(a), expr(b), k))
 }
