@@ -806,6 +806,35 @@ object CoreQueries {
           .orderBy("nk")
     },
 
+    // NULL-SAFE join equality (<=> / IS NOT DISTINCT FROM) — the one
+    // join-equality class the corpus didn't cover: NULL keys MATCH
+    // each other instead of dropping out. Keys are derived with
+    // nullif so the fixture actually exercises the null-bucket match
+    // (rows whose event_type is 'click' join each other through a
+    // NULL key). Scale note: <=> still hash-partitions (nulls land in
+    // one bucket) — a skewed null bucket at corpus scale gets the
+    // same salting treatment as any hot key; here both sides
+    // pre-aggregate to event-type cardinality before the join.
+    Query("x82_nullsafe_join",
+      "WITH a AS (SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_a " +
+        "FROM events WHERE user_id % 2 = 0 GROUP BY 1), " +
+        "b AS (SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_b " +
+        "FROM events WHERE user_id % 2 = 1 GROUP BY 1) " +
+        "SELECT a.k, n_a, n_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k " +
+        "ORDER BY a.k NULLS FIRST") {
+      (s, d) => {
+        def side(parity: Int, out: String) =
+          table(s, d, "events")
+            .filter(col("user_id") % 2 === parity)
+            .groupBy(nullif(col("event_type"), lit("click")).as(s"k_$out"))
+            .agg(count(lit(1)).as(s"n_$out"))
+        side(0, "a").join(side(1, "b"),
+            col("k_a") <=> col("k_b"))
+          .select(col("k_a").as("k"), col("n_a"), col("n_b"))
+          .orderBy(col("k").asc_nulls_first)
+      }
+    },
+
     // Statistical aggregates — Pearson correlation and sample stddev
     // per group, computed from EXACT decimal moment sums (n, Σx, Σy,
     // Σx², Σy², Σxy) rather than the built-in corr/stddev: the five
