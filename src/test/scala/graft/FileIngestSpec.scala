@@ -95,4 +95,53 @@ class FileIngestSpec extends AnyFunSuite {
       graft.tables.TempDirs.delete(ckpt)
     }
   }
+
+  test("S13 over JSONL drops: the common corpus-dump format rides the same flow") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-jsonl").toString
+    val landing = Files.createTempDirectory("graft-jsonl-landing").toString
+    val ckpt = Files.createTempDirectory("graft-jsonl-ckpt").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      checkpointRoot = Some(ckpt))
+
+    // crawl dumps land as newline-delimited JSON; the file source only
+    // changes format — schema is DECLARED (no inference pass over a
+    // 100 TB landing zone), checkpointed file tracking is identical
+    def dropJsonl(name: String, lines: String*): Unit = {
+      val dir = Files.createDirectories(
+        java.nio.file.Paths.get(landing, name))
+      Files.write(dir.resolve("part-0.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    def ingestOnce(): Unit =
+      run(flows.documentIngestFlow(
+        spark.readStream.schema(docSchema)
+          .json(s"$landing/*").select(col("doc_id"), col("text"))))
+
+    try {
+      dropJsonl("j1",
+        """{"doc_id": 21, "text": "first jsonl document body here"}""",
+        """{"doc_id": 22, "text": "second jsonl document, different"}""")
+      ingestOnce()
+      assert(store.load("documents").count() === 2)
+      // second drop: exact near-dup of 21 drops, novel doc admits
+      dropJsonl("j2",
+        """{"doc_id": 23, "text": "first jsonl document body here"}""",
+        """{"doc_id": 24, "text": "completely new material appears"}""")
+      ingestOnce()
+      val log = store.load("ingest_log").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(log(23L) === false && log(24L) === true)
+      // replay: file-tracking checkpoint skips both processed files
+      val before = store.load("ingest_log").count()
+      ingestOnce()
+      assert(store.load("ingest_log").count() === before)
+    } finally {
+      graft.tables.TempDirs.delete(root)
+      graft.tables.TempDirs.delete(landing)
+      graft.tables.TempDirs.delete(ckpt)
+    }
+  }
 }

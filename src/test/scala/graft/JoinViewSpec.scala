@@ -67,6 +67,39 @@ class JoinViewSpec extends AnyFunSuite {
     assert(view(store) === full(store))
   }
 
+  test("streaming micro-batches maintain the view through foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = fresh()
+    store.init("orders", Seq((1, 10, "apple")).toDF("oid", "ck", "item"))
+    store.init("custs", Seq((10, "Ana"), (20, "Bo")).toDF("ck", "name"))
+    sync(store)
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, Int, String)]
+    val q = in.toDF().toDF("oid", "ck", "item")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.appendUnique("orders", batch, Seq("oid"))
+        sync(store) // per-batch incremental maintenance
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    in.addData((2, 20, "pear"), (3, 10, "fig"))
+    q.processAllAvailable(); q.stop()
+    assert(view(store) === full(store))
+    assert(view(store).map(_._1) === Set(10, 20))
+
+    // replayed batch: appendUnique drops the dup rows, sync sees no
+    // version movement on either base → publishes nothing
+    val vStable = store.version("v")
+    store.appendUnique("orders",
+      Seq((2, 20, "pear")).toDF("oid", "ck", "item"), Seq("oid"))
+    assert(sync(store) === 0L)
+    assert(store.version("v") === vStable)
+  }
+
   test("vacuumed cursor falls back to a full rebuild that still matches") {
     import spark.implicits._
     val store = fresh()
