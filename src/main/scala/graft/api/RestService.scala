@@ -168,6 +168,18 @@ final class RestService(spark: SparkSession, store: TableStore,
   private def routeQuery(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
+      // the ops EXPLAIN surface: the formatted physical plan of any
+      // declared query, so a dashboard or a reviewer checks pushdown/
+      // broadcast shapes over HTTP without a Spark shell. Plan-only —
+      // nothing executes.
+      case ("GET", List("query", name, "plan"), Some(dir)) =>
+        graft.SparkEntry.queries.get(name) match {
+          case None => reply(ex, 404, s"unknown query $name")
+          case Some(build) => reply(ex, 200,
+            build(spark, dir).queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+        }
       case ("GET", List("query", name), Some(dir)) =>
         graft.SparkEntry.queries.get(name) match {
           case None => reply(ex, 404, s"unknown query $name")

@@ -371,6 +371,14 @@ class PlanSpec extends AnyFunSuite {
       s"blocking degenerated to all-pairs:\n$p")
   }
 
+  test("x82: null-safe equality still plans as a HASH join (nulls are keyable)") {
+    val p = plan("x82_nullsafe_join")
+    assert(p.contains("HashJoin"), s"<=> fell off the hash-join path:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe join degenerated:\n$p")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // AQE only shows codegen spans in the finalized plan → execute first
     val df = SparkEntry.queries("q4_range")(spark, TestSpark.sf)

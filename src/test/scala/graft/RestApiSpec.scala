@@ -157,6 +157,14 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/query/no_such_query")._1 === 404)
   }
 
+  test("GET /query/{name}/plan returns the formatted physical plan without executing") {
+    val (code, text) = http("GET", "/query/q2_point/plan")
+    assert(code === 200)
+    assert(text.contains("PushedFilters") && text.contains("c_custkey"),
+      s"plan surface lost the pushdown detail:\n$text")
+    assert(http("GET", "/query/nope/plan")._1 === 404)
+  }
+
   test("GET /metrics surfaces flow telemetry; 404 before any batch recorded") {
     assert(http("GET", "/metrics")._1 === 404) // listener never ran here
     // seed one telemetry row the way FlowMetrics would
