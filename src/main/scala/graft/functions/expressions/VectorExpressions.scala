@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /**
  * Native Catalyst expressions for embedding math over `array<float>`
@@ -173,6 +173,55 @@ case class NormSquared(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_normsq"
 }
 
+/** Count of common elements between two SORTED array<long> columns —
+  * the merge-intersection primitive that turns relational triangle
+  * counting (a 10⁸-row wedge join) into Σ per-edge neighbor-list
+  * intersections: the same total comparisons, but each is one long
+  * compare in a fused loop instead of a hash-join probe row
+  * (~50 ns/row of operator overhead → ~1-2 ns/step). Inputs MUST be
+  * ascending (build them with sort_array); null elements are not
+  * expected (graph ids) and are skipped by the merge. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 object VectorExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
   def vec_dot(a: Column, b: Column): Column =
@@ -181,4 +230,6 @@ object VectorExpressions {
     Bridge.column(L2Squared(expr(a), expr(b)))
   def vec_normsq(a: Column): Column =
     Bridge.column(NormSquared(expr(a)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(expr(a), expr(b)))
 }

@@ -73,7 +73,8 @@ class PlanSpec extends AnyFunSuite {
     // (x10's all-pairs baseline is gone — LSH-prefiltered since r7, so
     // no declared query carries an O(n²) join anymore)
     val intended = Set("q23_knn", "x9_knn_cosine", "x11_ann_lsh",
-      "x20_ann_ivf", "x47_colloc_lift")
+      "x20_ann_ivf", "x47_colloc_lift",
+      "x83_triangles") // 1-row edges × 1-row triangles combine
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -377,6 +378,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"null-safe join degenerated:\n$p")
+  }
+
+  test("x83: adjacency tables broadcast; no wedge join, no cartesian") {
+    val p = plan("x83_triangles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"adjacency tables not broadcast:\n$p")
+    assert(p.contains("sorted_intersect_count"),
+      s"triangle closing fell back off the fused intersection:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline") {

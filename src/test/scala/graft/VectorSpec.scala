@@ -28,6 +28,32 @@ class VectorSpec extends AnyFunSuite {
     assert(bad === 0, s"$bad rows differ between codegen and builtin")
   }
 
+  test("sorted_intersect_count equals the built-in array_intersect size on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { _ =>
+      val a = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      graft.functions.expressions.VectorExpressions
+        .sorted_intersect_count(col("a"), col("b")).as("mine"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(df.filter(col("mine") =!= col("builtin")).count() === 0)
+    // interpreted eval path agrees with codegen (used by filters etc.)
+    val e = graft.functions.expressions.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 3L, 5L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L, 5L, 9L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) === 2L)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = VectorFns.hyperplanes(16, 64)
     val b = VectorFns.hyperplanes(16, 64)
