@@ -102,6 +102,11 @@ object GraphQueries {
         // is node-cardinality and broadcasts; past broadcast size the
         // same plan shuffles e on src and dst — still no wedge blowup,
         // the intersection stays inside the row.
+        // the pair-derivation subtree appears once per reference but
+        // its exchanges dedupe through ReuseExchange (verified: an
+        // explode-the-adjacency restructure that forces single
+        // derivation measured SLOWER — the explode pass costs more
+        // than the reused recomputes save)
         val adj = e.groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         val triangles = e
