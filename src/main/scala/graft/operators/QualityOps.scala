@@ -63,6 +63,65 @@ object QualityOps {
       .join(dim.select(dimKey.as("_k")), Seq("_k"), "left_anti")
       .count()
 
+  /** Per-column profile as a driver-held map: ONE scan computes every
+    * column's (non-null count, distinct count, lo, hi) — numeric
+    * columns range over their values, strings over their LENGTH (raw
+    * min/max over bodies is collation-fragile and useless in a
+    * report). The x70 aggregation shape, factored for reuse. */
+  private def profileRow(df: DataFrame)
+      : (Long, Map[String, (Long, Long, String, String)]) = {
+    val profiled = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val range = f.dataType.typeName match {
+        case "string" => length(c)
+        case _ => c
+      }
+      (f.name, c, range)
+    }
+    val aggs = profiled.flatMap { case (n, c, r) => Seq(
+      count(c).as(s"c_$n"), countDistinct(c).as(s"d_$n"),
+      min(r).cast("string").as(s"lo_$n"),
+      max(r).cast("string").as(s"hi_$n")) }
+    val one = df.agg(count(lit(1)).as("_n"), aggs.toIndexedSeq: _*).head
+    (one.getAs[Long]("_n"), profiled.map { case (n, _, _) =>
+      n -> (one.getAs[Long](s"c_$n"), one.getAs[Long](s"d_$n"),
+        one.getAs[String](s"lo_$n"), one.getAs[String](s"hi_$n"))
+    }.toMap)
+  }
+
+  /** Version-drift report — the data-card DIFF a pipeline publishes
+    * when a corpus version ships: per column and statistic, the
+    * before/after values and the relative change. Pair it with
+    * `TableStore.loadVersion` to compare any two snapshots inside the
+    * vacuum horizon. One scan PER SIDE regardless of column count
+    * (the same single-Aggregate shape as x70); the report is
+    * O(columns) rows, so nothing corpus-scale leaves the executors.
+    * Columns present on only one side report with the other side
+    * null — schema evolution is drift too. */
+  def drift(before: DataFrame, after: DataFrame): DataFrame = {
+    val (nb, pb) = profileRow(before)
+    val (na, pa) = profileRow(after)
+    val s = before.sparkSession
+    import s.implicits._
+    def relDelta(b: Option[Long], a: Option[Long]): Option[Double] =
+      (b, a) match {
+        case (Some(x), Some(y)) if x != 0L =>
+          Some(math.rint((y - x).toDouble / x * 1e6) / 1e6)
+        case _ => None
+      }
+    val rows = Seq(("_table", "rows", Some(nb), Some(na),
+      relDelta(Some(nb), Some(na)))) ++
+      (pb.keySet ++ pa.keySet).toSeq.sorted.flatMap { c =>
+        val b = pb.get(c); val a = pa.get(c)
+        Seq(
+          (c, "non_null", b.map(_._1), a.map(_._1),
+            relDelta(b.map(_._1), a.map(_._1))),
+          (c, "distinct", b.map(_._2), a.map(_._2),
+            relDelta(b.map(_._2), a.map(_._2))))
+      }
+    rows.toDF("col", "stat", "before", "after", "rel_delta")
+  }
+
   val all: Seq[Query] = Seq(
 
     // Column profile of the documents corpus — the data card's

@@ -55,4 +55,27 @@ class QualityOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq(("a_pos", 0L, 0L)))
   }
+
+  test("drift reports per-column before/after stats across table versions") {
+    import spark.implicits._
+    import graft.tables.TableStore
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-drift").toString)
+    store.init("t", Seq((1L, "en", 10), (2L, "en", 20), (3L, "de", 30))
+      .toDF("id", "lang", "n")) // v0
+    store.append("t", Seq((4L, "fr", 40), (5L, "fr", 50))
+      .toDF("id", "lang", "n")) // v1
+    val d = QualityOps.drift(store.loadVersion("t", 0), store.load("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.get(2), r.get(3), Option(r.get(4)))).toMap
+    assert(d(("_table", "rows")) === ((3L, 5L, Some(0.666667))))
+    assert(d(("lang", "distinct")) === ((2L, 3L, Some(0.5))))
+    assert(d(("id", "non_null")) === ((3L, 5L, Some(0.666667))))
+    // schema evolution is drift: a column on one side only
+    val evolved = store.load("t").withColumn("score", lit(1.0))
+    val d2 = QualityOps.drift(store.loadVersion("t", 0), evolved)
+      .filter(col("col") === "score").collect()
+    assert(d2.length === 2 && d2.forall(_.isNullAt(2)),
+      "one-sided column must report with null before stats")
+  }
 }
