@@ -32,10 +32,13 @@ import org.apache.spark.sql.functions._
  * Engine-side control-plane routes beyond the reference:
  *
  *   GET /query/{name}?limit=            any declared query, limit-capped
+ *   GET /query/{name}/plan              formatted physical plan (no exec)
  *   GET /metrics[/{flow}]               per-batch flow telemetry rows
  *   GET /tables/{t}/version             live version number
  *   GET /tables/{t}/at/{v}?limit=       time-travel snapshot read
  *   GET /tables/{t}/changes?from=&to=&key=   version-diff CDC feed
+ *   GET /tables/{t}/drift?from=&to=     column-profile diff (data card)
+ *   DELETE /subjects/{email}            GDPR data-subject erasure
  *
  * JSON field names and error texts follow the Go structs' marshal
  * output (contratos/contratos.go:7-37 — `Inventario.Disponible`,
@@ -245,6 +248,25 @@ final class RestService(spark: SparkSession, store: TableStore,
           case _ => reply(ex, 400,
             "changes needs from=<version> and key=<col,...> " +
               "(to=<version> defaults to current)")
+        }
+      // GET /tables/{name}/drift?from=&to= — the data-card diff
+      // between two snapshots (QualityOps.drift over loadVersion):
+      // O(columns) report rows, one scan per side
+      case ("GET", List("tables", name, "drift")) =>
+        (qparam(ex, "from").flatMap(_.toIntOption),
+          qparam(ex, "to").flatMap(_.toIntOption)) match {
+          case (Some(f), to) =>
+            if (!store.exists(name)) reply(ex, 404, s"unknown table $name")
+            else try {
+              val rows = graft.operators.QualityOps.drift(
+                store.loadVersion(name, f),
+                store.loadVersion(name, to.getOrElse(store.version(name))))
+                .toJSON.collect()
+              replyJson(ex, 200, rows.mkString("[", ",", "]"))
+            } catch { case e: IllegalArgumentException =>
+              reply(ex, 404, e.getMessage) }
+          case _ => reply(ex, 400,
+            "drift needs from=<version> (to=<version> defaults to current)")
         }
       case _ => reply(ex, 404, "Not Found")
     }

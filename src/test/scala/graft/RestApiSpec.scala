@@ -225,6 +225,18 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/tables/nope/version")._1 === 404)
   }
 
+  test("GET /tables/{name}/drift diffs two snapshots' column profiles") {
+    import spark.implicits._
+    store.init("dr_demo", Seq((1, "a"), (2, "a")).toDF("k", "v")) // v0
+    store.append("dr_demo", Seq((3, "b"), (4, "c")).toDF("k", "v")) // v1
+    val (code, text) = http("GET", "/tables/dr_demo/drift?from=0")
+    assert(code === 200)
+    assert(text.contains("\"col\":\"_table\"") &&
+      text.contains("\"before\":2") && text.contains("\"after\":4"))
+    assert(http("GET", "/tables/dr_demo/drift")._1 === 400)
+    assert(http("GET", "/tables/nope/drift?from=0")._1 === 404)
+  }
+
   test("DELETE /subjects/{email} purges PII and reports per-table counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
