@@ -61,5 +61,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_ngrams"),
       info("char_ngrams", "char_ngrams(s) - distinct character trigrams"),
       (args: Seq[Expression]) => CharNgramsDistinct(one(args, "char_ngrams"), 3)))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(tokens) - winnowing document fingerprints (k=4, w=4)"),
+      (args: Seq[Expression]) => WinnowFpsExpr(one(args, "winnow_fps"), 4, 4)))
+    ext.injectFunction((FunctionIdentifier("edit_at_most"),
+      info("edit_at_most",
+        "edit_at_most(a, b, k) - levenshtein(a, b) if <= k else -1 (k a literal int)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"edit_at_most expects 3 arguments, got ${args.length}")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"edit_at_most threshold must be an integer literal, got $other")
+        }
+        EditDistanceAtMost(args(0), args(1), k)
+      }))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - common-element count of two SORTED bigint arrays"),
+      (args: Seq[Expression]) => {
+        val (a, b) = two(args, "sorted_intersect_count")
+        SortedIntersectCount(a, b)
+      }))
   }
 }

@@ -62,6 +62,15 @@ class SqlApiSpec extends AnyFunSuite {
         size(TextExpressions.char_ngrams(col("text"))).as("ng"))
       .orderBy("doc_id").limit(5).collect().toSeq
     assert(sqlTxt === dfTxt)
+    // the r11 expressions ride the same registration
+    val r11 = spark.sql(
+      "SELECT edit_at_most('kitten', 'sitting', 3) AS d3, " +
+        "edit_at_most('kitten', 'sitting', 2) AS d2, " +
+        "sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS ic, " +
+        "size(winnow_fps(array('a','b','c','d','e','f','g'))) AS wn")
+      .collect().head
+    assert(r11.getInt(0) === 3 && r11.getInt(1) === -1 &&
+      r11.getLong(2) === 2L && r11.getInt(3) >= 1)
     // misuse through SQL is still an analysis error
     val e = intercept[Exception](spark.sql(
       "SELECT vec_dot(1, 2)").collect())
