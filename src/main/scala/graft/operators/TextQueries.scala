@@ -1222,5 +1222,77 @@ object TextQueries {
             sum(col("n_chars")).as("chars"))
           .orderBy("reason")
       }
+    },
+
+    // Train/eval SPLIT-LEAKAGE audit — the eval-integrity check next
+    // to x36's external-benchmark contamination: after x35's hash
+    // split, does any val/test document leak training content? Two
+    // signals per eval doc: exact (md5 identity present in train) and
+    // near (≥1 shared winnowing fingerprint with train — x65's k=4
+    // local-min sketch, the cheap recall-oriented screen; a hit feeds
+    // the x7/x36-style exact verify in a pipeline). Scale shape: one
+    // corpus pass for hashes + one winnow explode (the pass every
+    // gram query pays); the train fingerprint set is fp-space-bounded
+    // and semi-joins the eval side; the report is 2 rows.
+    Query("x84_split_leakage", {
+      val gram = "ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]"
+      "WITH s AS (SELECT doc_id, text, md5(text) AS h, " +
+        Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100 AS bkt " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, text, h, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split FROM s), " +
+        "tok AS (SELECT doc_id, split, string_split(text, ' ') AS ts " +
+        "FROM t WHERE text IS NOT NULL), " +
+        "h4 AS (SELECT doc_id, split, list_transform(range(len(ts) - 3), " +
+        s"i -> ${Sql.md5Bits24(s"md5($gram)")}) AS hs FROM tok " +
+        "WHERE len(ts) >= 4), " +
+        "f AS (SELECT doc_id, split, unnest(list_distinct(" +
+        "list_transform(range(CASE WHEN len(hs) < 4 THEN 1 " +
+        "ELSE len(hs) - 3 END), " +
+        "i -> list_min(list_slice(hs, i + 1, i + 4))))) AS fp FROM h4), " +
+        "tfp AS (SELECT DISTINCT fp FROM f WHERE split = 'train'), " +
+        "th AS (SELECT DISTINCT h FROM t WHERE split = 'train' " +
+        "AND h IS NOT NULL), " +
+        "fleak AS (SELECT DISTINCT f.doc_id FROM f JOIN tfp ON f.fp = tfp.fp " +
+        "WHERE f.split <> 'train') " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN h IN (SELECT h FROM th) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_exact_leaked, " +
+        "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM fleak) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_leaked " +
+        "FROM t WHERE split <> 'train' GROUP BY split ORDER BY split"
+    }) {
+      (s, d) => {
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+        val split0 = when(bkt < 80, "train").when(bkt < 90, "val")
+          .otherwise("test")
+        val t = spreadScan(s, table(s, d, "documents"))
+          .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+            split0.as("split"))
+        val fps = t.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("split"),
+            TextFns.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 4)
+          .select(col("doc_id"), col("split"),
+            explode(TextFns.winnowFps(col("ts"))).as("fp"))
+        val trainH = t.filter(col("split") === "train")
+          .filter(col("h").isNotNull)
+          .select(col("h").as("th")).distinct()
+        val trainFp = fps.filter(col("split") === "train")
+          .select("fp").distinct()
+        val fpLeaked = fps.filter(col("split") =!= "train")
+          .join(trainFp, Seq("fp"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("fl", lit(1L))
+        t.filter(col("split") =!= "train")
+          .join(trainH, col("h") === col("th"), "left")
+          .join(fpLeaked, Seq("doc_id"), "left")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("th").isNotNull, 1L).otherwise(0L))
+              .as("n_exact_leaked"),
+            sum(coalesce(col("fl"), lit(0L))).as("n_fp_leaked"))
+          .orderBy("split")
+      }
     })
 }
