@@ -66,7 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WinnowFpsExpr(one(args, "winnow_fps"), 4, 4)))
     ext.injectFunction((FunctionIdentifier("edit_at_most"),
       info("edit_at_most",
-        "edit_at_most(a, b, k) - levenshtein(a, b) if <= k else -1 (k a literal int)"),
+        "edit_at_most(a, b, k) - levenshtein(a, b) if <= k else -1 " +
+          "(k a literal int; distances count UTF-16 units — equals " +
+          "levenshtein for BMP text, diverges on supplementary-plane chars)"),
       (args: Seq[Expression]) => {
         require(args.length == 3, s"edit_at_most expects 3 arguments, got ${args.length}")
         val k = args(2) match {

@@ -264,7 +264,8 @@ final class RestService(spark: SparkSession, store: TableStore,
                 .toJSON.collect()
               replyJson(ex, 200, rows.mkString("[", ",", "]"))
             } catch { case e: IllegalArgumentException =>
-              reply(ex, 404, e.getMessage) }
+              // 400 like the changes route: same version-range error class
+              reply(ex, 400, e.getMessage) }
           case _ => reply(ex, 400,
             "drift needs from=<version> (to=<version> defaults to current)")
         }

@@ -52,22 +52,26 @@ object TextExprUtil {
       ae -= 1; be -= 1
     }
     val n = ae - s; val m = be - s
-    if (math.abs(n - m) > k) return -1
-    if (n == 0) return if (m <= k) m else -1
-    if (m == 0) return if (n <= k) n else -1
+    // cap the threshold at the largest possible distance BEFORE
+    // deriving inf = k + 1: k = Int.MaxValue would wrap inf negative
+    // and clamp every DP cell to garbage
+    val kk = math.min(k, math.max(n, m))
+    if (math.abs(n - m) > kk) return -1
+    if (n == 0) return if (m <= kk) m else -1
+    if (m == 0) return if (n <= kk) n else -1
     var buf = dpLocal.get()
     if (buf.length < 2 * (m + 1)) {
       buf = new Array[Int](2 * (m + 1))
       dpLocal.set(buf)
     }
-    val inf = k + 1
+    val inf = kk + 1
     // prev row at offset 0, current at offset m+1; swap by index base
     var pb = 0; var cb = m + 1
     var j = 0
-    while (j <= m) { buf(pb + j) = if (j <= k) j else inf; j += 1 }
+    while (j <= m) { buf(pb + j) = if (j <= kk) j else inf; j += 1 }
     var i = 1
     while (i <= n) {
-      buf(cb) = if (i <= k) i else inf
+      buf(cb) = if (i <= kk) i else inf
       var rowMin = buf(cb)
       val ci = a.charAt(s + i - 1)
       j = 1
@@ -83,12 +87,12 @@ object TextExprUtil {
         if (v < rowMin) rowMin = v
         j += 1
       }
-      if (rowMin > k) return -1 // no extension can shrink the distance
+      if (rowMin > kk) return -1 // no extension can shrink the distance
       val t = pb; pb = cb; cb = t
       i += 1
     }
     val d = buf(pb + m)
-    if (d <= k) d else -1
+    if (d <= kk) d else -1
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {

@@ -195,10 +195,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0L
     while (i < x.numElements() && j < y.numElements()) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // skip null slots (getLong on one would read garbage 0s and
+      // count phantom matches) — graph ids don't carry them, but the
+      // SQL registration makes arbitrary arrays reachable
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -210,9 +217,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"""
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -114,8 +114,12 @@ object GraphQueries {
             Seq("src"))
           .join(broadcast(adj.select(col("src").as("dst"),
             col("nbrs").as("nb"))), Seq("dst"))
-          .agg(sum(graft.functions.expressions.VectorExpressions
-            .sorted_intersect_count(col("na"), col("nb"))).as("triangles"))
+          // coalesce: a triangle-free graph leaves the probe join
+          // empty and sum-over-nothing is NULL, while the oracle's
+          // COUNT(*) is 0
+          .agg(coalesce(sum(graft.functions.expressions.VectorExpressions
+            .sorted_intersect_count(col("na"), col("nb"))), lit(0L))
+            .as("triangles"))
         e.agg(count(lit(1)).as("edges")).crossJoin(triangles)
           .select(col("edges"), col("triangles"))
       }

@@ -62,7 +62,17 @@ object Gdpr {
       else store.deleteWhere("notificaciones", col("email") === email)
     val dead =
       if (!store.exists("dead_letter")) 0L
-      else store.deleteWhere("dead_letter", col("raw").contains(email))
+      else {
+        // anchored match, not substring: a bare contains(email) would
+        // also erase OTHER subjects' payloads whose address merely
+        // contains this one (ana@x.com ⊂ mariana@x.com) — permanent
+        // loss of someone else's replayable quarantine row. Require
+        // the char before/after the match (if any) to be outside the
+        // email alphabet.
+        val boundary = "[^A-Za-z0-9._%+@-]"
+        val anchored = s"(^|$boundary)${java.util.regex.Pattern.quote(email)}($boundary|$$)"
+        store.deleteWhere("dead_letter", col("raw").rlike(anchored))
+      }
     PurgeReport(redacted, notif, dead)
   }
 }

@@ -414,17 +414,31 @@ final class TableStore(spark: SparkSession, root: String,
           // computed the value as bigint (or a numeric string) while
           // inference pinned int produces the IDENTICAL layout, so a
           // type mismatch there is not a retype; reads stay pinned to
-          // the recorded schema either way. Only data columns — whose
-          // parquet encoding DOES carry the type — get the hard check.
+          // the recorded schema either way. The exemption is not
+          // type-BLIND though: every batch value must round-trip into
+          // the recorded type, else the pinned read would silently
+          // null it (cell=x7/ under a recorded int) — that stays a
+          // loud failure. Data columns — whose parquet encoding DOES
+          // carry the type — get the hard check.
           df.schema.fields
-            .filter(f => curTypes.contains(f.name) &&
-              !parts.contains(f.name))
-            .foreach(f => require(
-              curTypes(f.name) == f.dataType.catalogString,
-              s"append to $name would RETYPE column ${f.name}: table " +
-                s"has ${curTypes(f.name)}, batch has " +
-                s"${f.dataType.catalogString} — schema evolution only " +
-                "adds nullable columns"))
+            .filter(f => curTypes.contains(f.name))
+            .foreach { f =>
+              val want = curTypes(f.name)
+              val got = f.dataType.catalogString
+              if (want != got) {
+                require(parts.contains(f.name),
+                  s"append to $name would RETYPE column ${f.name}: " +
+                    s"table has $want, batch has $got — schema " +
+                    "evolution only adds nullable columns")
+                val bad = df.filter(col(f.name).isNotNull &&
+                  col(f.name).try_cast(want).isNull).count()
+                require(bad == 0L,
+                  s"append to $name: $bad value(s) of partition " +
+                    s"column ${f.name} (batch type $got) do not parse " +
+                    s"as the recorded type $want — the pinned read " +
+                    "would null them; align the batch")
+              }
+            }
           val newCols = df.schema.fields
             .filterNot(f => curTypes.contains(f.name))
           val missing = cur.fieldNames

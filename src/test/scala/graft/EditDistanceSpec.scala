@@ -48,12 +48,15 @@ class EditDistanceSpec extends AnyFunSuite {
     }
   }
 
-  test("edges: empty strings, identical strings, k=0") {
+  test("edges: empty strings, identical strings, k=0, huge k") {
     assert(got("", "", 2) === 0)
     assert(got("abc", "", 2) === -1)
     assert(got("ab", "", 2) === 2)
     assert(got("same", "same", 0) === 0)
     assert(got("same", "sama", 0) === -1)
+    // k near Int.MaxValue must not wrap inf = k + 1 negative
+    assert(got("abc", "xyz", Int.MaxValue) === 3)
+    assert(got("kitten", "sitting", Int.MaxValue) === 3)
   }
 
   test("the Column form agrees with the built-in threshold levenshtein in a plan") {

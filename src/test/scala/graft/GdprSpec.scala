@@ -30,7 +30,10 @@ class GdprSpec extends AnyFunSuite {
         .toDF("id", "email", "subject", "body"))
     store.init("dead_letter",
       Seq(("consumer", s"""{"email":"$pii","broken""""),
-        ("consumer", """{"email":"other@x.com"}"""))
+        ("consumer", """{"email":"other@x.com"}"""),
+        // SUPERSTRING subject: contains pii as a substring — an
+        // unanchored match would erase this unrelated subject's row
+        ("consumer", s"""{"email":"super$pii","x":1}"""))
         .toDF("flow", "raw"))
     store
   }
@@ -47,12 +50,14 @@ class GdprSpec extends AnyFunSuite {
     assert(rep.redactedReservas === 2L)
     assert(rep.deletedNotificaciones === 1L)
     assert(rep.deletedDeadLetter === 1L)
-    // the email string appears in NO string column of any table
+    // the subject's email appears (as a whole address — the anchored
+    // notion erasure uses) in NO string column of any table
+    val anchored = s"(^|[^A-Za-z0-9._%+@-])${java.util.regex.Pattern.quote(pii)}([^A-Za-z0-9._%+@-]|$$)"
     for (t <- Seq("reservas", "notificaciones", "dead_letter")) {
       val df = store.load(t)
       val strCols = df.schema.fields
         .filter(_.dataType.typeName == "string").map(_.name)
-      val hits = df.filter(strCols.map(c => col(c).contains(pii))
+      val hits = df.filter(strCols.map(c => col(c).rlike(anchored))
         .reduce(_ || _)).count()
       assert(hits === 0L, s"$t still contains the subject's email")
     }
@@ -61,9 +66,13 @@ class GdprSpec extends AnyFunSuite {
     assert(activeSeats(store) === seatsBefore)
     assert(store.load("reservas").filter(col("email") === Gdpr.Tombstone)
       .count() === 2L)
-    // other subjects untouched
+    // other subjects untouched — including the SUPERSTRING address
+    // whose payload contains this subject's email as a substring
     assert(store.load("notificaciones").count() === 1L)
-    assert(store.load("dead_letter").count() === 1L)
+    assert(store.load("dead_letter").count() === 2L)
+    assert(store.load("dead_letter")
+      .filter(col("raw").contains(s"super$pii")).count() === 1L,
+      "superstring subject's quarantine row was erased")
   }
 
   test("purge is idempotent and history expires with vacuum") {

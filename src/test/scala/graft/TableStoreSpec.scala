@@ -639,6 +639,16 @@ class TableStoreSpec extends AnyFunSuite {
       store.append("t", Seq((4, 9L)).toDF("id", "cell")
         .select(col("id").cast("int").as("id"), col("cell"))))
     assert(e.getMessage.contains("RETYPE") && e.getMessage.contains("id"))
+    // the exemption is not type-blind: a partition value that cannot
+    // round-trip into the recorded type would NULL under the pinned
+    // read — loud failure, not silent corruption
+    val e2 = intercept[IllegalArgumentException](
+      store.append("t", Seq((5L, "x7")).toDF("id", "cell")))
+    assert(e2.getMessage.contains("do not parse") &&
+      e2.getMessage.contains("cell"))
+    // numeric strings DO round-trip (the SRP-bucket writer's case)
+    store.append("t", Seq((6L, "9")).toDF("id", "cell"))
+    assert(store.load("t").filter(col("cell") === 9).count() === 1L)
   }
 
   test("schema evolution: CDC across an evolving history aligns the old side") {

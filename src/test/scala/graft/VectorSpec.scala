@@ -52,6 +52,16 @@ class VectorSpec extends AnyFunSuite {
         Seq(2L, 3L, 5L, 9L), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) === 2L)
+    // null ELEMENTS are skipped, never read as 0 (phantom matches)
+    val withNull = graft.functions.expressions.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Long](null, 0L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0L, 1L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(withNull.eval(null) === 1L,
+      "null slot must not count as a 0L match")
   }
 
   test("hyperplanes are deterministic across calls") {
