@@ -761,6 +761,9 @@ object CoreQueries {
           col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
         val sampled = ev.sample(withReplacement = false, 0.01, seed = 42)
           .select("user_id").distinct()
+          // deterministic cap: an unordered limit would truncate an
+          // arbitrary (run-varying) subset when distincts exceed it
+          .orderBy("user_id")
           .limit(100000) // hard cap on driver materialization
           .as[Long].collect()
         // tiny inputs only: a 1% sample of a small fixture may miss
@@ -769,7 +772,8 @@ object CoreQueries {
         // the threshold and this never fires
         val candidates =
           if (sampled.length >= 1000) sampled
-          else ev.select("user_id").distinct().limit(100000).as[Long].collect()
+          else ev.select("user_id").distinct().orderBy("user_id")
+            .limit(100000).as[Long].collect()
         candidates.toSeq.map(u => (u, cms.estimateCount(u)))
           .toDF("user_id", "est_events")
           .orderBy(col("est_events").desc, col("user_id"))

@@ -210,7 +210,10 @@ object QualityOps {
           Expectation("discount_in_0_half",
             col("l_discount") >= 0.0 && col("l_discount") <= 0.5),
           Expectation("price_positive", col("l_extendedprice") > 0.0)))
-        val n = li.count()
+        // audit() already computed the total in its single pass —
+        // read it from the (rule-cardinality) report instead of paying
+        // a second full lineitem scan
+        val n = base.select("total").head.getLong(0)
         val refBad = refViolations(li, col("l_orderkey"),
           table(s, d, "orders"), col("o_orderkey"))
         import s.implicits._

@@ -885,11 +885,18 @@ object TextQueries {
         val tf = docs.select(col("doc_id"), explode(col("ts")).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val n = table(s, d, "documents").count().toDouble
+        // N stays IN the plan (1-row broadcast) rather than a driver
+        // count() at build time — constructing the DataFrame must not
+        // run a Spark job (the /query/{name}/plan surface builds
+        // without executing), and the scan count is the same
+        val nRow = table(s, d, "documents")
+          .agg(count(lit(1)).cast("double").as("__n_total"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token"))
         tf.join(broadcast(dfTab), "token")
-          .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+          .crossJoin(broadcast(nRow))
+          .withColumn("score",
+            round(col("tf") * log(col("__n_total") / col("df")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("token"), col("score"))

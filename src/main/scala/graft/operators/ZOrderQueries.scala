@@ -39,8 +39,13 @@ object ZOrderQueries {
       val store = new TableStore(s, root)
       // write timestamps as TIMESTAMP_MICROS: Spark's INT96 default
       // carries NO parquet min/max statistics, which would silence the
-      // ts half of the pruning this layout exists for
-      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // ts half of the pruning this layout exists for. Save/restore —
+      // a session-global flip inside a lazily-invoked builder would
+      // leak into every later parquet write in the session
+      val confKey = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "TIMESTAMP_MICROS")
+      try {
       val ev = table(s, d, "events")
       val b = ev.agg(min(col("user_id")), max(col("user_id")),
         min(col("ts").cast("long")), max(col("ts").cast("long"))).head
@@ -52,6 +57,10 @@ object ZOrderQueries {
         .repartitionByRange(NumFiles, col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z"))
+      } finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
       store
     }
 

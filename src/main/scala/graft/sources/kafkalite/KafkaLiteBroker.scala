@@ -48,6 +48,7 @@ import scala.jdk.CollectionConverters._
  * within a partition, none across partitions).
  */
 final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
+  import Wire.{readStr, readBytes, writeStr, writeBytes}
 
   /** One partition's log: (key, value) pairs; index == offset. */
   private final class PartitionLog {
@@ -93,23 +94,6 @@ final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
   override def close(): Unit =
     if (closed.compareAndSet(false, true)) server.close()
 
-  // ---- wire helpers ---------------------------------------------------
-
-  private def readStr(in: DataInputStream): String = {
-    val n = in.readInt()
-    val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8)
-  }
-  private def readBytes(in: DataInputStream): Array[Byte] = {
-    val n = in.readInt()
-    if (n < 0) null
-    else { val b = new Array[Byte](n); in.readFully(b); b }
-  }
-  private def writeStr(out: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
-  }
-  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
-    if (b == null) out.writeInt(-1) else { out.writeInt(b.length); out.write(b) }
-
   private def serve(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
     val in = new DataInputStream(sock.getInputStream)
@@ -145,6 +129,11 @@ final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
     case 1 => // CREATE_TOPIC
       val topic = readStr(req); val parts = req.readInt()
       require(parts > 0, s"partitions must be > 0, got $parts")
+      // Kafka's legal-name charset; beyond parity it keeps topic names
+      // out of the streaming offset encoding's delimiters (= ; / \n)
+      require(topic.nonEmpty && topic.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"illegal topic name '$topic' (allowed: [a-zA-Z0-9._-])")
       val created = topics.putIfAbsent(topic,
         Array.fill(parts)(new PartitionLog)) == null
       out.writeByte(if (created) 1 else 0)
@@ -170,8 +159,15 @@ final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
           if (k == null) 0
           else math.floorMod(java.util.Arrays.hashCode(k), logs.length)
         }
-        val bases = byPart.map { case (p, rs) => logs(p).append(rs) }
-        out.writeLong(bases.headOption.getOrElse(0L))
+        // deterministic return: the base offset of the FIRST record's
+        // partition (an unordered map's headOption would hand back an
+        // arbitrary partition's base for multi-key batches)
+        val bases = byPart.map { case (p, rs) => p -> logs(p).append(rs) }
+        val firstPart = recs.headOption.map { case (k, _) =>
+          if (k == null) 0
+          else math.floorMod(java.util.Arrays.hashCode(k), logs.length)
+        }
+        out.writeLong(firstPart.flatMap(bases.get).getOrElse(0L))
       }
     case 6 => // FETCH
       val topic = readStr(req); val part = req.readInt()

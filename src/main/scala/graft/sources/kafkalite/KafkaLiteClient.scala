@@ -27,6 +27,8 @@ final class KafkaLiteClient(host: String, port: Int) extends AutoCloseable {
 
   // ---- framing --------------------------------------------------------
 
+  import Wire.{readStr, readBytes, writeStr, writeBytes}
+
   private def call(write: DataOutputStream => Unit): DataInputStream =
     this.synchronized {
       val buf = new java.io.ByteArrayOutputStream()
@@ -39,20 +41,6 @@ final class KafkaLiteClient(host: String, port: Int) extends AutoCloseable {
         throw new RuntimeException(s"kafkalite: ${readStr(resp)}")
       resp
     }
-
-  private def writeStr(o: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
-  }
-  private def writeBytes(o: DataOutputStream, b: Array[Byte]): Unit =
-    if (b == null) o.writeInt(-1) else { o.writeInt(b.length); o.write(b) }
-  private def readStr(i: DataInputStream): String = {
-    val n = i.readInt(); val b = new Array[Byte](n); i.readFully(b)
-    new String(b, UTF_8)
-  }
-  private def readBytes(i: DataInputStream): Array[Byte] = {
-    val n = i.readInt()
-    if (n < 0) null else { val b = new Array[Byte](n); i.readFully(b); b }
-  }
 
   // ---- API ------------------------------------------------------------
 

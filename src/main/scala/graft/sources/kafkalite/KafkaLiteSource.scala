@@ -142,7 +142,11 @@ final case class KafkaLiteOffset(next: Map[(String, Int), Long]) extends Offset 
 object KafkaLiteOffset {
   def parse(json: String): KafkaLiteOffset =
     KafkaLiteOffset(json.split(";").filter(_.nonEmpty).map { entry =>
-      val Array(tp, off) = entry.split("=", 2)
+      // split at the LAST delimiters: the broker validates topic names
+      // against [a-zA-Z0-9._-], but stay robust to any legacy name by
+      // never letting an embedded '=' or '/' shift the parse
+      val eq = entry.lastIndexOf('=')
+      val tp = entry.substring(0, eq); val off = entry.substring(eq + 1)
       val slash = tp.lastIndexOf('/')
       ((tp.substring(0, slash), tp.substring(slash + 1).toInt), off.toLong)
     }.toMap)

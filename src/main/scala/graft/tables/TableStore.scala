@@ -281,7 +281,7 @@ final class TableStore(spark: SparkSession, root: String,
         .withColumn("_op", lit("insert"))
     }
     else {
-      import org.apache.spark.sql.functions.{coalesce, when, xxhash64}
+      import org.apache.spark.sql.functions.{when, xxhash64}
       // presence markers, not key-IS-NULL probes: a legitimately NULL
       // key column must not masquerade as an absent join side
       val nRaw = loadVersion(name, toV)
@@ -304,9 +304,14 @@ final class TableStore(spark: SparkSession, root: String,
       val op = when(col("_o_present").isNull, lit("insert"))
         .when(col("_n_present").isNull, lit("delete"))
         .when(rowHash("o") =!= rowHash("n"), lit("update"))
+      // side selection by PRESENCE, not per-column coalesce: an update
+      // that legitimately NULLs a column must report the NULL (a
+      // coalesce would resurrect the stale old value and a downstream
+      // sync would replicate it); only delete rows carry old values
       joined
         .select(cols.map(c =>
-          coalesce(col(s"n.$c"), col(s"o.$c")).as(c)) :+ op.as("_op"): _*)
+          when(col("_n_present").isNotNull, col(s"n.$c"))
+            .otherwise(col(s"o.$c")).as(c)) :+ op.as("_op"): _*)
         .filter(col("_op").isNotNull)
     }
   }
@@ -485,7 +490,7 @@ final class TableStore(spark: SparkSession, root: String,
     * empty). Write cost is O(new rows); the existing table is only
     * READ for the anti-join. */
   def appendUnique(name: String, df: DataFrame, key: Seq[String],
-      tieBreak: Seq[Column] = Nil): Unit = {
+      tieBreak: Seq[Column] = Nil, evolveSchema: Boolean = false): Unit = {
     val dedup = MergeOps.dedupBy(df, key, tieBreak)
     // the lock spans the anti-join read as well as the write: two
     // concurrent appendUniques could otherwise both miss a key in the
@@ -500,7 +505,7 @@ final class TableStore(spark: SparkSession, root: String,
           key, "left_anti").persist()
         try {
           // skip empty appends entirely: no segment, no version churn
-          if (!fresh.isEmpty) append(name, fresh)
+          if (!fresh.isEmpty) append(name, fresh, evolveSchema)
         } finally fresh.unpersist()
       }
     }
@@ -684,14 +689,20 @@ final class TableStore(spark: SparkSession, root: String,
     if (!Files.exists(tdir(src).resolve(s"m$last")))
       replace(dst, loadVersion(src, cur), partitionColumns(src))
     else if (appendOnlyBetween(src, last, cur))
-      appendUnique(dst, changesBetween(src, last, cur, key).drop("_op"), key)
+      // evolveSchema: an evolved source's delta legitimately carries
+      // columns dst has not seen yet — replication must follow the
+      // evolution, not reject it
+      appendUnique(dst, changesBetween(src, last, cur, key).drop("_op"),
+        key, evolveSchema = true)
     else {
       val changes = changesBetween(src, last, cur, key).persist()
       try {
         val changedKeys = changes.select(key.map(col): _*)
         val kept = load(dst).join(changedKeys, key, "left_anti")
         val upserts = changes.filter(col("_op") =!= "delete").drop("_op")
-        replace(dst, kept.unionByName(upserts), partitionColumns(dst))
+        // allowMissingColumns: dst may predate src's schema evolution
+        replace(dst, kept.unionByName(upserts, allowMissingColumns = true),
+          partitionColumns(dst))
       } finally changes.unpersist()
     }
     commitBatch(flow, cur)

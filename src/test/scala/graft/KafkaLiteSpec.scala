@@ -47,6 +47,24 @@ class KafkaLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("topic names outside Kafka's charset are rejected; offsets round-trip") {
+    withBroker { b =>
+      val c = new KafkaLiteClient("localhost", b.port)
+      try {
+        // '=' and ';' are the offset encoding's delimiters — a topic
+        // carrying them could never restart from its own checkpoint
+        for (bad <- Seq("a=b", "a;b", "a/b", "", "a b"))
+          assert(intercept[RuntimeException](c.createTopic(bad, 1))
+            .getMessage.contains("illegal topic name"), s"accepted '$bad'")
+        assert(c.createTopic("legal.name_1-x", 1))
+      } finally c.close()
+    }
+    // the parser splits at the LAST '=' regardless (legacy robustness)
+    import graft.sources.kafkalite.KafkaLiteOffset
+    val o = KafkaLiteOffset(Map(("t.x", 3) -> 42L, ("t.y", 0) -> 7L))
+    assert(KafkaLiteOffset.parse(o.json()) === o)
+  }
+
   test("wire: produce/fetch preserves per-partition order and offsets; key routing is sticky") {
     withBroker { b =>
       val c = new KafkaLiteClient("localhost", b.port)

@@ -74,6 +74,7 @@ class PlanSpec extends AnyFunSuite {
     // no declared query carries an O(n²) join anymore)
     val intended = Set("q23_knn", "x9_knn_cosine", "x11_ann_lsh",
       "x20_ann_ivf", "x47_colloc_lift",
+      "x61_tfidf", // 1-row corpus-count broadcast into the score
       "x83_triangles") // 1-row edges × 1-row triangles combine
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString

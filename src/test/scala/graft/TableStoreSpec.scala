@@ -669,6 +669,46 @@ class TableStoreSpec extends AnyFunSuite {
     assert(gen.toSeq === Seq((1, "A", "update"), (2, "b", "insert")))
   }
 
+  test("CDC reports a NULL-ing update as NULL, never the stale old value") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("t", Seq((1, "x"), (2, "y")).toDF("k", "v")) // v0
+    store.upsert("t", Seq((1, null.asInstanceOf[String])).toDF("k", "v"),
+      Seq("k")) // v1: k=1's v legitimately becomes NULL
+    val ch = store.changesBetween("t", 0, 1, Seq("k")).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2)))
+    assert(ch.toSeq === Seq((1, None, "update")),
+      "a coalesce over the sides would resurrect the stale 'x'")
+    // ...and a downstream sync replicates the NULL, not the stale value
+    store.init("dst", store.loadVersion("t", 0))
+    // seed the cursor at v0, then sync the NULL-ing hop
+    store.commitBatch("_sync_t__dst", 0)
+    store.syncTo("t", "dst", Seq("k"))
+    assert(store.load("dst").filter(col("k") === 1)
+      .select("v").head.isNullAt(0), "sync replicated the stale value")
+  }
+
+  test("syncTo follows source schema evolution on both hop kinds") {
+    import spark.implicits._
+    val store = fresh()
+    store.init("src", Seq((1, "a")).toDF("k", "v"))
+    store.syncTo("src", "dst", Seq("k"))
+    // append-only hop that EVOLVES the schema
+    store.append("src", Seq((2, "b", 9.5)).toDF("k", "v", "score"),
+      evolveSchema = true)
+    store.syncTo("src", "dst", Seq("k"))
+    assert(store.load("dst").schema.fieldNames.toSeq ===
+      Seq("k", "v", "score"))
+    assert(store.load("dst").count() === 2L)
+    // rewriting hop after evolution (upsert resets the segment chain)
+    store.upsert("src", Seq((1, "A", 1.0)).toDF("k", "v", "score"), Seq("k"))
+    store.syncTo("src", "dst", Seq("k"))
+    val rows = store.load("dst").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq === Seq((1, "A", Some(1.0)), (2, "b", Some(9.5))))
+  }
+
   test("syncTo: a vacuumed base version falls back to a full resync") {
     import spark.implicits._
     val store = fresh()
