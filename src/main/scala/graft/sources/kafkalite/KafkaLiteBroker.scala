@@ -132,7 +132,8 @@ final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
       // Kafka's legal-name charset; beyond parity it keeps topic names
       // out of the streaming offset encoding's delimiters (= ; / \n)
       require(topic.nonEmpty && topic.forall(c =>
-        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
         s"illegal topic name '$topic' (allowed: [a-zA-Z0-9._-])")
       val created = topics.putIfAbsent(topic,
         Array.fill(parts)(new PartitionLog)) == null
@@ -155,19 +156,17 @@ final class KafkaLiteBroker(port0: Int = 0) extends AutoCloseable {
         out.writeLong(logs(part).append(recs))
       } else {
         // key-hash routing, Kafka-style: same key → same partition
-        val byPart = recs.groupBy { case (k, _) =>
+        // (ONE routing function for grouping AND the return below)
+        val route = (k: Array[Byte]) =>
           if (k == null) 0
           else math.floorMod(java.util.Arrays.hashCode(k), logs.length)
-        }
+        val byPart = recs.groupBy { case (k, _) => route(k) }
         // deterministic return: the base offset of the FIRST record's
         // partition (an unordered map's headOption would hand back an
         // arbitrary partition's base for multi-key batches)
         val bases = byPart.map { case (p, rs) => p -> logs(p).append(rs) }
-        val firstPart = recs.headOption.map { case (k, _) =>
-          if (k == null) 0
-          else math.floorMod(java.util.Arrays.hashCode(k), logs.length)
-        }
-        out.writeLong(firstPart.flatMap(bases.get).getOrElse(0L))
+        out.writeLong(recs.headOption.map { case (k, _) => route(k) }
+          .flatMap(bases.get).getOrElse(0L))
       }
     case 6 => // FETCH
       val topic = readStr(req); val part = req.readInt()

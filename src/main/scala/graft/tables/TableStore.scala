@@ -295,9 +295,15 @@ final class TableStore(spark: SparkSession, root: String,
         .withColumn("_o_present", lit(true)).alias("o")
       val n = nRaw.withColumn("_n_present", lit(true)).alias("n")
       val payload = cols.filterNot(key.contains)
+      // interleave a presence marker per column: Spark's hash functions
+      // SKIP null inputs without perturbing the accumulator, so
+      // (x, null) and (null, x) in two same-typed columns would hash
+      // identically and the update would vanish from the feed; the
+      // non-null boolean marker keeps the streams distinct
       def rowHash(side: String) = // key-only tables carry no payload
         if (payload.isEmpty) lit(0L)
-        else xxhash64(payload.map(c => col(s"$side.$c")): _*)
+        else xxhash64(payload.flatMap(c =>
+          Seq(col(s"$side.$c"), col(s"$side.$c").isNull)): _*)
       val joined = o.join(n,
         key.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _),
         "full_outer")
@@ -435,8 +441,12 @@ final class TableStore(spark: SparkSession, root: String,
                   s"append to $name would RETYPE column ${f.name}: " +
                     s"table has $want, batch has $got — schema " +
                     "evolution only adds nullable columns")
+                // round-trip through the STRING domain — the value the
+                // partition path actually stores: a typed try_cast would
+                // coerce (9.5 → int 9) while the path writes "9.5" and
+                // the pinned read nulls it
                 val bad = df.filter(col(f.name).isNotNull &&
-                  col(f.name).try_cast(want).isNull).count()
+                  col(f.name).cast("string").try_cast(want).isNull).count()
                 require(bad == 0L,
                   s"append to $name: $bad value(s) of partition " +
                     s"column ${f.name} (batch type $got) do not parse " +

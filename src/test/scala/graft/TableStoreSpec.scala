@@ -688,6 +688,35 @@ class TableStoreSpec extends AnyFunSuite {
       .select("v").head.isNullAt(0), "sync replicated the stale value")
   }
 
+  test("CDC detects a value moving between same-typed columns (null-skip hashing)") {
+    import spark.implicits._
+    val store = fresh()
+    // Spark's hash functions skip nulls without perturbing the
+    // accumulator — without presence markers, (x, null) → (null, x)
+    // hashes identically and the update vanishes from the feed
+    store.init("t", Seq((1, "x", null.asInstanceOf[String]))
+      .toDF("k", "a", "b")) // v0
+    store.upsert("t", Seq((1, null.asInstanceOf[String], "x"))
+      .toDF("k", "a", "b"), Seq("k")) // v1: x moves a → b
+    val ch = store.changesBetween("t", 0, 1, Seq("k")).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3)))
+    assert(ch.toSeq === Seq((1, None, Some("x"), "update")),
+      "the cross-column null swap was invisible to the change feed")
+  }
+
+  test("partition value probe uses the STRING domain the path stores") {
+    import spark.implicits._
+    val store = fresh()
+    store.replace("t", Seq((1L, 7), (2L, 8)).toDF("id", "cell"),
+      partitionBy = Seq("cell"))
+    // double 9.5 try_casts to int 9, but the path would store "9.5"
+    // and the pinned int read would null it — must fail loudly
+    val e = intercept[IllegalArgumentException](
+      store.append("t", Seq((3L, 9.5)).toDF("id", "cell")))
+    assert(e.getMessage.contains("do not parse"), e.getMessage)
+  }
+
   test("syncTo follows source schema evolution on both hop kinds") {
     import spark.implicits._
     val store = fresh()
