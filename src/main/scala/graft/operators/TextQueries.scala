@@ -1071,14 +1071,13 @@ object TextQueries {
     // 5-gram spans that also occur in ANOTHER document (x68 measures
     // within-doc repetition; this measures the cross-doc kind exact
     // dedup misses when documents overlap without being identical).
-    // Shape: one explode (the corpus-scale pass every gram query
-    // pays), a (doc,gram) partial agg (collapses within-doc
-    // multiplicity BEFORE the gram-keyed stage, so a pathological
-    // million-repeat doc contributes one row), then gram-keyed
-    // doc-frequency, a gram-keyed join back and two tiny rollups. No
-    // driver materialization — the repeated-gram set stays
-    // distributed (it is O(shared vocabulary), not bounded, so no
-    // broadcast hint; AQE may still choose one at runtime).
+    // Shape: ONE corpus pass — one scan, one explode, a (doc,gram)
+    // partial agg (collapses within-doc multiplicity BEFORE the
+    // gram-keyed stage, so a pathological million-repeat doc
+    // contributes one row), a gram-keyed window COUNT for
+    // doc-frequency, and two tiny rollups. No join, no second scan,
+    // no driver materialization: the repeated-gram knowledge never
+    // leaves the distributed (doc,gram) rows.
     Query("x72_repeated_spans",
       "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
         "FROM documents WHERE text IS NOT NULL), " +
@@ -1096,21 +1095,27 @@ object TextQueries {
         "CAST(SUM(n_rep) AS DOUBLE) / SUM(n_grams) AS dup_frac " +
         "FROM p GROUP BY lang ORDER BY lang") {
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val g = spreadScan(s, table(s, d, "documents"))
           .filter(col("text").isNotNull)
           .select(col("doc_id"), col("lang"), explode(
             TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
-        // (doc, gram) occurrence counts; gram doc-frequency is then a
-        // plain COUNT over this (no countDistinct pass)
+        // (doc, gram) occurrence counts; gram doc-frequency (nd) is
+        // then a window COUNT over the SAME aggregated rows — ONE
+        // corpus pass. The r11 shape derived nd with a gram-keyed
+        // self-aggregate joined back, and because `dg` was referenced
+        // twice Spark recomputed the scan+explode+agg subtree (the
+        // dominant stage) for both references; the window form cannot
+        // fork the lineage, it just re-shuffles the already-collapsed
+        // (doc,gram) rows by gram — and the O(shared-vocabulary) join
+        // side (and its broadcast-vs-shuffle gamble) disappears with
+        // the join itself.
         val dg = g.groupBy("doc_id", "lang", "gram")
           .agg(count(lit(1)).as("c"))
-        val rep = dg.groupBy("gram").agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("gram"), lit(1).as("is_rep"))
-        dg.join(rep, Seq("gram"), "left")
+        dg.withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
           .groupBy("doc_id", "lang")
           .agg(sum(col("c")).as("n_grams"),
-            sum(when(col("is_rep") === 1, col("c")).otherwise(0)).as("n_rep"))
+            sum(when(col("nd") >= 2, col("c")).otherwise(0)).as("n_rep"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_grams")).as("grams"),

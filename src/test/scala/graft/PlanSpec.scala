@@ -300,9 +300,17 @@ class PlanSpec extends AnyFunSuite {
     // pathological million-repeat doc collapses map-side BEFORE any
     // gram-keyed stage — the guard that bounds the explode's output
     val p = plan("x72_repeated_spans")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // the r11 shape referenced the (doc,gram) aggregate twice (join
+    // probe + gram-frequency side) and Spark recomputed the dominant
+    // scan+explode+agg subtree for both — pin the one-pass rewrite:
+    // exactly ONE corpus scan, ONE explode, and NO join (doc-frequency
+    // is a window COUNT riding the same rows)
+    assert(!p.contains("Join"), s"x72 re-grew a join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"x72 scans the corpus $scans times:\n$p")
     val lines = p.linesIterator.toSeq
+    assert(lines.count(_.contains("Generate")) == 1,
+      s"x72 explodes the corpus more than once:\n$p")
     val gen = lines.indexWhere(_.contains("Generate"))
     assert(gen >= 0, s"no explode in:\n$p")
     // walking UP from the explode, the first aggregation-or-exchange
