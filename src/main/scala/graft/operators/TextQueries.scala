@@ -1306,5 +1306,44 @@ object TextQueries {
             sum(coalesce(col("fl"), lit(0L))).as("n_fp_leaked"))
           .orderBy("split")
       }
+    },
+
+    // Repeated-span REMOVAL — the transform half of x72's audit: the
+    // [[SpanDedup.cleanedCorpus]] single-pass window transform (see
+    // its scaladoc for the shape and the 100 TB factorization),
+    // summarized per affected doc with an md5 of its cleaned text so
+    // the oracle hash-checks the COMPLETE transform output, not a
+    // sample.
+    Query("x85_span_removal",
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, unnest(range(len(ts) - 4)) AS pos, " +
+        s"unnest(${Sql.allShingles("ts", 5)}) AS gram FROM t), " +
+        "stats AS (SELECT gram, MIN(doc_id) AS owner FROM g " +
+        "GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)), " +
+        "rem AS (SELECT g.doc_id, g.pos FROM g " +
+        "JOIN stats ON g.gram = stats.gram WHERE g.doc_id <> stats.owner), " +
+        "rp AS (SELECT DISTINCT doc_id, pos + u AS tp FROM rem, " +
+        "(SELECT unnest(range(5)) AS u)), " +
+        "tok AS (SELECT doc_id, lang, len(ts) AS n_tokens, " +
+        "unnest(range(len(ts))) AS tp, unnest(ts) AS token FROM t), " +
+        "m AS (SELECT tok.doc_id, tok.lang, tok.n_tokens, tok.tp, " +
+        "tok.token, (rp.tp IS NOT NULL) AS rm FROM tok " +
+        "LEFT JOIN rp ON tok.doc_id = rp.doc_id AND tok.tp = rp.tp), " +
+        "k AS (SELECT doc_id, any_value(lang) AS lang, " +
+        "CAST(any_value(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed, string_agg(CASE WHEN NOT rm THEN token END, ' ' " +
+        "ORDER BY tp) AS ct FROM m GROUP BY doc_id) " +
+        "SELECT doc_id, lang, n_tokens, n_removed, " +
+        "COALESCE(md5(ct), md5('')) AS clean_md5 FROM k " +
+        "WHERE n_removed > 0 ORDER BY doc_id") {
+      (s, d) => {
+        SpanDedup.cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5)
+          .filter(col("n_removed") > 0)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      }
     })
 }

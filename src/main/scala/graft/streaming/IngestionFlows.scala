@@ -64,7 +64,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
     checkpointRoot: Option[String] = None,
     trigger: Trigger = Trigger.AvailableNow(),
-    quality: IngestQuality = IngestQuality()) {
+    quality: IngestQuality = IngestQuality(),
+    spanCleanN: Option[Int] = None) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -139,6 +140,20 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // rejection was corrected by this batch has a stale
           // (admitted=false,'quality') row to supersede
           store.upsert("ingest_log", admitted, Seq("doc_id"))
+          // optional span-clean gate (the x85/SpanDedup transform as a
+          // maintained derived table): `documents_clean` is the
+          // cross-doc repeated-span-excised view of the corpus as of
+          // this batch boundary. Recomputed, not patched, for the same
+          // reason as dedup_decisions: a new doc can introduce NEW
+          // duplication that excises spans from previously-clean rows,
+          // and a new doc with a smaller doc_id can even take
+          // ownership of a span an older doc kept — both cases mutate
+          // OLD output rows, which a patch would miss.
+          spanCleanN.foreach { ng =>
+            store.replace("documents_clean",
+              graft.operators.SpanDedup.cleanedCorpus(
+                store.load("documents"), ng))
+          }
         }
       } finally { batch.unpersist(); () }
     }

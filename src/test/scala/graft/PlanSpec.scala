@@ -321,6 +321,24 @@ class PlanSpec extends AnyFunSuite {
       s"exchange slipped between explode and the (doc,gram) agg:\n$p")
   }
 
+  test("x85: span removal is one corpus pass — one scan, one explode, no join, bounded exchanges") {
+    // the whole transform must ride a single token posexplode: grams
+    // are rebuilt from the token stream with lead() windows (the first
+    // window reuses the scan's doc_id partitioning — no exchange),
+    // ownership is one gram-keyed window, coverage one doc-keyed
+    // window, and the per-doc rebuild aggregate rides the coverage
+    // window's exchange. 4 exchanges total incl. the output sort.
+    val p = plan("x85_span_removal")
+    assert(!p.contains("Join"), s"x85 joins:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"x85 scans the corpus more than once:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x85 explodes more than once:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange")) <= 4,
+      s"x85 shuffles beyond doc/gram/doc/sort:\n$p")
+  }
+
   test("x73: the mined top-50 boilerplate list is TakeOrdered and broadcast into the probe") {
     val p = plan("x73_boilerplate_filter")
     assert(p.contains("TakeOrderedAndProject"),
