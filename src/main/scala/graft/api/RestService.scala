@@ -39,6 +39,7 @@ import org.apache.spark.sql.functions._
  *   GET /tables/{t}/changes?from=&to=&key=   version-diff CDC feed
  *   GET /tables/{t}/drift?from=&to=     column-profile diff (data card)
  *   DELETE /subjects/{email}            GDPR data-subject erasure
+ *   DELETE /subjects/documents/{id}     GDPR corpus-doc erasure (incl. derived stores)
  *
  * JSON field names and error texts follow the Go structs' marshal
  * output (contratos/contratos.go:7-37 — `Inventario.Disponible`,
@@ -134,6 +135,14 @@ final class RestService(spark: SparkSession, store: TableStore,
           s"""{"redacted_reservas":${rep.redactedReservas},""" +
             s""""deleted_notificaciones":${rep.deletedNotificaciones},""" +
             s""""deleted_dead_letter":${rep.deletedDeadLetter}}""")
+      }
+      // DELETE /subjects/documents/{doc_id} — corpus-document erasure
+      // through the flow-derived stores (dedup decisions, cleaned
+      // corpus, ingest log) via Gdpr.purgeDocuments
+      case ("DELETE", List("subjects", "documents", id))
+          if id.forall(_.isDigit) && id.nonEmpty => lock.synchronized {
+        val n = graft.tables.Gdpr.purgeDocuments(store, Seq(id.toLong))
+        replyJson(ex, 200, s"""{"deleted_documents":$n}""")
       }
       case _ => reply(ex, 404, "Not Found")
     }

@@ -43,14 +43,70 @@ object Gdpr {
       redactedReservas + deletedNotificaciones + deletedDeadLetter
   }
 
+  /** Erase documents from the ingest corpus AND every flow-derived
+    * store that embeds their content or ids — erasure must not be
+    * recoverable from a derived table the pipeline materialized:
+    *
+    *  - `documents`: segment-pruned DELETE of the doc rows.
+    *  - `dedup_decisions`: RECOMPUTED from the post-purge corpus, not
+    *    row-pruned — removing a doc can change canonical elections
+    *    (a cluster whose canonical was purged elects a new one; a
+    *    doc that was dropped as this doc's near-dup may become
+    *    canonical again).
+    *  - `documents_clean`: RECOMPUTED — span ownership shifts (a span
+    *    whose min-doc_id owner was purged is owned by the survivor,
+    *    and if only two docs shared it, it stops being duplicated at
+    *    all), so surviving docs' cleaned text can GROW back.
+    *  - `ingest_log`: the doc's verdict row deletes.
+    *
+    * The stored QUERY indexes (ShingleIndex, SRP/IVF) need no call
+    * here: they are fingerprint-versioned on the corpus files, so the
+    * purge's copy-on-write rewrite invalidates them and the next probe
+    * rebuilds from the post-purge corpus — GdprDerivedSpec pins
+    * exactly that (no probe can surface purged content afterwards).
+    * Like [[purgeSubject]], pre-purge snapshots remain time-travelable
+    * until vacuum.
+    *
+    * Returns the number of corpus rows erased. */
+  def purgeDocuments(store: TableStore, docIds: Seq[Long],
+      spanCleanN: Int = 5): Long = {
+    if (!store.exists("documents")) 0L
+    else {
+      val corpus = store.load("documents")
+      val n = store.deleteWhere("documents",
+        col("doc_id").isin(docIds: _*))
+      if (n > 0L) {
+        val spark = corpus.sparkSession
+        val remaining = store.load("documents")
+        if (store.exists("dedup_decisions"))
+          store.replace("dedup_decisions",
+            graft.operators.DedupQueries.quotientClusters(spark,
+              graft.operators.DedupQueries.simhashFpsOf(remaining)))
+        if (store.exists("documents_clean"))
+          store.replace("documents_clean",
+            graft.operators.SpanDedup.cleanedCorpus(remaining, spanCleanN))
+        if (store.exists("ingest_log"))
+          store.deleteWhere("ingest_log", col("doc_id").isin(docIds: _*))
+      }
+      n
+    }
+  }
+
   /** Erase `email` from the operational tables of `store`. Missing
     * tables are skipped (a young deployment may not have produced
     * notifications yet). Returns per-table affected-row counts. */
   def purgeSubject(store: TableStore, email: String): PurgeReport = {
+    // case-INSENSITIVE matching throughout: email domains are
+    // case-insensitive by RFC 1035 and most providers fold the local
+    // part too, so a subject stored as Ana@X.com must not survive a
+    // purge request for ana@x.com — a byte-exact compare would leave
+    // the row behind while the erasure report claims success
+    val emailLc = email.toLowerCase(java.util.Locale.ROOT)
+    val matches = lower(col("email")) === emailLc
     val redacted =
       if (!store.exists("reservas")) 0L
       else {
-        val hit = store.load("reservas").filter(col("email") === email)
+        val hit = store.load("reservas").filter(matches)
         val n = hit.count()
         if (n > 0L)
           store.upsert("reservas",
@@ -59,7 +115,7 @@ object Gdpr {
       }
     val notif =
       if (!store.exists("notificaciones")) 0L
-      else store.deleteWhere("notificaciones", col("email") === email)
+      else store.deleteWhere("notificaciones", matches)
     val dead =
       if (!store.exists("dead_letter")) 0L
       else {
@@ -70,7 +126,7 @@ object Gdpr {
         // the char before/after the match (if any) to be outside the
         // email alphabet.
         val boundary = "[^A-Za-z0-9._%+@-]"
-        val anchored = s"(^|$boundary)${java.util.regex.Pattern.quote(email)}($boundary|$$)"
+        val anchored = s"(?i)(^|$boundary)${java.util.regex.Pattern.quote(email)}($boundary|$$)"
         store.deleteWhere("dead_letter", col("raw").rlike(anchored))
       }
     PurgeReport(redacted, notif, dead)

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{ShingleIndex, SpanDedup, VectorIndex}
+import graft.streaming.IngestionFlows
+import graft.tables.{Gdpr, TableStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GDPR erasure through the DERIVED stores: purging a document must
+  * leave no trace in anything the pipeline materialized from it — the
+  * flow-maintained decision/clean tables (explicitly recomputed by
+  * [[Gdpr.purgeDocuments]]) and the fingerprint-versioned stored query
+  * indexes (invalidated by the corpus rewrite itself, rebuilt on the
+  * next probe). */
+class GdprDerivedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("purgeDocuments erases the doc from corpus, decisions, clean view and log — and derived rows REGROW") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-gdprdoc").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root, spanCleanN = Some(5))
+    val ms = MemoryStream[(Long, String)]
+    // 1 and 7 identical (near-dup cluster, 1 canonical); 9 shares 1's
+    // 5-gram span (loses it to owner 1); 5 unrelated
+    ms.addData(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "prefix alpha beta gamma delta epsilon suffix"),
+      (5L, "one two three four five six seven"))
+    val q = flows.documentIngestFlow(ms.toDS().toDF("doc_id", "text"))
+    q.processAllAvailable(); q.stop()
+
+    def cleanOf(id: Long): String = store.load("documents_clean")
+      .filter(col("doc_id") === id).select("clean_text")
+      .collect().head.getString(0)
+    assert(store.load("documents").count() === 4)
+    assert(cleanOf(7L) === "", "non-owner twin fully excised pre-purge")
+    assert(cleanOf(9L) === "prefix suffix")
+    val dec1 = store.load("dedup_decisions")
+      .filter(col("doc_id").isin(1L, 7L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("canonical")).toMap
+    assert(dec1 === Map(1L -> true, 7L -> false))
+
+    // purge doc 1: the subject's document disappears everywhere, AND
+    // derived state regrows — 7 becomes canonical of its (now
+    // 1-less) cluster, and spans 1 owned are re-owned or freed
+    assert(Gdpr.purgeDocuments(store, Seq(1L)) === 1L)
+    assert(store.load("documents").filter(col("doc_id") === 1L).isEmpty)
+    assert(store.load("documents_clean").filter(col("doc_id") === 1L).isEmpty)
+    assert(store.load("dedup_decisions").filter(col("doc_id") === 1L).isEmpty)
+    assert(store.load("ingest_log").filter(col("doc_id") === 1L).isEmpty)
+    // re-elected canonical: 7 is now the smallest of its cluster (or
+    // unclustered) — either way its decision row must not say "dropped
+    // as a near-dup of the erased doc"
+    val dec7 = store.load("dedup_decisions").filter(col("doc_id") === 7L)
+      .collect().map(_.getAs[Boolean]("canonical"))
+    assert(dec7.isEmpty || dec7.head === true)
+    // span ownership shifted to 7 (new min doc_id): 7 regrows its full
+    // text; 9 still loses the span to 7
+    assert(cleanOf(7L) === "alpha beta gamma delta epsilon zeta")
+    assert(cleanOf(9L) === "prefix suffix")
+    // the derived tables equal a from-scratch build of the purged
+    // corpus (recompute, not patch)
+    val fromScratch = SpanDedup.cleanedCorpus(store.load("documents"), 5)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val derived = store.load("documents_clean")
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(derived === fromScratch)
+    // idempotent
+    assert(Gdpr.purgeDocuments(store, Seq(1L)) === 0L)
+  }
+
+  test("stored query indexes cannot surface purged content: fingerprint versioning forces rebuild") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-gdpridx").toString
+    val uniq = "zzqx" // token only doc 42 ever carried
+    def docRows(withPurged: Boolean) = {
+      val base = Seq(
+        (42L, s"alpha beta gamma delta epsilon $uniq theta iota kappa lambda", "en", "web"),
+        (43L, s"alpha beta gamma delta epsilon $uniq theta iota kappa lambda", "en", "web"),
+        (50L, "one two three four five six seven eight nine ten", "en", "web"),
+        (51L, "red orange yellow green blue indigo violet pink brown black", "en", "web"),
+        (52L, "spark engines process corpora with catalyst optimizer rules applied", "en", "web"))
+      (if (withPurged) base else base.filterNot(_._1 == 42L))
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    def embRows(withPurged: Boolean) = {
+      // vec 42 duplicates vec 0's embedding exactly — guaranteed to
+      // share its SRP buckets and sit at the top of any ANN result
+      val all = (Seq(0L, 1L, 2L, 3L) :+ 42L).map { id =>
+        val r = new scala.util.Random(if (id == 42L) 0L else id)
+        (id, Array.fill(64)(r.nextFloat() * 2 - 1), id.toInt % 7)
+      }
+      (if (withPurged) all else all.filterNot(_._1 == 42L))
+        .toDF("vec_id", "embedding", "label")
+    }
+    docRows(withPurged = true).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    embRows(withPurged = true).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // pre-purge: every surface sees doc/vec 42
+    val x34 = SparkEntry.queries("x34_dedup_clusters")
+    val x11 = SparkEntry.queries("x11_ann_lsh")
+    val x20 = SparkEntry.queries("x20_ann_ivf")
+    assert(x34(spark, dir).filter(col("doc_id") === 42L).count() === 1)
+    assert(x11(spark, dir).filter(col("vec_id") === 42L).count() === 1)
+    assert(x20(spark, dir).filter(col("vec_id") === 42L).count() === 1)
+    assert(ShingleIndex.forDir(spark, dir).load("pfx3")
+      .filter(col("doc_id") === 42L).count() > 0)
+
+    // erase doc/vec 42 (copy-on-write corpus rewrite — in the
+    // TableStore path this is deleteWhere; here the corpus dir is the
+    // plain-parquet serving layout, so the rewrite IS the erasure)
+    docRows(withPurged = false).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    embRows(withPurged = false).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // post-purge: every probe rebuilds from the purged corpus — no
+    // query output and no index table can surface 42 or its content
+    assert(x34(spark, dir).filter(col("doc_id") === 42L).isEmpty)
+    assert(x11(spark, dir).filter(col("vec_id") === 42L).isEmpty)
+    assert(x20(spark, dir).filter(col("vec_id") === 42L).isEmpty)
+    val shingle = ShingleIndex.forDir(spark, dir)
+    assert(shingle.load("pfx3").filter(col("doc_id") === 42L).isEmpty)
+    assert(shingle.load("bands3").filter(col("doc_id") === 42L).isEmpty)
+    assert(shingle.load("ex8h").filter(col("doc_id") === 42L).isEmpty)
+    assert(VectorIndex.forDir(spark, dir).corpus
+      .filter(col("vec_id") === 42L).isEmpty)
+  }
+}

@@ -75,6 +75,31 @@ class GdprSpec extends AnyFunSuite {
       "superstring subject's quarantine row was erased")
   }
 
+  test("purge matches case-insensitively: Ana@X.com does not survive a purge of ana@x.com") {
+    import spark.implicits._
+    val store =
+      new TableStore(spark, Files.createTempDirectory("graft-gdprci").toString)
+    store.init("reservas",
+      Seq(("r1", "Opera Boheme", "PepeDiaz@Gmail.COM", 4L, "A"),
+        ("r2", "Opera Boheme", "ana@x.com", 2L, "A"))
+        .toDF("id", "evento", "email", "cantidad", "estado"))
+    store.init("notificaciones",
+      Seq(("r1", "PEPEDIAZ@gmail.com", "s", "b"))
+        .toDF("id", "email", "subject", "body"))
+    store.init("dead_letter",
+      Seq(("consumer", """{"email":"PepeDiaz@GMAIL.com","broken"""))
+        .toDF("flow", "raw"))
+    val rep = Gdpr.purgeSubject(store, pii) // all-lowercase request
+    assert(rep === Gdpr.PurgeReport(1L, 1L, 1L))
+    assert(store.load("reservas").filter(lower(col("email"))
+      .contains("pepediaz")).isEmpty)
+    assert(store.load("notificaciones").isEmpty)
+    assert(store.load("dead_letter").isEmpty)
+    // the OTHER subject is untouched
+    assert(store.load("reservas").filter(col("email") === "ana@x.com")
+      .count() === 1L)
+  }
+
   test("purge is idempotent and history expires with vacuum") {
     val store = seeded()
     Gdpr.purgeSubject(store, pii)

@@ -255,4 +255,24 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c2, t2) = http("DELETE", s"/subjects/$pii")
     assert(c2 === 200 && t2.contains("\"redacted_reservas\":0"))
   }
+
+  test("DELETE /subjects/documents/{id} erases a corpus doc and its derived rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    store.init("documents",
+      Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta"))
+        .toDF("doc_id", "text"))
+    store.init("ingest_log",
+      Seq((100L, true, null: String), (101L, true, null: String))
+        .toDF("doc_id", "admitted", "reason"))
+    val (code, text) = http("DELETE", "/subjects/documents/100")
+    assert(code === 200 && text.contains("\"deleted_documents\":1"))
+    assert(store.load("documents").filter(col("doc_id") === 100L).isEmpty)
+    assert(store.load("ingest_log").filter(col("doc_id") === 100L).isEmpty)
+    // idempotent; non-numeric ids are not routed
+    val (c2, t2) = http("DELETE", "/subjects/documents/100")
+    assert(c2 === 200 && t2.contains("\"deleted_documents\":0"))
+    val (c3, _) = http("DELETE", "/subjects/documents/nope")
+    assert(c3 === 404)
+  }
 }
