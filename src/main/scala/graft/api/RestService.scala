@@ -182,8 +182,16 @@ final class RestService(spark: SparkSession, store: TableStore,
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
       // the ops EXPLAIN surface: the formatted physical plan of any
       // declared query, so a dashboard or a reviewer checks pushdown/
-      // broadcast shapes over HTTP without a Spark shell. Plan-only —
-      // nothing executes.
+      // broadcast shapes over HTTP without a Spark shell. The QUERY
+      // itself never executes, but a few builders lawfully run
+      // bounded driver-side work while CONSTRUCTING the plan: the
+      // fingerprint-cached corpus-metadata builds (stored indexes,
+      // learned profiles, codebooks — amortized, rebuilt only on a
+      // corpus-version change) and O(1)-row scalar reads (ANN query
+      // vectors, x57's capped candidate pre-pass). A plan request can
+      // therefore pay a first-touch metadata build; it cannot trigger
+      // an unbounded query execution. (x61/x71 were migrated to keep
+      // their scalars in-plan for exactly this reason.)
       case ("GET", List("query", name, "plan"), Some(dir)) =>
         graft.SparkEntry.queries.get(name) match {
           case None => reply(ex, 404, s"unknown query $name")

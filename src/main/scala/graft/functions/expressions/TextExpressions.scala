@@ -35,20 +35,59 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextExprUtil {
 
-  // per-thread DP scratch for editAtMost — the hot loop allocates
-  // nothing per comparison; grown on demand, never shrunk
+  // per-thread DP + comparand scratch for editAtMost — for ASCII
+  // comparands (the ER hot loop's case) a call allocates NOTHING:
+  // both strings are read straight out of their UTF8String bytes into
+  // reused char buffers. Non-ASCII comparands pay one String decode
+  // each (UTF-8 is variable-width; correctness over the rare path).
+  // Buffers grow on demand, never shrink.
   private val dpLocal = new ThreadLocal[Array[Int]] {
     override def initialValue(): Array[Int] = new Array[Int](2 * 64)
+  }
+  private final class CharBuf extends ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](64)
+  }
+  private val chALocal = new CharBuf
+  private val chBLocal = new CharBuf
+
+  /** Copy `u`'s chars into the thread-local buffer; zero-allocation
+    * when the bytes are pure ASCII. Returns the char count. */
+  private def fillChars(u: UTF8String, local: CharBuf): Int = {
+    val nb = u.numBytes
+    var buf = local.get()
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      if (u.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      if (buf.length < nb) {
+        buf = new Array[Char](math.max(nb, buf.length * 2)); local.set(buf)
+      }
+      i = 0
+      while (i < nb) { buf(i) = (u.getByte(i) & 0x7f).toChar; i += 1 }
+      nb
+    } else {
+      val str = u.toString
+      val n = str.length
+      if (buf.length < n) {
+        buf = new Array[Char](math.max(n, buf.length * 2)); local.set(buf)
+      }
+      str.getChars(0, n, buf, 0)
+      n
+    }
   }
 
   /** levenshtein(a, b) if ≤ k, else −1. See [[EditDistanceAtMost]]. */
   def editAtMost(ua: UTF8String, ub: UTF8String, k: Int): Int = {
-    val a = ua.toString; val b = ub.toString
+    val alen = fillChars(ua, chALocal); val a = chALocal.get()
+    val blen = fillChars(ub, chBLocal); val b = chBLocal.get()
     var s = 0
-    var ae = a.length; var be = b.length
+    var ae = alen; var be = blen
     // trim common prefix, then common suffix
-    while (s < ae && s < be && a.charAt(s) == b.charAt(s)) s += 1
-    while (ae > s && be > s && a.charAt(ae - 1) == b.charAt(be - 1)) {
+    while (s < ae && s < be && a(s) == b(s)) s += 1
+    while (ae > s && be > s && a(ae - 1) == b(be - 1)) {
       ae -= 1; be -= 1
     }
     val n = ae - s; val m = be - s
@@ -73,10 +112,10 @@ object TextExprUtil {
     while (i <= n) {
       buf(cb) = if (i <= kk) i else inf
       var rowMin = buf(cb)
-      val ci = a.charAt(s + i - 1)
+      val ci = a(s + i - 1)
       j = 1
       while (j <= m) {
-        val cost = if (ci == b.charAt(s + j - 1)) 0 else 1
+        val cost = if (ci == b(s + j - 1)) 0 else 1
         var v = buf(pb + j - 1) + cost
         val del = buf(pb + j) + 1
         if (del < v) v = del

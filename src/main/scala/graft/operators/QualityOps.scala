@@ -54,6 +54,25 @@ object QualityOps {
       .toDF("rule", "violations", "total")
   }
 
+  /** [[audit]] as a PURE PLAN: the same one-scan aggregate, but the
+    * per-rule report rows are derived in-plan (an explode over the
+    * single aggregate row) instead of collected — building the
+    * DataFrame runs NO driver-side job, so the REST `/plan` surface
+    * stays execution-free and the total never leaves the plan. Same
+    * output contract as [[audit]] (row per rule, declaration order
+    * recoverable via ORDER BY, NULL rules count as violations). */
+  def auditPlan(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "no expectations declared")
+    df.agg(count(lit(1)).as("_n"),
+      rules.map(r => sum(when(r.holds, 0L).otherwise(1L))
+        .as(s"_v_${r.name}")): _*)
+      .select(explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"),
+          coalesce(col(s"_v_${r.name}"), lit(0L)).as("violations"),
+          col("_n").as("total"))): _*)).as("x"))
+      .select(col("x.rule"), col("x.violations"), col("x.total"))
+  }
+
   /** Referential-integrity violation count: fact keys absent from the
     * dim. Null keys are counted separately by a not-null rule, not
     * here. */
@@ -203,24 +222,30 @@ object QualityOps {
         ") ORDER BY rule") {
       (s, d) => {
         val li = table(s, d, "lineitem")
-        val base = audit(li, Seq(
+        // plan-pure end to end (the r11 form ran TWO driver jobs
+        // during construction — audit's .head and the refViolations
+        // count — which made a REST /plan request execute them): the
+        // rule rows come from auditPlan's in-plan explode, and the
+        // referential rule derives violations AND total in one
+        // left-join pass so the audit subtree is never referenced
+        // twice for its total
+        val base = auditPlan(li, Seq(
           Expectation("orderkey_not_null", col("l_orderkey").isNotNull),
           Expectation("quantity_in_1_50",
             col("l_quantity") >= 1 && col("l_quantity") <= 50),
           Expectation("discount_in_0_half",
             col("l_discount") >= 0.0 && col("l_discount") <= 0.5),
           Expectation("price_positive", col("l_extendedprice") > 0.0)))
-        // audit() already computed the total in its single pass —
-        // read it from the (rule-cardinality) report instead of paying
-        // a second full lineitem scan
-        val n = base.select("total").head.getLong(0)
-        val refBad = refViolations(li, col("l_orderkey"),
-          table(s, d, "orders"), col("o_orderkey"))
-        import s.implicits._
-        base.unionByName(
-          Seq(("orderkey_in_orders", refBad, n))
-            .toDF("rule", "violations", "total"))
-          .orderBy("rule")
+        val refRow = li.select(col("l_orderkey").as("_k"))
+          .join(table(s, d, "orders")
+            .select(col("o_orderkey").as("_k")).distinct()
+            .withColumn("_hit", lit(1)), Seq("_k"), "left")
+          .agg(count(lit(1)).as("total"),
+            count(when(col("_k").isNotNull && col("_hit").isNull, 1))
+              .as("violations"))
+          .select(lit("orderkey_in_orders").as("rule"),
+            col("violations"), col("total"))
+        base.unionByName(refRow).orderBy("rule")
       }
     })
 }

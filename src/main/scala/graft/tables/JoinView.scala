@@ -82,18 +82,34 @@ object JoinView {
     }
 
     // key ∈ K as a pushed-down predicate (single-column IN, or an
-    // IN over struct tuples for composite keys)
-    val hit: org.apache.spark.sql.Column =
-      if (joinKey.length == 1)
-        col(joinKey.head).isin(keys.map(_.get(0)).toIndexedSeq: _*)
-      else
-        struct(joinKey.map(col): _*).isin(keys.map(r => struct(
-          joinKey.indices.map(i => lit(r.get(i))): _*)).toIndexedSeq: _*)
-    store.deleteWhere(view, hit)
+    // IN over struct tuples for composite keys). Literals are built
+    // with Literal.create against the changed-key SCHEMA types, not
+    // lit(): lit() infers from the runtime value, so a null key field
+    // became NullType (leaning on IN-coercion to widen it) and an
+    // array/struct-typed key threw outright. If a key value still
+    // defies literal construction, fall back to the rebuild escape
+    // hatch rather than failing the sync.
+    val hit: Option[org.apache.spark.sql.Column] =
+      try {
+        val types = changed.schema.fields.map(_.dataType)
+        def keyLit(v: Any, i: Int) = org.apache.spark.sql.graft.Bridge
+          .column(org.apache.spark.sql.catalyst.expressions.Literal
+            .create(v, types(i)))
+        Some(
+          if (joinKey.length == 1)
+            col(joinKey.head).isin(
+              keys.map(r => keyLit(r.get(0), 0)).toIndexedSeq: _*)
+          else
+            struct(joinKey.map(col): _*).isin(keys.map(r => struct(
+              joinKey.indices.map(i => keyLit(r.get(i), i)): _*))
+              .toIndexedSeq: _*))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (hit.isEmpty) return rebuild()
+    store.deleteWhere(view, hit.get)
     // restricting ONE side to K suffices for an inner join: every
     // result row's key comes from both sides, so the a-side filter
     // already bounds the slice to K
-    store.append(view, joined(store.load(a).filter(hit), store.load(b)))
+    store.append(view, joined(store.load(a).filter(hit.get), store.load(b)))
     store.commitBatch(fa, av); store.commitBatch(fb, bv)
     keys.length.toLong
   }

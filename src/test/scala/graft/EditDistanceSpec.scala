@@ -57,6 +57,14 @@ class EditDistanceSpec extends AnyFunSuite {
     // k near Int.MaxValue must not wrap inf = k + 1 negative
     assert(got("abc", "xyz", Int.MaxValue) === 3)
     assert(got("kitten", "sitting", Int.MaxValue) === 3)
+    // non-ASCII comparands take the decode fallback, CHARACTER
+    // distance (not byte distance — é is 2 UTF-8 bytes, 1 edit)
+    assert(got("café", "cafe", 2) === 1)
+    assert(got("über", "uber", 2) === 1)
+    assert(got("naïve", "naïve", 0) === 0)
+    assert(got("日本語", "日本誤", 2) === 1)
+    // mixed: one ASCII, one not — buffers must not cross-contaminate
+    assert(got("resume", "résumé", 3) === 2)
   }
 
   test("the Column form agrees with the built-in threshold levenshtein in a plan") {

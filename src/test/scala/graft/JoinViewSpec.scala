@@ -100,6 +100,45 @@ class JoinViewSpec extends AnyFunSuite {
     assert(store.version("v") === vStable)
   }
 
+  test("composite key with a NULL field syncs through the typed-literal delta path") {
+    import spark.implicits._
+    val store = fresh()
+    // composite (ck, region) key; ck carries a NULL — lit() would have
+    // typed it NullType and leaned on IN-coercion; Literal.create
+    // types it from the changed-key schema
+    store.init("orders",
+      Seq((1, Some(10), "eu", "apple"), (2, None, "us", "pear"),
+        (3, Some(20), "eu", "fig"))
+        .toDF("oid", "ck", "region", "item"))
+    store.init("custs",
+      Seq((Some(10), "eu", "Ana"), (Some(20), "eu", "Bo"),
+        (None: Option[Int], "us", "Nil"))
+        .toDF("ck", "region", "name"))
+    def syncC(): Long = JoinView.sync(store, "vc", "orders", "custs",
+      joinKey = Seq("ck", "region"), aKey = Seq("oid"),
+      bKey = Seq("ck", "region"))
+    def fullC() = store.load("orders")
+      .join(store.load("custs"), Seq("ck", "region"))
+      .select("ck", "region", "item", "name").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    def viewC() = store.load("vc")
+      .select("ck", "region", "item", "name").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(syncC() === -1L)
+    assert(viewC() === fullC())
+    // touch a NON-null key and a null-keyed row in one delta: the IN
+    // predicate must carry both tuple literals without widening tricks
+    store.append("orders", Seq((4, Some(10), "eu", "kiwi"))
+      .toDF("oid", "ck", "region", "item"))
+    store.upsert("orders", Seq((2, None: Option[Int], "us", "plum"))
+      .toDF("oid", "ck", "region", "item"), Seq("oid"))
+    val n = syncC()
+    assert(n > 0L, s"expected a delta sync, got $n")
+    assert(viewC() === fullC())
+  }
+
   test("vacuumed cursor falls back to a full rebuild that still matches") {
     import spark.implicits._
     val store = fresh()
