@@ -339,12 +339,17 @@ class PlanSpec extends AnyFunSuite {
       s"x85 shuffles beyond doc/gram/doc/sort:\n$p")
   }
 
-  test("x73: the mined top-50 boilerplate list is TakeOrdered and broadcast into the probe") {
+  test("x73: mined list is cached metadata — probe is one scan, one explode, no join") {
+    // the top-50 boilerplate list is fingerprint-cached corpus
+    // metadata baked in as InSet literals (r12; the r11 plan re-mined
+    // per invocation: two scans + a broadcast join). The probe plan
+    // must show exactly one corpus pass and no join at all.
     val p = plan("x73_boilerplate_filter")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"mining does a global sort for top-50:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the 50-row mined list is not broadcast:\n$p")
+    assert(!p.contains("Join"), s"x73 re-grew the mined-list join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"x73 scans the corpus more than once:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x73 explodes more than once:\n$p")
   }
 
   test("x75: user filter pushed to the scan, one Window pass, no join") {
