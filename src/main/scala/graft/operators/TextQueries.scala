@@ -53,6 +53,23 @@ object TextQueries {
         .collect().map(_.getString(0)).toSeq
     }
 
+  /** Candidate docs' exact 8-token shingle STRINGS, re-pruned to the
+    * candidate hash set so the downstream distinct/join shuffles only
+    * matched shingles (∝ hits, never a candidate doc's whole
+    * vocabulary) — the collision-proof string-recheck stage shared by
+    * x36 (contamination audit) and x86 (decontamination transform). */
+  private def candidateShingles(s: SparkSession, d: String,
+      ids: DataFrame, candHashes: DataFrame): DataFrame =
+    table(s, d, "documents")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        explode(TextFns.shingles(col("ts"), 8)).as("g"))
+      .join(candHashes.withColumnRenamed("h", "__h"),
+        xxhash64(col("g")) === col("__h"), "left_semi")
+
   private def trigramProfile(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, Seq[String])] =
     StoredIndexes.versionedValue(profCache, d, "documents.parquet",
@@ -398,15 +415,7 @@ object TextQueries {
         // only matched shingles (∝ hits), never a candidate doc's
         // whole vocabulary
         def candShingles(ids: org.apache.spark.sql.DataFrame) =
-          table(s, d, "documents")
-            .join(ids, Seq("doc_id"), "left_semi")
-            .filter(col("text").isNotNull)
-            .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-            .filter(size(col("ts")) >= 8)
-            .select(col("doc_id"),
-              explode(TextFns.shingles(col("ts"), 8)).as("g"))
-            .join(candHashes.withColumnRenamed("h", "__h"),
-              xxhash64(col("g")) === col("__h"), "left_semi")
+          candidateShingles(s, d, ids, candHashes)
         val trainStr = candShingles(candTrainDocs)
           .select(col("g")).distinct()
         val contaminated = candShingles(candTestDocs)
@@ -1365,6 +1374,57 @@ object TextQueries {
           .filter(col("n_removed") > 0)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      }
+    },
+
+    // Eval DECONTAMINATION transform — the removal half of x36's
+    // audit, in the direction real pipelines apply it: the benchmark
+    // is immutable, so the TRAIN split is what gets cleaned — every
+    // train document sharing ≥1 exact 8-token shingle with any
+    // val/test document is dropped, and the output is the dropped-doc
+    // roster (the transform's diff; the kept corpus is its
+    // complement). Same scale machinery as x36: both sides probe the
+    // stored ex8h hash index (explode paid once, at build), hash
+    // candidates are re-verified against exact shingle STRINGS
+    // (64-bit-collision-proof; the recheck scans are semi-pruned to
+    // candidates, ∝ actual contamination), and nothing ever
+    // materializes a doc-pair.
+    Query("x86_decontaminate", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      "WITH b AS (SELECT doc_id, lang, text, " + bkt + " AS bkt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, lang, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "string_split(text, ' ') AS ts FROM b), " +
+        "sh AS (SELECT doc_id, lang, split, " + Sql.shingles("ts", 8) +
+        " AS s FROM sp WHERE len(ts) >= 8), " +
+        "ex AS (SELECT doc_id, split, unnest(s) AS g FROM sh), " +
+        "eg AS (SELECT DISTINCT g FROM ex WHERE split <> 'train'), " +
+        "dropped AS (SELECT DISTINCT doc_id FROM ex " +
+        "WHERE split = 'train' AND g IN (SELECT g FROM eg)) " +
+        "SELECT sh.doc_id, sh.lang FROM sh JOIN dropped " +
+        "ON sh.doc_id = dropped.doc_id ORDER BY sh.doc_id"
+    }) {
+      (s, d) => {
+        val ex = graft.operators.ShingleIndex.forDir(s, d).load("ex8h")
+        val evalG = ex.filter(col("split") =!= "train")
+          .select(col("h")).distinct()
+        val candRows = ex.filter(col("split") === "train")
+          .join(evalG, Seq("h"), "left_semi")
+        val candHashes = candRows.select(col("h")).distinct()
+        val candTrainDocs = candRows.select(col("doc_id")).distinct()
+        val candEvalDocs = ex.filter(col("split") =!= "train")
+          .join(candHashes, Seq("h"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val evalStr = candidateShingles(s, d, candEvalDocs, candHashes)
+          .select(col("g")).distinct()
+        val dropped = candidateShingles(s, d, candTrainDocs, candHashes)
+          .join(evalStr, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+        table(s, d, "documents")
+          .join(dropped, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       }
     })
