@@ -67,7 +67,12 @@ import org.apache.spark.sql.functions._
  */
 final class RestService(spark: SparkSession, store: TableStore,
     port: Int = 0, idGen: () => String = RestService.objectIdGen(),
-    analyticsDir: Option[String] = None) {
+    analyticsDir: Option[String] = None,
+    // must match the IngestionFlows(spanCleanN) the deployment runs:
+    // the GDPR document purge recomputes documents_clean and would
+    // otherwise silently flip the derived table to a different span
+    // length than the flow maintains
+    spanCleanN: Int = 5) {
 
   private val mapper = new ObjectMapper()
   private val lock = new Object
@@ -138,10 +143,15 @@ final class RestService(spark: SparkSession, store: TableStore,
       }
       // DELETE /subjects/documents/{doc_id} — corpus-document erasure
       // through the flow-derived stores (dedup decisions, cleaned
-      // corpus, ingest log) via Gdpr.purgeDocuments
+      // corpus, ingest log) via Gdpr.purgeDocuments. The guard is
+      // ASCII-digits + parseable: Character.isDigit alone admits
+      // non-ASCII digits and Long-overflow strings, turning a
+      // malformed id into a 500 (or a silent alias) instead of a 404
       case ("DELETE", List("subjects", "documents", id))
-          if id.forall(_.isDigit) && id.nonEmpty => lock.synchronized {
-        val n = graft.tables.Gdpr.purgeDocuments(store, Seq(id.toLong))
+          if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') &&
+            scala.util.Try(id.toLong).isSuccess => lock.synchronized {
+        val n = graft.tables.Gdpr.purgeDocuments(store, Seq(id.toLong),
+          spanCleanN)
         replyJson(ex, 200, s"""{"deleted_documents":$n}""")
       }
       case _ => reply(ex, 404, "Not Found")

@@ -63,13 +63,20 @@ object QualityOps {
     * recoverable via ORDER BY, NULL rules count as violations). */
   def auditPlan(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty, "no expectations declared")
+    // violation columns are aliased by rule INDEX, not rule name
+    // (col("_v_"+name) would parse a dotted rule name as nested-field
+    // access and fail analysis — audit()'s fieldIndex lookup treats
+    // names opaquely, and this path must too; the name only ever
+    // appears as a string literal in the output rows)
     df.agg(count(lit(1)).as("_n"),
-      rules.map(r => sum(when(r.holds, 0L).otherwise(1L))
-        .as(s"_v_${r.name}")): _*)
-      .select(explode(array(rules.map(r =>
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.holds, 0L).otherwise(1L)).as(s"_v_$i")
+      }: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
         struct(lit(r.name).as("rule"),
-          coalesce(col(s"_v_${r.name}"), lit(0L)).as("violations"),
-          col("_n").as("total"))): _*)).as("x"))
+          coalesce(col(s"_v_$i"), lit(0L)).as("violations"),
+          col("_n").as("total"))
+      }: _*)).as("x"))
       .select(col("x.rule"), col("x.violations"), col("x.total"))
   }
 

@@ -67,30 +67,54 @@ object Gdpr {
     * Like [[purgeSubject]], pre-purge snapshots remain time-travelable
     * until vacuum.
     *
+    * NOT atomic against a concurrently running documentIngestFlow
+    * batch — see [[verifyErasure]] for the purge → quiesce → verify
+    * loop an erasure SLA runs.
+    *
     * Returns the number of corpus rows erased. */
   def purgeDocuments(store: TableStore, docIds: Seq[Long],
       spanCleanN: Int = 5): Long = {
-    if (!store.exists("documents")) 0L
-    else {
-      val corpus = store.load("documents")
-      val n = store.deleteWhere("documents",
-        col("doc_id").isin(docIds: _*))
-      if (n > 0L) {
-        val spark = corpus.sparkSession
-        val remaining = store.load("documents")
-        if (store.exists("dedup_decisions"))
-          store.replace("dedup_decisions",
-            graft.operators.DedupQueries.quotientClusters(spark,
-              graft.operators.DedupQueries.simhashFpsOf(remaining)))
-        if (store.exists("documents_clean"))
-          store.replace("documents_clean",
-            graft.operators.SpanDedup.cleanedCorpus(remaining, spanCleanN))
-        if (store.exists("ingest_log"))
-          store.deleteWhere("ingest_log", col("doc_id").isin(docIds: _*))
-      }
-      n
+    val n =
+      if (!store.exists("documents")) 0L
+      else store.deleteWhere("documents", col("doc_id").isin(docIds: _*))
+    if (n > 0L) {
+      val remaining = store.load("documents")
+      val spark = remaining.sparkSession
+      if (store.exists("dedup_decisions"))
+        store.replace("dedup_decisions",
+          graft.operators.DedupQueries.quotientClusters(spark,
+            graft.operators.DedupQueries.simhashFpsOf(remaining)))
+      if (store.exists("documents_clean"))
+        store.replace("documents_clean",
+          graft.operators.SpanDedup.cleanedCorpus(remaining, spanCleanN))
     }
+    // the verdict-row prune is NOT gated on n: a QUALITY-REJECTED doc
+    // was never appended to the corpus (deleteWhere returns 0) yet its
+    // (admitted=false, reason='quality') log row is still a record
+    // about the subject's document and must go
+    if (store.exists("ingest_log"))
+      store.deleteWhere("ingest_log", col("doc_id").isin(docIds: _*))
+    n
   }
+
+  /** Post-purge verification: which of `docIds` are still referenced
+    * by the corpus or any flow-derived table. Empty = erasure is
+    * complete in the derived stores. This is the check an erasure SLA
+    * loop runs AFTER quiescing the ingest flows: [[purgeDocuments]]
+    * itself cannot be atomic against a concurrently running
+    * `documentIngestFlow` batch (the flow's derived-table recompute
+    * reads a corpus snapshot pinned at batch start, so a purge landing
+    * mid-batch can be overwritten by pre-purge state) — the remedy is
+    * purge → quiesce/await trigger → verify, re-purging on leftovers
+    * (idempotent). */
+  def verifyErasure(store: TableStore, docIds: Seq[Long]): Map[String, Long] =
+    Seq("documents", "dedup_decisions", "documents_clean", "ingest_log")
+      .filter(store.exists)
+      .map { t =>
+        t -> store.load(t).filter(col("doc_id").isin(docIds: _*)).count()
+      }
+      .filter(_._2 > 0L)
+      .toMap
 
   /** Erase `email` from the operational tables of `store`. Missing
     * tables are skipped (a young deployment may not have produced
@@ -125,8 +149,12 @@ object Gdpr {
         // loss of someone else's replayable quarantine row. Require
         // the char before/after the match (if any) to be outside the
         // email alphabet.
+        // (?iu), not (?i): bare CASE_INSENSITIVE is ASCII-only in Java
+        // regex — without UNICODE_CASE a quarantined "JOSÉ@X.COM"
+        // would survive a purge of josé@x.com while the lower()
+        // comparisons above (which do fold é/É) erased the other legs
         val boundary = "[^A-Za-z0-9._%+@-]"
-        val anchored = s"(?i)(^|$boundary)${java.util.regex.Pattern.quote(email)}($boundary|$$)"
+        val anchored = s"(?iu)(^|$boundary)${java.util.regex.Pattern.quote(email)}($boundary|$$)"
         store.deleteWhere("dead_letter", col("raw").rlike(anchored))
       }
     PurgeReport(redacted, notif, dead)

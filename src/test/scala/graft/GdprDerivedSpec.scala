@@ -72,8 +72,34 @@ class GdprDerivedSpec extends AnyFunSuite {
       .select("doc_id", "clean_text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(derived === fromScratch)
-    // idempotent
+    // idempotent, and verification reports nothing left behind
     assert(Gdpr.purgeDocuments(store, Seq(1L)) === 0L)
+    assert(Gdpr.verifyErasure(store, Seq(1L)) === Map.empty)
+  }
+
+  test("purging a quality-rejected doc erases its verdict row even though no corpus row exists") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-gdprq").toString
+    val store = new TableStore(spark, root)
+    // a restrictive gate: doc 3's two-token text fails the floor and
+    // never reaches the corpus — only its (admitted=false,'quality')
+    // log row exists
+    val flows = new IngestionFlows(spark, store, root,
+      quality = graft.streaming.IngestQuality(minTokens = 3))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((3L, "too short"),
+      (4L, "this document is long enough to pass the floor"))
+    val q = flows.documentIngestFlow(ms.toDS().toDF("doc_id", "text"))
+    q.processAllAvailable(); q.stop()
+    assert(store.load("documents").filter(col("doc_id") === 3L).isEmpty)
+    assert(store.load("ingest_log").filter(col("doc_id") === 3L)
+      .count() === 1L)
+    // the purge returns 0 corpus rows but MUST still drop the verdict
+    // row — it is a record about the subject's document
+    assert(Gdpr.purgeDocuments(store, Seq(3L)) === 0L)
+    assert(store.load("ingest_log").filter(col("doc_id") === 3L).isEmpty)
+    assert(Gdpr.verifyErasure(store, Seq(3L)) === Map.empty)
   }
 
   test("stored query indexes cannot surface purged content: fingerprint versioning forces rebuild") {

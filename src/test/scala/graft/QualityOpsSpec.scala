@@ -27,6 +27,28 @@ class QualityOpsSpec extends AnyFunSuite {
       ("status_not_null", 1L, 5L)))
   }
 
+  test("auditPlan equals audit — lazily, with dotted rule names, and on empty input") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), 10, "ok"), (Some(2), -5, "ok"), (None, 3, "bad"),
+      (Some(4), 200, null.asInstanceOf[String]), (Some(5), 7, "ok"))
+      .toDF("id", "qty", "status")
+    // dotted + duplicate-predicate rule names: the in-plan form must
+    // treat names as opaque strings (index-aliased columns), exactly
+    // like audit()'s fieldIndex lookup
+    val rules = Seq(
+      Expectation("id.not.null", col("id").isNotNull),
+      Expectation("qty_in_range", col("qty").between(0, 100)),
+      Expectation("qty.in.range.too", col("qty").between(0, 100)))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("rule")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(QualityOps.auditPlan(df, rules)) ===
+      rows(QualityOps.audit(df, rules)))
+    val empty = df.limit(0)
+    assert(rows(QualityOps.auditPlan(empty, rules)) ===
+      rows(QualityOps.audit(empty, rules)))
+  }
+
   test("null-valued predicates count as violations (three-valued logic pinned)") {
     import spark.implicits._
     // status = null makes (status = 'ok') NULL, not false; a naive

@@ -274,5 +274,9 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c2 === 200 && t2.contains("\"deleted_documents\":0"))
     val (c3, _) = http("DELETE", "/subjects/documents/nope")
     assert(c3 === 404)
+    // Long-overflow digits must 404, not 500 through toLong
+    val (c4, _) = http("DELETE",
+      "/subjects/documents/99999999999999999999")
+    assert(c4 === 404)
   }
 }
