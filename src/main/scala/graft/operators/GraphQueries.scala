@@ -32,19 +32,10 @@ import org.apache.spark.sql.functions._
  */
 object GraphQueries {
 
-  /** Broadcast-if-small guard: the customer/supplier key→nation
-    * projections grow linearly with the corpus, so an unconditional
-    * `broadcast()` hint (which OVERRIDES Spark's size checks) becomes
-    * an executor-OOM at 100×. This consults the optimizer's size
-    * estimate (parquet footer stats — driver-side metadata, no job)
-    * and only hints broadcast under the threshold; above it the plan
-    * falls back to a shuffle join, which AQE may still convert at
-    * runtime if the post-filter side turns out small. */
-  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
-      thresholdBytes: Long = 256L << 20): org.apache.spark.sql.DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= thresholdBytes)
-      broadcast(df)
-    else df
+  /** The customer/supplier key→nation projections grow linearly with
+    * the corpus — guard the hint (shared rationale: [[PlanGuards]]). */
+  private def broadcastIfSmall(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = PlanGuards.broadcastIfSmall(df)
 
   val all: Seq[Query] = Seq(
 

@@ -1427,5 +1427,125 @@ object TextQueries {
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       }
+    },
+
+    // Unigram-LM quality scoring — the statistical signal of CCNet's
+    // LM filter, corpus-intrinsic form: each doc's mean token
+    // log-probability under the STORED unigram model
+    // ([[UnigramLM]], built once per corpus version like the other
+    // indexes). A very negative doc_lp = rare-token-heavy (noise,
+    // codes, mojibake); near zero = stopword soup. Probe shape: one
+    // corpus explode + one token-keyed join against the O(vocabulary)
+    // freq table (size-guarded broadcast) + per-doc average. Per-doc
+    // and per-lang averages round (4 dp) so the ~200-addend double
+    // association-order difference between engines is absorbed.
+    Query("x87_unigram_lm",
+      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) " +
+        "AS token FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT token, ln(CAST(COUNT(*) AS DOUBLE) / " +
+        "(SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)) AS lp " +
+        "FROM tok GROUP BY token), " +
+        "dd AS (SELECT t.doc_id, any_value(t.lang) AS lang, " +
+        "round(AVG(f.lp), 4) AS doc_lp FROM tok t " +
+        "JOIN f ON t.token = f.token GROUP BY t.doc_id) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "round(AVG(doc_lp), 4) AS avg_lp, MIN(doc_lp) AS min_lp, " +
+        "MAX(doc_lp) AS max_lp, " +
+        "CAST(SUM(CASE WHEN doc_lp < -3.45 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_rare FROM dd GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val freq = UnigramLM.forDir(s, d).load("freq")
+        spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("token"))
+          .join(PlanGuards.broadcastIfSmall(freq), Seq("token"))
+          .groupBy("doc_id")
+          .agg(first("lang").as("lang"),
+            round(avg(col("lp")), 4).as("doc_lp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("doc_lp")), 4).as("avg_lp"),
+            min(col("doc_lp")).as("min_lp"),
+            max(col("doc_lp")).as("max_lp"),
+            sum(when(col("doc_lp") < -3.45, 1L).otherwise(0L))
+              .as("n_rare"))
+          .orderBy("lang")
+      }
+    },
+
+    // Importance-WEIGHTED deterministic sampling — quality-weighted
+    // corpus thinning (the keep-probability ∝ quality-score step of a
+    // data-mixing pipeline), with x35's salted-hash determinism: doc
+    // kept iff hash16(doc_id)/65536 < w, where w is x4's
+    // distinct-token ratio. Both sides of the comparison are IEEE
+    // doubles derived from exact integers, so keep decisions are
+    // bit-identical across engines — no sampling divergence to
+    // round away. One narrow scan + per-lang rollup.
+    Query("x88_weighted_sample", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))")
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts, " +
+        bkt + " AS bkt FROM documents WHERE text IS NOT NULL), " +
+        "v AS (SELECT doc_id, lang, bkt, " +
+        "CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS w FROM t), " +
+        "k AS (SELECT lang, w, " +
+        "(CAST(bkt AS DOUBLE) / 65536.0 < w) AS keep FROM v) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "round(AVG(w), 4) AS avg_w, " +
+        "round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS kept_rate " +
+        "FROM k GROUP BY lang ORDER BY lang"
+    }) {
+      (s, d) => {
+        val ts = TextFns.tokens(col("text"))
+        val w = size(array_distinct(ts)).cast("double") / size(ts)
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string"))
+        table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("lang"), w.as("w"),
+            (bkt.cast("double") / 65536.0 < w).as("keep"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            round(avg(col("w")), 4).as("avg_w"),
+            round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+              / count(lit(1)), 4).as("kept_rate"))
+          .orderBy("lang")
+      }
+    },
+
+    // Temperature-based corpus mixing — the multilingual sampling
+    // formula of mBERT/XLM-R (rate ∝ share^α, α=0.7): low-resource
+    // languages are up-weighted relative to their raw share. Pure
+    // per-lang arithmetic over one aggregate (languages are bounded,
+    // so the normalizing window over the 5-row aggregate is O(langs)
+    // at any corpus scale); pow's last-ulp differences round away.
+    Query("x89_temperature_mix",
+      "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents " +
+        "GROUP BY lang), " +
+        "t AS (SELECT lang, n, CAST(n AS DOUBLE) / " +
+        "(SELECT CAST(SUM(n) AS DOUBLE) FROM c) AS p FROM c), " +
+        "u AS (SELECT lang, n, p, pow(p, 0.7) AS pt FROM t) " +
+        "SELECT lang, CAST(n AS BIGINT) AS n_docs, " +
+        "round(p, 6) AS share, " +
+        "round(pt / (SELECT SUM(pt) FROM u), 6) AS temp_share, " +
+        "round(10000 * pt / (SELECT SUM(pt) FROM u), 2) AS expected_10k " +
+        "FROM u ORDER BY lang") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = Window.partitionBy()
+        table(s, d, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(all))
+          .withColumn("pt", pow(col("p"), 0.7))
+          .withColumn("z", sum(col("pt")).over(all))
+          .select(col("lang"), col("n").as("n_docs"),
+            round(col("p"), 6).as("share"),
+            round(col("pt") / col("z"), 6).as("temp_share"),
+            round(lit(10000) * col("pt") / col("z"), 2).as("expected_10k"))
+          .orderBy("lang")
+      }
     })
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.sources.Tables.table
+import graft.tables.TableStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Stored unigram language model over the `documents` corpus — the
+ * statistical-quality scoring table a CCNet/Dolma-style pipeline keeps
+ * next to its corpus (CCNet scores documents with a reference LM; the
+ * unigram self-model is the corpus-intrinsic version of the same
+ * signal): `freq(token, lp)` where `lp = ln(count / total_tokens)`.
+ *
+ * Same build-once lifecycle as the shingle/ANN indexes
+ * ([[StoredIndexes.versioned]]): built once per corpus version (cost
+ * in the bench `build` section), invalidated by any corpus rewrite —
+ * including a GDPR purge. The probe side (x87) is one corpus explode
+ * + one token-keyed join against this table + a per-doc average: the
+ * table is O(vocabulary) — Zipf-bounded, orders of magnitude smaller
+ * than the corpus — so at 100 TB the join side broadcasts or, above
+ * the guard, shuffles by token with map-side-combined probe partials.
+ */
+object UnigramLM {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
+
+  /** The stored model: table "freq" with (token string, lp double).
+    * Every corpus token has count >= 1, so self-scoring never sees an
+    * out-of-vocabulary token (external scoring would add smoothing —
+    * that constant lives with the caller). */
+  def forDir(spark: SparkSession, dir: String): TableStore =
+    StoredIndexes.versioned(cache, dir, "documents.parquet",
+      "graft-unigram-lm") { root =>
+      val store = new TableStore(spark, root)
+      val tok = table(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      // total = sum of per-token counts — derived from the aggregated
+      // vocabulary (one corpus pass total), not a second corpus scan
+      val total = counts.agg(sum(col("c"))).head.getLong(0)
+      store.replace("freq", counts
+        .select(col("token"),
+          log(col("c").cast("double") / total.toDouble).as("lp"))
+        .repartition(col("token")))
+      store
+    }
+}

@@ -352,6 +352,20 @@ class PlanSpec extends AnyFunSuite {
       s"x73 explodes more than once:\n$p")
   }
 
+  test("x87: probe explodes the corpus once and broadcast-joins the stored vocab table") {
+    // the unigram model is a STORED O(vocabulary) table — the probe
+    // must not re-derive it (one Generate total) and at fixture scale
+    // the size guard must hint it broadcast, never shuffling the
+    // token-granular probe side for the join
+    val p = plan("x87_unigram_lm")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x87 re-derives the vocabulary (extra explode):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"freq table not broadcast at fixture scale:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-granular probe side shuffled for the vocab join:\n$p")
+  }
+
   test("x75: user filter pushed to the scan, one Window pass, no join") {
     val p = plan("x75_range_frame")
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(user_id,100\\).*"),
