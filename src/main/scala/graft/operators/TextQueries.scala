@@ -1515,6 +1515,107 @@ object TextQueries {
       }
     },
 
+    // Bigram PMI mining — collocation extraction (Church & Hanks '90;
+    // the phrase-mining step of a tokenizer/vocab pipeline): top-20
+    // adjacent token pairs by pointwise mutual information,
+    // pmi = ln(c_ab/N_b) − ln(c_a/N_t) − ln(c_b/N_t), min count 5.
+    // Reuses the STORED unigram model for the marginals (its lp IS
+    // ln(c/N_t)) and its 1-row stats table for the bigram denominator
+    // (N_b = N_t − n_docs, since a doc of L tokens has L−1 bigrams) —
+    // a bounded metadata read, not a corpus-wide single-partition
+    // window. Plan: one bigram explode (the codegen 2-gram shingle),
+    // vocab-sized agg, two size-guarded broadcast joins against the
+    // stored freq table, TakeOrdered 20. The full (pmi, a, b) order
+    // makes the top-20 tie-proof.
+    Query("x90_pmi_bigrams",
+      "WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "tok AS (SELECT unnest(ts) AS token FROM t), " +
+        "nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM tok), " +
+        "f AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), " +
+        s"bg AS (SELECT unnest(${Sql.allShingles("ts", 2)}) AS g FROM t), " +
+        "nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bg), " +
+        "bc AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g " +
+        "HAVING COUNT(*) >= 5), " +
+        "p AS (SELECT bc.g, bc.c, " +
+        "ln(CAST(bc.c AS DOUBLE) / (SELECT v FROM nb)) " +
+        "- ln(CAST(fa.c AS DOUBLE) / (SELECT v FROM nt)) " +
+        "- ln(CAST(fb.c AS DOUBLE) / (SELECT v FROM nt)) AS pmi " +
+        "FROM bc JOIN f fa ON split_part(bc.g, ' ', 1) = fa.token " +
+        "JOIN f fb ON split_part(bc.g, ' ', 2) = fb.token) " +
+        "SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b, " +
+        "CAST(c AS BIGINT) AS c, round(pmi, 6) AS pmi FROM p " +
+        "ORDER BY round(pmi, 6) DESC, a, b LIMIT 20") {
+      (s, d) => {
+        val lm = UnigramLM.forDir(s, d)
+        val st = lm.load("stats").head
+        val nb =
+          (st.getAs[Long]("n_tokens") - st.getAs[Long]("n_docs")).toDouble
+        val freq = lm.load("freq")
+        val bc = spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(explode(
+            TextFns.allShingles(TextFns.tokens(col("text")), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .withColumn("a", substring_index(col("g"), " ", 1))
+          .withColumn("b", substring_index(col("g"), " ", -1))
+        bc.join(PlanGuards.broadcastIfSmall(
+            freq.select(col("token").as("a"), col("lp").as("lpa"))), Seq("a"))
+          .join(PlanGuards.broadcastIfSmall(
+            freq.select(col("token").as("b"), col("lp").as("lpb"))), Seq("b"))
+          .select(col("a"), col("b"), col("c"),
+            round(log(col("c").cast("double") / nb)
+              - col("lpa") - col("lpb"), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+          .limit(20)
+      }
+    },
+
+    // Corpus-overlap report — the dataset-governance number behind
+    // x36/x86: how much of the 8-shingle space do the train and eval
+    // (val∪test) sides actually share? Exact set sizes and Jaccard
+    // over distinct shingle STRINGS: one gram-keyed aggregate with
+    // per-side presence flags (map-side combined; no pair join, no
+    // doc×doc anything), then a single-row rollup.
+    Query("x92_split_overlap", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      "WITH b AS (SELECT doc_id, text, " + bkt + " AS bkt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT CASE WHEN bkt < 80 THEN 'train' ELSE 'eval' END " +
+        "AS side, string_split(text, ' ') AS ts FROM b), " +
+        s"sh AS (SELECT side, unnest(${Sql.shingles("ts", 8)}) AS g " +
+        "FROM sp WHERE len(ts) >= 8), " +
+        "f AS (SELECT g, MAX(CASE WHEN side = 'train' THEN 1 ELSE 0 END) " +
+        "AS it, MAX(CASE WHEN side = 'eval' THEN 1 ELSE 0 END) AS ie " +
+        "FROM sh GROUP BY g) " +
+        "SELECT CAST(SUM(it) AS BIGINT) AS n_train, " +
+        "CAST(SUM(ie) AS BIGINT) AS n_eval, " +
+        "CAST(SUM(it * ie) AS BIGINT) AS n_shared, " +
+        "round(CAST(SUM(it * ie) AS DOUBLE) / " +
+        "(SUM(it) + SUM(ie) - SUM(it * ie)), 6) AS jaccard FROM f"
+    }) {
+      (s, d) => {
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+        spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(when(bkt < 80, "train").otherwise("eval").as("side"),
+            TextFns.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("side"),
+            explode(TextFns.shingles(col("ts"), 8)).as("g"))
+          .groupBy("g")
+          .agg(max(when(col("side") === "train", 1).otherwise(0)).as("it"),
+            max(when(col("side") === "eval", 1).otherwise(0)).as("ie"))
+          .agg(sum(col("it")).as("n_train"),
+            sum(col("ie")).as("n_eval"),
+            sum(col("it") * col("ie")).as("n_shared"),
+            round(sum(col("it") * col("ie")).cast("double") /
+              (sum(col("it")) + sum(col("ie")) -
+                sum(col("it") * col("ie"))), 6).as("jaccard"))
+      }
+    },
+
     // Temperature-based corpus mixing — the multilingual sampling
     // formula of mBERT/XLM-R (rate ∝ share^α, α=0.7): low-resource
     // languages are up-weighted relative to their raw share. Pure

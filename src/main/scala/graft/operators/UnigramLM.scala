@@ -27,7 +27,8 @@ object UnigramLM {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
-  /** The stored model: table "freq" with (token string, lp double).
+  /** The stored model: table "freq" with (token string, c long,
+    * lp double) plus the 1-row "stats" table (n_tokens, n_docs).
     * Every corpus token has count >= 1, so self-scoring never sees an
     * out-of-vocabulary token (external scoring would add smoothing —
     * that constant lives with the caller). */
@@ -43,9 +44,18 @@ object UnigramLM {
       // vocabulary (one corpus pass total), not a second corpus scan
       val total = counts.agg(sum(col("c"))).head.getLong(0)
       store.replace("freq", counts
-        .select(col("token"),
+        .select(col("token"), col("c"),
           log(col("c").cast("double") / total.toDouble).as("lp"))
         .repartition(col("token")))
+      // 1-row corpus stats next to the model: probes that need scalar
+      // totals (x90's bigram denominator) read THIS — a bounded
+      // metadata read, like the IVF centroid table — instead of
+      // re-deriving them with a corpus-wide single-partition window
+      import spark.implicits._
+      val nDocs = table(spark, dir, "documents")
+        .filter(col("text").isNotNull).count()
+      store.replace("stats",
+        Seq((total, nDocs)).toDF("n_tokens", "n_docs"))
       store
     }
 }

@@ -432,5 +432,58 @@ object VectorQueries {
               .as("adc_dist"))
           .orderBy(col("adc_dist"), col("vec_id")).limit(10)
       }
+    },
+
+    // Embedding-distribution DRIFT between two corpus snapshots — the
+    // vector-side sibling of QualityOps.drift: per label, the L2
+    // shift between the two snapshots' centroids (here the snapshots
+    // are the deterministic vec_id-parity halves, so the oracle
+    // replays exactly; production points the two sides at
+    // TableStore.loadVersion snapshots). Shape: ONE dimension explode
+    // → (label, pos) aggregate with per-half conditional means (no
+    // self-join — the x72 lesson; a join of two filtered copies would
+    // recompute the explode twice) → per-label sum of squared deltas.
+    // Labels×dims is bounded, the explode is the only corpus-scale
+    // stage, and the aggregate map-side combines.
+    Query("x91_embedding_drift",
+      "WITH e AS (SELECT vec_id, label, vec_id % 2 AS half, embedding " +
+        "FROM embeddings), " +
+        "u AS (SELECT label, half, unnest(range(len(embedding))) AS pos, " +
+        "unnest(embedding) AS v FROM e), " +
+        "cp AS (SELECT label, pos, " +
+        "AVG(CASE WHEN half = 0 THEN CAST(v AS DOUBLE) END) AS m0, " +
+        "AVG(CASE WHEN half = 1 THEN CAST(v AS DOUBLE) END) AS m1 " +
+        "FROM u GROUP BY label, pos), " +
+        "s AS (SELECT label, sqrt(SUM((m0 - m1) * (m0 - m1))) AS shift " +
+        "FROM cp GROUP BY label), " +
+        "n AS (SELECT label, " +
+        "CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 " +
+        "FROM e GROUP BY label) " +
+        "SELECT n.label, n.n0, n.n1, round(s.shift, 6) AS shift " +
+        "FROM n JOIN s ON n.label = s.label WHERE s.shift IS NOT NULL " +
+        "ORDER BY n.label") {
+      (s, d) => {
+        val e = emb(s, d).select(col("label"),
+          (col("vec_id") % 2).as("half"), col("embedding"))
+        val cp = e
+          .select(col("label"), col("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(
+            avg(when(col("half") === 0, col("v").cast("double"))).as("m0"),
+            avg(when(col("half") === 1, col("v").cast("double"))).as("m1"))
+        val shift = cp.groupBy("label")
+          .agg(sqrt(sum((col("m0") - col("m1")) * (col("m0") - col("m1"))))
+            .as("shift"))
+          .filter(col("shift").isNotNull)
+        e.groupBy("label")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+          .join(shift, Seq("label"))
+          .select(col("label"), col("n0"), col("n1"),
+            round(col("shift"), 6).as("shift"))
+          .orderBy("label")
+      }
     })
 }

@@ -366,6 +366,17 @@ class PlanSpec extends AnyFunSuite {
       s"token-granular probe side shuffled for the vocab join:\n$p")
   }
 
+  test("x91: drift centroids come from ONE dimension explode (conditional means, no self-join)") {
+    // a join of two half-filtered copies of the exploded frame would
+    // recompute the corpus-scale explode twice; the conditional-mean
+    // aggregate keeps it to exactly one Generate
+    val p = plan("x91_embedding_drift")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x91 explodes the embedding dimensions more than once:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("x75: user filter pushed to the scan, one Window pass, no join") {
     val p = plan("x75_range_frame")
     assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(user_id,100\\).*"),
