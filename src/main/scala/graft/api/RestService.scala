@@ -40,6 +40,7 @@ import org.apache.spark.sql.functions._
  *   GET /tables/{t}/drift?from=&to=     column-profile diff (data card)
  *   DELETE /subjects/{email}            GDPR data-subject erasure
  *   DELETE /subjects/documents/{id}     GDPR corpus-doc erasure (incl. derived stores)
+ *   GET /subjects/documents/{id}/verify erasure-completeness check (residual refs)
  *
  * JSON field names and error texts follow the Go structs' marshal
  * output (contratos/contratos.go:7-37 — `Inventario.Disponible`,
@@ -154,6 +155,19 @@ final class RestService(spark: SparkSession, store: TableStore,
           spanCleanN)
         replyJson(ex, 200, s"""{"deleted_documents":$n}""")
       }
+      // GET /subjects/documents/{id}/verify — the second half of the
+      // erasure SLA loop (purge → quiesce flows → verify): which
+      // stores still reference the doc. Empty residual = erasure
+      // complete in corpus AND derived tables.
+      case ("GET", List("subjects", "documents", id, "verify"))
+          if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') &&
+            scala.util.Try(id.toLong).isSuccess =>
+        val residual = graft.tables.Gdpr.verifyErasure(store, Seq(id.toLong))
+        val body = residual.toSeq.sortBy(_._1)
+          .map { case (t, n) => "\"" + t + "\":" + n }
+          .mkString("{", ",", "}")
+        replyJson(ex, 200,
+          s"""{"erased":${residual.isEmpty},"residual":$body}""")
       case _ => reply(ex, 404, "Not Found")
     }
 

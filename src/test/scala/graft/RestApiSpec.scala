@@ -278,5 +278,12 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (c4, _) = http("DELETE",
       "/subjects/documents/99999999999999999999")
     assert(c4 === 404)
+    // the SLA verify leg: purged doc reports erased, live doc reports
+    // its residual references
+    val (cv, tv) = http("GET", "/subjects/documents/100/verify")
+    assert(cv === 200 && tv.contains("\"erased\":true"))
+    val (cv2, tv2) = http("GET", "/subjects/documents/101/verify")
+    assert(cv2 === 200 && tv2.contains("\"erased\":false") &&
+      tv2.contains("\"documents\":1"))
   }
 }
