@@ -128,6 +128,16 @@ final class RestService(spark: SparkSession, store: TableStore,
       case _ => reply(ex, 404, "Not Found")
     }
 
+  /** Doc-id path-segment extractor: ASCII digits only (Character
+    * .isDigit admits non-ASCII digit aliases) and Long-parseable
+    * (overflow digits must 404, not 500 through toLong). */
+  private object DocId {
+    def unapply(id: String): Option[Long] =
+      if (id.nonEmpty && id.forall(c => c >= '0' && c <= '9'))
+        scala.util.Try(id.toLong).toOption
+      else None
+  }
+
   /** DELETE /subjects/{email} — data-subject erasure (GDPR art. 17)
     * over the operational tables, the [[graft.tables.Gdpr]] purge
     * behind the same writer lock every other mutation takes. Returns
@@ -148,21 +158,18 @@ final class RestService(spark: SparkSession, store: TableStore,
       // ASCII-digits + parseable: Character.isDigit alone admits
       // non-ASCII digits and Long-overflow strings, turning a
       // malformed id into a 500 (or a silent alias) instead of a 404
-      case ("DELETE", List("subjects", "documents", id))
-          if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') &&
-            scala.util.Try(id.toLong).isSuccess => lock.synchronized {
-        val n = graft.tables.Gdpr.purgeDocuments(store, Seq(id.toLong),
-          spanCleanN)
-        replyJson(ex, 200, s"""{"deleted_documents":$n}""")
-      }
+      case ("DELETE", List("subjects", "documents", DocId(docId))) =>
+        lock.synchronized {
+          val n = graft.tables.Gdpr.purgeDocuments(store, Seq(docId),
+            spanCleanN)
+          replyJson(ex, 200, s"""{"deleted_documents":$n}""")
+        }
       // GET /subjects/documents/{id}/verify — the second half of the
       // erasure SLA loop (purge → quiesce flows → verify): which
       // stores still reference the doc. Empty residual = erasure
       // complete in corpus AND derived tables.
-      case ("GET", List("subjects", "documents", id, "verify"))
-          if id.nonEmpty && id.forall(c => c >= '0' && c <= '9') &&
-            scala.util.Try(id.toLong).isSuccess =>
-        val residual = graft.tables.Gdpr.verifyErasure(store, Seq(id.toLong))
+      case ("GET", List("subjects", "documents", DocId(docId), "verify")) =>
+        val residual = graft.tables.Gdpr.verifyErasure(store, Seq(docId))
         val body = residual.toSeq.sortBy(_._1)
           .map { case (t, n) => "\"" + t + "\":" + n }
           .mkString("{", ",", "}")

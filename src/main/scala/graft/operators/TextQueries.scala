@@ -1501,7 +1501,7 @@ object TextQueries {
         val ts = TextFns.tokens(col("text"))
         val w = size(array_distinct(ts)).cast("double") / size(ts)
         val bkt = TextFns.md5Bits16(col("doc_id").cast("string"))
-        table(s, d, "documents")
+        spreadScan(s, table(s, d, "documents"))
           .filter(col("text").isNotNull)
           .select(col("lang"), w.as("w"),
             (bkt.cast("double") / 65536.0 < w).as("keep"))

@@ -41,8 +41,12 @@ object UnigramLM {
         .select(explode(TextFns.tokens(col("text"))).as("token"))
       val counts = tok.groupBy("token").agg(count(lit(1)).as("c"))
       // total = sum of per-token counts — derived from the aggregated
-      // vocabulary (one corpus pass total), not a second corpus scan
-      val total = counts.agg(sum(col("c"))).head.getLong(0)
+      // vocabulary (one corpus pass total), not a second corpus scan.
+      // coalesce: sum over ZERO rows is NULL — an empty/all-null-text
+      // corpus (fully-purged is a reachable state) must build an empty
+      // model, not NPE at getLong
+      val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
+        .head.getLong(0)
       store.replace("freq", counts
         .select(col("token"), col("c"),
           log(col("c").cast("double") / total.toDouble).as("lp"))

@@ -77,7 +77,18 @@ object Gdpr {
     val n =
       if (!store.exists("documents")) 0L
       else store.deleteWhere("documents", col("doc_id").isin(docIds: _*))
-    if (n > 0L) {
+    // recompute the derived tables when the corpus changed — OR when a
+    // derived table still references the ids even though the corpus
+    // rows are already gone. The latter is the race-remedy path: a
+    // purge landing mid ingest-batch can be overwritten by the flow's
+    // pre-purge-snapshot recompute, and the documented fix is an
+    // idempotent RE-purge — which deletes 0 corpus rows, so a purely
+    // n-gated recompute would never clear the residuals and the
+    // purge → quiesce → verify loop could not converge.
+    val residual = n == 0L && Seq("dedup_decisions", "documents_clean")
+      .exists(t => store.exists(t) &&
+        !store.load(t).filter(col("doc_id").isin(docIds: _*)).isEmpty)
+    if ((n > 0L || residual) && store.exists("documents")) {
       val remaining = store.load("documents")
       val spark = remaining.sparkSession
       if (store.exists("dedup_decisions"))
@@ -87,6 +98,12 @@ object Gdpr {
       if (store.exists("documents_clean"))
         store.replace("documents_clean",
           graft.operators.SpanDedup.cleanedCorpus(remaining, spanCleanN))
+    } else if (residual) {
+      // no corpus table to recompute from: prune the rows directly
+      Seq("dedup_decisions", "documents_clean").foreach { t =>
+        if (store.exists(t))
+          store.deleteWhere(t, col("doc_id").isin(docIds: _*))
+      }
     }
     // the verdict-row prune is NOT gated on n: a QUALITY-REJECTED doc
     // was never appended to the corpus (deleteWhere returns 0) yet its

@@ -102,6 +102,49 @@ class GdprDerivedSpec extends AnyFunSuite {
     assert(Gdpr.verifyErasure(store, Seq(3L)) === Map.empty)
   }
 
+  test("re-purge clears stale derived rows even when the corpus rows are already gone") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-gdprrace").toString
+    val store = new TableStore(spark, root)
+    store.init("documents",
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (9L, "prefix alpha beta gamma delta epsilon suffix"))
+        .toDF("doc_id", "text"))
+    store.replace("documents_clean",
+      SpanDedup.cleanedCorpus(store.load("documents"), 5))
+    assert(Gdpr.purgeDocuments(store, Seq(1L)) === 1L)
+    assert(Gdpr.verifyErasure(store, Seq(1L)) === Map.empty)
+    // simulate the documented race: an in-flight ingest batch pinned a
+    // pre-purge snapshot and overwrote the derived table with it
+    store.replace("documents_clean",
+      Seq((1L, "stale lang", 6L, 0L, "alpha beta gamma delta epsilon zeta"),
+        (9L, "stale lang", 7L, 5L, "prefix suffix"))
+        .toDF("doc_id", "lang", "n_tokens", "n_removed", "clean_text"))
+    assert(Gdpr.verifyErasure(store, Seq(1L)) === Map("documents_clean" -> 1L))
+    // the remedy loop: an idempotent RE-purge (0 corpus rows deleted)
+    // must still converge the derived stores
+    assert(Gdpr.purgeDocuments(store, Seq(1L)) === 0L)
+    assert(Gdpr.verifyErasure(store, Seq(1L)) === Map.empty)
+    // and the recompute restored doc 9's true post-purge clean state
+    val c9 = store.load("documents_clean").filter(col("doc_id") === 9L)
+      .select("n_removed").head.getLong(0)
+    assert(c9 === 0L, "doc 9 should own its spans once doc 1 is purged")
+  }
+
+  test("unigram LM builds an empty model on a fully-purged corpus instead of crashing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lmempty").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val lm = graft.operators.UnigramLM.forDir(spark, dir)
+    assert(lm.load("freq").isEmpty)
+    assert(lm.load("stats").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 0L)))
+    // the probing queries return empty, not an error
+    assert(SparkEntry.queries("x87_unigram_lm")(spark, dir).isEmpty)
+    assert(SparkEntry.queries("x90_pmi_bigrams")(spark, dir).isEmpty)
+  }
+
   test("stored query indexes cannot surface purged content: fingerprint versioning forces rebuild") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-gdpridx").toString
