@@ -1616,6 +1616,116 @@ object TextQueries {
       }
     },
 
+    // Bigram-LM doc scoring — the conditional (word-order-aware) twin
+    // of x87's unigram score, i.e. the signal of a KenLM-style
+    // perplexity filter in corpus-intrinsic form: per doc, the mean
+    // ln p(w_i | w_{i-1}) = ln(c_bigram / c_first) under the STORED
+    // model (self-scoring, so every bigram exists — no backoff
+    // branch). A doc can score HIGH on x87 (common words) yet low
+    // here (scrambled order) — exactly what the bigram view adds.
+    // Probe: one bigram explode + two size-guarded broadcast joins
+    // (bifreq by pair, freq by first token) + per-doc average.
+    Query("x93_bigram_lm",
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"bg AS (SELECT doc_id, lang, unnest(${Sql.allShingles("ts", 2)}) " +
+        "AS g FROM t), " +
+        "bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cab FROM bg " +
+        "GROUP BY g), " +
+        "tok AS (SELECT unnest(ts) AS token FROM t), " +
+        "uc AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS ca FROM tok " +
+        "GROUP BY token), " +
+        "dd AS (SELECT bg.doc_id, any_value(bg.lang) AS lang, " +
+        "round(AVG(ln(bc.cab / uc.ca)), 4) AS doc_blp FROM bg " +
+        "JOIN bc ON bg.g = bc.g " +
+        "JOIN uc ON split_part(bg.g, ' ', 1) = uc.token " +
+        "GROUP BY bg.doc_id) " +
+        "SELECT lang, COUNT(*) AS n_docs, round(AVG(doc_blp), 4) " +
+        "AS avg_blp, MIN(doc_blp) AS min_blp, MAX(doc_blp) AS max_blp " +
+        "FROM dd GROUP BY lang ORDER BY lang") {
+      (s, d) => {
+        val lm = UnigramLM.forDir(s, d)
+        val bi = PlanGuards.broadcastIfSmall(lm.load("bifreq")
+          .select(col("g"), col("c").cast("double").as("cab")))
+        val uni = PlanGuards.broadcastIfSmall(lm.load("freq")
+          .select(col("token").as("a"), col("c").cast("double").as("ca")))
+        spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"), explode(
+            TextFns.allShingles(TextFns.tokens(col("text")), 2)).as("g"))
+          .withColumn("a", substring_index(col("g"), " ", 1))
+          .join(bi, Seq("g"))
+          .join(uni, Seq("a"))
+          .groupBy("doc_id")
+          .agg(first("lang").as("lang"),
+            round(avg(log(col("cab") / col("ca"))), 4).as("doc_blp"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("doc_blp")), 4).as("avg_blp"),
+            min(col("doc_blp")).as("min_blp"),
+            max(col("doc_blp")).as("max_blp"))
+          .orderBy("lang")
+      }
+    },
+
+    // BM25 retrieval — the lexical ranking function (Robertson/
+    // Walker '94, the Lucene/Elasticsearch default) the corpus's ANN
+    // queries (x11/x20) lack a lexical counterpart for: top-10 docs
+    // for a fixed 3-term query, k1=1.2, b=0.75, Lucene's
+    // ln((N−df+0.5)/(df+0.5)+1) idf. Shape: the explode filters to
+    // the query terms IMMEDIATELY (an InSet of 3 literals — the
+    // frame is O(matching occurrences), never the corpus vocabulary),
+    // per-(doc,term) tf carries the doc length, df is a window COUNT
+    // over the tiny tf frame (one pass — no second reference to the
+    // explode), and the corpus-level N/avglen ride in as a 1-row
+    // broadcast (x61's in-plan pattern). Scores round before ranking
+    // with a doc_id tie-break, so the top-10 is tie-proof.
+    Query("x94_bm25",
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "st AS (SELECT CAST(AVG(len(ts)) AS DOUBLE) AS avglen, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM t), " +
+        "q AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM t), " +
+        "tf AS (SELECT doc_id, token, any_value(dl) AS dl, " +
+        "CAST(COUNT(*) AS DOUBLE) AS tf FROM q " +
+        "WHERE token IN ('hash', 'join', 'filter') GROUP BY doc_id, token), " +
+        "wdf AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) " +
+        "AS DOUBLE) AS df FROM tf), " +
+        "sc AS (SELECT doc_id, SUM(ln((st.n - df + 0.5) / (df + 0.5) + 1) " +
+        "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / st.avglen))) AS sco " +
+        "FROM wdf CROSS JOIN st GROUP BY doc_id) " +
+        "SELECT doc_id, round(sco, 6) AS score FROM sc " +
+        "ORDER BY round(sco, 6) DESC, doc_id LIMIT 10") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("hash", "join", "filter")
+        val t = spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        val st = t.agg(avg(size(col("ts"))).cast("double").as("avglen"),
+          count(lit(1)).cast("double").as("n"))
+        val tf = t
+          .select(col("doc_id"), size(col("ts")).as("dl"),
+            explode(col("ts")).as("token"))
+          .filter(col("token").isin(terms: _*))
+          .groupBy("doc_id", "token")
+          .agg(first("dl").as("dl"),
+            count(lit(1)).cast("double").as("tf"))
+        tf.withColumn("df",
+            count(lit(1)).over(Window.partitionBy("token")).cast("double"))
+          .crossJoin(broadcast(st))
+          .groupBy("doc_id")
+          .agg(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * 2.2 /
+            (col("tf") +
+              (lit(0.25) + col("dl") * 0.75 / col("avglen")) * 1.2))
+            .as("sco"))
+          .select(col("doc_id"), round(col("sco"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }
+    },
+
     // Temperature-based corpus mixing — the multilingual sampling
     // formula of mBERT/XLM-R (rate ∝ share^α, α=0.7): low-resource
     // languages are up-weighted relative to their raw share. Pure

@@ -27,8 +27,9 @@ object UnigramLM {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
-  /** The stored model: table "freq" with (token string, c long,
-    * lp double) plus the 1-row "stats" table (n_tokens, n_docs).
+  /** The stored model: table "freq" (token, c, lp), table "bifreq"
+    * (g = adjacent pair, c) and the 1-row "stats" table (n_tokens,
+    * n_docs).
     * Every corpus token has count >= 1, so self-scoring never sees an
     * out-of-vocabulary token (external scoring would add smoothing —
     * that constant lives with the caller). */
@@ -51,6 +52,15 @@ object UnigramLM {
         .select(col("token"), col("c"),
           log(col("c").cast("double") / total.toDouble).as("lp"))
         .repartition(col("token")))
+      // adjacent-bigram counts next to the unigram table — the
+      // conditional-probability side of the model (x93's bigram LM
+      // scoring); same one-explode-at-build amortization
+      store.replace("bifreq", table(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(
+          TextFns.allShingles(TextFns.tokens(col("text")), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .repartition(col("g")))
       // 1-row corpus stats next to the model: probes that need scalar
       // totals (x90's bigram denominator) read THIS — a bounded
       // metadata read, like the IVF centroid table — instead of
