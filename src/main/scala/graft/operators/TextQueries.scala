@@ -1699,12 +1699,19 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val terms = Seq("hash", "join", "filter")
-        val t = spreadScan(s, table(s, d, "documents"))
+        // N and avglen come from the stored model's 1-row stats table
+        // (avglen = n_tokens/n_docs is bit-identical to AVG(len): the
+        // AVG's integer sum is exact in a double, so sum/count IS this
+        // division) — not from a second corpus scan+tokenize, whose
+        // cost would dominate the O(3-term occurrences) frame this
+        // query is designed around
+        val st = broadcast(UnigramLM.forDir(s, d).load("stats")
+          .select(
+            (col("n_tokens").cast("double") / col("n_docs")).as("avglen"),
+            col("n_docs").cast("double").as("n")))
+        val tf = spreadScan(s, table(s, d, "documents"))
           .filter(col("text").isNotNull)
           .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-        val st = t.agg(avg(size(col("ts"))).cast("double").as("avglen"),
-          count(lit(1)).cast("double").as("n"))
-        val tf = t
           .select(col("doc_id"), size(col("ts")).as("dl"),
             explode(col("ts")).as("token"))
           .filter(col("token").isin(terms: _*))

@@ -37,39 +37,44 @@ object UnigramLM {
     StoredIndexes.versioned(cache, dir, "documents.parquet",
       "graft-unigram-lm") { root =>
       val store = new TableStore(spark, root)
-      val tok = table(spark, dir, "documents")
+      // the tokenized projection is cached for the BUILD's duration:
+      // the unigram explode, the bigram explode and the doc count all
+      // read it, so the corpus is scanned and tokenized exactly once
+      // (build-path-only persist — query builders never cache)
+      val toks = table(spark, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(explode(TextFns.tokens(col("text"))).as("token"))
-      val counts = tok.groupBy("token").agg(count(lit(1)).as("c"))
-      // total = sum of per-token counts — derived from the aggregated
-      // vocabulary (one corpus pass total), not a second corpus scan.
-      // coalesce: sum over ZERO rows is NULL — an empty/all-null-text
-      // corpus (fully-purged is a reachable state) must build an empty
-      // model, not NPE at getLong
-      val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
-        .head.getLong(0)
-      store.replace("freq", counts
-        .select(col("token"), col("c"),
-          log(col("c").cast("double") / total.toDouble).as("lp"))
-        .repartition(col("token")))
-      // adjacent-bigram counts next to the unigram table — the
-      // conditional-probability side of the model (x93's bigram LM
-      // scoring); same one-explode-at-build amortization
-      store.replace("bifreq", table(spark, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(explode(
-          TextFns.allShingles(TextFns.tokens(col("text")), 2)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
-        .repartition(col("g")))
-      // 1-row corpus stats next to the model: probes that need scalar
-      // totals (x90's bigram denominator) read THIS — a bounded
-      // metadata read, like the IVF centroid table — instead of
-      // re-deriving them with a corpus-wide single-partition window
-      import spark.implicits._
-      val nDocs = table(spark, dir, "documents")
-        .filter(col("text").isNotNull).count()
-      store.replace("stats",
-        Seq((total, nDocs)).toDF("n_tokens", "n_docs"))
+        .select(TextFns.tokens(col("text")).as("ts"))
+        .persist()
+      try {
+        val counts = toks.select(explode(col("ts")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        // total = sum of per-token counts — derived from the
+        // aggregated vocabulary, not another corpus pass. coalesce:
+        // sum over ZERO rows is NULL — an empty/all-null-text corpus
+        // (fully-purged is a reachable state) must build an empty
+        // model, not NPE at getLong
+        val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
+          .head.getLong(0)
+        store.replace("freq", counts
+          .select(col("token"), col("c"),
+            log(col("c").cast("double") / total.toDouble).as("lp"))
+          .repartition(col("token")))
+        // adjacent-bigram counts — the conditional-probability side of
+        // the model (x93's bigram LM scoring)
+        store.replace("bifreq", toks
+          .select(explode(TextFns.allShingles(col("ts"), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+          .repartition(col("g")))
+        // 1-row corpus stats next to the model: probes that need
+        // scalar totals (x90's bigram denominator, x94's N/avglen)
+        // read THIS — a bounded metadata read, like the IVF centroid
+        // table — instead of re-deriving them with a corpus scan or a
+        // corpus-wide single-partition window
+        import spark.implicits._
+        val nDocs = toks.count()
+        store.replace("stats",
+          Seq((total, nDocs)).toDF("n_tokens", "n_docs"))
+      } finally { toks.unpersist(); () }
       store
     }
 }

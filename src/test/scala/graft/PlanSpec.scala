@@ -75,7 +75,8 @@ class PlanSpec extends AnyFunSuite {
     val intended = Set("q23_knn", "x9_knn_cosine", "x11_ann_lsh",
       "x20_ann_ivf", "x47_colloc_lift",
       "x61_tfidf", // 1-row corpus-count broadcast into the score
-      "x83_triangles") // 1-row edges × 1-row triangles combine
+      "x83_triangles", // 1-row edges × 1-row triangles combine
+      "x94_bm25") // 1-row stored-stats (N, avglen) broadcast
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -375,6 +376,30 @@ class PlanSpec extends AnyFunSuite {
       s"x91 explodes the embedding dimensions more than once:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
+  test("x93: bigram probe is one explode + broadcast model joins") {
+    val p = plan("x93_bigram_lm")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x93 re-derives the bigram model (extra explode):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stored model tables not broadcast at fixture scale:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram-granular probe side shuffled for a model join:\n$p")
+  }
+
+  test("x94: BM25 filters to the query terms at the explode and derives df without a second pass") {
+    // the tf frame is O(matching occurrences): the InSet predicate
+    // must sit directly on the exploded tokens (one Generate), and df
+    // must come from a window over that tiny frame — a join back to a
+    // distinct-count side would reference (and recompute) the explode
+    // twice
+    val p = plan("x94_bm25")
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"x94 explodes more than once:\n$p")
+    assert(p.contains("Window"), s"df not derived via window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x94 shuffle-joins where only broadcasts belong:\n$p")
   }
 
   test("x75: user filter pushed to the scan, one Window pass, no join") {
