@@ -27,10 +27,22 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
  * cost nothing per batch until their deadlines arrive.
  *
  * Delivery semantics match the reference's consumers (at-least-once +
- * idempotence): a redelivered hold re-arms the same deadline; a
- * confirm after expiry finds no state and is a no-op; the downstream
- * seat return anti-joins the `expired_holds` table so a replayed
- * batch cannot double-return.
+ * idempotence, `inventario/main.go:91-93`):
+ *  - a redelivered hold re-arms the same ts-derived deadline (no-op);
+ *  - EVERY settle leaves a tombstone (state sentinel, reclaimed by an
+ *    event-time cleanup timer — TTL state is processing-time-only and
+ *    unavailable in EventTime mode), so a hold arriving AFTER its
+ *    settle — out-of-order within the watermark delay, or a
+ *    redelivered duplicate — is dropped instead of re-arming a
+ *    settled reservation;
+ *  - a hold and its settle carrying the SAME timestamp apply
+ *    hold-first (explicit kind-priority tiebreak — a stable sort on
+ *    ts alone would keep nondeterministic arrival order);
+ *  - unknown kinds are DROPPED, never treated as settles (a typo'd
+ *    kind must not silently clear a live hold);
+ *  - the downstream seat return applies the inventario effect BEFORE
+ *    recording the dedup key (consumerFlow's order): a crash between
+ *    the two replays at-least-once rather than losing the return.
  */
 object HoldExpiry {
 
@@ -41,11 +53,13 @@ object HoldExpiry {
   final case class Expired(id: String, evento: String, cantidad: Int)
 
   // public: the state encoder's generated projection code accesses
-  // the fields reflectively from Janino-compiled classes, which
-  // cannot see a private member
+  // the fields from Janino-compiled classes, which cannot see a
+  // private member. deadline == SettledSentinel marks a tombstone.
   final case class Hold(evento: String, cantidad: Int, deadline: Long)
 
-  final class Processor(timeoutMs: Long)
+  private val SettledSentinel = -1L
+
+  final class Processor(timeoutMs: Long, tombstoneWindowMs: Long)
       extends StatefulProcessor[String, HoldEvent, Expired] {
     @transient private var hold: org.apache.spark.sql.streaming.ValueState[Hold] = _
 
@@ -53,27 +67,52 @@ object HoldExpiry {
       hold = getHandle.getValueState[Hold]("hold",
         Encoders.product[Hold], TTLConfig.NONE)
 
+    // same-ts tiebreak: the hold applies before its settle
+    private def rank(kind: String): Int = kind match {
+      case "hold" => 0
+      case "confirm" | "cancel" => 1
+      case _ => 2
+    }
+
+    private def tombstone(settleTs: Long): Unit = {
+      hold.update(Hold("", 0, SettledSentinel))
+      // reclaimed by an event-time cleanup timer: a late/redelivered
+      // hold can only trail its settle by the watermark delay, far
+      // inside the tombstone window
+      getHandle.registerTimer(settleTs + tombstoneWindowMs)
+    }
+
     override def handleInputRows(key: String, rows: Iterator[HoldEvent],
         timerValues: TimerValues): Iterator[Expired] = {
-      // a micro-batch can carry a hold AND its settle; apply in event
-      // order so the outcome does not depend on partition order
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      // a micro-batch can carry a hold AND its settle; apply in
+      // (event-time, kind) order so the outcome does not depend on
+      // partition/arrival order even at equal timestamps
+      rows.toSeq.sortBy(e => (e.ts.getTime, rank(e.kind))).foreach { e =>
         e.kind match {
           case "hold" =>
-            // redelivery re-arms the SAME deadline (idempotent): the
-            // deadline derives from the event's own ts, not arrival
-            val deadline = e.ts.getTime + timeoutMs
             val prev = Option(hold.get())
-            if (!prev.exists(_.deadline == deadline)) {
-              prev.foreach(p => getHandle.deleteTimer(p.deadline))
-              hold.update(Hold(e.evento, e.cantidad, deadline))
-              getHandle.registerTimer(deadline)
+            if (!prev.exists(_.deadline == SettledSentinel)) {
+              // redelivery re-arms the SAME deadline (idempotent): the
+              // deadline derives from the event's own ts, not arrival
+              val deadline = e.ts.getTime + timeoutMs
+              if (!prev.exists(_.deadline == deadline)) {
+                prev.foreach(p => getHandle.deleteTimer(p.deadline))
+                hold.update(Hold(e.evento, e.cantidad, deadline))
+                getHandle.registerTimer(deadline)
+              }
+            } // else: the reservation is settled — drop the late hold
+          case "confirm" | "cancel" =>
+            Option(hold.get()) match {
+              case Some(p) if p.deadline != SettledSentinel =>
+                getHandle.deleteTimer(p.deadline)
+                tombstone(e.ts.getTime)
+              case Some(_) => // already tombstoned: no-op
+              case None =>
+                // settle outran its hold (or arrived after expiry):
+                // tombstone so a late hold cannot re-arm
+                tombstone(e.ts.getTime)
             }
-          case _ => // confirm | cancel settle the hold
-            Option(hold.get()).foreach { p =>
-              getHandle.deleteTimer(p.deadline)
-              hold.clear()
-            }
+          case _ => // unknown kind: drop — NEVER settle on malformed
         }
       }
       Iterator.empty
@@ -82,6 +121,9 @@ object HoldExpiry {
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Expired] =
       Option(hold.get()) match {
+        case Some(h) if h.deadline == SettledSentinel =>
+          hold.clear() // tombstone window over — reclaim the state
+          Iterator.empty
         case Some(h) =>
           hold.clear()
           Iterator.single(Expired(key, h.evento, h.cantidad))
@@ -92,40 +134,55 @@ object HoldExpiry {
   /** The expiry stream: holds grouped by reservation id through the
     * timer processor, watermarked on event time. */
   def expiries(events: Dataset[HoldEvent], timeoutMs: Long,
-      watermarkDelay: String = "0 seconds"): Dataset[Expired] = {
+      watermarkDelay: String = "0 seconds",
+      tombstoneWindowMs: Long = 24L * 3600 * 1000): Dataset[Expired] = {
     implicit val enc = Encoders.product[Expired]
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.id)(Encoders.STRING)
-      .transformWithState(new Processor(timeoutMs),
+      .transformWithState(new Processor(timeoutMs, tombstoneWindowMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Operational flow: expiries append once into `expired_holds` and
-    * return their seats to `inventario` — once-only under replay via
-    * the anti-join-then-append pattern the other flows use. */
+  /** Operational flow: expiries return their seats to `inventario`
+    * and append once into `expired_holds`. Ordering follows
+    * consumerFlow (Flows.scala seat returns): dedup against the
+    * record table FIRST, apply the inventario effect, THEN record —
+    * a crash between effect and record replays at-least-once (the
+    * reference's tolerated semantics) instead of recording first and
+    * silently LOSING the return on replay. The increment itself rides
+    * [[graft.tables.MergeOps.admitReservations]] with negative
+    * cantidad, exactly like consumerFlow's devoluciones — no bespoke
+    * inventario merge, and unknown eventos are tolerated the same
+    * way. */
   def flow(store: TableStore,
       events: Dataset[HoldEvent], timeoutMs: Long,
-      checkpointRoot: Option[String] = None): StreamingQuery =
-    FlowRunner.start(store, checkpointRoot, Trigger.AvailableNow(),
-      expiries(events, timeoutMs).toDF(), "hold_expiry") { batch =>
-      val fresh =
-        (if (store.exists("expired_holds"))
-          batch.join(store.load("expired_holds").select("id"),
-            Seq("id"), "left_anti")
-        else batch).persist()
-      try {
-        if (!fresh.isEmpty) {
-          store.appendUnique("expired_holds", fresh, Seq("id"))
-          val deltas = fresh.groupBy("evento")
-            .agg(sum(col("cantidad")).as("__ret"))
-          val inv = store.load("inventario")
-          store.replace("inventario", inv
-            .join(deltas, inv("nombre") === deltas("evento"), "left")
-            .withColumn("capacidad",
-              col("capacidad") + coalesce(col("__ret"), lit(0L)).cast("int"))
-            .drop("evento", "__ret"))
-        }
-      } finally { fresh.unpersist(); () }
+      checkpointRoot: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      watermarkDelay: String = "0 seconds",
+      tombstoneWindowMs: Long = 24L * 3600 * 1000): StreamingQuery =
+    FlowRunner.start(store, checkpointRoot, trigger,
+      expiries(events, timeoutMs, watermarkDelay, tombstoneWindowMs).toDF(),
+      "hold_expiry") { batch =>
+        val fresh =
+          (if (store.exists("expired_holds"))
+            batch.join(store.load("expired_holds").select("id"),
+              Seq("id"), "left_anti")
+          else batch).persist()
+        try {
+          if (!fresh.isEmpty) {
+            val returns = fresh.select(col("id"), col("evento"),
+              lit("").as("email"),
+              (-col("cantidad")).cast("int").as("cantidad"),
+              lit(0L).as("seq"))
+            val (updatedInv, _) = graft.tables.MergeOps
+              .admitReservations(store.load("inventario"), returns)
+            store.replace("inventario", updatedInv)
+            // fresh is already deduped against the table and a timer
+            // fires once per key, so a plain append suffices —
+            // appendUnique would re-run the identical anti-join
+            store.append("expired_holds", fresh)
+          }
+        } finally { fresh.unpersist(); () }
     }
 }

@@ -110,4 +110,64 @@ class HoldExpirySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("out-of-order settles tombstone, same-ts settles lose to their hold, unknown kinds never settle") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-holdooo").toString
+      val store = new TableStore(spark, root)
+      store.init("inventario",
+        Seq(("Opera", 100, "Cultural", "A"), ("Rock", 50, "Musica", "A"))
+          .toDF("nombre", "capacidad", "categoria", "estado"))
+      val ms = MemoryStream[HoldEvent]
+      def run(): Unit = {
+        val q = HoldExpiry.flow(store, ms.toDS(), timeoutMs = 60000L,
+          checkpointRoot = Some(root), watermarkDelay = "10 minutes")
+        q.processAllAvailable(); q.stop()
+      }
+      def cap(nombre: String): Int = store.load("inventario")
+        .filter(col("nombre") === nombre).select("capacidad")
+        .collect().head.getInt(0)
+      def expiredIds(): Seq[String] =
+        if (!store.exists("expired_holds")) Seq.empty
+        else store.load("expired_holds").select("id").collect()
+          .map(_.getString(0)).toSeq.sorted
+
+      // batch 1: s1's CONFIRM arrives before its hold ever does; s2's
+      // hold and cancel share one timestamp (tiebreak: hold first, so
+      // the cancel finds and settles it); s3's "confrim" typo must NOT
+      // settle the live hold
+      ms.addData(
+        HoldEvent("s1", "Opera", 4, "confirm", ts("10:20:00")),
+        HoldEvent("s2", "Opera", 3, "hold", ts("10:20:00")),
+        HoldEvent("s2", "Opera", 3, "cancel", ts("10:20:00")),
+        HoldEvent("s3", "Opera", 2, "hold", ts("10:20:00")),
+        HoldEvent("s3", "Opera", 2, "confrim", ts("10:20:10")))
+      run()
+      // batch 2: s1's DELAYED hold arrives (ts before its confirm,
+      // within the 10-minute watermark delay) — the tombstone drops it
+      ms.addData(HoldEvent("s1", "Opera", 4, "hold", ts("10:19:00")))
+      run()
+      // batch 3: heartbeat advances the watermark past every deadline
+      ms.addData(HoldEvent("hb", "Rock", 1, "hold", ts("11:30:00")))
+      run()
+      assert(expiredIds() === Seq("s3"),
+        "only the typo'd-settle hold expired: tombstoned s1 and " +
+          "settled s2 did not")
+      assert(cap("Opera") === 102, "only s3's 2 seats returned")
+      assert(cap("Rock") === 50)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
