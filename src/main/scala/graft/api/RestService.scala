@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
  *   GET /tables/{t}/changes?from=&to=&key=   version-diff CDC feed
  *   GET /tables/{t}/drift?from=&to=     column-profile diff (data card)
  *   DELETE /subjects/{email}            GDPR data-subject erasure
- *   DELETE /subjects/documents/{id}     GDPR corpus-doc erasure (incl. derived stores)
+ *   DELETE /subjects/documents/{id}     GDPR corpus-doc erasure — 202 + async job
+ *   GET /subjects/documents/{id}/purge  purge-job status (pending/done/failed)
  *   GET /subjects/documents/{id}/verify erasure-completeness check (residual refs)
  *
  * JSON field names and error texts follow the Go structs' marshal
@@ -77,6 +78,18 @@ final class RestService(spark: SparkSession, store: TableStore,
 
   private val mapper = new ObjectMapper()
   private val lock = new Object
+  // corpus-document purges run OFF the request thread: the purge
+  // recomputes the derived stores (dedup_decisions, documents_clean)
+  // from the full corpus, so at real corpus sizes a synchronous
+  // handler would hold the writer lock past any client timeout. One
+  // daemon worker serializes purges among themselves; each job takes
+  // the same writer lock as every other mutation while it runs.
+  private val purgeExec = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-purge"); t.setDaemon(true); t
+    })
+  private val purgeJobs =
+    new java.util.concurrent.ConcurrentHashMap[Long, String]()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/eventos", (ex: HttpExchange) => safely(ex)(routeEventos))
   server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
@@ -87,7 +100,7 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); purgeExec.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   // ------------------------------------------------------------------
@@ -157,12 +170,50 @@ final class RestService(spark: SparkSession, store: TableStore,
       // corpus, ingest log) via Gdpr.purgeDocuments. The guard is
       // ASCII-digits + parseable: Character.isDigit alone admits
       // non-ASCII digits and Long-overflow strings, turning a
-      // malformed id into a 500 (or a silent alias) instead of a 404
+      // malformed id into a 500 (or a silent alias) instead of a 404.
+      // ASYNC (202): the purge recomputes the corpus-derived stores,
+      // so the handler only ENQUEUES the job — the response names the
+      // status and verify URLs; completion is polled, never awaited on
+      // the HTTP thread. Re-submitting while a purge is pending is a
+      // no-op re-accept; re-submitting after completion re-runs the
+      // (idempotent) purge, which then reports deleted_documents 0.
       case ("DELETE", List("subjects", "documents", DocId(docId))) =>
-        lock.synchronized {
-          val n = graft.tables.Gdpr.purgeDocuments(store, Seq(docId),
-            spanCleanN)
-          replyJson(ex, 200, s"""{"deleted_documents":$n}""")
+        purgeJobs.put(docId, "pending")
+        purgeExec.execute(() => {
+          // skip if a concurrent re-submit already queued a run that
+          // completed this pending marker
+          if (purgeJobs.get(docId) == "pending") {
+            val st =
+              try {
+                val n = lock.synchronized {
+                  graft.tables.Gdpr.purgeDocuments(store, Seq(docId),
+                    spanCleanN)
+                }
+                s"done:$n"
+              } catch { case e: Throwable => s"failed:${e.getMessage}" }
+            purgeJobs.put(docId, st)
+            ()
+          }
+        })
+        ex.getResponseHeaders.add("Location",
+          s"/subjects/documents/$docId/purge")
+        replyJson(ex, 202,
+          s"""{"accepted":true,"doc_id":$docId,""" +
+            s""""status":"/subjects/documents/$docId/purge",""" +
+            s""""verify":"/subjects/documents/$docId/verify"}""")
+      // GET /subjects/documents/{id}/purge — purge-job status: the
+      // completion/error side of the 202 contract (verify answers
+      // "is it gone", this answers "did my job run, and what did it
+      // delete / why did it fail")
+      case ("GET", List("subjects", "documents", DocId(docId), "purge")) =>
+        purgeJobs.get(docId) match {
+          case null => reply(ex, 404, "no purge submitted for this doc")
+          case "pending" => replyJson(ex, 200, """{"status":"pending"}""")
+          case s if s.startsWith("done:") => replyJson(ex, 200,
+            s"""{"status":"done","deleted_documents":${s.drop(5)}}""")
+          case s => replyJson(ex, 200,
+            s"""{"status":"failed","error":${mapper.writeValueAsString(
+              s.drop(7))}}""")
         }
       // GET /subjects/documents/{id}/verify — the second half of the
       // erasure SLA loop (purge → quiesce flows → verify): which
@@ -221,8 +272,8 @@ final class RestService(spark: SparkSession, store: TableStore,
       // corpus-version change) and O(1)-row scalar reads (ANN query
       // vectors, x57's capped candidate pre-pass). A plan request can
       // therefore pay a first-touch metadata build; it cannot trigger
-      // an unbounded query execution. (x61/x71 were migrated to keep
-      // their scalars in-plan for exactly this reason.)
+      // an unbounded query execution. (x61/x71/x90 were migrated to
+      // keep their scalars in-plan for exactly this reason.)
       case ("GET", List("query", name, "plan"), Some(dir)) =>
         graft.SparkEntry.queries.get(name) match {
           case None => reply(ex, 404, s"unknown query $name")

@@ -33,19 +33,39 @@ import org.apache.spark.sql.functions._
  * factorization for a standing corpus is to persist the mined
  * dup-gram→owner list as corpus metadata on the x73/x26 build-once
  * lifecycle and probe it per shard (then ingest only pays the probe);
- * head-gram skew in the ownership window is bounded by gram rarity —
- * a 5-gram shared by k documents lands k·occurrences rows in one
- * window partition, and the boilerplate grams that would dominate are
- * exactly what x73's filter removes upstream.
+ * head-gram skew in the ownership window is an acknowledged bound,
+ * not a solved one: WindowExec gets no pre-shuffle combine, so a
+ * gram occurring k times corpus-wide buffers k rows in ONE window
+ * partition — a universal boilerplate gram is a single-task
+ * straggler. The production posture is to strip boilerplate
+ * upstream (x73's mined-list filter) before span dedup, or to take
+ * the stored dup-gram/owner-list factorization above whose df
+ * aggregate IS map-side combined; the single-query window form
+ * accepts the skew in exchange for the one-pass corpus read.
  */
 object SpanDedup {
 
   /** Cleaned corpus view over (doc_id, lang, text) rows: one output
     * row per input doc with non-null text — doc_id, lang, n_tokens,
     * n_removed, clean_text (tokens surviving span excision, joined by
-    * single spaces; "" when every token was removed). */
-  def cleanedCorpus(docs: DataFrame, n: Int = 5): DataFrame = {
+    * single spaces; "" when every token was removed).
+    *
+    * `minRun` (default 1 = excise every covered token) is the
+    * Lee et al. '22 ExactSubstr length threshold (they use 50): only
+    * MAXIMAL runs of ≥ minRun consecutive covered tokens are excised;
+    * shorter duplicated stretches — incidental collocations rather
+    * than cloned passages — survive untouched. The run merge is a
+    * gaps-and-islands pass over the already-computed coverage column
+    * (x60's technique) on rows already exchanged+sorted by
+    * (doc_id, tp): run ids are a running sum of run-starts over the
+    * SAME window, and run length is an unordered window over
+    * (doc_id, run_id) — a sub-partition of doc_id, so Spark's
+    * ClusteredDistribution check reuses the existing exchange and
+    * only adds a cheap in-partition sort. No new shuffle. */
+  def cleanedCorpus(docs: DataFrame, n: Int = 5, minRun: Int = 1)
+      : DataFrame = {
     require(n >= 2, s"span length must be >= 2, got $n")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     // the ingest corpus table carries no lang column; the transform is
     // lang-agnostic, so synthesize a null one rather than requiring it
     val withLang =
@@ -67,13 +87,33 @@ object SpanDedup {
     val byGram = Window.partitionBy("gram")
     val cover = Window.partitionBy("doc_id").orderBy("tp")
       .rowsBetween(-(n - 1), 0)
-    tok.withColumn("gram", gramKey)
+    val covered = tok.withColumn("gram", gramKey)
       .withColumn("owner", min("doc_id").over(byGram))
       .withColumn("mx", max("doc_id").over(byGram))
       .withColumn("span_rm",
         when(col("owner") =!= col("mx") &&
           col("doc_id") =!= col("owner"), 1).otherwise(0))
       .withColumn("rm", max("span_rm").over(cover))
+    val excised =
+      if (minRun <= 1) covered
+      else {
+        // gaps-and-islands: a covered token STARTS a run when its
+        // predecessor (same doc) is uncovered or absent; the running
+        // sum of starts numbers the islands (uncovered tail rows share
+        // the preceding island's id, but their rm=0 keeps them out of
+        // both the length count and the excision)
+        val runStart = when(col("rm") === 1 &&
+          coalesce(lag(col("rm"), 1).over(byDoc), lit(0)) === 0, 1)
+          .otherwise(0)
+        val byRun = Window.partitionBy("doc_id", "run_id")
+        covered
+          .withColumn("run_id", sum(runStart).over(byDoc))
+          .withColumn("run_len", sum(col("rm")).over(byRun))
+          .withColumn("rm",
+            when(col("rm") === 1 && col("run_len") >= minRun, 1)
+              .otherwise(0))
+      }
+    excised
       .groupBy("doc_id")
       .agg(first("lang").as("lang"),
         first("n_tokens").as("n_tokens"),

@@ -1139,6 +1139,18 @@ object TextQueries {
         // (doc,gram) rows by gram — and the O(shared-vocabulary) join
         // side (and its broadcast-vs-shuffle gamble) disappears with
         // the join itself.
+        // SKEW BOUND, acknowledged: unlike the groupBy form, WindowExec
+        // gets no pre-shuffle combine, so a gram's window partition
+        // buffers df(gram) rows — one row per CONTAINING DOC (the
+        // (doc,gram) partial agg above already collapsed within-doc
+        // multiplicity). A truly universal gram therefore lands
+        // O(n_docs) rows in one task. The deployment trade at that
+        // skew is the agg+join form (map-side-combined df + AQE
+        // skew-join) at the cost of the forked-lineage double scan
+        // this query exists to avoid, or stripping boilerplate grams
+        // upstream (x73) BEFORE auditing — for the audit itself the
+        // window form is the right default because the corpus is read
+        // once and hot grams are exactly what it exists to measure.
         val dg = g.groupBy("doc_id", "lang", "gram")
           .agg(count(lit(1)).as("c"))
         dg.withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
@@ -1378,6 +1390,56 @@ object TextQueries {
       }
     },
 
+    // Variable-length ExactSubstr removal — the actual Lee et al. '22
+    // semantics x85 approximates: only MAXIMAL duplicated runs of
+    // ≥ L consecutive covered tokens are excised (they use L=50;
+    // L=20 here because the fixture's cloned passages cluster at
+    // 23–93 tokens while its incidental collocations sit at 5–11 —
+    // the threshold separates exactly those populations). The run
+    // merge is [[SpanDedup.cleanedCorpus]]'s gaps-and-islands pass
+    // over the coverage column — rows already exchanged+sorted by
+    // (doc_id, tp), no new shuffle (see its scaladoc).
+    Query("x95_span_removal_runs",
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "g AS (SELECT doc_id, unnest(range(len(ts) - 4)) AS pos, " +
+        s"unnest(${Sql.allShingles("ts", 5)}) AS gram FROM t), " +
+        "stats AS (SELECT gram, MIN(doc_id) AS owner FROM g " +
+        "GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)), " +
+        "rem AS (SELECT g.doc_id, g.pos FROM g " +
+        "JOIN stats ON g.gram = stats.gram WHERE g.doc_id <> stats.owner), " +
+        "rp AS (SELECT DISTINCT doc_id, pos + u AS tp FROM rem, " +
+        "(SELECT unnest(range(5)) AS u)), " +
+        "isl AS (SELECT doc_id, tp, tp - ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY tp) AS grp FROM rp), " +
+        "runs AS (SELECT doc_id, grp, COUNT(*) AS rl FROM isl " +
+        "GROUP BY doc_id, grp), " +
+        "r2 AS (SELECT isl.doc_id, isl.tp FROM isl JOIN runs " +
+        "ON isl.doc_id = runs.doc_id AND isl.grp = runs.grp " +
+        "WHERE runs.rl >= 20), " +
+        "tok AS (SELECT doc_id, lang, len(ts) AS n_tokens, " +
+        "unnest(range(len(ts))) AS tp, unnest(ts) AS token FROM t), " +
+        "k AS (SELECT tok.doc_id, any_value(tok.lang) AS lang, " +
+        "CAST(any_value(tok.n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN r2.tp IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_removed, " +
+        "string_agg(CASE WHEN r2.tp IS NULL THEN tok.token END, ' ' " +
+        "ORDER BY tok.tp) AS ct FROM tok " +
+        "LEFT JOIN r2 ON tok.doc_id = r2.doc_id AND tok.tp = r2.tp " +
+        "GROUP BY tok.doc_id) " +
+        "SELECT doc_id, lang, n_tokens, n_removed, " +
+        "COALESCE(md5(ct), md5('')) AS clean_md5 FROM k " +
+        "WHERE n_removed > 0 ORDER BY doc_id") {
+      (s, d) => {
+        SpanDedup
+          .cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5, 20)
+          .filter(col("n_removed") > 0)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("n_removed"), md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      }
+    },
+
     // Eval DECONTAMINATION transform — the removal half of x36's
     // audit, in the direction real pipelines apply it: the benchmark
     // is immutable, so the TRAIN split is what gets cleaned — every
@@ -1548,9 +1610,12 @@ object TextQueries {
         "ORDER BY round(pmi, 6) DESC, a, b LIMIT 20") {
       (s, d) => {
         val lm = UnigramLM.forDir(s, d)
-        val st = lm.load("stats").head
-        val nb =
-          (st.getAs[Long]("n_tokens") - st.getAs[Long]("n_docs")).toDouble
+        // the bigram denominator rides IN-PLAN as a 1-row broadcast
+        // (x94's pattern) — not a driver `.head`, so GET /query/.../plan
+        // triggers zero jobs; the subtraction is exact-int-derived, so
+        // the double is bit-identical to the oracle's
+        val st = broadcast(lm.load("stats").select(
+          (col("n_tokens") - col("n_docs")).cast("double").as("nb")))
         val freq = lm.load("freq")
         val bc = spreadScan(s, table(s, d, "documents"))
           .filter(col("text").isNotNull)
@@ -1564,8 +1629,9 @@ object TextQueries {
             freq.select(col("token").as("a"), col("lp").as("lpa"))), Seq("a"))
           .join(PlanGuards.broadcastIfSmall(
             freq.select(col("token").as("b"), col("lp").as("lpb"))), Seq("b"))
+          .crossJoin(st)
           .select(col("a"), col("b"), col("c"),
-            round(log(col("c").cast("double") / nb)
+            round(log(col("c").cast("double") / col("nb"))
               - col("lpa") - col("lpb"), 6).as("pmi"))
           .orderBy(col("pmi").desc, col("a"), col("b"))
           .limit(20)
@@ -1718,6 +1784,16 @@ object TextQueries {
           .groupBy("doc_id", "token")
           .agg(first("dl").as("dl"),
             count(lit(1)).cast("double").as("tf"))
+        // df window skew bound, acknowledged: no pre-shuffle combine in
+        // WindowExec, so one task buffers df(term) rows — one per
+        // MATCHING DOC (tf already collapsed per-doc multiplicity),
+        // i.e. the posting-list length of a single query term. A
+        // stopword-frequency term makes that O(n_docs); real retrieval
+        // caps it the way search engines do (stopword drop /
+        // max-df), and the mitigation past that is the map-side-
+        // combined groupBy(term) df + broadcast join back at the cost
+        // of a second reference to the tf frame (tiny here, ∝ the
+        // 3-term posting lists, never the corpus).
         tf.withColumn("df",
             count(lit(1)).over(Window.partitionBy("token")).cast("double"))
           .crossJoin(broadcast(st))

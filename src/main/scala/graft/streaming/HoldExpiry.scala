@@ -150,7 +150,23 @@ object HoldExpiry {
     * record table FIRST, apply the inventario effect, THEN record —
     * a crash between effect and record replays at-least-once (the
     * reference's tolerated semantics) instead of recording first and
-    * silently LOSING the return on replay. The increment itself rides
+    * silently LOSING the return on replay.
+    *
+    * REPLAY BOUND (explicit, because the failure consequence differs
+    * from consumerFlow's): a crash BETWEEN the inventario replace and
+    * the expired_holds append replays the batch, whose ids were never
+    * recorded, so their seat returns apply a SECOND time — and
+    * admitReservations' negative-cantidad path increments capacidad
+    * unconditionally (it cannot clamp: inventario keeps only the
+    * REMAINING count, the original capacity lives upstream in the
+    * eventos source). Worst case is therefore one extra cantidad per
+    * expired hold in the crashed batch — transient phantom capacity
+    * that oversells at most that many seats until reconciliation, the
+    * mirror image of record-first's permanently LOST returns. The
+    * reference makes the same trade (consumer effect before offset
+    * commit); a deployment needing the clamp feeds the eventos
+    * capacity table into a post-merge `least(capacidad, original)`
+    * reconciliation view. The increment itself rides
     * [[graft.tables.MergeOps.admitReservations]] with negative
     * cantidad, exactly like consumerFlow's devoluciones — no bespoke
     * inventario merge, and unknown eventos are tolerated the same

@@ -1,7 +1,8 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Doc-size scaling audit for the per-row HOF surfaces (the x65
@@ -11,9 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * transform/slice/array_distinct chain and x84's winnow explode are
   * per-row-bounded BY DESIGN; this pins that the bound actually holds
   * at 50 kB documents: two corpora with the SAME total token count
-  * but 10× different per-doc size must run in comparable wall-clock
-  * (linear in doc size ⇒ equal work; a quadratic per-doc term would
-  * show up as ~10×). */
+  * but 10× different per-doc size must do comparable WORK (linear in
+  * doc size ⇒ equal work; a quadratic per-doc term would show up as
+  * ~10×). The metric is summed executor CPU time, not wall-clock:
+  * ThreadMXBean CPU nanoseconds don't advance while a task is
+  * descheduled, so shared-VM contention — which lifts wall-clock
+  * 25–50% and flaked the r12 form of this suite — mostly cancels out
+  * of the ratio. */
 class DocSizeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -36,30 +41,43 @@ class DocSizeSpec extends AnyFunSuite {
     dir
   }
 
-  private def runQ(name: String, dir: String): Unit = {
-    SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+  /** Runs the query and returns the summed executor CPU seconds of
+    * every task it scheduled (the noop write executes the full plan). */
+  private def cpuSecondsOf(name: String, dir: String): Double = {
+    val cpuNs = new AtomicLong(0L)
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          cpuNs.addAndGet(t.taskMetrics.executorCpuTime); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      // task-end events deliver async; the job itself has completed
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(l)
+    cpuNs.get() / 1e9
   }
 
-  private def minOf3(body: => Unit): Double =
-    (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }.min
+  private def minOf3(body: => Double): Double = (1 to 3).map(_ => body).min
 
   // ~340k tokens either way: 400 × ~5 kB docs vs 40 × ~50 kB docs
   private lazy val smallDir = writeCorpus(400, 850)
   private lazy val bigDir = writeCorpus(40, 8500)
 
   private def linearCheck(query: String): Unit = {
-    runQ(query, smallDir); runQ(query, bigDir) // warmup: codegen+footers
-    val tSmall = minOf3(runQ(query, smallDir))
-    val tBig = minOf3(runQ(query, bigDir))
+    // warmup: codegen + parquet footer caches + stored-index builds
+    cpuSecondsOf(query, smallDir); cpuSecondsOf(query, bigDir)
+    val cSmall = minOf3(cpuSecondsOf(query, smallDir))
+    val cBig = minOf3(cpuSecondsOf(query, bigDir))
     // linear ⇒ ratio ≈ 1 (same total tokens); quadratic per-doc ⇒ ~10×.
-    // 3× + a 0.3 s floor absorbs shared-VM noise while still failing
-    // decisively on a superlinear regression.
-    assert(tBig <= 3.0 * tSmall + 0.3,
-      f"$query superlinear in doc size: $tSmall%.2f s on 400×850-token docs " +
-        f"vs $tBig%.2f s on 40×8500-token docs (same total tokens)")
+    // 3× + a 0.5 cpu-s floor absorbs GC-time attribution noise while
+    // still failing decisively on a superlinear regression.
+    assert(cBig <= 3.0 * cSmall + 0.5,
+      f"$query superlinear in doc size: $cSmall%.2f cpu-s on 400×850-token " +
+        f"docs vs $cBig%.2f cpu-s on 40×8500-token docs (same total tokens)")
   }
 
   test("x68 intra-doc dedup chain is linear in doc size at 50 kB docs") {
@@ -72,5 +90,9 @@ class DocSizeSpec extends AnyFunSuite {
 
   test("x85 span removal is linear in doc size at 50 kB docs") {
     linearCheck("x85_span_removal")
+  }
+
+  test("x95 min-run span removal is linear in doc size at 50 kB docs") {
+    linearCheck("x95_span_removal_runs")
   }
 }

@@ -14,6 +14,38 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
 
+  test("x90: plan construction triggers zero jobs (stats scalar rides in-plan)") {
+    // GET /query/x90_pmi_bigrams/plan must not execute anything: the
+    // bigram denominator is a 1-row broadcast from the stored stats
+    // table, not a driver `.head`. Warm the fingerprint-cached model
+    // build first (lawful first-touch metadata), then assert the plan
+    // build itself schedules no QUERY-EXECUTION job. (DataFrameReader
+    // .parquet fires a tiny footer/schema-inference job per table read
+    // — bounded metadata every builder pays, lawful under the /plan
+    // contract — so those are excluded by stage callsite.)
+    graft.operators.UnigramLM.forDir(spark, TestSpark.sf)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name).mkString(";")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("x90_pmi_bigrams")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      // listener delivery is async; any job the plan build triggered
+      // has already completed (actions block), so a short drain window
+      // is enough for its start event to arrive
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(l)
+    val exec = jobs.toArray(Array.empty[String])
+      .filterNot(_.startsWith("parquet at "))
+    assert(exec.isEmpty,
+      s"building x90's plan ran execution jobs: ${exec.mkString(", ")}")
+  }
+
   test("q2_point: predicate pushed to parquet scan") {
     val p = plan("q2_point")
     assert(p.contains("PushedFilters") && p.contains("c_custkey"),
@@ -76,6 +108,7 @@ class PlanSpec extends AnyFunSuite {
       "x20_ann_ivf", "x47_colloc_lift",
       "x61_tfidf", // 1-row corpus-count broadcast into the score
       "x83_triangles", // 1-row edges × 1-row triangles combine
+      "x90_pmi_bigrams", // 1-row stored-stats (N_b) broadcast
       "x94_bm25") // 1-row stored-stats (N, avglen) broadcast
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString

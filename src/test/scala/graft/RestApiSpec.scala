@@ -265,13 +265,33 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     store.init("ingest_log",
       Seq((100L, true, null: String), (101L, true, null: String))
         .toDF("doc_id", "admitted", "reason"))
+    // async contract: the handler never runs the corpus-scale purge on
+    // the HTTP thread — it 202-accepts and names the status URL; the
+    // client polls /purge for completion (and /verify for erasure)
+    def awaitPurge(id: String): String = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var st = http("GET", s"/subjects/documents/$id/purge")._2
+      while (st.contains("pending") && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        st = http("GET", s"/subjects/documents/$id/purge")._2
+      }
+      st
+    }
+    // no job submitted yet → status 404s
+    assert(http("GET", "/subjects/documents/100/purge")._1 === 404)
     val (code, text) = http("DELETE", "/subjects/documents/100")
-    assert(code === 200 && text.contains("\"deleted_documents\":1"))
+    assert(code === 202 && text.contains("\"accepted\":true") &&
+      text.contains("/subjects/documents/100/purge"))
+    val st1 = awaitPurge("100")
+    assert(st1.contains("\"status\":\"done\"") &&
+      st1.contains("\"deleted_documents\":1"), st1)
     assert(store.load("documents").filter(col("doc_id") === 100L).isEmpty)
     assert(store.load("ingest_log").filter(col("doc_id") === 100L).isEmpty)
     // idempotent; non-numeric ids are not routed
-    val (c2, t2) = http("DELETE", "/subjects/documents/100")
-    assert(c2 === 200 && t2.contains("\"deleted_documents\":0"))
+    val (c2, _) = http("DELETE", "/subjects/documents/100")
+    assert(c2 === 202)
+    val st2 = awaitPurge("100")
+    assert(st2.contains("\"deleted_documents\":0"), st2)
     val (c3, _) = http("DELETE", "/subjects/documents/nope")
     assert(c3 === 404)
     // Long-overflow digits must 404, not 500 through toLong

@@ -17,9 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpanDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def clean(rows: Seq[(Long, String)], n: Int = 5): Map[Long, (Long, String)] = {
+  private def clean(rows: Seq[(Long, String)], n: Int = 5,
+      minRun: Int = 1): Map[Long, (Long, String)] = {
     import spark.implicits._
-    SpanDedup.cleanedCorpus(rows.toDF("doc_id", "text"), n)
+    SpanDedup.cleanedCorpus(rows.toDF("doc_id", "text"), n, minRun)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
@@ -65,6 +66,66 @@ class SpanDedupSpec extends AnyFunSuite {
       (2L, "totally unrelated content words here")))
     assert(out(1L)._1 === 0L)
     assert(out(2L)._1 === 0L)
+  }
+
+  test("minRun: a covered run shorter than L survives untouched; a run >= L is excised") {
+    // doc 2 carries TWO duplicated stretches of doc 1's text: a 5-token
+    // one ("a b c d e") and an 8-token one ("p q r s t u v w").
+    // At L=8 only the long run goes; at L=1 (default) both go.
+    val docs = Seq(
+      (1L, "a b c d e x1 x2 p q r s t u v w"),
+      (2L, "m1 a b c d e m2 p q r s t u v w m3"))
+    val strict = clean(docs, 5, 8)
+    assert(strict(1L) === ((0L, "a b c d e x1 x2 p q r s t u v w")))
+    assert(strict(2L) === ((8L, "m1 a b c d e m2 m3")))
+    val loose = clean(docs)
+    assert(loose(2L) === ((13L, "m1 m2 m3")))
+  }
+
+  test("minRun: adjacent covered positions merge into ONE maximal run across gram joins") {
+    // doc 2's tokens 1..10 are covered by two OVERLAPPING duplicated
+    // 5-gram spans from different positions — they must merge into a
+    // single 10-token run (>= L=10), not two runs of < 10
+    val out = clean(Seq(
+      (1L, "a b c d e x y f g h i j"),
+      (2L, "z a b c d e f g h i j w")), 5, 10)
+    assert(out(2L) === ((10L, "z w")))
+    assert(out(1L)._1 === 0L)
+  }
+
+  test("minRun=1 is exactly the x85 semantics") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "q a b c d e r"))
+    assert(clean(docs) === clean(docs, 5, 1))
+  }
+
+  test("fixture invariant at L=20: runs < L survive, no dup run >= L survives; fixed point") {
+    val docs = Tables.table(spark, TestSpark.sf, "documents")
+    val cleaned = SpanDedup.cleanedCorpus(docs, 5, 20)
+    val all = SpanDedup.cleanedCorpus(docs, 5, 1)
+    // non-vacuous: the fixture has BOTH populations — docs whose
+    // covered runs are all short (untouched at L=20 but touched at
+    // L=1) and docs with >= 20-token cloned passages
+    val touched20 = cleaned.filter(col("n_removed") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val touched1 = all.filter(col("n_removed") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(touched20.nonEmpty, "no >= 20-token cloned passage in fixture")
+    assert((touched1 -- touched20).nonEmpty,
+      "no short-run-only doc in fixture — the threshold is vacuous")
+    // short-run-only docs come through byte-identical
+    val untouched = cleaned.filter(col("n_removed") === 0)
+      .join(docs, Seq("doc_id"))
+      .filter(col("clean_text") =!= col("text"))
+    assert(untouched.isEmpty, "an untouched doc's text changed")
+    // fixed point: re-running the L=20 transform on the cleaned corpus
+    // removes nothing — i.e. no duplicated run >= 20 survived anywhere
+    val again = SpanDedup.cleanedCorpus(
+      cleaned.select(col("doc_id"), col("lang"),
+        col("clean_text").as("text")), 5, 20)
+    assert(again.filter(col("n_removed") > 0).isEmpty,
+      "a >= 20-token duplicated run survived the first pass")
   }
 
   test("fixture invariant: no originally cross-doc-dup 5-gram survives in >1 cleaned doc") {
