@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Query
+import graft.functions.TextFns
+import graft.sources.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE merge mining — tokenizer-vocabulary training (Sennrich et al.
+ * '16, "Neural Machine Translation of Rare Words with Subword Units";
+ * the algorithm behind the GPT-2/Llama tokenizers): k iterations of
+ * merge-the-most-frequent-adjacent-symbol-pair over the corpus's
+ * word-character sequences, weighted by word frequency. Completes the
+ * vocab pipeline that previously ended at counting (x30) and
+ * association mining (x47/x90).
+ *
+ * ARCHITECTURE — the two-tier shape every production tokenizer trainer
+ * uses (HuggingFace `tokenizers`, SentencePiece): the CORPUS-scale
+ * work is exactly one map-side-combined word-type count (tokens →
+ * groupBy word — the only pass that sees 100 TB), and the merge loop
+ * runs on the WORD-TYPE table, which is Zipf-bounded vocabulary
+ * metadata (millions of types for a web corpus, 31 here), not corpus
+ * data. The loop is inherently sequential (merge i+1's pair counts
+ * depend on merge i having been applied), so it runs driver-side over
+ * the collected type table on the [[StoredIndexes.versionedValue]]
+ * build-once lifecycle — the x26-profile/x73-mined-list precedent:
+ * learned once per corpus version, build cost in the bench `build`
+ * section, no builder-side persist/cache (Bench's hygiene contract).
+ * A distributed merge loop would pay k full shuffles of the same tiny
+ * table to move one argmax per round — strictly worse at any scale.
+ *
+ * Determinism: pair counts are exact longs; the argmax tie-breaks on
+ * (count DESC, a ASC, b ASC) with plain ASCII string order, and merge
+ * application is greedy left-to-right non-overlapping ("a a a" under
+ * (a,a) → "aa a") — the classic semantics, and bit-identical to the
+ * DuckDB oracle's `replace` on a separator-prefixed encoding.
+ *
+ * Scale guard: word types are capped at [[MaxTypes]] taken by
+ * (count DESC, word ASC) — a TakeOrdered, never a full collect of an
+ * unbounded vocabulary. Capping to the most frequent types is what
+ * tokenizer trainers do anyway (rare-type tails contribute no merges).
+ */
+object BpeMiner {
+
+  /** One learned merge: rank (1-based), the merged pair (a, b), the
+    * pair's adjacent-occurrence count at merge time, and the corpus
+    * symbol count AFTER applying the merge. */
+  final case class Merge(rank: Int, a: String, b: String,
+      pairCount: Long, nSymbols: Long)
+
+  private val MaxTypes = 1 << 20
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[Seq[Merge]]]()
+
+  /** The learned merge list for the corpus at `dir`, built once per
+    * corpus version. `k` merges; only [a-z]+ tokens participate (the
+    * fixture is entirely [a-z]+; a mixed corpus would normalize
+    * upstream). */
+  def forDir(s: SparkSession, dir: String, k: Int = 8): Seq[Merge] =
+    StoredIndexes.versionedValue(cache, dir, "documents.parquet",
+      "graft-bpe-merges") {
+      val types = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(TextFns.tokens(col("text"))).as("t"))
+        .filter(col("t").rlike("^[a-z]+$"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t"))
+        .limit(MaxTypes)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      train(types, k)
+    }
+
+  /** The sequential merge loop over the word-type table. Exposed for
+    * the spec's hand-checkable cases. */
+  private[graft] def train(types: Array[(String, Long)], k: Int)
+      : Seq[Merge] = {
+    // word type → symbol array (initially single chars)
+    var vocab: Array[(Array[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    while (rank <= k) {
+      val pairs = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairs.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) return out.result()
+      var best: ((String, String), Long) = null
+      pairs.forEach { (p, c) =>
+        if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2))))
+          best = (p, c)
+      }
+      val ((a, b), c) = best
+      var nSymbols = 0L
+      vocab = vocab.map { case (syms, cnt) =>
+        val merged = new scala.collection.mutable.ArrayBuffer[String](
+          syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += a + b; i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        nSymbols += merged.length * cnt
+        (merged.toArray, cnt)
+      }
+      out += Merge(rank, a, b, c, nSymbols)
+      rank += 1
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // declared query + oracle
+  // ------------------------------------------------------------------
+
+  /** DuckDB twin: an unrolled-CTE chain (the x50-pagerank technique)
+    * over a separator-prefixed symbol encoding — every symbol carries
+    * a leading chr(1), so `replace(w, sep||a||sep||b, sep||a||b)`
+    * is exactly greedy left-to-right non-overlapping pair merging
+    * (adjacent matches never share a separator). Each wK is
+    * MATERIALIZED: the chain references every level twice (pair
+    * counts + next merge), and inlining would re-derive w0
+    * exponentially. */
+  private def oracleSql(k: Int): String = {
+    val sep = "chr(1)"
+    val chain = (0 until k).map { i =>
+      s"s$i AS (SELECT string_split(w, $sep)[2:] AS ts, cnt FROM w$i), " +
+        s"p$i AS (SELECT split_part(g, ' ', 1) AS a, " +
+        "split_part(g, ' ', 2) AS b, SUM(cnt) AS c FROM " +
+        "(SELECT unnest(list_transform(range(len(ts) - 1), " +
+        s"i -> ts[i+1] || ' ' || ts[i+2])) AS g, cnt FROM s$i) " +
+        "GROUP BY 1, 2), " +
+        s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
+        s"w${i + 1} AS MATERIALIZED (SELECT replace(w, " +
+        s"$sep || a || $sep || b, $sep || a || b) AS w, cnt " +
+        s"FROM w$i, b$i)"
+    }.mkString(", ")
+    val rows = (0 until k).map { i =>
+      s"SELECT ${i + 1} AS rank, a, b, CAST(c AS BIGINT) AS pair_count, " +
+        s"(SELECT CAST(SUM(cnt * (len(string_split(w, $sep)) - 1)) " +
+        s"AS BIGINT) FROM w${i + 1}) AS n_symbols FROM b$i"
+    }.mkString(" UNION ALL ")
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', " +
+      s"$sep || '\\1', 'g') AS w, COUNT(*) AS cnt FROM tok " +
+      "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " +
+      chain + s", m AS ($rows) SELECT * FROM m ORDER BY rank"
+  }
+
+  val all: Seq[Query] = Seq(
+    Query("x96_bpe_merges", oracleSql(8)) { (s, d) =>
+      import s.implicits._
+      forDir(s, d, 8)
+        .map(m => (m.rank, m.a, m.b, m.pairCount, m.nSymbols))
+        .toDF("rank", "a", "b", "pair_count", "n_symbols")
+        .orderBy("rank")
+    })
+}

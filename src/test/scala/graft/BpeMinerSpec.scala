@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.BpeMiner
+import graft.operators.BpeMiner.Merge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge-mining semantics (Sennrich '16): pair counting counts
+  * OVERLAPPING adjacencies, merge application is greedy left-to-right
+  * non-overlapping, ties break (count DESC, a, b), counts weight by
+  * word frequency, and the loop stops early when no pair remains. */
+class BpeMinerSpec extends AnyFunSuite {
+
+  private def train(types: (String, Long)*)(k: Int): Seq[Merge] =
+    BpeMiner.train(types.toArray, k)
+
+  test("overlap counted, merge greedy non-overlapping: aaa -> (aa)(a)") {
+    // "aaa": pair (a,a) occurs twice (positions 0 and 1) but greedy
+    // left-to-right merges only position 0 → symbols (aa, a)
+    val m = train(("aaa", 1L))(1)
+    assert(m === Seq(Merge(1, "a", "a", 2L, 2L)))
+  }
+
+  test("even run merges pairwise: aaaa -> (aa)(aa)") {
+    val m = train(("aaaa", 1L))(1)
+    assert(m === Seq(Merge(1, "a", "a", 3L, 2L)))
+  }
+
+  test("word frequency weights the pair counts") {
+    // "ab"×3 vs "cd"×2 → (a,b) wins with count 3
+    val m = train(("ab", 3L), ("cd", 2L))(1)
+    assert(m.head === Merge(1, "a", "b", 3L, 3L + 2 * 2))
+  }
+
+  test("ties break lexicographically on (a, b)") {
+    // "ab" and "aa" both count 1 → (a,a) < (a,b)
+    val m = train(("ab", 1L), ("aa", 1L))(1)
+    assert(m.head.a === "a" && m.head.b === "a")
+  }
+
+  test("merged symbols participate in later merges (multi-char pairs)") {
+    // "abab": merge 1 = (a,b) → (ab, ab); merge 2 = (ab, ab) → (abab)
+    val m = train(("abab", 2L))(2)
+    assert(m === Seq(
+      Merge(1, "a", "b", 4L, 4L), // 2 copies × 2 symbols
+      Merge(2, "ab", "ab", 2L, 2L)))
+  }
+
+  test("loop stops when no adjacent pair remains") {
+    // single-char words have no pairs at all
+    assert(train(("a", 5L), ("b", 3L))(4).isEmpty)
+    // "ab" exhausts after 1 merge
+    assert(train(("ab", 1L))(5).size === 1)
+  }
+
+  test("fixture: 8 merges are learned, symbol count strictly decreases") {
+    val spark = TestSpark.spark
+    val m = BpeMiner.forDir(spark, TestSpark.sf, 8)
+    assert(m.size === 8)
+    assert(m.map(_.rank) === (1 to 8))
+    // each merge removes >= 1 symbol occurrence
+    assert(m.sliding(2).forall {
+      case Seq(x, y) => y.nSymbols < x.nSymbols
+      case _ => true
+    })
+    // pair counts are non-increasing in greedy BPE only per-iteration
+    // availability, not globally — but the FIRST merge must be the
+    // corpus's most frequent adjacent pair, which for this fixture's
+    // tech vocabulary is a sanity-checkable property: count >= later
+    // counts is NOT asserted; monotone nSymbols above is the invariant
+    val df = SparkEntry.queries("x96_bpe_merges")(spark, TestSpark.sf)
+    assert(df.count() === 8)
+  }
+}
