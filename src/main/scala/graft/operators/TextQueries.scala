@@ -1841,5 +1841,99 @@ object TextQueries {
             round(lit(10000) * col("pt") / col("z"), 2).as("expected_10k"))
           .orderBy("lang")
       }
+    },
+
+    // HELD-OUT stupid-backoff LM scoring — the real perplexity-filter
+    // shape x87/x93 only approximate: those self-score (every event is
+    // in-model by construction), while this scores val/test documents
+    // against a model built from the x35 TRAIN split ONLY
+    // ([[HeldOutLM]], stored build-once), which forces the unseen-
+    // event ladder of Brants '07 stupid backoff: seen bigram →
+    // ln(c_ab/c_a); unseen bigram but known word → ln(0.4·c_w/N);
+    // out-of-vocabulary word → fixed −10 penalty. All rungs are exact-
+    // integer-derived arithmetic; per-doc averages round 4 dp before
+    // the rollup. Probe = one eval-side bigram explode + three
+    // size-guarded broadcast joins + the 1-row N broadcast (in-plan).
+    // The fixture's val/test vocabulary is train-covered, so the OOV
+    // rung stays 0 here (it is exercised synthetically in
+    // HeldOutLMSpec); the bigram→unigram rung fires on real rows.
+    Query("x97_backoff_lm", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      "WITH b AS (SELECT doc_id, lang, text, " + bkt + " AS bkt " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sp AS (SELECT doc_id, lang, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "string_split(text, ' ') AS ts FROM b), " +
+        "tok AS (SELECT unnest(ts) AS token FROM sp " +
+        "WHERE split = 'train'), " +
+        "uc AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM tok " +
+        "GROUP BY token), " +
+        "nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM tok), " +
+        s"bg0 AS (SELECT unnest(${Sql.allShingles("ts", 2)}) AS g " +
+        "FROM sp WHERE split = 'train'), " +
+        "bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cab FROM bg0 " +
+        "GROUP BY g), " +
+        s"ev AS (SELECT doc_id, split, unnest(${Sql.allShingles("ts", 2)}) " +
+        "AS g FROM sp WHERE split <> 'train'), " +
+        "sc AS (SELECT ev.doc_id, any_value(ev.split) AS split, " +
+        "round(AVG(CASE WHEN bc.cab IS NOT NULL THEN ln(bc.cab / ua.c) " +
+        "WHEN ub.c IS NOT NULL THEN ln(0.4) + " +
+        "ln(ub.c / (SELECT v FROM nt)) ELSE -10.0 END), 4) AS doc_lp, " +
+        "CAST(SUM(CASE WHEN bc.cab IS NULL AND ub.c IS NOT NULL " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+        "CAST(SUM(CASE WHEN ub.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_oov FROM ev LEFT JOIN bc ON ev.g = bc.g " +
+        "LEFT JOIN uc ua ON split_part(ev.g, ' ', 1) = ua.token " +
+        "LEFT JOIN uc ub ON split_part(ev.g, ' ', 2) = ub.token " +
+        "GROUP BY ev.doc_id) " +
+        "SELECT split, COUNT(*) AS n_docs, round(AVG(doc_lp), 4) " +
+        "AS avg_lp, MIN(doc_lp) AS min_lp, MAX(doc_lp) AS max_lp, " +
+        "CAST(SUM(n_backoff) AS BIGINT) AS n_backoff, " +
+        "CAST(SUM(n_oov) AS BIGINT) AS n_oov " +
+        "FROM sc GROUP BY split ORDER BY split"
+    }) {
+      (s, d) => {
+        val lm = HeldOutLM.forDir(s, d)
+        val nt = broadcast(lm.load("stats")
+          .select(col("n_tokens").cast("double").as("nt")))
+        val bi = PlanGuards.broadcastIfSmall(lm.load("bifreq")
+          .select(col("g"), col("c").cast("double").as("cab")))
+        val ua = PlanGuards.broadcastIfSmall(lm.load("freq")
+          .select(col("token").as("a"), col("c").cast("double").as("ca")))
+        val ub = PlanGuards.broadcastIfSmall(lm.load("freq")
+          .select(col("token").as("bt"), col("c").cast("double").as("cb")))
+        val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
+        spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull && !HeldOutLM.isTrain(col("doc_id")))
+          .select(col("doc_id"),
+            when(bkt < 90, "val").otherwise("test").as("split"),
+            explode(
+              TextFns.allShingles(TextFns.tokens(col("text")), 2)).as("g"))
+          .withColumn("a", substring_index(col("g"), " ", 1))
+          .withColumn("bt", substring_index(col("g"), " ", -1))
+          .join(bi, Seq("g"), "left")
+          .join(ua, Seq("a"), "left")
+          .join(ub, Seq("bt"), "left")
+          .crossJoin(nt)
+          .withColumn("lp",
+            when(col("cab").isNotNull, log(col("cab") / col("ca")))
+              .when(col("cb").isNotNull,
+                log(lit(0.4)) + log(col("cb") / col("nt")))
+              .otherwise(lit(-10.0)))
+          .groupBy("doc_id")
+          .agg(first("split").as("split"),
+            round(avg(col("lp")), 4).as("doc_lp"),
+            sum(when(col("cab").isNull && col("cb").isNotNull, 1L)
+              .otherwise(0L)).as("n_backoff"),
+            sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("doc_lp")), 4).as("avg_lp"),
+            min(col("doc_lp")).as("min_lp"),
+            max(col("doc_lp")).as("max_lp"),
+            sum(col("n_backoff")).as("n_backoff"),
+            sum(col("n_oov")).as("n_oov"))
+          .orderBy("split")
+      }
     })
 }

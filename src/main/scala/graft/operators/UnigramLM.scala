@@ -78,3 +78,50 @@ object UnigramLM {
       store
     }
 }
+
+/**
+ * Held-out (train-split) LM — the model a REAL perplexity filter
+ * scores against: x87/x93 self-score (every token is in-vocabulary by
+ * construction), while this builds unigram+bigram counts from the x35
+ * TRAIN split only so val/test scoring must handle unseen events —
+ * stupid backoff (Brants et al. '07, "Large Language Models in
+ * Machine Translation"): bigram ratio if seen, else α·unigram, else a
+ * fixed OOV penalty. Same build-once [[StoredIndexes.versioned]]
+ * lifecycle as [[UnigramLM]]; tables `freq(token, c)`,
+ * `bifreq(g, c)` and 1-row `stats(n_tokens)`.
+ */
+object HeldOutLM {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
+
+  /** x35's deterministic split: md5-derived bucket < 80 is train. */
+  def isTrain(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextFns.md5Bits16(doc.cast("string")) % 100 < 80
+
+  def forDir(spark: SparkSession, dir: String): TableStore =
+    StoredIndexes.versioned(cache, dir, "documents.parquet",
+      "graft-heldout-lm") { root =>
+      val store = new TableStore(spark, root)
+      // one train-split scan, tokenized once for the build's three
+      // consumers (build-path-only persist, like UnigramLM's)
+      val toks = table(spark, dir, "documents")
+        .filter(col("text").isNotNull && isTrain(col("doc_id")))
+        .select(TextFns.tokens(col("text")).as("ts"))
+        .persist()
+      try {
+        val counts = toks.select(explode(col("ts")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
+          .head.getLong(0)
+        store.replace("freq", counts.repartition(col("token")))
+        store.replace("bifreq", toks
+          .select(explode(TextFns.allShingles(col("ts"), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+          .repartition(col("g")))
+        import spark.implicits._
+        store.replace("stats", Seq(total).toDF("n_tokens"))
+      } finally { toks.unpersist(); () }
+      store
+    }
+}

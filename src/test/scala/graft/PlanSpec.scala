@@ -109,7 +109,8 @@ class PlanSpec extends AnyFunSuite {
       "x61_tfidf", // 1-row corpus-count broadcast into the score
       "x83_triangles", // 1-row edges × 1-row triangles combine
       "x90_pmi_bigrams", // 1-row stored-stats (N_b) broadcast
-      "x94_bm25") // 1-row stored-stats (N, avglen) broadcast
+      "x94_bm25", // 1-row stored-stats (N, avglen) broadcast
+      "x97_backoff_lm") // 1-row stored-stats (N_train) broadcast
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
