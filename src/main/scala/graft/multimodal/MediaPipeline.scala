@@ -291,6 +291,54 @@ object MediaPipeline {
       }
   }
 
+  /** Per-image perceptual signature: the 64-bit dHash (difference
+    * hash — row-wise luminance gradient signs over a 9×8 downsample;
+    * Krawetz's classic near-dup fingerprint) plus the downsampled
+    * grid itself so candidate pairs can be re-verified against exact
+    * raster distance without re-decoding. */
+  final case class DHashRow(doc_id: Long, dhash: Long, grid: Array[Int])
+
+  /** dHash over the fixture's even-doc_id PNGs — synthesis, REAL
+    * raster decode (javax.imageio via MediaCodec, same path x59
+    * proves lossless) and hashing all inside ONE narrow mapPartitions:
+    * payload bytes never leave the task, only (id, 8-byte hash,
+    * 72-int grid) flows downstream — the "don't shuffle payloads"
+    * rule. Downsample is deterministic point sampling on the integer
+    * grid (x = c·W/9, y = r·H/8, floor division): bit k (k = 8r+c) is
+    * set iff grid[r][c] < grid[r][c+1]. Point sampling rather than
+    * area averaging keeps the signature integer-exact and
+    * oracle-reproducible; both are standard dHash variants. */
+  def dhashFrame(spark: SparkSession, dir: String): Dataset[DHashRow] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 2 === 0)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val w = (nChars % 48 + 4).toInt
+          val h = (nChars % 32 + 4).toInt
+          val png = MediaCodec.encodePng(w, h,
+            (x, y) => ((x * 7 + y * 13 + id * 31) % 256).toInt)
+          val img = MediaCodec.decodeImage(png).getOrElse(
+            sys.error(s"png decode failed for doc $id"))
+          val lum = MediaCodec.luminance(img)
+          val grid = Array.tabulate(72) { i =>
+            val c = i % 9; val r = i / 9
+            lum((r * h / 8) * w + (c * w / 9))
+          }
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            val r = k / 8; val c = k % 8
+            if (grid(r * 9 + c) < grid(r * 9 + c + 1)) bits |= (1L << k)
+            k += 1
+          }
+          DHashRow(id, bits, grid)
+        }
+      }
+  }
+
   /** Downstream-safe projection: drop the heavy binary before any wide
     * transformation (the "don't shuffle payloads" rule). */
   def featureFrame(spark: SparkSession, dir: String): DataFrame = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Query
 import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -97,5 +98,117 @@ object MediaQueries {
         "FROM documents ORDER BY doc_id") {
       (s, d) =>
         MediaPipeline.roundTripFrame(s, d).toDF().orderBy("doc_id")
+    },
+
+    // Perceptual image near-dup — the one dedup modality the corpus
+    // lacked a query for: 64-bit dHash over the REAL decoded rasters
+    // ([[MediaPipeline.dhashFrame]]; encode→imageio-decode→luminance
+    // →9×8 point downsample→gradient signs, all in one narrow
+    // mapPartitions), pairs at Hamming ≤ 2 via the x25 quotient
+    // technique lifted to 64 bits (present hashes × 2081 ≤2-bit XOR
+    // masks, semi-joined to present, broadcast into two equi-joins —
+    // never all-pairs), and every candidate re-VERIFIED with the
+    // exact L1 raster distance on the downsampled grids (carried from
+    // the decode, so verification re-decodes nothing). Above
+    // [[dhashQuotientMax]] present hashes the quotient table stops
+    // being broadcastable and pair generation falls back to a
+    // 3-band (22+21+21-bit) pigeonhole equi-join — any pair within
+    // Hamming ≤ 2 leaves some band untouched, so recall stays exact
+    // (DHashSpec pins path equivalence). Oracle: the fixture PNGs are
+    // deterministic in (doc_id, n_chars) and PNG decode is lossless
+    // (proved by x59), so grid, hash, Hamming and L1 all recompute
+    // arithmetically in SQL.
+    Query("x98_image_dhash",
+      "WITH img AS (SELECT doc_id, n_chars % 48 + 4 AS w, " +
+        "n_chars % 32 + 4 AS h FROM documents WHERE doc_id % 2 = 0), " +
+        "g AS (SELECT doc_id, list_transform(range(72), k -> " +
+        "(7 * (((k % 9) * w) // 9) + 13 * (((k // 9) * h) // 8) " +
+        "+ 31 * doc_id) % 256) AS grid FROM img), " +
+        "fp AS (SELECT doc_id, grid, list_transform(range(64), k -> " +
+        "CASE WHEN grid[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)] < " +
+        "grid[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)] THEN 1 ELSE 0 END) " +
+        "AS bits FROM g), " +
+        "p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(list_sum(list_transform(range(64), k -> " +
+        "CASE WHEN x.bits[CAST(k + 1 AS INT)] <> " +
+        "y.bits[CAST(k + 1 AS INT)] THEN 1 ELSE 0 END)) AS INT) " +
+        "AS hamming, " +
+        "CAST(list_sum(list_transform(range(72), k -> " +
+        "abs(x.grid[CAST(k + 1 AS INT)] - y.grid[CAST(k + 1 AS INT)]))) " +
+        "AS BIGINT) AS l1 " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id) " +
+        "SELECT doc_a, doc_b, hamming, l1 FROM p WHERE hamming <= 2 " +
+        "ORDER BY doc_a, doc_b") {
+      (s, d) => dhashPairs(s, d)
     })
+
+  // guard statistic cached once per corpus version (x25's lifecycle)
+  private val presentDhashCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[java.lang.Long]]()
+
+  /** Past this many present 64-bit hashes the ≤2-bit quotient
+    * neighbor table (present × 2081 rows) outgrows a sane broadcast
+    * and the banded path takes over. */
+  private val dhashQuotientMax = 1L << 11
+
+  /** 64-bit band split for Hamming ≤ 2: three bands (22+21+21 bits) —
+    * pigeonhole leaves ≥ one band untouched for any ≤2-bit pair. */
+  private val DBandOffs = Seq(0, 22, 43)
+  private val DBandMasks =
+    Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
+
+  private[graft] def dhashPairs(s: SparkSession, d: String,
+      maxQuotientFps: Long = dhashQuotientMax): DataFrame = {
+    val fps = MediaPipeline.dhashFrame(s, d).toDF()
+    val present = fps.select(col("dhash")).distinct()
+    val nPresent: Long = StoredIndexes.versionedValue(presentDhashCache, d,
+      "documents.parquet", "graft-dhash-present") { present.count() }
+    val cand =
+      if (nPresent <= maxQuotientFps) {
+        val masks = Seq(0L) ++ (0 until 64).map(1L << _) ++
+          (for (i <- 0 until 64; j <- i + 1 until 64)
+            yield (1L << i) | (1L << j))
+        val maskArr = array(masks.map(m =>
+          struct(lit(m).as("m"),
+            lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
+        val nbr = present.select(col("dhash").as("fa"),
+            explode(maskArr).as("mk"))
+          .select(col("fa"), col("fa").bitwiseXOR(col("mk.m")).as("fb"),
+            col("mk.h").as("hamming"))
+          .join(present.select(col("dhash").as("fb")), Seq("fb"),
+            "left_semi")
+        fps.as("x")
+          .join(broadcast(nbr), col("x.dhash") === col("fa"))
+          .join(fps.as("y"),
+            col("y.dhash") === col("fb") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("hamming").cast("int").as("hamming"),
+            col("x.grid").as("ga"), col("y.grid").as("gb"))
+      } else {
+        val bands = fps.select(col("doc_id"), col("dhash"), col("grid"),
+          explode(array((0 until 3).map(i =>
+            struct(lit(i).as("i"),
+              shiftright(col("dhash"), DBandOffs(i))
+                .bitwiseAND(lit(DBandMasks(i))).as("bv")))
+            .toIndexedSeq: _*)).as("band"))
+          .select(col("doc_id"), col("dhash"), col("grid"),
+            col("band.i").as("i"), col("band.bv").as("bv"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+              .cast("int").as("hamming"),
+            col("x.grid").as("ga"), col("y.grid").as("gb"))
+          .filter(col("hamming") <= 2)
+          .dropDuplicates("doc_a", "doc_b")
+      }
+    cand
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        aggregate(zip_with(col("ga"), col("gb"),
+          (a, b) => abs(a - b)), lit(0L), (acc, x) => acc + x).as("l1"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
