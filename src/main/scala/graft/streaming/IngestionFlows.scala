@@ -59,13 +59,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * whereas admitted/near-dup docs are settled (they are in the corpus)
  * and re-sends of them are dropped. The default gate is permissive
  * (admit all) so dedup-only deployments are unchanged.
+ *
+ * Decontamination gate (r13): with `contaminationDir` set, a
+ * quality-passing doc sharing any exact 8-token shingle with that
+ * benchmark corpus's val/test split is rejected at the door with
+ * reason `contamination` (x86's transform applied at ingest time) —
+ * hash-probe of the stored ex8h index + exact-string recheck, both
+ * retryable like quality rejections.
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
     checkpointRoot: Option[String] = None,
     trigger: Trigger = Trigger.AvailableNow(),
     quality: IngestQuality = IngestQuality(),
-    spanCleanN: Option[Int] = None) {
+    spanCleanN: Option[Int] = None,
+    contaminationDir: Option[String] = None) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -91,10 +99,13 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       // below) instead of being permanently anti-joined away. The
       // anti-join runs FIRST so the gate and the dedup window below
       // cost O(new rows), not O(batch), on replay-heavy batches.
+      // quality AND contamination rejections are retryable (the doc
+      // never entered the corpus); admitted/near-dup verdicts settle
       val unsettled =
         if (!store.exists("ingest_log")) batch0
         else batch0.join(store.load("ingest_log")
-          .filter(col("reason").isNull || col("reason") =!= "quality")
+          .filter(col("reason").isNull ||
+            !col("reason").isin("quality", "contamination"))
           .select("doc_id"), Seq("doc_id"), "left_anti")
       // quality gate (x38's repetition rule + a token-count floor, one
       // codegen map) evaluated ONCE per row; then deterministic
@@ -111,14 +122,67 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           coalesce(length(col("text")), lit(-1)).desc,
           col("text").asc_nulls_last)).persist()
       try {
-        val fresh = batch.filter(col("_fail").isNull)
+        val clean = batch.filter(col("_fail").isNull)
           .select(col("doc_id"), col("text"))
         val rejected = batch.filter(col("_fail").isNotNull)
           .select(col("doc_id"), lit(false).as("admitted"),
             col("_fail").as("reason"))
+        // eval-decontamination gate (r13): refuse contaminated docs at
+        // the door the way near-dups are refused — x86's batch
+        // transform moved to ingest time. A quality-passing doc
+        // sharing ANY exact 8-token shingle with the benchmark
+        // corpus's val/test split is rejected with reason
+        // `contamination` and never reaches `documents`. Probe shape
+        // is x36/x86's: hash-probe the STORED ex8h index (built once
+        // per benchmark version — the benchmark is immutable during
+        // ingest, so every batch reuses it), then re-verify hash
+        // candidates against exact shingle STRINGS pruned to the
+        // candidate hashes — collision-proof, cost ∝ actual
+        // contamination, and the per-batch side only ever explodes
+        // the BATCH. Like quality, the rejection is retryable (a
+        // corrected re-send re-enters the gate) and its log row
+        // upserts over any stale verdict.
+        val contamIds = contaminationDir.map { cd =>
+          val ex = graft.operators.ShingleIndex.forDir(spark, cd)
+            .load("ex8h").filter(col("split") =!= "train")
+          val freshSh = clean.filter(col("text").isNotNull)
+            .select(col("doc_id"),
+              graft.functions.TextFns.tokens(col("text")).as("ts"))
+            .filter(size(col("ts")) >= 8)
+            .select(col("doc_id"), explode(
+              graft.functions.TextFns.shingles(col("ts"), 8)).as("g"))
+            .withColumn("h", xxhash64(col("g")))
+          val candRows = freshSh
+            .join(ex.select("h").distinct(), Seq("h"), "left_semi")
+          val candH = candRows.select("h").distinct()
+          val evalDocs = ex.join(candH, Seq("h"), "left_semi")
+            .select("doc_id").distinct()
+          val evalStr = graft.sources.Tables.table(spark, cd, "documents")
+            .join(evalDocs, Seq("doc_id"), "left_semi")
+            .filter(col("text").isNotNull)
+            .select(graft.functions.TextFns.tokens(col("text")).as("ts"))
+            .filter(size(col("ts")) >= 8)
+            .select(explode(
+              graft.functions.TextFns.shingles(col("ts"), 8)).as("g"))
+            .join(candH.withColumnRenamed("h", "__h"),
+              xxhash64(col("g")) === col("__h"), "left_semi")
+            .select("g").distinct()
+          candRows.join(evalStr, Seq("g"), "left_semi")
+            .select("doc_id").distinct().persist()
+        }
+        val fresh = contamIds.fold(clean)(ids =>
+          clean.join(ids, Seq("doc_id"), "left_anti"))
         store.appendUnique("documents", fresh, Seq("doc_id"))
         if (!rejected.isEmpty)
           store.appendUnique("ingest_log", rejected, Seq("doc_id"))
+        contamIds.foreach { ids =>
+          try {
+            if (!ids.isEmpty)
+              store.upsert("ingest_log", ids
+                .select(col("doc_id"), lit(false).as("admitted"),
+                  lit("contamination").as("reason")), Seq("doc_id"))
+          } finally { ids.unpersist(); () }
+        }
         if (!fresh.isEmpty) {
           // recompute the derived decision table on the grown corpus
           // — per-batch cost: one narrow codegen scan + bounded agg

@@ -279,4 +279,56 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
     graft.tables.TempDirs.delete(dir)
   }
+
+  test("contamination gate: eval-shingle overlap rejected at the door; train overlap and clean docs admitted; replay + corrected re-send") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // benchmark corpus: doc 1 is train (md5 bucket < 80), doc 5 is val
+    // (bucket 80-89) — the x35 split the stored ex8h index records
+    val bench = Files.createTempDirectory("graft-bench").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$bench/documents.parquet")
+    val root = Files.createTempDirectory("graft-ingcontam").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      contaminationDir = Some(bench))
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    ms.addData(
+      // shares the 8-shingle "one..eight" with VAL doc 5 → rejected
+      (100L, "one two three four five six seven eight"),
+      // shares 8 tokens with TRAIN doc 1 only → the gate guards the
+      // eval split, not train → admitted
+      (102L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // clean → admitted
+      (104L, "red green blue cyan magenta yellow black white"))
+    run(flows.documentIngestFlow(df))
+    def log() = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    val l1 = log()
+    assert(l1(100L) === ((false, Some("contamination"))))
+    assert(l1(102L) === ((true, None)))
+    assert(l1(104L) === ((true, None)))
+    val ids1 = store.load("documents").collect().map(_.getLong(0)).toSet
+    assert(ids1 === Set(102L, 104L), "contaminated doc must never enter the corpus")
+    // replay: same rejection, no growth anywhere
+    val v0 = (store.load("documents").count(), store.load("ingest_log").count())
+    ms.addData((100L, "one two three four five six seven eight"))
+    run(flows.documentIngestFlow(df))
+    assert((store.load("documents").count(),
+      store.load("ingest_log").count()) === v0)
+    assert(log()(100L) === ((false, Some("contamination"))))
+    // corrected re-send: contamination is retryable — the clean text
+    // re-enters the gate, is admitted, and the log row is superseded
+    ms.addData((100L, "entirely fresh material with no benchmark overlap at all"))
+    run(flows.documentIngestFlow(df))
+    assert(log()(100L) === ((true, None)))
+    assert(store.load("documents").collect().map(_.getLong(0)).toSet
+      === Set(100L, 102L, 104L))
+    graft.tables.TempDirs.delete(root)
+  }
 }
