@@ -281,4 +281,113 @@ class KafkaLiteSpec extends AnyFunSuite {
       graft.tables.TempDirs.delete(root); graft.tables.TempDirs.delete(ckpt)
     }
   }
+
+  test("S18 over the wire with restart: timers and tombstones survive checkpoint resume; return stays once-only") {
+    // the deployment shape a real restart lands in: the hold is taken
+    // in one process lifetime, the broker keeps receiving while the
+    // consumer is DOWN, and the restarted consumer must (a) fire the
+    // pre-restart hold's timer off RocksDB state, (b) still hold the
+    // pre-restart settle's tombstone so a late redelivered hold cannot
+    // re-arm, and (c) return seats exactly once.
+    withBroker { b =>
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        val c = new KafkaLiteClient("localhost", b.port)
+        c.createTopic("boletia.holds", 2)
+        def tsMs(s: String): Long =
+          java.sql.Timestamp.valueOf(s"2026-01-01 $s").getTime
+        def send(id: String, evento: String, cant: Int, kind: String,
+            t: String): Unit = {
+          c.produceStrings("boletia.holds", Seq((id,
+            s"""{"id":"$id","evento":"$evento","cantidad":$cant,""" +
+              s""""kind":"$kind","tsMs":${tsMs(t)}}""")))
+          ()
+        }
+        val root = Files.createTempDirectory("graft-klite-s18").toString
+        val store = new TableStore(spark, root)
+        store.init("inventario",
+          Seq(("Opera", 96, "Cultural", "A"))
+            .toDF("nombre", "capacidad", "categoria", "estado"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "id string, evento string, cantidad int, kind string, tsMs long")
+        def run(): Unit = {
+          val events = KafkaLiteSourceProvider
+            .readTopics(spark, "localhost", b.port, Seq("boletia.holds"))
+            .select(from_json(col("value"), schema).as("j"))
+            .select(col("j.id"), col("j.evento"), col("j.cantidad"),
+              col("j.kind"),
+              (col("j.tsMs").cast("double") / 1000).cast("timestamp")
+                .as("ts"))
+            .as[graft.streaming.HoldExpiry.HoldEvent]
+          val qry = graft.streaming.HoldExpiry.flow(store, events,
+            timeoutMs = 60000L, checkpointRoot = Some(root),
+            watermarkDelay = "30 minutes")
+          try qry.processAllAvailable() finally qry.stop()
+        }
+        def cap(): Int = store.load("inventario")
+          .select("capacidad").collect().head.getInt(0)
+        def expiredIds(): Seq[String] =
+          if (!store.exists("expired_holds")) Seq.empty
+          else store.load("expired_holds").select("id").collect()
+            .map(_.getString(0)).toSeq.sorted
+
+        // NOTE the cadence difference from the MemoryStream spec: the
+        // kafkalite source goes through Spark's generic AvailableNow
+        // wrapper, which does NOT run the trailing no-data micro-batch
+        // MemoryStream gets — so a run's own max-ts watermark becomes
+        // visible to timers in the NEXT lifetime's data batch. That is
+        // exactly a restarting consumer's cadence, and it makes every
+        // expiry below fire off CHECKPOINT-RESTORED timer state by
+        // construction.
+
+        // lifetime 1: r1 holds 5, r2 holds 3 and settles in time
+        send("r1", "Opera", 5, "hold", "10:00:00")
+        send("r2", "Opera", 3, "hold", "10:00:00")
+        send("r2", "Opera", 3, "confirm", "10:00:30")
+        run()
+        assert(expiredIds() === Seq.empty && cap() === 96)
+
+        // broker keeps receiving while the consumer is down: a LATE
+        // redelivery of r2's hold (after its settle, inside the 30 min
+        // watermark delay → it reaches the processor and must hit the
+        // RESTORED tombstone) plus a heartbeat lifting the watermark
+        // to 10:30 for the next lifetime
+        send("r2", "Opera", 3, "hold", "10:00:00")
+        send("hb", "Opera", 1, "hold", "11:00:00")
+        run() // lifetime 2: watermark still 09:30:30 → nothing fires
+        assert(expiredIds() === Seq.empty && cap() === 96)
+
+        // lifetime 3: batch watermark 10:30 → r1's 10:01 timer (armed
+        // two restarts ago) fires; r2's tombstone held — no r2 expiry
+        send("hb2", "Opera", 1, "hold", "12:00:00")
+        run()
+        assert(expiredIds() === Seq("r1"),
+          "pre-restart timer must fire off restored state")
+        assert(cap() === 101, "exactly r1's 5 seats returned")
+
+        // lifetime 4: batch watermark 11:30 → hb's 11:01 fires; the
+        // twice-restored r2 tombstone still never expires
+        send("hb3", "Opera", 1, "hold", "13:00:00")
+        run()
+        assert(expiredIds() === Seq("hb", "r1"))
+        assert(cap() === 102)
+        // once-only across all four lifetimes
+        assert(store.load("expired_holds").groupBy("id").count()
+          .filter(col("count") > 1).isEmpty)
+        c.close()
+        graft.tables.TempDirs.delete(root)
+      } finally {
+        prevProvider match {
+          case Some(p) => spark.conf
+            .set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf
+            .unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+  }
 }
