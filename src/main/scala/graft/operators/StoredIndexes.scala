@@ -91,6 +91,55 @@ private[graft] object StoredIndexes {
       now: Map[String, String]): Boolean =
     covered.forall { case (f, sig) => now.get(f).contains(sig) }
 
+  // ------------------------------------------------------------------
+  // retired-root retention (r13): superseded scratch roots used to fall
+  // only at JVM exit — fine for a bench process, an unbounded leak for
+  // a long-lived serving process that rewrites its corpus repeatedly.
+  // Every entry replacement records the old root here with its
+  // retirement time; [[sweepRetired]] applies the TableStore VACUUM
+  // contract to them — reclaim what has been superseded longer than
+  // the horizon, leave younger roots alone so an in-flight reader
+  // holding a lazy plan over the old index keeps its snapshot within
+  // the horizon. Unswept roots still fall at JVM exit via TempDirs.
+  // ------------------------------------------------------------------
+
+  private val retired =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Record `root` as superseded as of now (no-op for rootless
+    * driver-value entries). */
+  def retireRoot(root: String): Unit =
+    if (root != null && root.nonEmpty) {
+      retired.put(root, System.currentTimeMillis()); ()
+    }
+
+  /** Currently retired-but-unreclaimed roots (spec observability). */
+  def retiredRoots: Set[String] = {
+    val b = Set.newBuilder[String]
+    retired.forEach((r, _) => b += r)
+    b.result()
+  }
+
+  /** Reclaim every root superseded at least `horizonMs` ago: delete
+    * recursively and deregister from TempDirs. Returns the reclaimed
+    * roots. Horizon 0 = reclaim everything retired (the post-quiesce
+    * sweep); a serving deployment runs this periodically with its
+    * read-SLA horizon, exactly like TableStore.vacuum. */
+  def sweepRetired(horizonMs: Long): Seq[String] = {
+    val cut = System.currentTimeMillis() - horizonMs
+    val out = Seq.newBuilder[String]
+    val it = retired.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= cut) {
+        graft.tables.TempDirs.delete(e.getKey)
+        it.remove()
+        out += e.getKey
+      }
+    }
+    out.result()
+  }
+
   /** Run `mk`, accumulating its wall-clock under `kind` in
     * [[buildLog]] — the ONE timed build path, shared by every cache
     * entry constructor so the bench `build` section cannot
@@ -116,8 +165,9 @@ private[graft] object StoredIndexes {
     * via `mk` into a fresh registered scratch root. A superseded
     * build's root is NOT deleted eagerly — a reader holding a lazy
     * plan over the old index keeps its snapshot (the same retention
-    * contract TableStore documents); retired roots stay registered
-    * with TempDirs and fall at JVM exit, bounded by rebuilds per JVM.
+    * contract TableStore documents); retired roots are recorded for
+    * [[sweepRetired]] (horizon-based reclamation for long-lived
+    * serving processes) and otherwise fall at JVM exit.
     * `kind` names the index in [[buildLog]]. `cacheKey` overrides the
     * map key when one corpus dir can host several index variants
     * (parameterized builds); the fingerprint is always of `dir`. */
@@ -128,7 +178,10 @@ private[graft] object StoredIndexes {
     m.compute(if (cacheKey == null) dir else cacheKey, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
-      else rebuildEntry(fp, kind, dataListing(dir, file))(mk)
+      else {
+        if (prev != null) retireRoot(prev.root)
+        rebuildEntry(fp, kind, dataListing(dir, file))(mk)
+      }
     }).index
 
   /** [[versioned]] for DRIVER-VALUE artifacts (a learned profile, a

@@ -132,8 +132,11 @@ object VectorIndex {
       val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
       lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
-      def full() = StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
-        listing, nCorpus)(root => build(spark, dir, root, IvfParams()))
+      def full() = {
+        if (prev != null) StoredIndexes.retireRoot(prev.root)
+        StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
+          listing, nCorpus)(root => build(spark, dir, root, IvfParams()))
+      }
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         full()
       else {
@@ -204,8 +207,11 @@ object VectorIndex {
       val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
       lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
-      def fullEntry() = StoredIndexes.rebuildEntry(fp, "graft-srp-index",
-        listing, nCorpus)(full)
+      def fullEntry() = {
+        if (prev != null) StoredIndexes.retireRoot(prev.root)
+        StoredIndexes.rebuildEntry(fp, "graft-srp-index",
+          listing, nCorpus)(full)
+      }
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         fullEntry()
       else {
