@@ -88,8 +88,25 @@ final class RestService(spark: SparkSession, store: TableStore,
     .newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-purge"); t.setDaemon(true); t
     })
+  // doc_id → (status, lastUpdateMillis). Terminal statuses are kept
+  // for [[RestService.PurgeStatusRetentionMs]] so clients can poll
+  // completion, then evicted on the next submit — without eviction a
+  // long-lived serving process would retain one entry per doc_id ever
+  // purged (the same unbounded-growth class the stored-index
+  // retired-root sweep closes).
   private val purgeJobs =
-    new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+  private val purgeSeq = new AtomicLong(0L)
+
+  private def evictStalePurgeStatuses(): Unit = {
+    val cut = System.currentTimeMillis() - RestService.PurgeStatusRetentionMs
+    val it = purgeJobs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getValue._1.startsWith("pending") && e.getValue._2 <= cut)
+        it.remove()
+    }
+  }
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/eventos", (ex: HttpExchange) => safely(ex)(routeEventos))
   server.createContext("/reservas", (ex: HttpExchange) => safely(ex)(routeReservas))
@@ -178,11 +195,22 @@ final class RestService(spark: SparkSession, store: TableStore,
       // no-op re-accept; re-submitting after completion re-runs the
       // (idempotent) purge, which then reports deleted_documents 0.
       case ("DELETE", List("subjects", "documents", DocId(docId))) =>
-        purgeJobs.put(docId, "pending")
+        // each submit gets a GENERATION-stamped pending marker: a
+        // worker only runs for (and only resolves) its own marker, so
+        // a re-submit arriving between a purge's completion and its
+        // status write can neither be skipped nor have its pending
+        // state clobbered by the older job's terminal status — a bare
+        // "pending" string made those two markers indistinguishable
+        evictStalePurgeStatuses()
+        val marker = s"pending:${purgeSeq.incrementAndGet()}"
+        val markerEntry = (marker, System.currentTimeMillis())
+        purgeJobs.put(docId, markerEntry)
         purgeExec.execute(() => {
-          // skip if a concurrent re-submit already queued a run that
-          // completed this pending marker
-          if (purgeJobs.get(docId) == "pending") {
+          // a newer submit supersedes this job; its own queued run
+          // (the worker is single-threaded, so strictly after us)
+          // will do the purge
+          val cur = purgeJobs.get(docId)
+          if (cur != null && cur._1 == marker) {
             val st =
               try {
                 val n = lock.synchronized {
@@ -191,7 +219,8 @@ final class RestService(spark: SparkSession, store: TableStore,
                 }
                 s"done:$n"
               } catch { case e: Throwable => s"failed:${e.getMessage}" }
-            purgeJobs.put(docId, st)
+            purgeJobs.replace(docId, cur,
+              (st, System.currentTimeMillis()))
             ()
           }
         })
@@ -208,10 +237,11 @@ final class RestService(spark: SparkSession, store: TableStore,
       case ("GET", List("subjects", "documents", DocId(docId), "purge")) =>
         purgeJobs.get(docId) match {
           case null => reply(ex, 404, "no purge submitted for this doc")
-          case "pending" => replyJson(ex, 200, """{"status":"pending"}""")
-          case s if s.startsWith("done:") => replyJson(ex, 200,
+          case (s, _) if s.startsWith("pending") =>
+            replyJson(ex, 200, """{"status":"pending"}""")
+          case (s, _) if s.startsWith("done:") => replyJson(ex, 200,
             s"""{"status":"done","deleted_documents":${s.drop(5)}}""")
-          case s => replyJson(ex, 200,
+          case (s, _) => replyJson(ex, 200,
             s"""{"status":"failed","error":${mapper.writeValueAsString(
               s.drop(7))}}""")
         }
@@ -571,6 +601,13 @@ final class RestService(spark: SparkSession, store: TableStore,
 }
 
 object RestService {
+
+  /** How long a terminal purge-job status stays pollable before the
+    * next submit may evict it. One hour comfortably covers any sane
+    * completion-polling loop while bounding the status map by the
+    * hourly purge rate. */
+  val PurgeStatusRetentionMs: Long = 3600L * 1000
+
   /** bson.ObjectId stand-in: 24 hex chars, time-prefixed + counter —
     * unique and roughly sortable like the original. */
   def objectIdGen(): () => String = {

@@ -59,8 +59,10 @@ object BpeMiner {
     * fixture is entirely [a-z]+; a mixed corpus would normalize
     * upstream). */
   def forDir(s: SparkSession, dir: String, k: Int = 8): Seq[Merge] =
+    // cacheKey carries k: a k=4 caller after a k=8 caller must not be
+    // served the 8-merge list off the fingerprint hit
     StoredIndexes.versionedValue(cache, dir, "documents.parquet",
-      "graft-bpe-merges") {
+      "graft-bpe-merges", cacheKey = s"$dir#k=$k") {
       val types = table(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(explode(TextFns.tokens(col("text"))).as("t"))
@@ -123,17 +125,25 @@ object BpeMiner {
   // ------------------------------------------------------------------
 
   /** DuckDB twin: an unrolled-CTE chain (the x50-pagerank technique)
-    * over a separator-prefixed symbol encoding — every symbol carries
-    * a leading chr(1), so `replace(w, sep||a||sep||b, sep||a||b)`
-    * is exactly greedy left-to-right non-overlapping pair merging
-    * (adjacent matches never share a separator). Each wK is
+    * over a symbol encoding where every symbol cell is WRAPPED in
+    * chr(1) on BOTH sides ("·sym·"), so the merge
+    * `replace(w, ·a··b·, ·ab·)` is exactly greedy left-to-right
+    * non-overlapping pair merging: cells share no separator (adjacent
+    * matches can't steal each other's boundary) and the pattern's
+    * trailing separator guards the RIGHT side — a prefix-only
+    * encoding matched `·c··a` inside `·c··ab·`, merging (c,a) across
+    * a symbol boundary whenever a merged symbol had the right token
+    * as a proper prefix (caught by review; the fixture never hits it,
+    * an `ab/ca/cab` corpus does). Symbol extraction filters the empty
+    * strings the doubled separators introduce. Each wK is
     * MATERIALIZED: the chain references every level twice (pair
     * counts + next merge), and inlining would re-derive w0
     * exponentially. */
   private def oracleSql(k: Int): String = {
     val sep = "chr(1)"
     val chain = (0 until k).map { i =>
-      s"s$i AS (SELECT string_split(w, $sep)[2:] AS ts, cnt FROM w$i), " +
+      s"s$i AS (SELECT list_filter(string_split(w, $sep), " +
+        s"t -> t <> '') AS ts, cnt FROM w$i), " +
         s"p$i AS (SELECT split_part(g, ' ', 1) AS a, " +
         "split_part(g, ' ', 2) AS b, SUM(cnt) AS c FROM " +
         "(SELECT unnest(list_transform(range(len(ts) - 1), " +
@@ -141,18 +151,18 @@ object BpeMiner {
         "GROUP BY 1, 2), " +
         s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
         s"w${i + 1} AS MATERIALIZED (SELECT replace(w, " +
-        s"$sep || a || $sep || b, $sep || a || b) AS w, cnt " +
-        s"FROM w$i, b$i)"
+        s"$sep || a || $sep || $sep || b || $sep, " +
+        s"$sep || a || b || $sep) AS w, cnt FROM w$i, b$i)"
     }.mkString(", ")
     val rows = (0 until k).map { i =>
       s"SELECT ${i + 1} AS rank, a, b, CAST(c AS BIGINT) AS pair_count, " +
-        s"(SELECT CAST(SUM(cnt * (len(string_split(w, $sep)) - 1)) " +
-        s"AS BIGINT) FROM w${i + 1}) AS n_symbols FROM b$i"
+        s"(SELECT CAST(SUM(cnt * len(list_filter(string_split(w, $sep), " +
+        s"t -> t <> ''))) AS BIGINT) FROM w${i + 1}) AS n_symbols FROM b$i"
     }.mkString(" UNION ALL ")
     "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
       "w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', " +
-      s"$sep || '\\1', 'g') AS w, COUNT(*) AS cnt FROM tok " +
+      s"$sep || '\\1' || $sep, 'g') AS w, COUNT(*) AS cnt FROM tok " +
       "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " +
       chain + s", m AS ($rows) SELECT * FROM m ORDER BY rank"
   }

@@ -55,6 +55,29 @@ object ShingleIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
+  /** Candidate docs' exact 8-token shingle STRINGS, re-pruned to the
+    * candidate hash set so the downstream distinct/join shuffles only
+    * matched shingles (∝ hits, never a candidate doc's whole
+    * vocabulary) — the collision-proof string-recheck stage of every
+    * ex8h probe. ONE definition next to the index it rechecks, shared
+    * by x36 (contamination audit), x86 (decontamination transform)
+    * and the ingest-time contamination gate: the shingle width and
+    * hash function here must stay in lockstep with the `ex8h` build
+    * below, and a single site makes that a local invariant. */
+  def candidateShingles(spark: SparkSession, dir: String,
+      ids: org.apache.spark.sql.DataFrame,
+      candHashes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    table(spark, dir, "documents")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        explode(TextFns.shingles(col("ts"), 8)).as("g"))
+      .join(candHashes.withColumnRenamed("h", "__h"),
+        xxhash64(col("g")) === col("__h"), "left_semi")
+
   def forDir(spark: SparkSession, dir: String): TableStore =
     StoredIndexes.versioned(cache, dir, "documents.parquet",
       "graft-shingle-index") { root =>

@@ -188,11 +188,15 @@ private[graft] object StoredIndexes {
     * guard statistic): same fingerprint-keyed once-per-corpus-version
     * contract and the same build-cost accounting, but no scratch root
     * is allocated — the value lives on the driver, so there is nothing
-    * to put on disk. */
+    * to put on disk. `cacheKey` overrides the map key for
+    * PARAMETERIZED builds (same contract as [[versioned]]'s): without
+    * it a second call with different build parameters would silently
+    * serve the first call's value off the fingerprint hit. */
   def versionedValue[A](m: java.util.concurrent.ConcurrentHashMap[
-      String, Cached[A]], dir: String, file: String, kind: String)(
+      String, Cached[A]], dir: String, file: String, kind: String,
+      cacheKey: String = null)(
       mk: => A): A =
-    m.compute(dir, (_, prev) => {
+    m.compute(if (cacheKey == null) dir else cacheKey, (_, prev) => {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
       else timedBuild(kind)(Cached(fp, "", mk))

@@ -53,22 +53,12 @@ object TextQueries {
         .collect().map(_.getString(0)).toSeq
     }
 
-  /** Candidate docs' exact 8-token shingle STRINGS, re-pruned to the
-    * candidate hash set so the downstream distinct/join shuffles only
-    * matched shingles (∝ hits, never a candidate doc's whole
-    * vocabulary) — the collision-proof string-recheck stage shared by
-    * x36 (contamination audit) and x86 (decontamination transform). */
+  /** The ex8h string-recheck stage — ONE definition, kept next to the
+    * index it rechecks ([[ShingleIndex.candidateShingles]]); shared
+    * with the ingest-time contamination gate. */
   private def candidateShingles(s: SparkSession, d: String,
       ids: DataFrame, candHashes: DataFrame): DataFrame =
-    table(s, d, "documents")
-      .join(ids, Seq("doc_id"), "left_semi")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"),
-        explode(TextFns.shingles(col("ts"), 8)).as("g"))
-      .join(candHashes.withColumnRenamed("h", "__h"),
-        xxhash64(col("g")) === col("__h"), "left_semi")
+    ShingleIndex.candidateShingles(s, d, ids, candHashes)
 
   private def trigramProfile(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(String, Seq[String])] =

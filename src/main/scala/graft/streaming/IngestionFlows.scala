@@ -157,32 +157,38 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           val candH = candRows.select("h").distinct()
           val evalDocs = ex.join(candH, Seq("h"), "left_semi")
             .select("doc_id").distinct()
-          val evalStr = graft.sources.Tables.table(spark, cd, "documents")
-            .join(evalDocs, Seq("doc_id"), "left_semi")
-            .filter(col("text").isNotNull)
-            .select(graft.functions.TextFns.tokens(col("text")).as("ts"))
-            .filter(size(col("ts")) >= 8)
-            .select(explode(
-              graft.functions.TextFns.shingles(col("ts"), 8)).as("g"))
-            .join(candH.withColumnRenamed("h", "__h"),
-              xxhash64(col("g")) === col("__h"), "left_semi")
+          // exact-string recheck — the ONE ex8h recheck definition
+          // (ShingleIndex.candidateShingles), shared with x36/x86 so
+          // shingle width and hash cannot drift between the audit,
+          // the transform and this gate
+          val evalStr = graft.operators.ShingleIndex
+            .candidateShingles(spark, cd, evalDocs, candH)
             .select("g").distinct()
+          // persisted for the batch's duration: the anti-join below,
+          // the emptiness probe, the log write and the admitted join
+          // all reference it — unpersisted at the END of the batch
+          // body (an early unpersist would re-run the whole probe,
+          // benchmark scan included, for every later reference)
           candRows.join(evalStr, Seq("g"), "left_semi")
             .select("doc_id").distinct().persist()
         }
-        val fresh = contamIds.fold(clean)(ids =>
-          clean.join(ids, Seq("doc_id"), "left_anti"))
-        store.appendUnique("documents", fresh, Seq("doc_id"))
-        if (!rejected.isEmpty)
-          store.appendUnique("ingest_log", rejected, Seq("doc_id"))
-        contamIds.foreach { ids =>
-          try {
+        try {
+          val fresh = contamIds.fold(clean)(ids =>
+            clean.join(ids, Seq("doc_id"), "left_anti"))
+          store.appendUnique("documents", fresh, Seq("doc_id"))
+          // upsert, not appendUnique: a retryable rejection must
+          // SUPERSEDE a stale retryable row in either direction —
+          // appendUnique would leave a doc whose contamination
+          // rejection was followed by a quality-failing re-send
+          // permanently logged as "contamination"
+          if (!rejected.isEmpty)
+            store.upsert("ingest_log", rejected, Seq("doc_id"))
+          contamIds.foreach { ids =>
             if (!ids.isEmpty)
               store.upsert("ingest_log", ids
                 .select(col("doc_id"), lit(false).as("admitted"),
                   lit("contamination").as("reason")), Seq("doc_id"))
-          } finally { ids.unpersist(); () }
-        }
+          }
         if (!fresh.isEmpty) {
           // recompute the derived decision table on the grown corpus
           // — per-batch cost: one narrow codegen scan + bounded agg
@@ -219,6 +225,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 store.load("documents"), ng))
           }
         }
+        } finally { contamIds.foreach { ids => ids.unpersist(); () } }
       } finally { batch.unpersist(); () }
     }
 

@@ -293,7 +293,14 @@ class IngestionFlowSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$bench/documents.parquet")
     val root = Files.createTempDirectory("graft-ingcontam").toString
     val store = new TableStore(spark, root)
+    // persistent checkpoint: each run delivers only NEW sends — the
+    // reason-transition steps below need the re-send to arrive in its
+    // OWN batch (a full replay would put both versions of a doc in one
+    // batch, where the in-batch dedup rule rightly prefers the
+    // gate-passing one)
     val flows = new IngestionFlows(spark, store, root,
+      checkpointRoot = Some(root),
+      quality = graft.streaming.IngestQuality(minTokens = 3),
       contaminationDir = Some(bench))
     val ms = MemoryStream[(Long, String)]
     def df = ms.toDS().toDF("doc_id", "text")
@@ -329,6 +336,16 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(log()(100L) === ((true, None)))
     assert(store.load("documents").collect().map(_.getLong(0)).toSet
       === Set(100L, 102L, 104L))
+    // retryable reasons supersede in BOTH directions: a contamination
+    // rejection followed by a quality-failing re-send must read
+    // "quality", not the stale "contamination" (and the converse is
+    // the gate order itself)
+    ms.addData((106L, "one two three four five six seven eight"))
+    run(flows.documentIngestFlow(df))
+    assert(log()(106L) === ((false, Some("contamination"))))
+    ms.addData((106L, "shorty"))
+    run(flows.documentIngestFlow(df))
+    assert(log()(106L) === ((false, Some("quality"))))
     graft.tables.TempDirs.delete(root)
   }
 }
