@@ -167,6 +167,52 @@ object BpeMiner {
       chain + s", m AS ($rows) SELECT * FROM m ORDER BY rank"
   }
 
+  /** x99's oracle: the same mining chain (with the word string carried
+    * through so each type's final encoding stays addressable), then
+    * every corpus token joins its type's post-merge symbol count and
+    * rolls up per language. Symbol count is (seps/2) via the length
+    * difference — each cell carries exactly two separators. */
+  private def oracleEncodeSql(k: Int): String = {
+    val sep = "chr(1)"
+    val chain = (0 until k).map { i =>
+      s"s$i AS (SELECT list_filter(string_split(w, $sep), " +
+        s"t -> t <> '') AS ts, cnt FROM w$i), " +
+        s"p$i AS (SELECT split_part(g, ' ', 1) AS a, " +
+        "split_part(g, ' ', 2) AS b, SUM(cnt) AS c FROM " +
+        "(SELECT unnest(list_transform(range(len(ts) - 1), " +
+        s"i -> ts[i+1] || ' ' || ts[i+2])) AS g, cnt FROM s$i) " +
+        "GROUP BY 1, 2), " +
+        s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
+        s"w${i + 1} AS MATERIALIZED (SELECT word, replace(w, " +
+        s"$sep || a || $sep || $sep || b || $sep, " +
+        s"$sep || a || b || $sep) AS w, cnt FROM w$i, b$i)"
+    }.mkString(", ")
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "w0 AS MATERIALIZED (SELECT t AS word, regexp_replace(t, '(.)', " +
+      s"$sep || '\\1' || $sep, 'g') AS w, COUNT(*) AS cnt FROM tok " +
+      "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " +
+      chain + ", " +
+      s"enc AS (SELECT word, CAST((length(w) - " +
+      s"length(replace(w, $sep, ''))) / 2 AS BIGINT) AS nsym FROM w$k), " +
+      "tokl AS (SELECT lang, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "j AS (SELECT tokl.lang, length(tokl.word) AS nch, enc.nsym " +
+      "FROM tokl JOIN enc ON tokl.word = enc.word), " +
+      "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(nch) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(nsym) AS BIGINT) AS n_symbols FROM j GROUP BY lang), " +
+      "d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+      "FROM documents WHERE text IS NOT NULL GROUP BY lang) " +
+      "SELECT d.lang, d.n_docs, COALESCE(g.n_words, 0) AS n_words, " +
+      "COALESCE(g.n_chars, 0) AS n_chars, " +
+      "COALESCE(g.n_symbols, 0) AS n_symbols, " +
+      "CASE WHEN g.n_symbols > 0 THEN " +
+      "round(CAST(g.n_chars AS DOUBLE) / g.n_symbols, 6) END " +
+      "AS compression FROM d LEFT JOIN g ON d.lang = g.lang " +
+      "ORDER BY d.lang"
+  }
+
   val all: Seq[Query] = Seq(
     Query("x96_bpe_merges", oracleSql(8)) { (s, d) =>
       import s.implicits._
@@ -174,5 +220,52 @@ object BpeMiner {
         .map(m => (m.rank, m.a, m.b, m.pairCount, m.nSymbols))
         .toDF("rank", "a", "b", "pair_count", "n_symbols")
         .orderBy("rank")
+    },
+
+    // BPE ENCODING — the apply half of x96's train half: every corpus
+    // token encoded under the learned merge list, rolled up per
+    // language (words, chars, post-merge symbols, chars-per-symbol
+    // compression — the number a tokenizer team actually watches).
+    // The merges are driver metadata (x96's cached build), so the
+    // whole encode is ONE narrow codegen-friendly pass: per token,
+    // wrap chars in the guarded separator encoding, fold the 8
+    // literal `replace`s (greedy non-overlapping by the same
+    // both-sides-guard argument as the oracle), count cells by
+    // separator arithmetic — no join, no explode, no shuffle before
+    // the per-lang aggregate. At 100 TB this is the canonical
+    // tokenizer-application shape: O(corpus chars) map + O(langs)
+    // state.
+    Query("x99_bpe_encode", oracleEncodeSql(8)) { (s, d) =>
+      val sep = "\u0001"
+      val merges = forDir(s, d, 8)
+      def encoded(w: org.apache.spark.sql.Column) =
+        merges.foldLeft(
+          regexp_replace(w, "(.)", sep + "$1" + sep)) { (acc, m) =>
+          replace(acc, lit(sep + m.a + sep + sep + m.b + sep),
+            lit(sep + m.a + m.b + sep))
+        }
+      def nsym(w: org.apache.spark.sql.Column) =
+        ((length(encoded(w)) -
+          length(translate(encoded(w), sep, ""))).cast("long") / 2)
+          .cast("long")
+      val ws = filter(TextFns.tokens(col("text")),
+        w => w.rlike("^[a-z]+$"))
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(ws).cast("long").as("nw"),
+          aggregate(transform(ws, w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x).as("nch"),
+          aggregate(transform(ws, w => nsym(w)),
+            lit(0L), (a, x) => a + x).as("nsy"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nch")).as("n_chars"),
+          sum(col("nsy")).as("n_symbols"),
+          when(sum(col("nsy")) > 0,
+            round(sum(col("nch")).cast("double") / sum(col("nsy")), 6))
+            .as("compression"))
+        .orderBy("lang")
     })
 }

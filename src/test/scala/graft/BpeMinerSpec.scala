@@ -70,4 +70,20 @@ class BpeMinerSpec extends AnyFunSuite {
     val df = SparkEntry.queries("x96_bpe_merges")(spark, TestSpark.sf)
     assert(df.count() === 8)
   }
+
+  test("x99 encode agrees with the trainer's own bookkeeping") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.sum
+    val m = BpeMiner.forDir(spark, TestSpark.sf, 8)
+    val enc = SparkEntry.queries("x99_bpe_encode")(spark, TestSpark.sf)
+      .agg(sum("n_chars").cast("long").as("chars"),
+        sum("n_symbols").cast("long").as("syms"))
+      .collect().head
+    // the corpus's total post-merge symbol count must equal the final
+    // merge's nSymbols (the trainer counts over word TYPES × freq —
+    // the encoder re-derives it token by token), and chars must
+    // strictly exceed symbols once any merge applied
+    assert(enc.getAs[Long]("syms") === m.last.nSymbols)
+    assert(enc.getAs[Long]("chars") > enc.getAs[Long]("syms"))
+  }
 }
