@@ -117,7 +117,20 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
-  def stop(): Unit = { server.stop(0); purgeExec.shutdown() }
+
+  /** Stop accepting requests FIRST, then drain the purge worker: a
+    * 202-accepted purge whose job is still queued must run before the
+    * process exits, or the acceptance was a lie. The purge registry is
+    * deliberately in-memory (this is the interactive seam; acceptance
+    * is not a durable contract across a CRASH): a client whose status
+    * poll 404s after a restart re-submits — the purge is idempotent,
+    * so the re-submit is always safe. */
+  def stop(): Unit = {
+    server.stop(0)
+    purgeExec.shutdown()
+    purgeExec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
   def boundPort: Int = server.getAddress.getPort
 
   // ------------------------------------------------------------------
@@ -205,7 +218,7 @@ final class RestService(spark: SparkSession, store: TableStore,
         val marker = s"pending:${purgeSeq.incrementAndGet()}"
         val markerEntry = (marker, System.currentTimeMillis())
         purgeJobs.put(docId, markerEntry)
-        purgeExec.execute(() => {
+        try purgeExec.execute(() => {
           // a newer submit supersedes this job; its own queued run
           // (the worker is single-threaded, so strictly after us)
           // will do the purge
@@ -224,6 +237,14 @@ final class RestService(spark: SparkSession, store: TableStore,
             ()
           }
         })
+        catch {
+          // a DELETE racing stop(): refuse honestly instead of leaving
+          // a phantom "pending" that no worker will ever resolve
+          case _: java.util.concurrent.RejectedExecutionException =>
+            purgeJobs.remove(docId, markerEntry)
+            reply(ex, 503, "service shutting down; purge not accepted")
+            return
+        }
         ex.getResponseHeaders.add("Location",
           s"/subjects/documents/$docId/purge")
         replyJson(ex, 202,

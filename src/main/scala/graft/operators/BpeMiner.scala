@@ -183,9 +183,15 @@ object BpeMiner {
         s"i -> ts[i+1] || ' ' || ts[i+2])) AS g, cnt FROM s$i) " +
         "GROUP BY 1, 2), " +
         s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
-        s"w${i + 1} AS MATERIALIZED (SELECT word, replace(w, " +
+        // LEFT JOIN ON TRUE, not a cross join: when the merges exhaust
+        // before k, b_i is EMPTY and a cross join would empty every
+        // later level (and the whole rollup) while the Scala encoder
+        // keeps applying the shorter learned list — the COALESCE
+        // carries each word through an exhausted round unchanged
+        s"w${i + 1} AS MATERIALIZED (SELECT word, COALESCE(replace(w, " +
         s"$sep || a || $sep || $sep || b || $sep, " +
-        s"$sep || a || b || $sep) AS w, cnt FROM w$i, b$i)"
+        s"$sep || a || b || $sep), w) AS w, cnt " +
+        s"FROM w$i LEFT JOIN b$i ON TRUE)"
     }.mkString(", ")
     "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
@@ -244,10 +250,13 @@ object BpeMiner {
           replace(acc, lit(sep + m.a + sep + sep + m.b + sep),
             lit(sep + m.a + m.b + sep))
         }
+      // every non-separator char of the encoding is an original char,
+      // so cells = (len(enc) − len(word)) / 2 — ONE evaluation of the
+      // replace fold per token (length(enc) − length(translate(enc)))
+      // would run the whole fold twice inside the HOF lambda, where
+      // no common-subexpression elimination applies
       def nsym(w: org.apache.spark.sql.Column) =
-        ((length(encoded(w)) -
-          length(translate(encoded(w), sep, ""))).cast("long") / 2)
-          .cast("long")
+        ((length(encoded(w)) - length(w)).cast("long") / 2).cast("long")
       val ws = filter(TextFns.tokens(col("text")),
         w => w.rlike("^[a-z]+$"))
       table(s, d, "documents")

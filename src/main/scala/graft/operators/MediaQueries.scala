@@ -159,7 +159,16 @@ object MediaQueries {
 
   private[graft] def dhashPairs(s: SparkSession, d: String,
       maxQuotientFps: Long = dhashQuotientMax): DataFrame = {
+    // the explicit exchange is the decode-once seam: every downstream
+    // reference (present/nbr derivation, both self-join sides) hangs
+    // off the SAME repartition, so ReuseExchange materializes the
+    // encode→decode→hash scan once and the other references read the
+    // shuffle files (builders never persist — Bench hygiene — and the
+    // shuffled rows are ~300 bytes/image, not the payloads). Without
+    // it each reference re-decoded every image (x7's lesson applied
+    // to a mapPartitions pipeline, which has no natural exchange).
     val fps = MediaPipeline.dhashFrame(s, d).toDF()
+      .repartition(col("doc_id"))
     val present = fps.select(col("dhash")).distinct()
     val nPresent: Long = StoredIndexes.versionedValue(presentDhashCache, d,
       "documents.parquet", "graft-dhash-present") { present.count() }

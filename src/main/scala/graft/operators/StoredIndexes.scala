@@ -179,8 +179,11 @@ private[graft] object StoredIndexes {
       val fp = fingerprint(dir, file)
       if (prev != null && prev.fingerprint == fp) prev
       else {
+        // build FIRST, retire after: a throwing rebuild leaves prev
+        // cached and servable — its root must not be queued for sweep
+        val entry = rebuildEntry(fp, kind, dataListing(dir, file))(mk)
         if (prev != null) retireRoot(prev.root)
-        rebuildEntry(fp, kind, dataListing(dir, file))(mk)
+        entry
       }
     }).index
 

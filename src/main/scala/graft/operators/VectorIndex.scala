@@ -133,9 +133,11 @@ object VectorIndex {
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
       lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
       def full() = {
-        if (prev != null) StoredIndexes.retireRoot(prev.root)
-        StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
+        // build first, retire after (a failed rebuild keeps prev live)
+        val e = StoredIndexes.rebuildEntry(fp, "graft-ivf-index",
           listing, nCorpus)(root => build(spark, dir, root, IvfParams()))
+        if (prev != null) StoredIndexes.retireRoot(prev.root)
+        e
       }
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         full()
@@ -208,9 +210,11 @@ object VectorIndex {
       val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
       lazy val nCorpus: Long = table(spark, dir, "embeddings").count()
       def fullEntry() = {
-        if (prev != null) StoredIndexes.retireRoot(prev.root)
-        StoredIndexes.rebuildEntry(fp, "graft-srp-index",
+        // build first, retire after (a failed rebuild keeps prev live)
+        val e = StoredIndexes.rebuildEntry(fp, "graft-srp-index",
           listing, nCorpus)(full)
+        if (prev != null) StoredIndexes.retireRoot(prev.root)
+        e
       }
       if (prev == null || !StoredIndexes.appendOnly(prev.files, listing))
         fullEntry()

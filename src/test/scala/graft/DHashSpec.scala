@@ -46,6 +46,14 @@ class DHashSpec extends AnyFunSuite {
     assert(banded === quotient)
   }
 
+  test("the decode pipeline executes once per run — all references reuse one exchange") {
+    val df = MediaQueries.dhashPairs(spark, TestSpark.sf)
+    df.collect() // AQE finalizes reuse during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"dhash scan not reused — every reference re-decodes the corpus:\n$p")
+  }
+
   test("every reported pair is within Hamming 2 and L1 is the exact grid distance") {
     val grids = MediaPipeline.dhashFrame(spark, TestSpark.sf).collect()
       .map(r => r.doc_id -> r).toMap
