@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Query
+import graft.functions.TextFns
+import graft.sources.Tables.table
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence PACKING — the sample-packing step every LLM training
+ * pipeline runs between the cleaned corpus and the trainer (GPT-3 /
+ * T5 / Llama data loaders: concatenate documents, slice into
+ * fixed-length token windows so no step pays padding): a span
+ * manifest mapping each W-token training window to the document
+ * ranges that fill it. The manifest is pure arithmetic over per-doc
+ * token counts — the window CONTENTS never materialize (the trainer
+ * reads them later, shard-locally, through this manifest).
+ *
+ * Shape: one narrow scan computes per-doc token counts; a per-LANG
+ * running sum (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING over doc_id
+ * order) assigns each doc its shard-local token offset; each doc then
+ * explodes into the windows it overlaps (`sequence(first, last)` —
+ * O(windows touched), ≤ 1 + n/W per doc). Output rows =
+ * O(docs + windows), orders of magnitude below token count.
+ *
+ * 100 TB: packing is SHARD-LOCAL by construction here (the per-lang
+ * window is a per-shard prefix sum — each lang's stream packs
+ * independently, which is exactly what production loaders do: packing
+ * never crosses a shard/file boundary, so shards pack in parallel
+ * with no cross-shard coordination). The skew bound is the largest
+ * shard's doc count in one window partition — at real scale the
+ * shard key is (lang, file-group) rather than lang alone, making the
+ * partition width a tuning knob, not an architecture change. A GLOBAL
+ * pack (one stream across everything) would need the classic two-pass
+ * distributed prefix sum (per-partition totals → broadcast offsets);
+ * that seam is deliberately not taken because global packing also
+ * serializes the trainer's shard parallelism.
+ */
+object PackingQueries {
+
+  private val W = 256 // tokens per training window
+
+  val all: Seq[Query] = Seq(
+    Query("x100_seq_packing",
+      "WITH t AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, lang, n, " +
+        "CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS off " + // DuckDB SUM(BIGINT) is HUGEINT
+        "FROM t WHERE n > 0), " +
+        s"e AS (SELECT lang, doc_id, n, off, unnest(range(off // $W, " +
+        s"(off + n - 1) // $W + 1)) AS window_id FROM o) " +
+        "SELECT lang, CAST(window_id AS BIGINT) AS window_id, doc_id, " +
+        s"CAST(greatest(0, window_id * $W - off) AS BIGINT) AS start_tok, " +
+        s"CAST(least(n, (window_id + 1) * $W - off) AS BIGINT) AS end_tok " +
+        "FROM e ORDER BY lang, window_id, doc_id") {
+      (s, d) => {
+        val t = table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") > 0)
+        val shard = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // offsets are exact longs ≪ 2^52, so the floor-of-double
+        // divisions below are exact integer division on both engines
+        t.withColumn("off", coalesce(sum(col("n")).over(shard), lit(0L)))
+          .withColumn("window_id", explode(sequence(
+            floor(col("off") / W).cast("long"),
+            floor((col("off") + col("n") - 1) / W).cast("long"))))
+          .select(col("lang"), col("window_id"), col("doc_id"),
+            greatest(lit(0L), col("window_id") * W - col("off"))
+              .as("start_tok"),
+            least(col("n"), (col("window_id") + 1) * W - col("off"))
+              .as("end_tok"))
+          .orderBy("lang", "window_id", "doc_id")
+      }
+    })
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence-packing manifest (x100): the spans must tile each lang's
+  * token stream exactly — every token lands in exactly one window,
+  * windows are full (W tokens) except each shard's last, and each
+  * doc's spans reconstruct the doc without gap or overlap. */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val W = 256
+
+  private lazy val manifest =
+    SparkEntry.queries("x100_seq_packing")(spark, TestSpark.sf)
+      .select(col("lang"), col("window_id"), col("doc_id"),
+        col("start_tok"), col("end_tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+  private lazy val docTokens = {
+    import graft.functions.TextFns
+    graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  test("spans tile every document exactly — no gap, no overlap, full coverage") {
+    val byDoc = manifest.groupBy(_._3)
+    docTokens.foreach { case (id, _, n) =>
+      val spans = byDoc(id).sortBy(_._4).map(s => (s._4, s._5))
+      assert(spans.head._1 === 0L, s"doc $id does not start at token 0")
+      assert(spans.last._2 === n, s"doc $id does not end at its length")
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 === s2, s"doc $id has a gap/overlap at $e1 vs $s2")
+        case _ =>
+      }
+      // a doc's consecutive spans sit in consecutive windows
+      val wins = byDoc(id).sortBy(_._4).map(_._2)
+      assert(wins === (wins.head to wins.last))
+    }
+  }
+
+  test("every window is exactly W tokens except each shard's last") {
+    val perWin = manifest.groupBy(m => (m._1, m._2)).view
+      .mapValues(_.map(s => s._5 - s._4).sum).toMap
+    val lastWin = manifest.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    perWin.foreach { case ((lang, w), tokens) =>
+      if (w < lastWin(lang))
+        assert(tokens === W.toLong, s"window ($lang,$w) holds $tokens")
+      else
+        assert(tokens >= 1 && tokens <= W)
+    }
+    // conservation: total span tokens == total corpus tokens
+    assert(perWin.values.sum === docTokens.map(_._3).sum)
+  }
+}
