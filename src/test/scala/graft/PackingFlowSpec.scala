@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.PackingFlow
+import graft.tables.TableStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S19 — pack-on-ingest: the per-shard offset survives batches AND
+  * restarts, the streamed manifest equals the batch (x100-shape)
+  * manifest over the same arrival order, and replays append nothing. */
+class PackingFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("offsets continue across batches and restarts; replay is a no-op; windows tile") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-packflow").toString
+      val store = new TableStore(spark, root)
+      val ms = MemoryStream[(Long, String, String)]
+      def df = ms.toDS().toDF("doc_id", "lang", "text")
+      def run(): Unit = {
+        val q = PackingFlow.flow(store, df, w = 10,
+          checkpointRoot = Some(root))
+        q.processAllAvailable(); q.stop()
+      }
+      def manifest(): Seq[(String, Long, Long, Long, Long)] =
+        store.load("packing_manifest").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq.sorted
+
+      // batch 1: en gets 7 + 8 tokens (doc 2 straddles window 0→1),
+      // es gets 4
+      ms.addData(
+        (1L, "en", "a b c d e f g"),
+        (2L, "en", "h i j k l m n o"),
+        (10L, "es", "uno dos tres cuatro"))
+      run()
+      assert(manifest() === Seq(
+        ("en", 0L, 1L, 0L, 7L), // doc1 fills tokens 0-6 of window 0
+        ("en", 0L, 2L, 0L, 3L), // doc2 tokens 0-2 complete window 0
+        ("en", 1L, 2L, 3L, 8L), // doc2 tokens 3-7 open window 1
+        ("es", 0L, 10L, 0L, 4L)).sorted)
+
+      // batch 2 AFTER RESTART: en offset must resume at 15 (window 1
+      // has 5 of 10 tokens) — doc 3's 6 tokens split 5/1
+      ms.addData((3L, "en", "p q r s t u"))
+      run()
+      assert(manifest().filter(_._3 == 3L) === Seq(
+        ("en", 1L, 3L, 0L, 5L),
+        ("en", 2L, 3L, 5L, 6L)).sorted,
+        "offset state did not survive the restart")
+
+      // replay of batch 2: identical spans re-derived, anti-joined away
+      val before = store.load("packing_manifest").count()
+      ms.addData((3L, "en", "p q r s t u"))
+      run()
+      assert(store.load("packing_manifest").count() === before)
+
+      // tiling invariant on the full manifest: per (lang, window)
+      // token sums are exactly w except each shard's open last window
+      val m = manifest()
+      val perWin = m.groupBy(s => (s._1, s._2)).view
+        .mapValues(_.map(s => s._5 - s._4).sum).toMap
+      val lastWin = m.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      perWin.foreach { case ((lang, wd), tok) =>
+        if (wd < lastWin(lang)) assert(tok === 10L)
+        else assert(tok >= 1 && tok <= 10)
+      }
+      graft.tables.TempDirs.delete(root)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
