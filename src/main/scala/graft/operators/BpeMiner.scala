@@ -139,43 +139,20 @@ object BpeMiner {
     * MATERIALIZED: the chain references every level twice (pair
     * counts + next merge), and inlining would re-derive w0
     * exponentially. */
-  private def oracleSql(k: Int): String = {
-    val sep = "chr(1)"
-    val chain = (0 until k).map { i =>
-      s"s$i AS (SELECT list_filter(string_split(w, $sep), " +
-        s"t -> t <> '') AS ts, cnt FROM w$i), " +
-        s"p$i AS (SELECT split_part(g, ' ', 1) AS a, " +
-        "split_part(g, ' ', 2) AS b, SUM(cnt) AS c FROM " +
-        "(SELECT unnest(list_transform(range(len(ts) - 1), " +
-        s"i -> ts[i+1] || ' ' || ts[i+2])) AS g, cnt FROM s$i) " +
-        "GROUP BY 1, 2), " +
-        s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
-        s"w${i + 1} AS MATERIALIZED (SELECT replace(w, " +
-        s"$sep || a || $sep || $sep || b || $sep, " +
-        s"$sep || a || b || $sep) AS w, cnt FROM w$i, b$i)"
-    }.mkString(", ")
-    val rows = (0 until k).map { i =>
-      s"SELECT ${i + 1} AS rank, a, b, CAST(c AS BIGINT) AS pair_count, " +
-        s"(SELECT CAST(SUM(cnt * len(list_filter(string_split(w, $sep), " +
-        s"t -> t <> ''))) AS BIGINT) FROM w${i + 1}) AS n_symbols FROM b$i"
-    }.mkString(" UNION ALL ")
-    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
-      "FROM documents WHERE text IS NOT NULL), " +
-      "w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', " +
-      s"$sep || '\\1' || $sep, 'g') AS w, COUNT(*) AS cnt FROM tok " +
-      "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " +
-      chain + s", m AS ($rows) SELECT * FROM m ORDER BY rank"
-  }
+  private val Sep = "chr(1)"
 
-  /** x99's oracle: the same mining chain (with the word string carried
-    * through so each type's final encoding stays addressable), then
-    * every corpus token joins its type's post-merge symbol count and
-    * rolls up per language. Symbol count is (seps/2) via the length
-    * difference — each cell carries exactly two separators. */
-  private def oracleEncodeSql(k: Int): String = {
-    val sep = "chr(1)"
+  /** The ONE mining-chain builder shared by x96's and x99's oracles
+    * (the chain carries the both-sides-separator-guard and tie-break
+    * semantics whose prefix-only variant was a confirmed review-caught
+    * bug — a second hand-maintained copy invited silent divergence):
+    * tok → w0 (word, guarded encoding, cnt) → k rounds of
+    * s_i (symbols) / p_i (pair counts) / b_i (argmax) / w_{i+1}
+    * (merge applied; LEFT JOIN ON TRUE + COALESCE so an exhausted
+    * round — empty b_i — carries every word through unchanged instead
+    * of emptying all later levels). */
+  private def chainSql(k: Int): String = {
     val chain = (0 until k).map { i =>
-      s"s$i AS (SELECT list_filter(string_split(w, $sep), " +
+      s"s$i AS (SELECT list_filter(string_split(w, $Sep), " +
         s"t -> t <> '') AS ts, cnt FROM w$i), " +
         s"p$i AS (SELECT split_part(g, ' ', 1) AS a, " +
         "split_part(g, ' ', 2) AS b, SUM(cnt) AS c FROM " +
@@ -183,24 +160,36 @@ object BpeMiner {
         s"i -> ts[i+1] || ' ' || ts[i+2])) AS g, cnt FROM s$i) " +
         "GROUP BY 1, 2), " +
         s"b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1), " +
-        // LEFT JOIN ON TRUE, not a cross join: when the merges exhaust
-        // before k, b_i is EMPTY and a cross join would empty every
-        // later level (and the whole rollup) while the Scala encoder
-        // keeps applying the shorter learned list — the COALESCE
-        // carries each word through an exhausted round unchanged
         s"w${i + 1} AS MATERIALIZED (SELECT word, COALESCE(replace(w, " +
-        s"$sep || a || $sep || $sep || b || $sep, " +
-        s"$sep || a || b || $sep), w) AS w, cnt " +
+        s"$Sep || a || $Sep || $Sep || b || $Sep, " +
+        s"$Sep || a || b || $Sep), w) AS w, cnt " +
         s"FROM w$i LEFT JOIN b$i ON TRUE)"
     }.mkString(", ")
-    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
+    "tok AS (SELECT unnest(string_split(text, ' ')) AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
       "w0 AS MATERIALIZED (SELECT t AS word, regexp_replace(t, '(.)', " +
-      s"$sep || '\\1' || $sep, 'g') AS w, COUNT(*) AS cnt FROM tok " +
-      "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " +
-      chain + ", " +
+      s"$Sep || '\\1' || $Sep, 'g') AS w, COUNT(*) AS cnt FROM tok " +
+      "WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t), " + chain
+  }
+
+  private def oracleSql(k: Int): String = {
+    val rows = (0 until k).map { i =>
+      s"SELECT ${i + 1} AS rank, a, b, CAST(c AS BIGINT) AS pair_count, " +
+        s"(SELECT CAST(SUM(cnt * len(list_filter(string_split(w, $Sep), " +
+        s"t -> t <> ''))) AS BIGINT) FROM w${i + 1}) AS n_symbols FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"WITH ${chainSql(k)}, m AS ($rows) SELECT * FROM m ORDER BY rank"
+  }
+
+  /** x99's oracle: the SAME mining chain ([[chainSql]] — one
+    * definition, zero drift), then every corpus token joins its word
+    * type's post-merge symbol count and rolls up per language. Symbol
+    * count is (seps/2) via the length difference — each cell carries
+    * exactly two separators. */
+  private def oracleEncodeSql(k: Int): String = {
+    s"WITH ${chainSql(k)}, " +
       s"enc AS (SELECT word, CAST((length(w) - " +
-      s"length(replace(w, $sep, ''))) / 2 AS BIGINT) AS nsym FROM w$k), " +
+      s"length(replace(w, $Sep, ''))) / 2 AS BIGINT) AS nsym FROM w$k), " +
       "tokl AS (SELECT lang, unnest(string_split(text, ' ')) AS word " +
       "FROM documents WHERE text IS NOT NULL), " +
       "j AS (SELECT tokl.lang, length(tokl.word) AS nch, enc.nsym " +

@@ -153,12 +153,23 @@ private[graft] object StoredIndexes {
 
   /** Build a fresh cache entry into a registered scratch root,
     * recording the build seconds under `kind` (via [[timedBuild]]),
-    * shared by [[versioned]] and the ingest APIs. */
+    * shared by [[versioned]] and the ingest APIs. A THROWING build
+    * deletes its own (possibly partially written) root before
+    * rethrowing — the entry was never published, so nothing can read
+    * it, and without the cleanup a repeatedly failing rebuild (e.g. a
+    * corrupt corpus retried per probe) would leak one scratch root
+    * per attempt, invisible to [[sweepRetired]]. */
   def rebuildEntry[A](fp: String, kind: String,
       files: Map[String, String] = Map.empty, rows: Long = -1L)(
       mk: String => A): Cached[A] = {
     val root = graft.tables.TempDirs.scratch(kind)
-    timedBuild(kind)(Cached(fp, root, mk(root), files, rows))
+    try timedBuild(kind)(Cached(fp, root, mk(root), files, rows))
+    catch {
+      case e: Throwable =>
+        try graft.tables.TempDirs.delete(root)
+        catch { case _: Throwable => () } // best-effort; don't mask e
+        throw e
+    }
   }
 
   /** Serve `m(dir)` if its fingerprint still matches, else (re)build

@@ -21,14 +21,36 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
  * loader does — append order is pack order), with doc_id as the
  * deterministic tiebreak WITHIN a micro-batch (partition arrival
  * order is not deterministic; batch boundaries are, via the
- * checkpoint). Replays re-enter with the checkpoint-restored offset
- * and re-emit identical spans, which the manifest's doc_id anti-join
- * drops — at-least-once in, exactly-once manifest out.
+ * checkpoint).
  *
- * Scale: the state is ONE long per shard; per-batch work is
- * O(batch docs) arithmetic after a codegen tokenize (the text column
- * never enters the stateful operator — only (doc_id, lang, n) rows
- * do, so RocksDB sees ~24 bytes per doc per batch, not documents).
+ * Duplicate contract — two kinds, two mechanisms:
+ *  - CHECKPOINT replays restore the pre-batch offset and re-derive
+ *    byte-identical spans; the manifest's doc_id anti-join drops
+ *    them. Exact.
+ *  - SOURCE redeliveries (an at-least-once producer re-sending a doc
+ *    in a LATER batch) are dropped INSIDE the operator by a
+ *    packed-doc map BEFORE the offset advances — without this, a
+ *    duplicate would move the offset while its spans anti-join away,
+ *    leaving a permanent hole in the window tiling (caught by
+ *    review). The map is OFFSET-scoped, not clock-scoped
+ *    (StatefulAdmission's dedupHorizon pattern): an entry evicts once
+ *    the shard's offset has advanced `horizonTokens` past the doc's
+ *    pack position, bounding state at O(horizon / avg doc length)
+ *    entries per shard, deterministically and replay-safely — a
+ *    wall-clock TTL was tried first, but TTL state needs
+ *    TimeMode.ProcessingTime, whose clock-driven no-data batches
+ *    never let an AvailableNow run terminate (observed: a livelock
+ *    of ~14 empty micro-batches/second). A redelivery arriving from
+ *    further back than the horizon would re-pack the doc at a new
+ *    offset — a horizon of ~1M tokens dwarfs any realistic
+ *    redelivery distance, and the PackingSpec tiling audit detects a
+ *    violation after the fact.
+ *
+ * Scale: the durable state is ONE long per shard plus the
+ * horizon-bounded dedup map; per-batch work is O(batch docs)
+ * arithmetic plus an O(map) eviction sweep, after a codegen tokenize
+ * (the text column never enters the stateful operator — only
+ * (doc_id, lang, n) rows do).
  */
 object PackingFlow {
 
@@ -36,22 +58,28 @@ object PackingFlow {
   final case class Span(lang: String, window_id: Long, doc_id: Long,
       start_tok: Long, end_tok: Long)
 
-  final class Processor(w: Int)
+  final class Processor(w: Int, horizonTokens: Long)
       extends StatefulProcessor[String, DocCount, Span] {
     @transient private var off: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // doc_id → offset it was packed at; offset-scoped eviction below
+    @transient private var packed: org.apache.spark.sql.streaming.MapState[Long, Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       off = getHandle.getValueState[Long]("off",
         Encoders.scalaLong, TTLConfig.NONE)
+      packed = getHandle.getMapState[Long, Long]("packed",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[DocCount],
         timerValues: TimerValues): Iterator[Span] = {
       var cur = if (off.exists()) off.get() else 0L
       val out = Seq.newBuilder[Span]
       // doc_id order within the batch: partition arrival order is
-      // nondeterministic, batch boundaries are not
-      rows.toSeq.sortBy(_.doc_id).foreach { d =>
-        if (d.n > 0) {
+      // nondeterministic, batch boundaries are not; distinctBy drops
+      // in-batch duplicates (first occurrence after the sort)
+      rows.toSeq.sortBy(_.doc_id).distinctBy(_.doc_id).foreach { d =>
+        if (d.n > 0 && !packed.containsKey(d.doc_id)) {
           var k = cur / w
           val last = (cur + d.n - 1) / w
           while (k <= last) {
@@ -61,16 +89,34 @@ object PackingFlow {
             k += 1
           }
           cur += d.n
+          // record the pack END offset: eviction measures how far the
+          // stream has moved past the doc, so a doc longer than the
+          // horizon cannot evict itself in its own batch
+          packed.updateValue(d.doc_id, cur)
         }
       }
       off.update(cur)
+      // offset-scoped eviction: forget docs packed more than
+      // horizonTokens ago — O(map) per batch, map bounded by
+      // horizon / avg doc length entries (keys collected first:
+      // removal during a state-store iteration is not defined)
+      val cut = cur - horizonTokens
+      if (cut > 0) {
+        val expired = packed.iterator()
+          .filter(_._2 < cut).map(_._1).toList
+        expired.foreach(packed.removeKey)
+      }
       out.result().iterator
     }
   }
 
   /** The span stream: (doc_id, lang, text) rows → tokenize (codegen,
-    * outside the operator) → per-lang offset state → spans. */
-  def spans(docs: DataFrame, w: Int = 256): Dataset[Span] = {
+    * outside the operator) → per-lang offset state → spans. TimeMode
+    * .None: the dedup map is offset-scoped, so no clock is involved
+    * (and ProcessingTime mode's clock-driven no-data batches would
+    * keep an AvailableNow run from ever terminating). */
+  def spans(docs: DataFrame, w: Int = 256,
+      horizonTokens: Long = 1L << 20): Dataset[Span] = {
     implicit val enc = Encoders.product[Span]
     docs.filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("lang").cast("string"),
@@ -78,24 +124,23 @@ object PackingFlow {
           .as("n"))
       .as[DocCount](Encoders.product[DocCount])
       .groupByKey(_.lang)(Encoders.STRING)
-      .transformWithState(new Processor(w), TimeMode.None(),
-        OutputMode.Append())
+      .transformWithState(new Processor(w, horizonTokens),
+        TimeMode.None(), OutputMode.Append())
   }
 
-  /** Operational flow: spans append once into `packing_manifest`
-    * (doc_id anti-join dedup — a replayed batch re-derives identical
-    * spans from the restored offset, so dropping seen doc_ids is
-    * exact, not heuristic). */
+  /** Operational flow: spans land once in `packing_manifest` via the
+    * store's appendUnique primitive ((doc_id, window_id) is a unique
+    * span key) — it persists the anti-joined batch so the stateful
+    * micro-batch plan executes once, not once per reference, and it
+    * is the checkpoint-replay guard (the operator's TTL map already
+    * drops source-level redeliveries before the offset moves). */
   def flow(store: TableStore, docs: DataFrame, w: Int = 256,
       checkpointRoot: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      horizonTokens: Long = 1L << 20): StreamingQuery =
     FlowRunner.start(store, checkpointRoot, trigger,
-      spans(docs, w).toDF(), "packing") { batch =>
-        val fresh =
-          if (!store.exists("packing_manifest")) batch
-          else batch.join(
-            store.load("packing_manifest").select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-        if (!fresh.isEmpty) store.append("packing_manifest", fresh)
+      spans(docs, w, horizonTokens).toDF(), "packing") { batch =>
+        store.appendUnique("packing_manifest", batch,
+          Seq("doc_id", "window_id"))
       }
 }

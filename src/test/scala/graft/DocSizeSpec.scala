@@ -55,18 +55,10 @@ class DocSizeSpec extends AnyFunSuite {
     try {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      // task-end events deliver async: poll until the counter is
-      // stable for two consecutive ticks instead of trusting a fixed
-      // sleep — under load a late-draining listener bus would
-      // silently truncate the CPU sum and flip the ratio either way
-      var prev = -1L
-      var stable = 0
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (stable < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val cur = cpuNs.get()
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
+      // task-end events deliver async: drain the listener bus EXACTLY
+      // (stability polling is a heuristic that can exit early across a
+      // mid-drain stall and silently truncate the CPU sum)
+      TestSpark.drainListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(l)
     cpuNs.get() / 1e9
   }

@@ -57,11 +57,22 @@ class PackingFlowSpec extends AnyFunSuite {
         ("en", 2L, 3L, 5L, 6L)).sorted,
         "offset state did not survive the restart")
 
-      // replay of batch 2: identical spans re-derived, anti-joined away
+      // source-level redelivery of doc 3 in a LATER batch: the
+      // operator's TTL dedup map must drop it BEFORE the offset moves
+      // (an anti-join-only dedup would silently advance the offset and
+      // leave a permanent hole in the tiling — the review scenario)
       val before = store.load("packing_manifest").count()
       ms.addData((3L, "en", "p q r s t u"))
       run()
       assert(store.load("packing_manifest").count() === before)
+      // ...and the NEXT doc must continue at the UN-advanced offset:
+      // en has 21 tokens packed, so doc 4's 3 tokens are window 2
+      // tokens [21,24) — contiguous with doc 3's single token at 20
+      ms.addData((4L, "en", "v w x"))
+      run()
+      assert(manifest().filter(_._3 == 4L) ===
+        Seq(("en", 2L, 4L, 0L, 3L)),
+        "redelivered duplicate advanced the offset — tiling hole")
 
       // tiling invariant on the full manifest: per (lang, window)
       // token sums are exactly w except each shard's open last window
@@ -73,6 +84,51 @@ class PackingFlowSpec extends AnyFunSuite {
         if (wd < lastWin(lang)) assert(tok === 10L)
         else assert(tok >= 1 && tok <= 10)
       }
+      graft.tables.TempDirs.delete(root)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dedup horizon: within-horizon duplicates drop; beyond-horizon ones evict and re-pack (the documented trade)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-packhzn").toString
+      val store = new TableStore(spark, root)
+      val ms = MemoryStream[(Long, String, String)]
+      def run(): Unit = {
+        val q = PackingFlow.flow(store, ms.toDS().toDF("doc_id", "lang", "text"),
+          w = 10, checkpointRoot = Some(root), horizonTokens = 8L)
+        q.processAllAvailable(); q.stop()
+      }
+      def rowsFor(id: Long) = store.load("packing_manifest")
+        .filter(col("doc_id") === id).count()
+      ms.addData((1L, "en", "a b c")) // offset 0→3; packed@0
+      run()
+      // duplicate while offset-0 is within 8 tokens of cur=3: dropped
+      ms.addData((1L, "en", "a b c"))
+      run()
+      assert(rowsFor(1L) === 1L)
+      // push the offset 9 tokens past doc 1's pack position → evicted
+      ms.addData((2L, "en", "d e f g h i j k l"))
+      run()
+      // beyond-horizon duplicate re-packs at the NEW offset (the
+      // documented horizon trade; appendUnique keys on
+      // (doc_id, window_id), and doc 1 re-packs into window 1 ≠ 0)
+      ms.addData((1L, "en", "a b c"))
+      run()
+      assert(rowsFor(1L) === 2L,
+        "beyond-horizon duplicate should have re-packed")
       graft.tables.TempDirs.delete(root)
     } finally {
       prevProvider match {

@@ -35,17 +35,9 @@ class PlanSpec extends AnyFunSuite {
     try {
       SparkEntry.queries("x90_pmi_bigrams")(spark, TestSpark.sf)
         .queryExecution.executedPlan.toString
-      // listener delivery is async; poll until no new job-start
-      // events arrive for two consecutive ticks (a fixed sleep can
-      // under-drain a loaded bus)
-      var prev = -1
-      var stable = 0
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (stable < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        val cur = jobs.size()
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-      }
+      // listener delivery is async; drain the bus exactly before
+      // reading the job log
+      TestSpark.drainListenerBus(spark)
     } finally spark.sparkContext.removeSparkListener(l)
     val exec = jobs.toArray(Array.empty[String])
       .filterNot(_.startsWith("parquet at "))

@@ -18,4 +18,19 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Exact listener-bus drain for metric-collecting listeners: blocks
+    * until every queued event is delivered (LiveListenerBus
+    * .waitUntilEmpty, reached via reflection because the member is
+    * private[spark]) — counter-stability polling is only a heuristic
+    * and can exit early across a mid-drain stall. Falls back to a
+    * bounded sleep if the internal API ever moves. */
+  def drainListenerBus(s: SparkSession): Unit =
+    try {
+      val sc = s.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+      ()
+    } catch { case _: Throwable => Thread.sleep(2000) }
 }
