@@ -109,7 +109,8 @@ class PlanSpec extends AnyFunSuite {
       "x83_triangles", // 1-row edges × 1-row triangles combine
       "x90_pmi_bigrams", // 1-row stored-stats (N_b) broadcast
       "x94_bm25", // 1-row stored-stats (N, avglen) broadcast
-      "x97_backoff_lm") // 1-row stored-stats (N_train) broadcast
+      "x97_backoff_lm", // 1-row stored-stats (N_train) broadcast
+      "x107_tpch22") // 1-row (Σbal, n) population-screen broadcast
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -127,6 +128,31 @@ class PlanSpec extends AnyFunSuite {
         s"$n: part filter not pushed to the scan:\n$p")
       assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
     }
+  }
+
+  test("x101/x102/x105/x106: tranche-3 TPC-H scale shapes") {
+    // Q4: quarter filter pushed to the orders scan; correlated EXISTS
+    // plans as a semi join, never a cartesian
+    val p4 = plan("x101_tpch4")
+    assert(p4.contains("LeftSemi"), s"Q4 exists not a semi join:\n$p4")
+    assert(p4.matches("(?s).*PushedFilters: \\[[^\\]]*Than[^\\]]*o_orderdate.*"),
+      s"Q4 quarter filter not pushed:\n$p4")
+    // Q6: single scan, zero joins, predicates at the scan
+    val p6 = plan("x102_tpch6")
+    assert(!p6.contains("Join"), s"Q6 grew a join:\n$p6")
+    assert(p6.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount.*"),
+      s"Q6 discount filter not pushed:\n$p6")
+    // Q17: part pruned then broadcast; the correlated average is ONE
+    // window pass over the joined frame, never a self-join of it
+    val p17 = plan("x105_tpch17")
+    assert(p17.contains("BroadcastHashJoin"), s"Q17 part not broadcast:\n$p17")
+    assert(p17.contains("Window"), s"Q17 lost its window avg:\n$p17")
+    assert(!p17.contains("SortMergeJoin"), s"Q17 self-joined the frame:\n$p17")
+    // Q18: the HAVING aggregate partial-combines before the shuffle
+    // and the report is a top-k, not a global sort
+    val p18 = plan("x106_tpch18")
+    assert(p18.contains("partial_sum"), s"Q18 no map-side combine:\n$p18")
+    assert(p18.contains("TakeOrderedAndProject"), s"Q18 global sort:\n$p18")
   }
 
   test("x45/x46: date+segment filters pushed, dims broadcast, top-k not global sort") {
