@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * volume join (Q7), the conditional-share aggregate (Q14) and the
   * OR-of-conjuncts bracket predicate (Q19).
   *
-  * Third tranche (r13, x101–x107): the seven remaining shapes the
-  * fixture can express — correlated-EXISTS priority check (Q4), the
-  * single-scan forecast aggregate (Q6), the two-way conditional count
-  * (Q12), the left-outer count DISTRIBUTION (Q13), the correlated
-  * per-group-average filter (Q17), the HAVING-semijoin large-order
-  * report (Q18) and the anti-join + population-average screen (Q22).
+  * Third tranche (r13, x101–x107): correlated-EXISTS priority check
+  * (Q4), the single-scan forecast aggregate (Q6), the two-way
+  * conditional count (Q12), the left-outer count DISTRIBUTION (Q13),
+  * the correlated per-group-average filter (Q17), the HAVING-semijoin
+  * large-order report (Q18) and the anti-join + population-average
+  * screen (Q22). A late r13 pair closes the sweep of everything the
+  * fixture can express: the argmax-over-an-aggregated-view report
+  * (Q15, x108) and the exists/not-exists waiting-supplier report
+  * (Q21, x109).
   * Columns the fixture lacks substitute shape-preserving stand-ins,
   * noted per query (no l_commitdate/receiptdate, l_shipmode,
   * o_comment, c_phone, p_container; no partsupp table, which keeps
@@ -417,6 +420,112 @@ object TpchQueries {
           .agg(count(lit(1)).as("numcust"),
             round(sum(col("bal")).cast("double"), 2).as("totacctbal"))
           .orderBy("c_nationkey")
+      }
+    },
+
+    // TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    // report the supplier(s) hitting the maximum — the
+    // argmax-over-an-aggregated-view shape (the spec's CREATE VIEW +
+    // scalar-subquery equality). The max rides as a 1-row broadcast
+    // into a filter over the SAME aggregate (x94's in-plan scalar
+    // pattern; Catalyst converts the cross+equality into an equi
+    // BroadcastHashJoin on the decimal sum), and ReuseExchange
+    // dedupes the shared scan+partial-agg subtree, so lineitem is
+    // read once. The suppkey null filter sits on the BASE scan (and
+    // in the oracle's view) — without it the supplier equi-join
+    // pushes isnotnull into only the probe-side subtree and the
+    // exchanges stop being identical, silently doubling the fact
+    // read. The equality compares the DECIMAL sum (each engine
+    // against its own max — exact, order-proof); the reported revenue
+    // casts to double only at the end. A global window-max over the
+    // view would need every per-supplier row in one task; the 1-row
+    // broadcast is the any-cardinality shape.
+    Query("x108_tpch15",
+      "WITH rev AS (SELECT l_suppkey, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-10-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND l_suppkey IS NOT NULL GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, " +
+        "round(CAST(tr AS DOUBLE), 2) AS total_rev " +
+        "FROM rev JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE tr = (SELECT MAX(tr) FROM rev) ORDER BY s_suppkey") {
+      (s, d) => {
+        val revBySupp = table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-10-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+            col("l_suppkey").isNotNull)
+          .groupBy("l_suppkey")
+          .agg(rev.as("tr"))
+        val mx = broadcast(revBySupp.agg(max(col("tr")).as("mx")))
+        revBySupp.crossJoin(mx)
+          .filter(col("tr") === col("mx"))
+          .join(broadcast(table(s, d, "supplier")
+            .select("s_suppkey", "s_name")),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("tr").cast("double"), 2).as("total_rev"))
+          .orderBy("s_suppkey")
+      }
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    // whose line was the ONLY late one in a finished multi-supplier
+    // order. The fixture has no commit/receipt dates, so "late" is
+    // x101's stand-in (shipped > 60 days after the order date); the
+    // shape — EXISTS another supplier in the order, NOT EXISTS another
+    // LATE supplier — is intact but computed in ONE pass: instead of
+    // the spec's three lineitem scans (self-exists + self-not-exists),
+    // per-(order,supplier) lateness is a single aggregate and the two
+    // correlated subqueries collapse into order-partitioned window
+    // counts over it (supplier count ≥ 2, late-supplier count = 1 —
+    // count arithmetic, exact). Scale: the orders join shuffles both
+    // facts on the order key ONCE; the (order,supplier) group-by and
+    // both windows are satisfied by that same partitioning (subset
+    // clustering — no further exchange until the O(suppliers) final
+    // count). Nation pruning must wait until after the windows (the
+    // other-supplier counts span ALL nations) and lands on the
+    // broadcast dim join.
+    Query("x109_tpch21",
+      "WITH l AS (SELECT l_orderkey, l_suppkey, " +
+        "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "THEN 1 ELSE 0 END) AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey), " +
+        "w AS (SELECT l_suppkey, late, " +
+        "COUNT(*) OVER (PARTITION BY l_orderkey) AS ns, " +
+        "SUM(late) OVER (PARTITION BY l_orderkey) AS nl FROM l) " +
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM w JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE late = 1 AND ns >= 2 AND nl = 1 " +
+        "AND s_nationkey IN (3, 19) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val late = when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0)
+        val byOrderSupp = table(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(table(s, d, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(late).as("late"))
+        val w = Window.partitionBy("l_orderkey")
+        byOrderSupp
+          .withColumn("ns", count(lit(1)).over(w))
+          .withColumn("nl", sum(col("late")).over(w))
+          .filter(col("late") === 1 && col("ns") >= 2 && col("nl") === 1)
+          .join(broadcast(table(s, d, "supplier")
+            .filter(col("s_nationkey").isin(3, 19))
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
       }
     }
   )

@@ -111,6 +111,8 @@ class PlanSpec extends AnyFunSuite {
       "x94_bm25", // 1-row stored-stats (N, avglen) broadcast
       "x97_backoff_lm", // 1-row stored-stats (N_train) broadcast
       "x107_tpch22") // 1-row (Σbal, n) population-screen broadcast
+    // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
+    // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
       val p = q.build(spark, TestSpark.sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -153,6 +155,29 @@ class PlanSpec extends AnyFunSuite {
     val p18 = plan("x106_tpch18")
     assert(p18.contains("partial_sum"), s"Q18 no map-side combine:\n$p18")
     assert(p18.contains("TakeOrderedAndProject"), s"Q18 global sort:\n$p18")
+  }
+
+  test("x108/x109: Q15 reuses the revenue aggregate; Q21 is one fact shuffle") {
+    // Q15: the max-side and probe-side of the argmax share the same
+    // scan+partial-agg subtree — ReuseExchange must dedupe it (one
+    // lineitem read), and the supplier name join broadcasts
+    val df15 = SparkEntry.queries("x108_tpch15")(spark, TestSpark.sf)
+    df15.collect()
+    val p15 = df15.queryExecution.executedPlan.toString
+    assert(p15.contains("ReusedExchange") || p15.contains("ReusedQueryStage"),
+      s"Q15 computes the revenue aggregate twice:\n$p15")
+    assert(p15.contains("BroadcastHashJoin"), s"Q15 supplier not broadcast:\n$p15")
+    // Q21: the (order,supplier) group-by and both order-partitioned
+    // windows are satisfied by the orders-join's own partitioning —
+    // exactly 3 hash exchanges total (two join inputs + the final
+    // O(suppliers) name count), a window (not a self-join), and a
+    // top-k (not a global sort)
+    val p21 = plan("x109_tpch21")
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p21).length
+    assert(nShuffles <= 3, s"Q21 grew a 4th shuffle ($nShuffles):\n$p21")
+    assert(p21.contains("Window"), s"Q21 lost its window counts:\n$p21")
+    assert(!p21.contains("CartesianProduct"), s"Q21 cartesian:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"), s"Q21 global sort:\n$p21")
   }
 
   test("x45/x46: date+segment filters pushed, dims broadcast, top-k not global sort") {
