@@ -72,6 +72,9 @@ object MediaCodec {
     else if (bytes.length >= 12 && ascii(bytes, 0, 4) == "RIFF" &&
       ascii(bytes, 8, 4) == "WAVE")
       Some("wav")
+    else if (bytes.length >= 12 && ascii(bytes, 0, 4) == "RIFF" &&
+      ascii(bytes, 8, 4) == "AVI ")
+      Some("avi")
     else None
 
   // ------------------------------------------------------------------
@@ -171,11 +174,113 @@ object MediaCodec {
     }
   }
 
+  // ------------------------------------------------------------------
+  // AVI: RIFF form walk (LIST hdrl → avih/strh/strf, LIST movi)
+  // ------------------------------------------------------------------
+
+  /** AVI header parse: walks the RIFF form for `LIST hdrl`, reads the
+    * main header (`avih`: width/height) and the first video stream's
+    * `strh` (dwScale/dwRate/dwLength → frame rate and duration) and
+    * `strf` BITMAPINFOHEADER (biBitCount). `sampleRate` carries the
+    * integer frame rate (dwRate/dwScale), `durationMs` is
+    * dwLength·1000·dwScale/dwRate — both from the STREAM header, which
+    * is exact where avih's dwMicroSecPerFrame is a rounded
+    * reciprocal. */
+  def aviInfo(bytes: Array[Byte]): Option[MediaHeader] = {
+    if (!sniff(bytes).contains("avi")) return None
+    var w = 0; var h = 0; var bits = 0
+    var scale = 0L; var rate = 0L; var length = 0L
+    var sawVids = false
+    def walk(from: Int, to: Int): Boolean = { // false = malformed
+      var i = from
+      while (i + 8 <= to) {
+        val id = ascii(bytes, i, 4)
+        val len = le32(bytes, i + 4)
+        if (len < 0 || i + 8 + len > to) return false
+        id match {
+          case "LIST" if len >= 4 =>
+            val kind = ascii(bytes, i + 8, 4)
+            if (kind == "hdrl" || kind == "strl") {
+              if (!walk(i + 12, i + 8 + len.toInt)) return false
+            } // movi/INFO lists are skipped at header-parse time
+          case "avih" if len >= 40 =>
+            w = le32(bytes, i + 8 + 32).toInt
+            h = le32(bytes, i + 8 + 36).toInt
+          case "strh" if len >= 40 =>
+            if (ascii(bytes, i + 8, 4) == "vids" && !sawVids) {
+              sawVids = true
+              scale = le32(bytes, i + 8 + 20)
+              rate = le32(bytes, i + 8 + 24)
+              length = le32(bytes, i + 8 + 32)
+            }
+          case "strf" if len >= 16 && sawVids && bits == 0 =>
+            bits = le16(bytes, i + 8 + 14) // biBitCount
+          case _ => ()
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    if (w <= 0 || h <= 0 || !sawVids || scale <= 0 || rate <= 0) None
+    else Some(MediaHeader("avi", w, h, 1, bits, (rate / scale).toInt,
+      length * 1000L * scale / rate))
+  }
+
+  /** Byte offsets of each video frame's pixel data inside `LIST movi`
+    * (`00db`/`00dc` chunks, in stream order) — the seek index a frame
+    * SAMPLER uses so only sampled frames ever decode. */
+  def aviFrameOffsets(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (!sniff(bytes).contains("avi")) return None
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = ascii(bytes, i, 4)
+      val len = le32(bytes, i + 4)
+      if (len < 0 || i + 8 + len > bytes.length) return None
+      if (id == "LIST" && len >= 4 && ascii(bytes, i + 8, 4) == "movi") {
+        var j = i + 12
+        val end = i + 8 + len.toInt
+        while (j + 8 <= end) {
+          val cid = ascii(bytes, j, 4)
+          val clen = le32(bytes, j + 4)
+          if (clen < 0 || j + 8 + clen > end) return None
+          if (cid == "00db" || cid == "00dc") out += j + 8
+          j += 8 + clen.toInt + (clen.toInt & 1)
+        }
+      }
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** Decode ONE 8-bit uncompressed-DIB frame at a movi data offset
+    * (from [[aviFrameOffsets]]) into row-major top-down luminance.
+    * DIB rows are stored bottom-up with 4-byte-aligned stride; the
+    * grayscale palette maps index i → gray i, so the byte IS the
+    * luminance. */
+  def aviFrameLuma(bytes: Array[Byte], w: Int, h: Int,
+      dataOff: Int): Option[Array[Int]] = {
+    if (w <= 0 || h <= 0) return None
+    val stride = (w + 3) & ~3
+    if (dataOff < 0 || dataOff + stride * h > bytes.length) return None
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) { out(y * w + x) = u8(bytes, src + x); x += 1 }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** Parse any recognized container's header. */
   def probe(bytes: Array[Byte]): Option[MediaHeader] = sniff(bytes) match {
     case Some("png") => pngInfo(bytes)
     case Some("jpeg") => jpegInfo(bytes)
     case Some("wav") => wavInfo(bytes)
+    case Some("avi") => aviInfo(bytes)
     case _ => None
   }
 
@@ -315,6 +420,98 @@ object MediaCodec {
       out(44 + 2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
       k += 1
     }
+    out
+  }
+
+  /** Encode grayscale frames as a real uncompressed-DIB AVI
+    * (manual RIFF writer — canonical `hdrl(avih, strl(strh,strf))` +
+    * `movi` layout, 8-bit frames with the 256-entry gray palette in
+    * strf, bottom-up 4-byte-aligned rows, one `00db` chunk per
+    * frame). Deterministic bit-for-bit; `fps` rides strh as
+    * dwRate/dwScale = fps/1 so the rate survives the round trip
+    * exactly (avih's dwMicroSecPerFrame is the rounded reciprocal
+    * real muxers write). */
+  def encodeAviDib(width: Int, height: Int, fps: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val stride = (width + 3) & ~3
+    val frameLen = stride * height
+    val strfLen = 40 + 256 * 4
+    val strlLen = 4 + 8 + 56 + 8 + strfLen        // "strl" + strh + strf
+    val hdrlLen = 4 + 8 + 56 + 8 + strlLen        // "hdrl" + avih + LIST strl
+    val moviLen = 4 + nFrames * (8 + frameLen)    // frameLen is stride-even
+    val riffLen = 4 + 8 + hdrlLen + 8 + moviLen   // "AVI " + LIST hdrl + LIST movi
+    val out = new Array[Byte](8 + riffLen)
+    var p = 0
+    def putAscii(s: String): Unit = {
+      var k = 0; while (k < s.length) { out(p + k) = s.charAt(k).toByte; k += 1 }
+      p += s.length
+    }
+    def putLe16(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+    }
+    def putLe32(v: Long): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
+      p += 4
+    }
+    putAscii("RIFF"); putLe32(riffLen.toLong); putAscii("AVI ")
+    putAscii("LIST"); putLe32(hdrlLen.toLong); putAscii("hdrl")
+    putAscii("avih"); putLe32(56L)
+    putLe32(1000000L / fps)                  // dwMicroSecPerFrame (rounded)
+    putLe32(frameLen.toLong * fps)           // dwMaxBytesPerSec
+    putLe32(0L)                              // dwPaddingGranularity
+    putLe32(0L)                              // dwFlags (no idx1 → AVIF_HASINDEX off)
+    putLe32(nFrames.toLong)                  // dwTotalFrames
+    putLe32(0L)                              // dwInitialFrames
+    putLe32(1L)                              // dwStreams
+    putLe32(frameLen.toLong)                 // dwSuggestedBufferSize
+    putLe32(width.toLong)                    // dwWidth
+    putLe32(height.toLong)                   // dwHeight
+    putLe32(0L); putLe32(0L); putLe32(0L); putLe32(0L) // dwReserved[4]
+    putAscii("LIST"); putLe32(strlLen.toLong); putAscii("strl")
+    putAscii("strh"); putLe32(56L)
+    putAscii("vids"); putAscii("DIB ")       // fccType, fccHandler
+    putLe32(0L)                              // dwFlags
+    putLe16(0); putLe16(0)                   // wPriority, wLanguage
+    putLe32(0L)                              // dwInitialFrames
+    putLe32(1L)                              // dwScale
+    putLe32(fps.toLong)                      // dwRate → fps = rate/scale
+    putLe32(0L)                              // dwStart
+    putLe32(nFrames.toLong)                  // dwLength (frames)
+    putLe32(frameLen.toLong)                 // dwSuggestedBufferSize
+    putLe32(0xffffffffL)                     // dwQuality (-1 default)
+    putLe32(0L)                              // dwSampleSize (0: one sample = one frame)
+    putLe16(0); putLe16(0); putLe16(width); putLe16(height) // rcFrame
+    putAscii("strf"); putLe32(strfLen.toLong)
+    putLe32(40L)                             // biSize
+    putLe32(width.toLong)                    // biWidth
+    putLe32(height.toLong)                   // biHeight (positive: bottom-up)
+    putLe16(1)                               // biPlanes
+    putLe16(8)                               // biBitCount
+    putLe32(0L)                              // biCompression = BI_RGB
+    putLe32(frameLen.toLong)                 // biSizeImage
+    putLe32(0L); putLe32(0L)                 // biXPelsPerMeter, biYPelsPerMeter
+    putLe32(256L)                            // biClrUsed
+    putLe32(0L)                              // biClrImportant
+    var i = 0
+    while (i < 256) { // grayscale palette: RGBQUAD (b,g,r,0)
+      out(p) = i.toByte; out(p + 1) = i.toByte; out(p + 2) = i.toByte
+      out(p + 3) = 0; p += 4; i += 1
+    }
+    putAscii("LIST"); putLe32(moviLen.toLong); putAscii("movi")
+    var f = 0
+    while (f < nFrames) {
+      putAscii("00db"); putLe32(frameLen.toLong)
+      var y = height - 1 // bottom-up rows
+      while (y >= 0) {
+        var x = 0
+        while (x < width) { out(p + x) = (pixel(x, y, f) & 0xff).toByte; x += 1 }
+        p += stride // alignment padding bytes stay zero
+        y -= 1
+      }
+      f += 1
+    }
+    require(p == out.length, s"AVI writer layout drift: $p != ${out.length}")
     out
   }
 }

@@ -339,6 +339,138 @@ object MediaPipeline {
       }
   }
 
+  /** Per-clip acoustic signature: 64-bit energy-gradient fingerprint
+    * (the audio analogue of [[DHashRow]] — Haitsma–Kalker-style sign
+    * bits over a coarse energy envelope) plus the 65-frame energy
+    * envelope itself so candidate pairs re-verify against exact
+    * envelope distance without re-decoding. */
+  final case class AudioFpRow(doc_id: Long, afp: Long, energies: Array[Long])
+
+  /** Audio fingerprint over the fixture's odd-doc_id WAVs — synthesis,
+    * REAL RIFF/PCM16 decode (MediaCodec.wavSamples, the path x59
+    * proves faithful) and hashing all inside ONE narrow mapPartitions:
+    * payload bytes never leave the task, only (id, 8-byte hash,
+    * 65-long envelope) flows downstream. The interleaved sample stream
+    * is split into 65 contiguous frames on the integer grid (frame k =
+    * samples [k·n/65, (k+1)·n/65), floor division — the same
+    * deterministic point partitioning as dHash's downsample); frame
+    * energy is the exact integer sum of squared samples; bit k is set
+    * iff E[k] < E[k+1]. All-integer, so the DuckDB oracle recomputes
+    * hash, Hamming and envelope-L1 arithmetically from
+    * (doc_id, n_chars). */
+  def audioFpFrame(spark: SparkSession, dir: String): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val sampleRate = (8000 + (nChars % 8) * 1000).toInt
+          val channels = (1 + (nChars % 2)).toInt
+          val nFrames = (nChars % 5000 + 100).toInt
+          val pcm = Array.tabulate(nFrames * channels)(i =>
+            ((i * 17 + id * 29) % 2001 - 1000).toShort)
+          val wav = MediaCodec.encodeWavPcm16(sampleRate, channels, pcm)
+          val samples = MediaCodec.wavSamples(wav).getOrElse(
+            sys.error(s"wav decode failed for doc $id"))
+          val n = samples.length
+          val en = Array.tabulate(65) { k =>
+            var s = 0L
+            var i = k * n / 65
+            val end = (k + 1) * n / 65
+            while (i < end) {
+              val v = samples(i).toLong
+              s += v * v
+              i += 1
+            }
+            s
+          }
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            if (en(k) < en(k + 1)) bits |= (1L << k)
+            k += 1
+          }
+          AudioFpRow(id, bits, en)
+        }
+      }
+  }
+
+  /** Per-clip video signature row: real-parse header fields (width/
+    * height/fps/frame count/duration), a 64-bit temporal fingerprint
+    * (sign bits over the 65-bin sampled-frame luminance envelope —
+    * the video analogue of [[AudioFpRow]]'s energy gradient), and the
+    * envelope itself for exact candidate re-verification. */
+  final case class VideoRow(doc_id: Long, width: Int, height: Int,
+      fps: Int, n_frames: Int, duration_ms: Long, vfp: Long,
+      sums: Array[Long])
+
+  /** Video probe + frame-sample over the fixture's doc_id%3==0 AVIs —
+    * synthesis, REAL RIFF/AVI parse and SAMPLED-frame DIB decode all
+    * inside ONE narrow mapPartitions: payload bytes never leave the
+    * task, only (id, header ints, 8-byte hash, 65-long envelope)
+    * flows downstream. The fixture clip is "same footage per
+    * parameter class, one branded frame per doc": a luminance ramp
+    * over (x, y, frame) shared by every doc with equal (w, h, F,
+    * slope) classes, plus a +64 watermark on frame doc_id%F — the
+    * realistic near-dup story (same clip, one corrupted/branded
+    * frame) that makes fingerprints of same-class docs differ in at
+    * most the watermark bins. Frame SAMPLING is the honest kind: the
+    * movi chunk index ([[MediaCodec.aviFrameOffsets]]) seeks straight
+    * to the 65 sampled frames (k·F/65 on the integer grid) and decodes
+    * ONLY those — at 100 TB the decode cost is 65 frames per clip
+    * regardless of clip length. Envelope bin k = the 72-point dHash
+    * downsample grid sum of sampled frame k; bit k set iff
+    * S(k) < S(k+1). All-integer, so the DuckDB oracle recomputes
+    * header, envelope, hash, Hamming and L1 arithmetically from
+    * (doc_id, n_chars). */
+  def videoFrame(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val w = (nChars % 24 + 8).toInt
+          val h = (nChars % 16 + 8).toInt
+          val fps = (5 * (nChars % 4 + 1)).toInt
+          val nF = (nChars % 16 + 65).toInt
+          val slope = (nChars % 7 + 3).toInt
+          val wmFrame = (id % nF).toInt
+          val avi = MediaCodec.encodeAviDib(w, h, fps, nF, (x, y, f) =>
+            (7 * x + 13 * y + f * slope +
+              (if (f == wmFrame) 64 else 0)) % 256)
+          val hdr = MediaCodec.aviInfo(avi).getOrElse(
+            sys.error(s"avi header parse failed for doc $id"))
+          val offs = MediaCodec.aviFrameOffsets(avi).getOrElse(
+            sys.error(s"avi movi index failed for doc $id"))
+          val sums = Array.tabulate(65) { k =>
+            val lum = MediaCodec.aviFrameLuma(avi, hdr.width, hdr.height,
+              offs(k * offs.length / 65)).getOrElse(
+              sys.error(s"avi frame decode failed for doc $id"))
+            var s = 0L
+            var p = 0
+            while (p < 72) {
+              s += lum(((p / 9) * hdr.height / 8) * hdr.width +
+                (p % 9) * hdr.width / 9)
+              p += 1
+            }
+            s
+          }
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            if (sums(k) < sums(k + 1)) bits |= (1L << k)
+            k += 1
+          }
+          VideoRow(id, hdr.width, hdr.height, hdr.sampleRate, offs.length,
+            hdr.durationMs, bits, sums)
+        }
+      }
+  }
+
   /** Downstream-safe projection: drop the heavy binary before any wide
     * transformation (the "don't shuffle payloads" rule). */
   def featureFrame(spark: SparkSession, dir: String): DataFrame = {

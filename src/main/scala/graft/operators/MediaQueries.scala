@@ -140,10 +140,120 @@ object MediaQueries {
         "SELECT doc_a, doc_b, hamming, l1 FROM p WHERE hamming <= 2 " +
         "ORDER BY doc_a, doc_b") {
       (s, d) => dhashPairs(s, d)
+    },
+
+    // Acoustic near-dup — x98's sibling for the audio modality, closing
+    // the dedup matrix (text exact/near, image, audio): a 64-bit
+    // energy-gradient fingerprint over REAL decoded PCM (encode→RIFF
+    // parse→PCM16 decode→65-frame integer energy envelope→sign bits,
+    // all in one narrow mapPartitions — MediaPipeline.audioFpFrame),
+    // pairs at Hamming ≤ 2 through the same quotient/banded engine as
+    // x98 (hamming64Pairs), candidates re-VERIFIED with the exact L1
+    // distance on the carried energy envelopes. Oracle: the fixture
+    // WAVs are deterministic in (doc_id, n_chars) and PCM16 decode is
+    // exact (proved by x59), so envelope, hash, Hamming and L1 all
+    // recompute arithmetically in SQL.
+    Query("x110_audio_fingerprint",
+      "WITH aud AS (SELECT doc_id, " +
+        "(n_chars % 5000 + 100) * (1 + n_chars % 2) AS n " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "e AS (SELECT doc_id, list_transform(range(65), k -> " +
+        "CAST(COALESCE(list_sum(list_transform(range((k*n)//65, ((k+1)*n)//65), " +
+        "i -> CAST((i*17 + doc_id*29) % 2001 - 1000 AS BIGINT) " +
+        "* CAST((i*17 + doc_id*29) % 2001 - 1000 AS BIGINT))), 0) AS BIGINT)) AS en " +
+        "FROM aud), " +
+        "fp AS (SELECT doc_id, en, list_transform(range(64), k -> " +
+        "CASE WHEN en[CAST(k+1 AS INT)] < en[CAST(k+2 AS INT)] " +
+        "THEN 1 ELSE 0 END) AS bits FROM e), " +
+        "p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(list_sum(list_transform(range(64), k -> " +
+        "CASE WHEN x.bits[CAST(k+1 AS INT)] <> y.bits[CAST(k+1 AS INT)] " +
+        "THEN 1 ELSE 0 END)) AS INT) AS hamming, " +
+        "CAST(list_sum(list_transform(range(65), k -> " +
+        "abs(x.en[CAST(k+1 AS INT)] - y.en[CAST(k+1 AS INT)]))) AS BIGINT) AS l1 " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id) " +
+        "SELECT doc_a, doc_b, hamming, l1 FROM p WHERE hamming <= 2 " +
+        "ORDER BY doc_a, doc_b") {
+      (s, d) => audioFpPairs(s, d)
+    },
+
+    // Video probe + frame-sample — the header-then-sample pass a
+    // 100 TB video pipeline runs first: REAL RIFF/AVI container parse
+    // (LIST hdrl → avih/strh/strf walk, movi chunk index) over
+    // genuine uncompressed-DIB AVIs synthesized per doc, then DECODE
+    // ONLY the 65 sampled frames (seek via the chunk index — cost per
+    // clip is bounded by the sample count, not clip length). Reported
+    // header fields come from the STREAM header (dwRate/dwScale/
+    // dwLength — exact where avih's microSecPerFrame is rounded);
+    // content_sum is the sampled-frame luminance envelope total over
+    // the 72-point downsample grid. Oracle: fixture AVIs are
+    // deterministic in (doc_id, n_chars) and DIB is uncompressed, so
+    // every field recomputes arithmetically in SQL — a hash match
+    // proves the writer, the chunk walk, the bottom-up stride decode
+    // and the frame sampler all agree.
+    Query("x112_video_probe",
+      "WITH vid AS (SELECT doc_id, n_chars % 24 + 8 AS w, " +
+        "n_chars % 16 + 8 AS h, 5 * (n_chars % 4 + 1) AS fps, " +
+        "n_chars % 16 + 65 AS F, n_chars % 7 + 3 AS slope " +
+        "FROM documents WHERE doc_id % 3 = 0) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(fps AS INT) AS fps, CAST(F AS INT) AS n_frames, " +
+        "CAST((F * 1000) // fps AS BIGINT) AS duration_ms, " +
+        "CAST(list_sum(list_transform(range(65), k -> " +
+        "list_sum(list_transform(range(72), p -> " +
+        "(7 * (((p % 9) * w) // 9) + 13 * (((p // 9) * h) // 8) " +
+        "+ ((k * F) // 65) * slope " +
+        "+ CASE WHEN (k * F) // 65 = doc_id % F THEN 64 ELSE 0 END) " +
+        "% 256)))) AS BIGINT) AS content_sum " +
+        "FROM vid ORDER BY doc_id") {
+      (s, d) =>
+        MediaPipeline.videoFrame(s, d).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("fps"),
+            col("n_frames"), col("duration_ms"),
+            aggregate(col("sums"), lit(0L), (acc, x) => acc + x)
+              .as("content_sum"))
+          .orderBy("doc_id")
+    },
+
+    // Video temporal near-dup — the third modality through the shared
+    // 64-bit engine (x98 image, x110 audio, x113 video): fingerprint =
+    // sign bits over the 65-bin sampled-frame luminance envelope, so
+    // same-class clips ("same footage, one branded frame" — the
+    // fixture's watermark story) differ in at most the watermark bins
+    // and land within Hamming ≤ 2; candidates re-verify with the
+    // exact envelope L1. Pair generation is hamming64Pairs: quotient
+    // neighbor table under the saturation guard, 3-band pigeonhole
+    // fallback above it, identical results (VideoSpec).
+    Query("x113_video_fingerprint",
+      "WITH vid AS (SELECT doc_id, n_chars % 24 + 8 AS w, " +
+        "n_chars % 16 + 8 AS h, n_chars % 16 + 65 AS F, " +
+        "n_chars % 7 + 3 AS slope " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "e AS (SELECT doc_id, list_transform(range(65), k -> " +
+        "CAST(list_sum(list_transform(range(72), p -> " +
+        "(7 * (((p % 9) * w) // 9) + 13 * (((p // 9) * h) // 8) " +
+        "+ ((k * F) // 65) * slope " +
+        "+ CASE WHEN (k * F) // 65 = doc_id % F THEN 64 ELSE 0 END) " +
+        "% 256)) AS BIGINT)) AS en FROM vid), " +
+        "fp AS (SELECT doc_id, en, list_transform(range(64), k -> " +
+        "CASE WHEN en[CAST(k+1 AS INT)] < en[CAST(k+2 AS INT)] " +
+        "THEN 1 ELSE 0 END) AS bits FROM e), " +
+        "p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(list_sum(list_transform(range(64), k -> " +
+        "CASE WHEN x.bits[CAST(k+1 AS INT)] <> y.bits[CAST(k+1 AS INT)] " +
+        "THEN 1 ELSE 0 END)) AS INT) AS hamming, " +
+        "CAST(list_sum(list_transform(range(65), k -> " +
+        "abs(x.en[CAST(k+1 AS INT)] - y.en[CAST(k+1 AS INT)]))) AS BIGINT) AS l1 " +
+        "FROM fp x JOIN fp y ON x.doc_id < y.doc_id) " +
+        "SELECT doc_a, doc_b, hamming, l1 FROM p WHERE hamming <= 2 " +
+        "ORDER BY doc_a, doc_b") {
+      (s, d) => videoFpPairs(s, d)
     })
 
-  // guard statistic cached once per corpus version (x25's lifecycle)
-  private val presentDhashCache = new java.util.concurrent.ConcurrentHashMap[
+  // guard statistic cached once per corpus version (x25's lifecycle);
+  // keyed per (corpus, signature kind) — image dHash and audio
+  // fingerprints guard independently.
+  private val presentFpCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[java.lang.Long]]()
 
   /** Past this many present 64-bit hashes the ≤2-bit quotient
@@ -158,20 +268,51 @@ object MediaQueries {
     Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
 
   private[graft] def dhashPairs(s: SparkSession, d: String,
-      maxQuotientFps: Long = dhashQuotientMax): DataFrame = {
+      maxQuotientFps: Long = dhashQuotientMax): DataFrame =
+    hamming64Pairs(s, d,
+      MediaPipeline.dhashFrame(s, d).toDF()
+        .withColumnRenamed("dhash", "fp")
+        .withColumnRenamed("grid", "vec"),
+      tag = "dhash", maxQuotientFps)
+
+  private[graft] def videoFpPairs(s: SparkSession, d: String,
+      maxQuotientFps: Long = dhashQuotientMax): DataFrame =
+    hamming64Pairs(s, d,
+      MediaPipeline.videoFrame(s, d).toDF()
+        .select(col("doc_id"), col("vfp").as("fp"), col("sums").as("vec")),
+      tag = "videofp", maxQuotientFps)
+
+  private[graft] def audioFpPairs(s: SparkSession, d: String,
+      maxQuotientFps: Long = dhashQuotientMax): DataFrame =
+    hamming64Pairs(s, d,
+      MediaPipeline.audioFpFrame(s, d).toDF()
+        .withColumnRenamed("afp", "fp")
+        .withColumnRenamed("energies", "vec"),
+      tag = "audiofp", maxQuotientFps)
+
+  /** Shared 64-bit perceptual near-dup pair engine (image dHash and
+    * audio fingerprints differ only in how the signature frame is
+    * produced): pairs at Hamming ≤ 2 via the x25 quotient technique
+    * lifted to 64 bits, with a 3-band pigeonhole fallback once the
+    * present-hash population outgrows the broadcastable neighbor
+    * table; every candidate re-verified with the exact L1 distance on
+    * the carried signature vector. `sigs` must expose
+    * (doc_id, fp: long, vec: array<integral>). */
+  private def hamming64Pairs(s: SparkSession, d: String, sigs: DataFrame,
+      tag: String, maxQuotientFps: Long): DataFrame = {
     // the explicit exchange is the decode-once seam: every downstream
     // reference (present/nbr derivation, both self-join sides) hangs
     // off the SAME repartition, so ReuseExchange materializes the
     // encode→decode→hash scan once and the other references read the
     // shuffle files (builders never persist — Bench hygiene — and the
-    // shuffled rows are ~300 bytes/image, not the payloads). Without
-    // it each reference re-decoded every image (x7's lesson applied
+    // shuffled rows are ~300 bytes/item, not the payloads). Without
+    // it each reference re-decoded every payload (x7's lesson applied
     // to a mapPartitions pipeline, which has no natural exchange).
-    val fps = MediaPipeline.dhashFrame(s, d).toDF()
-      .repartition(col("doc_id"))
-    val present = fps.select(col("dhash")).distinct()
-    val nPresent: Long = StoredIndexes.versionedValue(presentDhashCache, d,
-      "documents.parquet", "graft-dhash-present") { present.count() }
+    val fps = sigs.repartition(col("doc_id"))
+    val present = fps.select(col("fp")).distinct()
+    val nPresent: Long = StoredIndexes.versionedValue(presentFpCache, d,
+      "documents.parquet", s"graft-$tag-present",
+      cacheKey = s"$d#$tag") { present.count() }
     val cand =
       if (nPresent <= maxQuotientFps) {
         val masks = Seq(0L) ++ (0 until 64).map(1L << _) ++
@@ -180,37 +321,37 @@ object MediaQueries {
         val maskArr = array(masks.map(m =>
           struct(lit(m).as("m"),
             lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
-        val nbr = present.select(col("dhash").as("fa"),
+        val nbr = present.select(col("fp").as("fa"),
             explode(maskArr).as("mk"))
           .select(col("fa"), col("fa").bitwiseXOR(col("mk.m")).as("fb"),
             col("mk.h").as("hamming"))
-          .join(present.select(col("dhash").as("fb")), Seq("fb"),
+          .join(present.select(col("fp").as("fb")), Seq("fb"),
             "left_semi")
         fps.as("x")
-          .join(broadcast(nbr), col("x.dhash") === col("fa"))
+          .join(broadcast(nbr), col("x.fp") === col("fa"))
           .join(fps.as("y"),
-            col("y.dhash") === col("fb") &&
+            col("y.fp") === col("fb") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("hamming").cast("int").as("hamming"),
-            col("x.grid").as("ga"), col("y.grid").as("gb"))
+            col("x.vec").as("ga"), col("y.vec").as("gb"))
       } else {
-        val bands = fps.select(col("doc_id"), col("dhash"), col("grid"),
+        val bands = fps.select(col("doc_id"), col("fp"), col("vec"),
           explode(array((0 until 3).map(i =>
             struct(lit(i).as("i"),
-              shiftright(col("dhash"), DBandOffs(i))
+              shiftright(col("fp"), DBandOffs(i))
                 .bitwiseAND(lit(DBandMasks(i))).as("bv")))
             .toIndexedSeq: _*)).as("band"))
-          .select(col("doc_id"), col("dhash"), col("grid"),
+          .select(col("doc_id"), col("fp"), col("vec"),
             col("band.i").as("i"), col("band.bv").as("bv"))
         bands.as("x")
           .join(bands.as("y"),
             col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+            bit_count(col("x.fp").bitwiseXOR(col("y.fp")))
               .cast("int").as("hamming"),
-            col("x.grid").as("ga"), col("y.grid").as("gb"))
+            col("x.vec").as("ga"), col("y.vec").as("gb"))
           .filter(col("hamming") <= 2)
           .dropDuplicates("doc_a", "doc_b")
       }

@@ -59,6 +59,35 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.wavSamples(spliced).get.toSeq === samples.toSeq)
   }
 
+  test("avi: encode → RIFF form parse + exact sampled-frame DIB round trip") {
+    val w = 13; val h = 9; val fps = 15; val nF = 7 // w forces stride padding (16)
+    def pix(x: Int, y: Int, f: Int): Int = (x * 5 + y * 11 + f * 29) % 256
+    val avi = MediaCodec.encodeAviDib(w, h, fps, nF, pix)
+    assert(MediaCodec.sniff(avi) === Some("avi"))
+    val hdr = MediaCodec.probe(avi).get
+    assert(hdr.format === "avi" && hdr.width === w && hdr.height === h)
+    assert(hdr.sampleRate === fps && hdr.bitDepth === 8)
+    assert(hdr.durationMs === nF * 1000L / fps)
+    val offs = MediaCodec.aviFrameOffsets(avi).get
+    assert(offs.length === nF)
+    for (f <- 0 until nF) {
+      val lum = MediaCodec.aviFrameLuma(avi, w, h, offs(f)).get
+      for (y <- 0 until h; x <- 0 until w)
+        assert(lum(y * w + x) === pix(x, y, f), s"pixel ($x,$y) frame $f")
+    }
+  }
+
+  test("avi: parser is total on truncation and rejects out-of-range frame reads") {
+    val avi = MediaCodec.encodeAviDib(8, 8, 10, 3, (x, y, f) => x + y + f)
+    for (cut <- Seq(4, 11, 40, 100, avi.length - 1))
+      assert(MediaCodec.aviInfo(avi.take(cut)) === None, s"cut=$cut")
+    assert(MediaCodec.aviFrameOffsets(avi.take(60)) === None)
+    val offs = MediaCodec.aviFrameOffsets(avi).get
+    assert(MediaCodec.aviFrameLuma(avi, 8, 8, avi.length - 10) === None)
+    assert(MediaCodec.aviFrameLuma(avi, 8, 8, -1) === None)
+    assert(MediaCodec.aviFrameLuma(avi, 8, 8, offs(2)).isDefined)
+  }
+
   test("parsers are total: garbage, truncation, wrong formats → None") {
     val garbage = Array.tabulate(64)(i => (i * 97).toByte)
     assert(MediaCodec.sniff(garbage) === None)
