@@ -43,6 +43,8 @@ object KMeansQueries {
   /** assign→update rounds before the final assignment pass (x50's
     * fixed-unroll convention, mirrored by the oracle's CTE chain). */
   private val Iters = 2
+  /** vectors kept per cluster by the balanced sample (x114). */
+  private val SampleK = 5
 
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Array[Array[Long]]]]()
@@ -106,7 +108,10 @@ object KMeansQueries {
       cents
     }
 
-  private def oracleSql: String = {
+  /** The unrolled training chain shared by every k-means oracle:
+    * quantize → seed → Iters×(assign, update) → final assignment a3 +
+    * final centroids c2 (x50's pagerank CTE technique). */
+  private def trainCtes: String = {
     def assign(prevC: String, name: String): String =
       s"""$name AS (
   SELECT vec_id, any_value(v) AS v, min_by(cid, dist*8+cid) AS cid FROM (
@@ -130,7 +135,11 @@ ${assign("c0", "a1")},
 ${update("c0", "a1", "c1")},
 ${assign("c1", "a2")},
 ${update("c1", "a2", "c2")},
-${assign("c2", "a3")},
+${assign("c2", "a3")}"""
+  }
+
+  private def oracleSql: String =
+    s"""$trainCtes,
 d3 AS (SELECT a3.vec_id, a3.cid,
     CAST(list_sum(list_transform(range($Dim), j ->
       (a3.v[CAST(j+1 AS INT)]-c2.c[CAST(j+1 AS INT)])
@@ -139,7 +148,15 @@ d3 AS (SELECT a3.vec_id, a3.cid,
 SELECT d3.cid, count(*) AS n, CAST(sum(d3.dist) AS BIGINT) AS sse,
   CAST(list_sum(any_value(c2.c)) AS BIGINT) AS centroid_sum
 FROM d3 JOIN c2 ON d3.cid = c2.cid GROUP BY d3.cid ORDER BY d3.cid"""
-  }
+
+  private def sampleOracleSql: String =
+    s"""$trainCtes
+SELECT cid, vec_id, rk FROM (
+  SELECT a3.cid, a3.vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a3.cid
+    ORDER BY ${graft.functions.TextFns.Sql.md5Bits16(
+      "md5(CAST(a3.vec_id AS VARCHAR))")}, a3.vec_id) AS INT) AS rk
+  FROM a3)
+WHERE rk <= $SampleK ORDER BY cid, rk"""
 
   val all: Seq[Query] = Seq(
     // Per-cluster report after Iters assign→update rounds + a final
@@ -162,5 +179,28 @@ FROM d3 JOIN c2 ON d3.cid = c2.cid GROUP BY d3.cid ORDER BY d3.cid"""
         .select(col("cid"), col("n"), col("sse"),
           element_at(sumByCid, col("cid")).as("centroid_sum"))
         .orderBy("cid")
+    },
+
+    // Cluster-BALANCED sampling — the reason a mixing pipeline runs
+    // k-means at all (SemDeDup/DoReMi-style domain balancing): exactly
+    // SampleK vectors per discovered cluster, chosen by the x80
+    // reproducible-reservoir technique (md5-rank row_number ≤ k
+    // compiles to WindowGroupLimit, so every map task keeps only its
+    // local top-k before the single cid shuffle — stable under
+    // partitioning and reruns). Assignment is x111's join-free
+    // literal-centroid argmin, so the whole query is one narrow scan +
+    // one K-partition window. The oracle replays training through the
+    // shared CTE chain, then ranks with the same md5 arithmetic.
+    Query("x114_cluster_sample", sampleOracleSql) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = train(s, d)
+      quantized(s, d)
+        .select(col("vec_id"), (minKey(cents) % 8).cast("int").as("cid"))
+        .select(col("cid"), col("vec_id"),
+          row_number().over(Window.partitionBy(col("cid"))
+            .orderBy(graft.functions.TextFns.md5Bits16(
+              col("vec_id").cast("string")), col("vec_id"))).as("rk"))
+        .filter(col("rk") <= SampleK)
+        .orderBy("cid", "rk")
     })
 }

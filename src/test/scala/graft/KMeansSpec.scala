@@ -97,6 +97,33 @@ class KMeansSpec extends AnyFunSuite {
       s"dist bound overflows the ·8 key shift (component range [$lo,$hi])")
   }
 
+  test("balanced sample equals the reference recompute and is exactly k per cluster") {
+    def md5bits16(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    val ref = vecs.map { case (id, v) => (argmin(refCents, v)._1, id) }
+      .groupBy(_._1).map { case (cid, as) =>
+        cid -> as.map(_._2).sortBy(id => (md5bits16(id.toString), id)).take(5)
+      }
+    val got = SparkEntry.queries("x114_cluster_sample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    got.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.length === math.min(5, ref(cid).length), s"cluster $cid size")
+      assert(rows.sortBy(_._3).map(_._2).toSeq === ref(cid).toSeq,
+        s"cluster $cid sample diverges from the md5-rank reference")
+    }
+    assert(got.map(_._1).distinct.sorted.toSeq === ref.keys.toSeq.sorted)
+  }
+
+  test("sample rank-filter compiles to WindowGroupLimit (map-side top-k)") {
+    val p = SparkEntry.queries("x114_cluster_sample")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no map-side group limit:\n$p")
+    assert(!p.contains("Join"), s"sample pass plans a join:\n$p")
+  }
+
   test("assignment pass is one narrow scan: no join, map-side combine") {
     val df = SparkEntry.queries("x111_kmeans_topics")(spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
