@@ -56,6 +56,12 @@ object MediaCodec {
   private def ascii(b: Array[Byte], i: Int, n: Int): String =
     new String(b, i, n, "US-ASCII")
 
+  /** RIFF LIST nesting cap (real AVIs nest 2 deep: hdrl→strl). */
+  private val MaxListDepth = 16
+  /** Frame-raster allocation cap: 64M pixels (256 MB as Array[Int]) —
+    * header-declared dimensions are untrusted corpus bytes. */
+  private val MaxFramePixels = 1L << 26
+
   // ------------------------------------------------------------------
   // format sniffing
   // ------------------------------------------------------------------
@@ -191,7 +197,12 @@ object MediaCodec {
     var w = 0; var h = 0; var bits = 0
     var scale = 0L; var rate = 0L; var length = 0L
     var sawVids = false
-    def walk(from: Int, to: Int): Boolean = { // false = malformed
+    // depth-capped: a real AVI nests RIFF→hdrl→strl (2 levels); a
+    // crafted chain of nested 12-byte LISTs would otherwise recurse
+    // O(bytes.length/12) deep and blow the stack — a throw this layer
+    // promises never to make
+    def walk(from: Int, to: Int, depth: Int): Boolean = { // false = malformed
+      if (depth > MaxListDepth) return false
       var i = from
       while (i + 8 <= to) {
         val id = ascii(bytes, i, 4)
@@ -201,7 +212,7 @@ object MediaCodec {
           case "LIST" if len >= 4 =>
             val kind = ascii(bytes, i + 8, 4)
             if (kind == "hdrl" || kind == "strl") {
-              if (!walk(i + 12, i + 8 + len.toInt)) return false
+              if (!walk(i + 12, i + 8 + len.toInt, depth + 1)) return false
             } // movi/INFO lists are skipped at header-parse time
           case "avih" if len >= 40 =>
             w = le32(bytes, i + 8 + 32).toInt
@@ -221,7 +232,7 @@ object MediaCodec {
       }
       true
     }
-    if (!walk(12, bytes.length)) return None
+    if (!walk(12, bytes.length, 0)) return None
     if (w <= 0 || h <= 0 || !sawVids || scale <= 0 || rate <= 0) None
     else Some(MediaHeader("avi", w, h, 1, bits, (rate / scale).toInt,
       length * 1000L * scale / rate))
@@ -263,7 +274,12 @@ object MediaCodec {
       dataOff: Int): Option[Array[Int]] = {
     if (w <= 0 || h <= 0) return None
     val stride = (w + 3) & ~3
-    if (dataOff < 0 || dataOff + stride * h > bytes.length) return None
+    // Long arithmetic: header-supplied w/h are untrusted, and an Int
+    // stride*h wraps (e.g. h=0x40000001 → stride*h=4) past the bounds
+    // guard into an out-of-bounds copy-loop throw
+    if (w.toLong * h > MaxFramePixels) return None
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > bytes.length)
+      return None
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -433,6 +449,9 @@ object MediaCodec {
     * real muxers write). */
   def encodeAviDib(width: Int, height: Int, fps: Int, nFrames: Int,
       pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && nFrames > 0,
+      s"encodeAviDib needs positive dims/fps/frames: " +
+        s"w=$width h=$height fps=$fps n=$nFrames")
     val stride = (width + 3) & ~3
     val frameLen = stride * height
     val strfLen = 40 + 256 * 4

@@ -14,81 +14,162 @@ import org.apache.spark.sql.functions._
  *
  * Engine shape (the 100 TB design):
  *  - Embeddings are QUANTIZED to integers up front
- *    (floor(e·1000)+2048 — non-negative, exact in both engines), so
- *    every distance, centroid mean and tie-break is integer
- *    arithmetic: bit-reproducible across Spark and DuckDB, no
- *    float-summation order sensitivity anywhere.
+ *    (floor(e·1000)+2048), so every distance, centroid mean and
+ *    tie-break is integer arithmetic: bit-reproducible across Spark
+ *    and DuckDB, no float-summation order sensitivity anywhere.
+ *    Centroid means use FLOOR division on both engines
+ *    (`Math.floorDiv` / DuckDB `//`), so parity holds even for
+ *    corpora with components below the -2.048 quantization floor
+ *    (negative sums — truncating `/` would diverge there).
+ *  - Seeding is deterministic FARTHEST-POINT over an md5-ranked
+ *    sample (k-means++-style spread, exact integer arithmetic): the
+ *    `8·k` corpus vectors with the smallest (md5Bits16(vec_id),
+ *    vec_id) form the candidate sample — a map-local TakeOrdered, no
+ *    shuffle of the corpus — seed 0 is the sample head, and each next
+ *    seed maximizes its minimum squared-L2 distance to the seeds
+ *    chosen so far (ties → smallest vec_id). This replaces the
+ *    first-K-by-vec_id seed, which (a) assumed 0-based contiguous ids
+ *    and (b) collapses clusters when early vectors are co-located
+ *    (KMeansSpec pins the SSE win on exactly that fixture). The
+ *    oracle replays seeding exactly as an unrolled CTE chain.
  *  - Lloyd's iterations are inherently sequential, so the model
  *    follows the stored-model lifecycle ([[UnigramLM]], [[BpeMiner]]):
- *    centroids are trained once per corpus version
- *    ([[StoredIndexes.versionedValue]]) in `Iters` passes, each pass
- *    ONE narrow scan + a map-side-combined 65-aggregate groupBy into
- *    K=8 groups (the shuffle moves K·(Dim+1) partial sums per task,
- *    not rows). The k×dim centroid table is bounded by construction —
- *    the only driver materialization.
+ *    centroids are trained once per (corpus version, params)
+ *    ([[StoredIndexes.versionedValue]]; params ride the cache key on
+ *    the [[VectorIndex.IvfParams]] pattern, so tuning experiments
+ *    never evict the serving model) in `iters` passes, each pass ONE
+ *    narrow scan + a map-side-combined 65-aggregate groupBy into k
+ *    groups (the shuffle moves k·(Dim+1) partial sums per task, not
+ *    rows). The k×dim centroid table is bounded by construction —
+ *    the only driver materialization beyond the 8k-row seed sample.
  *  - The declared query then assigns every vector in ONE narrow pass:
  *    the trained centroids ride as literal arrays inside a single
- *    `array_min` argmin expression (key = dist·8+cid, so one array_min
- *    yields both the assignment and its distance; ties break to the
- *    smallest cid), followed by one K-group aggregate. No join, no
- *    explode, no per-row UDF.
+ *    `array_min` argmin expression (key = dist·k+cid, so one
+ *    array_min yields both the assignment and its distance; ties
+ *    break to the smallest cid), followed by one k-group aggregate.
+ *    No join, no explode, no per-row UDF.
  *
  * Empty-cluster rule: a cluster that captures no vectors keeps its
  * previous centroid (both engines COALESCE the same way).
  */
 object KMeansQueries {
 
-  private val K = 8
-  private val Dim = 64
-  /** assign→update rounds before the final assignment pass (x50's
-    * fixed-unroll convention, mirrored by the oracle's CTE chain). */
-  private val Iters = 2
+  private[graft] val Dim = 64
   /** vectors kept per cluster by the balanced sample (x114). */
   private val SampleK = 5
+
+  /** k-means build knobs. Defaults are ORACLE-PINNED (the x111/x114
+    * oracles replay exactly this build as CTE chains); production
+    * tunes them per corpus. `spreadSeed=false` keeps the legacy
+    * first-k-by-vec_id seed for SSE comparison (KMeansSpec) — it is
+    * never used by a declared query. Non-default builds get their own
+    * cache entry (keyed by (dir, params)). */
+  final case class KMeansParams(k: Int = 8, iters: Int = 2,
+      spreadSeed: Boolean = true) {
+    require(k > 0 && iters >= 0, s"bad KMeansParams: k=$k iters=$iters")
+    /** seed-candidate sample size: 8·k (64 at the default k). */
+    def sampleN: Int = 8 * k
+  }
 
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Array[Array[Long]]]]()
 
-  /** Integer-quantized embedding frame: v[j] = floor(e_j·1000)+2048
-    * (non-negative, so integral division below is floor division in
-    * both engines). */
+  private def cacheKey(dir: String, p: KMeansParams): String =
+    s"$dir|kmeans|${p.k}|${p.iters}|${p.spreadSeed}"
+
+  /** Quantization expression over a float-array embedding column. */
+  private[graft] def quantExpr(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast("long") + 2048)
+
+  /** Integer-quantized embedding frame: v[j] = floor(e_j·1000)+2048. */
   private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     Tables.table(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          e => floor(e.cast("double") * 1000).cast("long") + 2048).as("v"))
+      .select(col("vec_id"), quantExpr(col("embedding")).as("v"))
 
   /** argmin over the literal centroid table, encoded as ONE value:
-    * min over cid of (squared-L2 dist)·8 + cid. dist ≤ 64·4096² ≈ 2³⁰
-    * so the ·8 shift cannot overflow; cid < 8 makes the key unique and
-    * (dist, cid)-lexicographic. */
-  private def minKey(cents: Array[Array[Long]]): Column =
+    * min over cid of (squared-L2 dist)·k + cid. dist ≤ 64·4096² ≈ 2³⁰
+    * so the ·k shift cannot overflow for any sane k; cid < k makes
+    * the key unique and (dist, cid)-lexicographic. `v` is the
+    * quantized vector column. */
+  private def minKey(cents: Array[Array[Long]], v: Column): Column =
     array_min(array(cents.zipWithIndex.map { case (c, i) =>
       aggregate(
-        zip_with(col("v"), array(c.map(lit).toIndexedSeq: _*),
+        zip_with(v, array(c.map(lit).toIndexedSeq: _*),
           (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x) * 8 + i
+        lit(0L), (acc, x) => acc + x) * cents.length + i
     }.toIndexedSeq: _*))
 
-  /** Train once per corpus version: init = the first K vectors by
-    * vec_id, then `Iters` assign→update rounds. Each round is one
-    * Spark job: narrow argmin scan → groupBy(cid) with count + Dim
-    * element sums (map-side combined; K groups) → K-row collect. */
-  private[graft] def train(s: SparkSession, d: String): Array[Array[Long]] =
+  /** Cluster id of the quantized vector column against trained
+    * centroids — the join-free literal argmin, exposed for the
+    * semantic-dedup view (x115) and the ingest-time assignment flow.
+    */
+  private[graft] def assignCid(cents: Array[Array[Long]],
+      v: Column = col("v")): Column =
+    (minKey(cents, v) % cents.length).cast("int")
+
+  private def sqDist(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var j = 0
+    while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+    s
+  }
+
+  /** Deterministic farthest-point seeds from the md5-ranked sample
+    * (sorted by (rank, vec_id) ascending). Chosen seeds have min-dist
+    * 0, so they are never re-picked while a distinct candidate
+    * remains; a degenerate all-duplicate sample yields duplicate
+    * centroids, which the assignment tie-break handles. */
+  private[graft] def spreadSeeds(sample: Array[(Long, Array[Long])],
+      k: Int): Array[Array[Long]] = {
+    require(sample.nonEmpty, "k-means seeding needs a non-empty corpus")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    while (seeds.length < k) {
+      var bestId = Long.MaxValue; var bestD = -1L
+      var bestV: Array[Long] = null
+      sample.foreach { case (id, v) =>
+        var md = Long.MaxValue
+        seeds.foreach { c => val d = sqDist(v, c); if (d < md) md = d }
+        if (md > bestD || (md == bestD && id < bestId)) {
+          bestD = md; bestId = id; bestV = v
+        }
+      }
+      seeds += bestV
+    }
+    seeds.toArray
+  }
+
+  /** Train once per (corpus version, params): spread seed, then
+    * `iters` assign→update rounds. Each round is one Spark job:
+    * narrow argmin scan → groupBy(cid) with count + Dim element sums
+    * (map-side combined; k groups) → k-row collect. */
+  private[graft] def train(s: SparkSession, d: String,
+      p: KMeansParams = KMeansParams()): Array[Array[Long]] =
     StoredIndexes.versionedValue(centroidCache, d, "embeddings.parquet",
-      "graft-kmeans") {
+      "graft-kmeans", cacheKey(d, p)) {
       val q = quantized(s, d)
-      var cents: Array[Array[Long]] = q.filter(col("vec_id") < K)
-        .orderBy("vec_id").select(col("v"))
-        .collect().map(_.getSeq[Long](0).toArray)
-      require(cents.length == K, s"need $K seed vectors, got ${cents.length}")
+      var cents: Array[Array[Long]] =
+        if (p.spreadSeed) {
+          val sample = q.select(col("vec_id").cast("long").as("vec_id"),
+              col("v"), graft.functions.TextFns.md5Bits16(
+                col("vec_id").cast("string")).as("rk"))
+            .sort(col("rk"), col("vec_id")).limit(p.sampleN)
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          spreadSeeds(sample, p.k)
+        } else { // legacy first-k seed, kept ONLY for the SSE spec
+          val cs = q.filter(col("vec_id") < p.k)
+            .orderBy("vec_id").select(col("v"))
+            .collect().map(_.getSeq[Long](0).toArray)
+          require(cs.length == p.k,
+            s"need ${p.k} seed vectors, got ${cs.length}")
+          cs
+        }
       var it = 0
-      while (it < Iters) {
+      while (it < p.iters) {
         val aggs = count(lit(1)).as("n") +:
           (0 until Dim).map(j =>
             sum(element_at(col("v"), j + 1)).as(s"s$j"))
         val rows = q
-          .select((minKey(cents) % 8).cast("int").as("cid"), col("v"))
+          .select(assignCid(cents).as("cid"), col("v"))
           .groupBy("cid")
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -98,7 +179,9 @@ object KMeansQueries {
           val n = r.getLong(1)
           var j = 0
           while (j < Dim) {
-            next(cid)(j) = r.getLong(2 + j) / n // all sums ≥ 0: floor div
+            // FLOOR division = DuckDB `//` (truncating `/` diverges
+            // on negative sums, i.e. any component < -2.048)
+            next(cid)(j) = Math.floorDiv(r.getLong(2 + j), n)
             j += 1
           }
         }
@@ -108,72 +191,111 @@ object KMeansQueries {
       cents
     }
 
+  /** Exact squared-L2 between two quantized-vector SQL expressions. */
+  private def distSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range($Dim), j -> " +
+      s"($a[CAST(j+1 AS INT)]-$b[CAST(j+1 AS INT)])" +
+      s"*($a[CAST(j+1 AS INT)]-$b[CAST(j+1 AS INT)]))) AS BIGINT)"
+
   /** The unrolled training chain shared by every k-means oracle:
-    * quantize → seed → Iters×(assign, update) → final assignment a3 +
-    * final centroids c2 (x50's pagerank CTE technique). */
-  private def trainCtes: String = {
+    * quantize → md5-ranked sample → farthest-point seed CTEs s0..s7 →
+    * iters×(assign, update) → final assignment a_N + final centroids
+    * c_N (x50's pagerank CTE technique). Defaults-only: the declared
+    * queries run KMeansParams(). */
+  private[graft] def trainCtes(p: KMeansParams = KMeansParams()): String = {
     def assign(prevC: String, name: String): String =
-      s"""$name AS (
-  SELECT vec_id, any_value(v) AS v, min_by(cid, dist*8+cid) AS cid FROM (
+      s"""$name AS MATERIALIZED (
+  SELECT vec_id, any_value(v) AS v, min_by(cid, dist*${p.k}+cid) AS cid FROM (
     SELECT q.vec_id, q.v, $prevC.cid,
-      CAST(list_sum(list_transform(range($Dim), j ->
-        (q.v[CAST(j+1 AS INT)]-$prevC.c[CAST(j+1 AS INT)])
-        *(q.v[CAST(j+1 AS INT)]-$prevC.c[CAST(j+1 AS INT)]))) AS BIGINT) AS dist
+      ${distSql("q.v", s"$prevC.c")} AS dist
     FROM q CROSS JOIN $prevC) GROUP BY vec_id)"""
     def update(prevC: String, a: String, name: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
   SELECT $prevC.cid, COALESCE(u.c, $prevC.c) AS c FROM $prevC LEFT JOIN (
     SELECT cid, list_transform(range($Dim), j ->
       list_sum(list_transform(list(v), vv -> vv[CAST(j+1 AS INT)])) // count(*)) AS c
     FROM $a GROUP BY cid) u ON $prevC.cid = u.cid)"""
-    s"""WITH q AS (
+    // farthest-point seed CTEs: s_i picks the sample row maximizing
+    // min distance to s_0..s_{i-1} (ties → smallest vec_id)
+    def seed(i: Int): String =
+      if (i == 0) "s0 AS MATERIALIZED (SELECT vec_id, v FROM smp ORDER BY rk, vec_id LIMIT 1)"
+      else {
+        val joins = (0 until i).map(j => s"CROSS JOIN s$j").mkString(" ")
+        val dists = (0 until i).map(j => distSql("smp.v", s"s$j.v"))
+          .mkString(", ")
+        s"""s$i AS MATERIALIZED (SELECT vec_id, v FROM (
+    SELECT smp.vec_id AS vec_id, smp.v AS v, LEAST($dists) AS md
+    FROM smp $joins) ORDER BY md DESC, vec_id LIMIT 1)"""
+      }
+    val seedCtes = (0 until p.k).map(seed).mkString(",\n")
+    val c0 = (0 until p.k)
+      .map(i => s"SELECT $i AS cid, v AS c FROM s$i").mkString(" UNION ALL ")
+    val rounds = new StringBuilder
+    var prev = "c0"
+    for (r <- 1 to p.iters) {
+      rounds ++= ",\n" + assign(prev, s"a$r")
+      rounds ++= ",\n" + update(prev, s"a$r", s"c$r")
+      prev = s"c$r"
+    }
+    rounds ++= ",\n" + assign(prev, s"a${p.iters + 1}")
+    s"""WITH q AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, e ->
     CAST(floor(CAST(e AS DOUBLE)*1000) + 2048 AS BIGINT)) AS v
   FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < $K),
-${assign("c0", "a1")},
-${update("c0", "a1", "c1")},
-${assign("c1", "a2")},
-${update("c1", "a2", "c2")},
-${assign("c2", "a3")}"""
+smp AS MATERIALIZED (SELECT vec_id, v, rk FROM (
+  SELECT vec_id, v, ${graft.functions.TextFns.Sql.md5Bits16(
+      "md5(CAST(vec_id AS VARCHAR))")} AS rk FROM q)
+  ORDER BY rk, vec_id LIMIT ${p.sampleN}),
+$seedCtes,
+c0 AS MATERIALIZED ($c0)$rounds"""
   }
 
+  /** Final-assignment / final-centroid CTE names for the default
+    * unroll (shared by the x111/x114/x115 oracles). */
+  private val P = KMeansParams()
+  private[graft] val FinalA = s"a${P.iters + 1}"
+  private val FinalC = s"c${P.iters}"
+
   private def oracleSql: String =
-    s"""$trainCtes,
-d3 AS (SELECT a3.vec_id, a3.cid,
-    CAST(list_sum(list_transform(range($Dim), j ->
-      (a3.v[CAST(j+1 AS INT)]-c2.c[CAST(j+1 AS INT)])
-      *(a3.v[CAST(j+1 AS INT)]-c2.c[CAST(j+1 AS INT)]))) AS BIGINT) AS dist
-  FROM a3 JOIN c2 ON a3.cid = c2.cid)
+    s"""${trainCtes()},
+d3 AS (SELECT $FinalA.vec_id, $FinalA.cid,
+    ${distSql(s"$FinalA.v", s"$FinalC.c")} AS dist
+  FROM $FinalA JOIN $FinalC ON $FinalA.cid = $FinalC.cid)
 SELECT d3.cid, count(*) AS n, CAST(sum(d3.dist) AS BIGINT) AS sse,
-  CAST(list_sum(any_value(c2.c)) AS BIGINT) AS centroid_sum
-FROM d3 JOIN c2 ON d3.cid = c2.cid GROUP BY d3.cid ORDER BY d3.cid"""
+  CAST(list_sum(any_value($FinalC.c)) AS BIGINT) AS centroid_sum
+FROM d3 JOIN $FinalC ON d3.cid = $FinalC.cid GROUP BY d3.cid ORDER BY d3.cid"""
 
   private def sampleOracleSql: String =
-    s"""$trainCtes
+    s"""${trainCtes()}
 SELECT cid, vec_id, rk FROM (
-  SELECT a3.cid, a3.vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY a3.cid
+  SELECT $FinalA.cid, $FinalA.vec_id, CAST(ROW_NUMBER() OVER (
+    PARTITION BY $FinalA.cid
     ORDER BY ${graft.functions.TextFns.Sql.md5Bits16(
-      "md5(CAST(a3.vec_id AS VARCHAR))")}, a3.vec_id) AS INT) AS rk
-  FROM a3)
+      s"md5(CAST($FinalA.vec_id AS VARCHAR))")}, $FinalA.vec_id) AS INT) AS rk
+  FROM $FinalA)
 WHERE rk <= $SampleK ORDER BY cid, rk"""
 
   val all: Seq[Query] = Seq(
     // Per-cluster report after Iters assign→update rounds + a final
     // assignment: size, exact integer SSE against the trained
     // centroids, and the centroid component sum (pins every centroid
-    // value). The oracle unrolls the same rounds as MATERIALIZED-free
-    // CTEs (x50's pagerank technique), so a hash match proves the
-    // whole iterative training trajectory, not just the last pass.
+    // value — and, through the seed CTEs, the whole farthest-point
+    // seeding trajectory). The oracle unrolls the same rounds as
+    // MATERIALIZED CTEs (x50's pagerank unroll technique, plus
+    // MATERIALIZED because the farthest-point seed chain references
+    // every earlier seed — plain CTE inlining would re-expand the
+    // chain exponentially), so a hash match proves the complete
+    // iterative training path, not just the last pass.
     Query("x111_kmeans_topics", oracleSql) { (s, d) =>
       val cents = train(s, d)
+      val k = cents.length
       val sumByCid = map_from_arrays(
-        array((0 until K).map(i => lit(i)).toIndexedSeq: _*),
+        array((0 until k).map(i => lit(i)).toIndexedSeq: _*),
         array(cents.map(c => lit(c.sum)).toIndexedSeq: _*))
       quantized(s, d)
-        .select(minKey(cents).as("key"))
-        .select((col("key") % 8).cast("int").as("cid"),
-          expr("key div 8").as("dist"))
+        .select(minKey(cents, col("v")).as("key"))
+        .select((col("key") % k).cast("int").as("cid"),
+          expr(s"key div $k").as("dist"))
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), sum(col("dist")).as("sse"))
         .select(col("cid"), col("n"), col("sse"),
@@ -195,7 +317,7 @@ WHERE rk <= $SampleK ORDER BY cid, rk"""
       import org.apache.spark.sql.expressions.Window
       val cents = train(s, d)
       quantized(s, d)
-        .select(col("vec_id"), (minKey(cents) % 8).cast("int").as("cid"))
+        .select(col("vec_id"), assignCid(cents).as("cid"))
         .select(col("cid"), col("vec_id"),
           row_number().over(Window.partitionBy(col("cid"))
             .orderBy(graft.functions.TextFns.md5Bits16(

@@ -347,6 +347,52 @@ object VectorQueries {
           .orderBy("vec_id")
     },
 
+    // SemDeDup's ACTUAL shape: the same prototype-per-cluster decision
+    // view as x62, but over REAL k-means clusters (the stored x111
+    // model) instead of the SRP table-0 bucket stand-in. Assignment is
+    // the join-free literal-centroid argmin (one narrow pass — the
+    // trained centroids ride as literals, no join against a centroid
+    // table), prototype election and the per-member cosine are
+    // unchanged. Scale: identical to x62 — narrow assign, k-bounded
+    // BROADCAST prototype table, one cosine per vector, never
+    // member×member. The oracle replays the whole k-means training
+    // trajectory through the shared CTE chain and then the decision
+    // view, so the hash pins model + assignment + decisions end to
+    // end. VectorSpec additionally pins where the real-cluster
+    // decisions diverge from the x62 stand-in on the fixture.
+    Query("x115_semantic_dedup_kmeans",
+      s"""${KMeansQueries.trainCtes()},
+c AS (SELECT ${KMeansQueries.FinalA}.vec_id, ${KMeansQueries.FinalA}.cid AS cl,
+    e.embedding
+  FROM ${KMeansQueries.FinalA} JOIN embeddings e
+    ON e.vec_id = ${KMeansQueries.FinalA}.vec_id),
+k AS (SELECT cl, MIN(vec_id) AS canonical FROM c GROUP BY 1),
+j AS (SELECT c.vec_id, c.cl, k.canonical,
+    ${Sql.cosine("c.embedding", "e2.embedding")} AS cos
+  FROM c JOIN k ON c.cl = k.cl
+  JOIN embeddings e2 ON e2.vec_id = k.canonical)
+SELECT vec_id, cl, canonical, round(cos, 6) AS cos,
+  (round(cos, 6) >= 0.30 AND vec_id <> canonical) AS is_dup
+FROM j ORDER BY vec_id""") {
+      (s, d) =>
+        val cents = KMeansQueries.train(s, d)
+        val c = emb(s, d).select(col("vec_id"),
+          KMeansQueries.assignCid(cents,
+            KMeansQueries.quantExpr(col("embedding"))).as("cl"),
+          col("embedding"))
+        val k = c.groupBy("cl").agg(min(col("vec_id")).as("canonical"))
+        val proto = k.join(c.select(col("vec_id").as("canonical"),
+            col("embedding").as("ec")), Seq("canonical"))
+          .select(col("cl"), col("canonical"), col("ec"))
+        c.join(broadcast(proto), Seq("cl"))
+          .withColumn("cos",
+            round(VectorFns.cosine(col("embedding"), col("ec")), 6))
+          .select(col("vec_id"), col("cl"), col("canonical"), col("cos"),
+            (col("cos") >= 0.30 && col("vec_id") =!= col("canonical"))
+              .as("is_dup"))
+          .orderBy("vec_id")
+    },
+
     // (x63/x64 share the scalar-quantization codebook: sqStatsSql /
     // sqStats below)
     // int8 scalar quantization — the embedding-COMPRESSION op a 100 TB

@@ -88,6 +88,31 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.aviFrameLuma(avi, 8, 8, offs(2)).isDefined)
   }
 
+  test("avi: totality on crafted headers — dim overflow, deep LIST nesting, fps guard") {
+    val avi = MediaCodec.encodeAviDib(8, 8, 10, 3, (x, y, f) => x + y + f)
+    // Int-wrap attack: stride*h with h=0x40000001 wraps to 4 and would
+    // pass an Int bounds guard into an out-of-bounds copy loop
+    assert(MediaCodec.aviFrameLuma(avi, 4, 0x40000001, 0) === None)
+    assert(MediaCodec.aviFrameLuma(avi, 0x10000, 0x10000, 0) === None)
+    // a crafted chain of nested hdrl LISTs must not blow the stack
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    var inner = Array.emptyByteArray
+    for (_ <- 0 until 5000)
+      inner = "LIST".getBytes ++ le32(inner.length + 4) ++ "hdrl".getBytes ++ inner
+    val nested = "RIFF".getBytes ++ le32(inner.length + 4) ++
+      "AVI ".getBytes ++ inner
+    assert(MediaCodec.aviInfo(nested) === None) // depth-capped, no throw
+    // encoder fails fast on nonsense params instead of ArithmeticException
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeAviDib(8, 8, fps = 0, nFrames = 3, (_, _, _) => 0)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodec.encodeAviDib(8, 8, fps = 10, nFrames = 0, (_, _, _) => 0)
+    }
+  }
+
   test("parsers are total: garbage, truncation, wrong formats → None") {
     val garbage = Array.tabulate(64)(i => (i * 97).toByte)
     assert(MediaCodec.sniff(garbage) === None)

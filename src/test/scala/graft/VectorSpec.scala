@@ -336,4 +336,61 @@ class VectorSpec extends AnyFunSuite {
     assert(srp3.load("srp_idx").agg(min(col("vec_id"))).head.getLong(0) === 1)
     graft.tables.TempDirs.delete(dir)
   }
+
+  test("x115 semantic dedup rides REAL k-means clusters, not the x62 SRP stand-in") {
+    // independent recompute of x115's decision view from first
+    // principles: quantize → argmin against the trained centroids →
+    // min-vec_id prototype per cell → cosine vs prototype
+    val cents = graft.operators.KMeansQueries.train(spark, TestSpark.sf)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cid(v: Array[Float]): Int = {
+      val q = v.map(e => math.floor(e.toDouble * 1000).toLong + 2048)
+      var bestKey = Long.MaxValue
+      for (i <- cents.indices) {
+        var d = 0L
+        for (j <- q.indices) { val t = q(j) - cents(i)(j); d += t * t }
+        val key = d * cents.length + i
+        if (key < bestKey) bestKey = key
+      }
+      (bestKey % cents.length).toInt
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) {
+        dt += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j)
+      }
+      BigDecimal(dt / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.toMap
+    val assign = vecs.map { case (id, v) => (id, cid(v)) }.toMap
+    val canon = assign.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    val got = SparkEntry.queries("x115_semantic_dedup_kmeans")(
+      spark, TestSpark.sf).collect()
+    assert(got.length === vecs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === assign(id), s"vec $id cluster")
+      val cn = canon(assign(id))
+      assert(r.getLong(2) === cn, s"vec $id canonical")
+      val c = cos(byId(id), byId(cn))
+      assert(r.getDouble(3) === c, s"vec $id cosine")
+      assert(r.getBoolean(4) === (c >= 0.30 && id != cn), s"vec $id is_dup")
+    }
+    // and the rewiring is REAL on this fixture: the k-means partition
+    // must differ from x62's SRP-table-0 buckets for at least one
+    // vector pair (same x62 bucket, different x115 cluster or vice
+    // versa) — otherwise the "real cluster" query would be vacuous
+    val x62 = SparkEntry.queries("x62_semantic_dedup")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val ids = vecs.map(_._1).toSeq
+    val diverges = ids.combinations(2).exists { pair =>
+      val (a, b) = (pair(0), pair(1))
+      (x62(a) == x62(b)) != (assign(a) == assign(b))
+    }
+    assert(diverges,
+      "k-means partition coincides with the SRP stand-in on the fixture")
+  }
 }
