@@ -291,6 +291,113 @@ object MediaPipeline {
       }
   }
 
+  // ------------------------------------------------------------------
+  // shared 64-bit signature definitions — the ONE place each
+  // fingerprint is defined, used by the batch pair queries
+  // (x98/x110/x112/x113 via the frames below) AND the ingest-time
+  // media near-dup gate (IngestionFlows.mediaIngestFlow), so the gate
+  // and the audit can never drift (the ShingleIndex.candidateShingles
+  // argument applied to media)
+  // ------------------------------------------------------------------
+
+  /** 9×8 point-downsample of a luminance raster (72 ints, row-major
+    * 9-wide): grid(r,c) = lum at (c·W/9, r·H/8), floor division. */
+  def dhashGridOf(lum: Array[Int], w: Int, h: Int): Array[Int] =
+    Array.tabulate(72) { i =>
+      val c = i % 9; val r = i / 9
+      lum((r * h / 8) * w + (c * w / 9))
+    }
+
+  /** dHash bits over the 9×8 grid: bit k (r=k/8, c=k%8) set iff
+    * grid(r,c) < grid(r,c+1). */
+  def dhashBitsOf(grid: Array[Int]): Long = {
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      val r = k / 8; val c = k % 8
+      if (grid(r * 9 + c) < grid(r * 9 + c + 1)) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** 65-frame energy envelope of an interleaved PCM16 stream: frame k
+    * = exact integer sum of squared samples in [k·n/65, (k+1)·n/65). */
+  def audioEnvelopeOf(samples: Array[Short]): Array[Long] = {
+    val n = samples.length
+    Array.tabulate(65) { k =>
+      var s = 0L
+      var i = k * n / 65
+      val end = (k + 1) * n / 65
+      while (i < end) {
+        val v = samples(i).toLong
+        s += v * v
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** Sign bits over a 65-bin envelope: bit k set iff E[k] < E[k+1]. */
+  def envelopeBitsOf(en: Array[Long]): Long = {
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (en(k) < en(k + 1)) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** 65-bin sampled-frame luminance envelope of an AVI clip: bin k =
+    * the 72-point dHash-grid sum of sampled frame k·F/65 (decodes
+    * ONLY the 65 sampled frames — per-clip cost ∝ sample count). */
+  def videoEnvelopeOf(avi: Array[Byte], w: Int, h: Int,
+      offs: Array[Int]): Option[Array[Long]] = {
+    val out = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      MediaCodec.aviFrameLuma(avi, w, h, offs(k * offs.length / 65)) match {
+        case None => return None
+        case Some(lum) =>
+          var s = 0L
+          var p = 0
+          while (p < 72) {
+            s += lum(((p / 9) * h / 8) * w + (p % 9) * w / 9)
+            p += 1
+          }
+          out(k) = s
+      }
+      k += 1
+    }
+    Some(out)
+  }
+
+  /** 64-bit perceptual fingerprint of raw media bytes, dispatched on
+    * the sniffed container: image dHash for PNG/JPEG, energy-gradient
+    * fp for WAV, sampled-frame luminance fp for AVI. None for
+    * undecodable/foreign bytes (the gate refuses those as
+    * `media_unreadable` — total, never throws: MediaCodec contract). */
+  def mediaFp(bytes: Array[Byte]): Option[(String, Long)] =
+    MediaCodec.sniff(bytes) match {
+      case Some("png") | Some("jpeg") =>
+        MediaCodec.decodeImage(bytes).map { img =>
+          val grid = dhashGridOf(MediaCodec.luminance(img),
+            img.getWidth, img.getHeight)
+          ("image", dhashBitsOf(grid))
+        }
+      case Some("wav") =>
+        MediaCodec.wavSamples(bytes)
+          .map(ss => ("audio", envelopeBitsOf(audioEnvelopeOf(ss))))
+      case Some("avi") =>
+        for {
+          hdr <- MediaCodec.aviInfo(bytes)
+          offs <- MediaCodec.aviFrameOffsets(bytes)
+          en <- videoEnvelopeOf(bytes, hdr.width, hdr.height, offs)
+        } yield ("video", envelopeBitsOf(en))
+      case _ => None
+    }
+
   /** Per-image perceptual signature: the 64-bit dHash (difference
     * hash — row-wise luminance gradient signs over a 9×8 downsample;
     * Krawetz's classic near-dup fingerprint) plus the downsampled
@@ -322,19 +429,8 @@ object MediaPipeline {
             (x, y) => ((x * 7 + y * 13 + id * 31) % 256).toInt)
           val img = MediaCodec.decodeImage(png).getOrElse(
             sys.error(s"png decode failed for doc $id"))
-          val lum = MediaCodec.luminance(img)
-          val grid = Array.tabulate(72) { i =>
-            val c = i % 9; val r = i / 9
-            lum((r * h / 8) * w + (c * w / 9))
-          }
-          var bits = 0L
-          var k = 0
-          while (k < 64) {
-            val r = k / 8; val c = k % 8
-            if (grid(r * 9 + c) < grid(r * 9 + c + 1)) bits |= (1L << k)
-            k += 1
-          }
-          DHashRow(id, bits, grid)
+          val grid = dhashGridOf(MediaCodec.luminance(img), w, h)
+          DHashRow(id, dhashBitsOf(grid), grid)
         }
       }
   }
@@ -374,25 +470,8 @@ object MediaPipeline {
           val wav = MediaCodec.encodeWavPcm16(sampleRate, channels, pcm)
           val samples = MediaCodec.wavSamples(wav).getOrElse(
             sys.error(s"wav decode failed for doc $id"))
-          val n = samples.length
-          val en = Array.tabulate(65) { k =>
-            var s = 0L
-            var i = k * n / 65
-            val end = (k + 1) * n / 65
-            while (i < end) {
-              val v = samples(i).toLong
-              s += v * v
-              i += 1
-            }
-            s
-          }
-          var bits = 0L
-          var k = 0
-          while (k < 64) {
-            if (en(k) < en(k + 1)) bits |= (1L << k)
-            k += 1
-          }
-          AudioFpRow(id, bits, en)
+          val en = audioEnvelopeOf(samples)
+          AudioFpRow(id, envelopeBitsOf(en), en)
         }
       }
   }
@@ -446,27 +525,10 @@ object MediaPipeline {
             sys.error(s"avi header parse failed for doc $id"))
           val offs = MediaCodec.aviFrameOffsets(avi).getOrElse(
             sys.error(s"avi movi index failed for doc $id"))
-          val sums = Array.tabulate(65) { k =>
-            val lum = MediaCodec.aviFrameLuma(avi, hdr.width, hdr.height,
-              offs(k * offs.length / 65)).getOrElse(
-              sys.error(s"avi frame decode failed for doc $id"))
-            var s = 0L
-            var p = 0
-            while (p < 72) {
-              s += lum(((p / 9) * hdr.height / 8) * hdr.width +
-                (p % 9) * hdr.width / 9)
-              p += 1
-            }
-            s
-          }
-          var bits = 0L
-          var k = 0
-          while (k < 64) {
-            if (sums(k) < sums(k + 1)) bits |= (1L << k)
-            k += 1
-          }
+          val sums = videoEnvelopeOf(avi, hdr.width, hdr.height, offs)
+            .getOrElse(sys.error(s"avi frame decode failed for doc $id"))
           VideoRow(id, hdr.width, hdr.height, hdr.sampleRate, offs.length,
-            hdr.durationMs, bits, sums)
+            hdr.durationMs, envelopeBitsOf(sums), sums)
         }
       }
   }

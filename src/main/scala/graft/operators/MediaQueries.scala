@@ -261,6 +261,14 @@ object MediaQueries {
     * and the banded path takes over. */
   private val dhashQuotientMax = 1L << 11
 
+  /** All 2081 XOR masks at Hamming ≤ 2 over 64 bits — the quotient
+    * neighbor alphabet, shared with the ingest-time media gate
+    * ([[graft.streaming.IngestionFlows.mediaIngestFlow]]). */
+  private[graft] val hamming2Masks: Seq[Long] =
+    Seq(0L) ++ (0 until 64).map(1L << _) ++
+      (for (i <- 0 until 64; j <- i + 1 until 64)
+        yield (1L << i) | (1L << j))
+
   /** 64-bit band split for Hamming ≤ 2: three bands (22+21+21 bits) —
     * pigeonhole leaves ≥ one band untouched for any ≤2-bit pair. */
   private val DBandOffs = Seq(0, 22, 43)
@@ -315,10 +323,7 @@ object MediaQueries {
       cacheKey = s"$d#$tag") { present.count() }
     val cand =
       if (nPresent <= maxQuotientFps) {
-        val masks = Seq(0L) ++ (0 until 64).map(1L << _) ++
-          (for (i <- 0 until 64; j <- i + 1 until 64)
-            yield (1L << i) | (1L << j))
-        val maskArr = array(masks.map(m =>
+        val maskArr = array(hamming2Masks.map(m =>
           struct(lit(m).as("m"),
             lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
         val nbr = present.select(col("fp").as("fa"),

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.operators.{DedupQueries, VectorIndex, VectorQueries}
+import graft.multimodal.MediaPipeline
+import graft.operators.{DedupQueries, KMeansQueries, MediaQueries, VectorIndex, VectorQueries}
 import graft.tables.TableStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -261,9 +262,141 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           VectorIndex.ingest(spark, embCorpusDir, fresh)
           VectorIndex.srpIngest(spark, embCorpusDir, fresh,
             VectorQueries.srpIndexRows)
+          // incremental topic assignment (the x26-profile lifecycle):
+          // centroids are trained ONCE (first batch, on the corpus as
+          // of that batch) and FROZEN in the `topic_centroids` stored
+          // table; every later batch assigns its new vectors against
+          // the stored model — no retrain on the ingest path, so
+          // x114-style balanced sampling over `topic_assignments`
+          // stays current while ingest runs (periodic retraining is a
+          // batch-boundary decision, not an ingest side effect).
+          // Assignment is the same join-free literal-centroid argmin
+          // the declared x111/x114/x115 queries use; appendUnique
+          // keeps crash replays no-ops. The k-row centroid collect is
+          // bounded by construction.
+          val cents: Array[Array[Long]] =
+            if (store.exists("topic_centroids"))
+              store.load("topic_centroids").orderBy("cid").collect()
+                .map(_.getSeq[Long](1).toArray)
+            else {
+              val c = KMeansQueries.train(spark, embCorpusDir)
+              store.replace("topic_centroids",
+                c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+                  .toSeq.toDF("cid", "c"))
+              c
+            }
+          store.appendUnique("topic_assignments",
+            fresh.select(col("vec_id"),
+              KMeansQueries.assignCid(cents,
+                KMeansQueries.quantExpr(col("embedding"))).as("cid")),
+            Seq("vec_id"))
           ()
         }
       } finally { graft.tables.TempDirs.delete(scratch); () }
+    }
+
+  /** New MEDIA documents → parse/fingerprint gate → media corpus +
+    * per-doc admit/refuse log — the media sibling of
+    * [[documentIngestFlow]]'s near-dup gate: a real crawl pipeline
+    * gates EVERY modality at the door, not just text. Input schema:
+    * (doc_id long, payload binary).
+    *
+    * Gate semantics, per batch:
+    *  - payloads are fingerprinted INSIDE one narrow mapPartitions
+    *    ([[MediaPipeline.mediaFp]] — the same signature definitions
+    *    the batch pair queries x98/x110/x112/x113 ride, so the gate
+    *    and the audit cannot drift); payload bytes never reach a
+    *    wide operator, only (doc_id, kind, fp) flows into the probe.
+    *  - undecodable/foreign bytes → refused `media_unreadable`
+    *    (MediaCodec parsers are total — corrupt bytes refuse, never
+    *    throw).
+    *  - a doc whose 64-bit fingerprint lands within Hamming ≤ 2 of an
+    *    ADMITTED same-kind doc → refused `media_near_dup`. Probe
+    *    shape: the x25/x98 quotient technique with the sides swapped
+    *    to fit ingest — the BATCH side explodes into its 2081 ≤2-bit
+    *    XOR neighbors ([[MediaQueries.hamming2Masks]]) and is
+    *    BROADCAST; the stored `media_fps` table is equi-join-probed
+    *    in one scan per batch. The corpus-sized side never explodes
+    *    and never shuffles — the shape that survives a growing
+    *    corpus.
+    *  - in-batch near-dups: among gate survivors, a doc within ≤ 2 of
+    *    a smaller-id readable batch doc is refused (deterministic:
+    *    the smallest id of a near-dup chain is admitted; later chain
+    *    members refuse even when their direct partner was itself
+    *    refused — conservative, content is represented by the chain
+    *    head).
+    *  - verdict lifecycle mirrors the text gate: ADMITTED docs settle
+    *    (re-sends anti-join away before any decode cost); refusals
+    *    are RETRYABLE — a re-send with corrected bytes re-enters the
+    *    gate and its log row upserts over the stale verdict. Every
+    *    write is key-idempotent, so crash replays are no-ops. */
+  def mediaIngestFlow(newMedia: DataFrame): StreamingQuery =
+    start(newMedia, "media_ingest") { batch0 =>
+      val unsettled =
+        if (!store.exists("media_ingest_log")) batch0
+        else batch0.join(store.load("media_ingest_log")
+          .filter(col("admitted")).select("doc_id"), Seq("doc_id"),
+          "left_anti")
+      // deterministic in-batch winner per doc_id (a stale send AND its
+      // correction can share a micro-batch): longest payload, then
+      // digest order — never partition order
+      val batch = graft.tables.MergeOps.dedupBy(unsettled, Seq("doc_id"),
+        Seq(coalesce(length(col("payload")), lit(-1)).desc,
+          md5(col("payload")).asc_nulls_last)).persist()
+      try {
+        val sigs = batch.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            MediaPipeline.mediaFp(
+              Option(bytes).getOrElse(Array.emptyByteArray)) match {
+              case Some((kind, fp)) => (id, kind, fp)
+              case None => (id, null.asInstanceOf[String], 0L)
+            }
+          }).toDF("doc_id", "kind", "fp").persist()
+        try {
+          val unreadable = sigs.filter(col("kind").isNull).select("doc_id")
+          val readable = sigs.filter(col("kind").isNotNull)
+          val maskArr = array(MediaQueries.hamming2Masks
+            .map(lit).toIndexedSeq: _*)
+          val nbrs = readable
+            .select(col("doc_id"), col("kind"), col("fp"),
+              explode(maskArr).as("m"))
+            .select(col("doc_id"), col("kind"),
+              col("fp").bitwiseXOR(col("m")).as("probe"))
+          val storedHits =
+            if (!store.exists("media_fps"))
+              readable.select("doc_id").limit(0)
+            else store.load("media_fps").as("s")
+              .join(broadcast(nbrs).as("n"),
+                col("s.fp") === col("n.probe") &&
+                  col("s.kind") === col("n.kind"))
+              .select(col("n.doc_id").as("doc_id")).distinct()
+          val surv = readable.join(storedHits, Seq("doc_id"), "left_anti")
+          val inBatch = surv.as("a")
+            .join(broadcast(nbrs).as("n"),
+              col("a.fp") === col("n.probe") &&
+                col("a.kind") === col("n.kind") &&
+                col("a.doc_id") < col("n.doc_id"))
+            .select(col("n.doc_id").as("doc_id")).distinct()
+          val admitted = surv.join(inBatch, Seq("doc_id"), "left_anti")
+          store.appendUnique("media_docs",
+            batch.join(admitted.select("doc_id"), Seq("doc_id"),
+              "left_semi").select("doc_id", "payload"), Seq("doc_id"))
+          store.appendUnique("media_fps",
+            admitted.select("doc_id", "kind", "fp"), Seq("doc_id"))
+          val log = admitted
+            .select(col("doc_id"), lit(true).as("admitted"),
+              lit(null).cast("string").as("reason"))
+            .unionByName(storedHits.unionByName(inBatch).distinct()
+              .select(col("doc_id"), lit(false).as("admitted"),
+                lit("media_near_dup").as("reason")))
+            .unionByName(unreadable
+              .select(col("doc_id"), lit(false).as("admitted"),
+                lit("media_unreadable").as("reason")))
+          if (!log.isEmpty)
+            store.upsert("media_ingest_log", log, Seq("doc_id"))
+        } finally { sigs.unpersist(); () }
+      } finally { batch.unpersist(); () }
     }
 }
 

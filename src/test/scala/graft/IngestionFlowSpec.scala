@@ -268,6 +268,29 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(ivf0.corpus.count() === 50)
     assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
     assert(spark.read.parquet(s"$dir/embeddings.parquet").count() === 50)
+    // r14: incremental topic assignment — the first flow batch froze a
+    // trained model into `topic_centroids`, and every ingested vector
+    // got the cid the batch argmin against those centroids gives
+    def argminCid(cents: Array[Array[Long]], e: Seq[Float]): Int = {
+      val q = e.toArray.map(x => math.floor(x.toDouble * 1000).toLong + 2048)
+      var bestKey = Long.MaxValue
+      for (i <- cents.indices) {
+        var d = 0L
+        for (j <- q.indices) { val t = q(j) - cents(i)(j); d += t * t }
+        val key = d * cents.length + i
+        if (key < bestKey) bestKey = key
+      }
+      (bestKey % cents.length).toInt
+    }
+    val cents0 = store.load("topic_centroids").orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    assert(cents0.length === 8, "first batch must train + freeze the model")
+    val assigns0 = store.load("topic_assignments").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigns0.keySet === rows.map(_._1).toSet)
+    rows.foreach { case (id, e) =>
+      assert(assigns0(id) === argminCid(cents0, e), s"vec $id cid")
+    }
     // REPLAY the same batch: content-level idempotence — corpus and
     // indexes unchanged, still no rebuild
     ms.addData(rows: _*)
@@ -277,7 +300,93 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(VectorIndex.forDir(spark, dir) eq ivf0)
     assert(ivf0.corpus.count() === 50)
     assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
+    assert(store.load("topic_assignments").count() === rows.size.toLong,
+      "replay must not duplicate topic assignments")
+    // a SECOND fresh batch: the model stays FROZEN (no retrain on the
+    // ingest path — same centroid rows) and the new vectors land with
+    // the frozen-model argmin
+    val rows2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 55)
+      .as[(Long, Seq[Float])].collect().toSeq
+    ms.addData(rows2: _*)
+    run(flows.embeddingIngestFlow(df))
+    val cents1 = store.load("topic_centroids").orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    assert(cents1.zip(cents0).forall { case (a, b) => a.sameElements(b) },
+      "ingest must NOT retrain the frozen topic model")
+    val assigns1 = store.load("topic_assignments").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows2.foreach { case (id, e) =>
+      assert(assigns1(id) === argminCid(cents0, e), s"vec $id frozen-model cid")
+    }
     graft.tables.TempDirs.delete(dir)
+  }
+
+  test("media gate: near-dup fingerprints refused at the door; unreadable refused; replay no-op; corrected re-send admitted") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    val root = Files.createTempDirectory("graft-ingmedia").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    def df = ms.toDS().toDF("doc_id", "payload")
+    def logMap = store.load("media_ingest_log").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    // 9×8 canvases make the dHash grid the exact pixel array
+    def png(pix: (Int, Int) => Int) = MediaCodec.encodePng(9, 8, pix)
+    val imgA = png((x, _) => x * 10)            // all gradients ascending
+    val imgB = png((x, _) => (8 - x) * 10)      // all descending: Hamming 64 from A
+    val wavSamples = Array.tabulate(650)(i => ((i * 7) % 801 - 400).toShort)
+    val wav1 = MediaCodec.encodeWavPcm16(8000, 1, wavSamples)
+    // batch 1: all distinct → all admitted
+    ms.addData((1L, imgA), (2L, imgB), (3L, wav1))
+    run(flows.mediaIngestFlow(df))
+    assert(logMap === Map(1L -> ((true, null)), 2L -> ((true, null)),
+      3L -> ((true, null))))
+    assert(store.load("media_docs").count() === 3)
+    assert(store.load("media_fps").collect().map(_.getString(1)).sorted
+      .toSeq === Seq("audio", "image", "image"))
+    // batch 2: imgC = imgA with ONE flipped gradient (Hamming 1) →
+    // refused; wav2 = wav1 with one perturbed sample (≤ 2 envelope
+    // bits) → refused; imgD a genuinely different pattern (alternating
+    // gradients, Hamming 32 from both A and B) → admitted; garbage →
+    // media_unreadable
+    val imgC = png((x, y) => if (x == 8 && y == 0) 0 else x * 10)
+    val pert = wavSamples.clone(); pert(100) = (pert(100) + 300).toShort
+    val wav2 = MediaCodec.encodeWavPcm16(8000, 1, pert)
+    val imgD = png((x, _) => (x % 2) * 50)
+    val junk = Array.tabulate(64)(i => (i * 97).toByte)
+    ms.addData((10L, imgC), (11L, wav2), (12L, imgD), (13L, junk))
+    run(flows.mediaIngestFlow(df))
+    val log2 = logMap
+    assert(log2(10L) === ((false, "media_near_dup")), "dHash Hamming 1 vs doc 1")
+    assert(log2(11L) === ((false, "media_near_dup")), "audio fp ≤2 bits vs doc 3")
+    assert(log2(12L) === ((true, null)))
+    assert(log2(13L) === ((false, "media_unreadable")))
+    assert(store.load("media_docs").count() === 4)
+    // REPLAY batch 2: nothing may change (admitted settle; refusals
+    // re-evaluate to the same verdict against the same corpus)
+    ms.addData((10L, imgC), (11L, wav2), (12L, imgD), (13L, junk))
+    run(flows.mediaIngestFlow(df))
+    assert(logMap === log2, "replay must be a verdict no-op")
+    assert(store.load("media_docs").count() === 4)
+    assert(store.load("media_fps").count() === 4)
+    // batch 3: in-batch near-dup pair, both new vs the corpus — the
+    // smaller id wins, the larger refuses; and the unreadable doc 13
+    // re-sent with VALID distinct bytes is admitted (retryable)
+    val imgF = png((x, y) => if (y < 4) x * 10 else (8 - x) * 10)
+    val imgG = png((x, y) =>
+      if (x == 8 && y == 0) 0 else if (y < 4) x * 10 else (8 - x) * 10)
+    val imgE = png((x, _) => ((x + 1) % 2) * 50)
+    ms.addData((20L, imgF), (21L, imgG), (13L, imgE))
+    run(flows.mediaIngestFlow(df))
+    val log3 = logMap
+    assert(log3(20L) === ((true, null)), "chain head admitted")
+    assert(log3(21L) === ((false, "media_near_dup")), "in-batch near-dup refused")
+    assert(log3(13L) === ((true, null)), "corrected re-send admitted")
+    assert(store.load("media_docs").count() === 6)
+    graft.tables.TempDirs.delete(root)
   }
 
   test("contamination gate: eval-shingle overlap rejected at the door; train overlap and clean docs admitted; replay + corrected re-send") {
