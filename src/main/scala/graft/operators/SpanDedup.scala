@@ -29,43 +29,33 @@ import org.apache.spark.sql.functions._
  *      order.
  *
  * 100 TB: the single-query window form pays one corpus explode plus
- * three keyed exchanges of token-granular rows. The deployment
- * factorization for a standing corpus is to persist the mined
- * dup-gram→owner list as corpus metadata on the x73/x26 build-once
- * lifecycle and probe it per shard (then ingest only pays the probe);
- * head-gram skew in the ownership window is an acknowledged bound,
- * not a solved one: WindowExec gets no pre-shuffle combine, so a
- * gram occurring k times corpus-wide buffers k rows in ONE window
- * partition — a universal boilerplate gram is a single-task
- * straggler. The production posture is to strip boilerplate
- * upstream (x73's mined-list filter) before span dedup, or to take
- * the stored dup-gram/owner-list factorization above whose df
- * aggregate IS map-side combined; the single-query window form
- * accepts the skew in exchange for the one-pass corpus read.
+ * three keyed exchanges of token-granular rows.
+ * Head-gram skew in the ownership window (r14, closing the r12
+ * residue): the default window form buffers a gram's every occurrence
+ * in ONE WindowExec task — a universal boilerplate gram is a
+ * single-task straggler/spill. `skewSafe = true` swaps step 3 for the
+ * map-side-combined [[dupGramOwners]] aggregate joined back onto the
+ * token stream: the hot gram reaches its reduce task as O(map tasks)
+ * partial rows, the attach side is only the duplicated vocabulary
+ * slice (AQE-broadcastable), and no operator anywhere buffers a
+ * per-gram partition. Hash-identical to the window form
+ * (SkewWindowSpec pins it on a one-gram-in-half-the-docs fixture);
+ * costs a second run of the narrow explode+gramKey derivation, so the
+ * window form stays the default at query scale.
+ * The standing-corpus factorization goes one step further:
+ * [[dupGramOwners]] is corpus METADATA — persist it once per corpus
+ * version (the x73/x26 build-once lifecycle) and probe each shard
+ * with [[cleanedCorpusWithOwners]]; a STORED owners table joins as a
+ * bare scan, which is exactly the two-bare-shuffle SMJ shape AQE's
+ * skew-join can SPLIT across tasks (pinned in SkewWindowSpec) — the
+ * bounded-per-task property windows cannot give.
  */
 object SpanDedup {
 
-  /** Cleaned corpus view over (doc_id, lang, text) rows: one output
-    * row per input doc with non-null text — doc_id, lang, n_tokens,
-    * n_removed, clean_text (tokens surviving span excision, joined by
-    * single spaces; "" when every token was removed).
-    *
-    * `minRun` (default 1 = excise every covered token) is the
-    * Lee et al. '22 ExactSubstr length threshold (they use 50): only
-    * MAXIMAL runs of ≥ minRun consecutive covered tokens are excised;
-    * shorter duplicated stretches — incidental collocations rather
-    * than cloned passages — survive untouched. The run merge is a
-    * gaps-and-islands pass over the already-computed coverage column
-    * (x60's technique) on rows already exchanged+sorted by
-    * (doc_id, tp): run ids are a running sum of run-starts over the
-    * SAME window, and run length is an unordered window over
-    * (doc_id, run_id) — a sub-partition of doc_id, so Spark's
-    * ClusteredDistribution check reuses the existing exchange and
-    * only adds a cheap in-partition sort. No new shuffle. */
-  def cleanedCorpus(docs: DataFrame, n: Int = 5, minRun: Int = 1)
-      : DataFrame = {
-    require(n >= 2, s"span length must be >= 2, got $n")
-    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+  /** (doc_id, lang, n_tokens, tp, token, gram) token stream with each
+    * position's n-gram rebuilt from lead() windows over the doc
+    * order — the shared front of every span-dedup form. */
+  private def gramStream(docs: DataFrame, n: Int): DataFrame = {
     // the ingest corpus table carries no lang column; the transform is
     // lang-agnostic, so synthesize a null one rather than requiring it
     val withLang =
@@ -84,15 +74,96 @@ object SpanDedup {
         (1 until n).map(k => lead(col("token"), k).over(byDoc)): _*))
       .otherwise(concat(col("doc_id").cast("string"), lit("#"),
         col("tp").cast("string")))
-    val byGram = Window.partitionBy("gram")
+    tok.withColumn("gram", gramKey)
+  }
+
+  /** The mined cross-doc duplicated-gram ownership list:
+    * (gram, owner) for every n-gram present in ≥ 2 documents, owner =
+    * min doc_id. This is the corpus METADATA a standing pipeline
+    * persists per corpus version and probes per shard
+    * ([[cleanedCorpusWithOwners]]). Map-side-combined aggregate: a
+    * boilerplate-scale hot gram reaches its reduce task as O(map
+    * tasks) partial rows and folds into one accumulator — never a
+    * buffered window partition. */
+  def dupGramOwners(docs: DataFrame, n: Int = 5): DataFrame =
+    gramStream(docs, n)
+      .groupBy("gram")
+      .agg(min("doc_id").as("owner"), max("doc_id").as("mx"))
+      .filter(col("owner") =!= col("mx"))
+      .select("gram", "owner")
+
+  /** Cleaned corpus view over (doc_id, lang, text) rows: one output
+    * row per input doc with non-null text — doc_id, lang, n_tokens,
+    * n_removed, clean_text (tokens surviving span excision, joined by
+    * single spaces; "" when every token was removed).
+    *
+    * `minRun` (default 1 = excise every covered token) is the
+    * Lee et al. '22 ExactSubstr length threshold (they use 50): only
+    * MAXIMAL runs of ≥ minRun consecutive covered tokens are excised;
+    * shorter duplicated stretches — incidental collocations rather
+    * than cloned passages — survive untouched. The run merge is a
+    * gaps-and-islands pass over the already-computed coverage column
+    * (x60's technique) on rows already exchanged+sorted by
+    * (doc_id, tp): run ids are a running sum of run-starts over the
+    * SAME window, and run length is an unordered window over
+    * (doc_id, run_id) — a sub-partition of doc_id, so Spark's
+    * ClusteredDistribution check reuses the existing exchange and
+    * only adds a cheap in-partition sort. No new shuffle.
+    *
+    * `skewSafe` selects the ownership strategy (see the object doc):
+    * window form (default, one derivation, hot-gram buffer) vs the
+    * [[dupGramOwners]] aggregate joined back (no per-gram buffering
+    * anywhere, second narrow derivation). */
+  def cleanedCorpus(docs: DataFrame, n: Int = 5, minRun: Int = 1,
+      skewSafe: Boolean = false): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    if (skewSafe) cleanedCorpusWithOwners(docs, dupGramOwners(docs, n),
+      n, minRun)
+    else {
+      val byGram = Window.partitionBy("gram")
+      val flagged = gramStream(docs, n)
+        .withColumn("owner", min("doc_id").over(byGram))
+        .withColumn("mx", max("doc_id").over(byGram))
+        .withColumn("span_rm",
+          when(col("owner") =!= col("mx") &&
+            col("doc_id") =!= col("owner"), 1).otherwise(0))
+      excise(flagged, n, minRun)
+    }
+  }
+
+  /** [[cleanedCorpus]] probing a PRE-MINED ownership table (the
+    * [[dupGramOwners]] output, typically read back from storage on
+    * the build-once lifecycle): the token stream left-joins the
+    * owners list — AQE broadcasts a small list (the token rows then
+    * never shuffle by gram at all); a vocabulary-scale list plans a
+    * streaming SMJ over two bare shuffle reads, the exact shape AQE's
+    * skew-join splits across tasks when one gram dominates
+    * (SkewWindowSpec pins the split). `owners` must hold every
+    * cross-doc duplicated gram of `docs` for the result to equal
+    * [[cleanedCorpus]]. */
+  def cleanedCorpusWithOwners(docs: DataFrame, owners: DataFrame,
+      n: Int = 5, minRun: Int = 1): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val flagged = gramStream(docs, n)
+      .join(owners.select(col("gram"), col("owner")), Seq("gram"),
+        "left_outer")
+      .withColumn("span_rm",
+        when(col("owner").isNotNull &&
+          col("doc_id") =!= col("owner"), 1).otherwise(0))
+    excise(flagged, n, minRun)
+  }
+
+  /** Shared tail: span→token coverage, optional minRun island merge,
+    * per-doc text rebuild. `flagged` carries the gramStream columns
+    * plus span_rm. */
+  private def excise(flagged: DataFrame, n: Int, minRun: Int)
+      : DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("tp")
     val cover = Window.partitionBy("doc_id").orderBy("tp")
       .rowsBetween(-(n - 1), 0)
-    val covered = tok.withColumn("gram", gramKey)
-      .withColumn("owner", min("doc_id").over(byGram))
-      .withColumn("mx", max("doc_id").over(byGram))
-      .withColumn("span_rm",
-        when(col("owner") =!= col("mx") &&
-          col("doc_id") =!= col("owner"), 1).otherwise(0))
+    val covered = flagged
       .withColumn("rm", max("span_rm").over(cover))
     val excised =
       if (minRun <= 1) covered

@@ -123,6 +123,97 @@ object TextQueries {
     if (df.inputFiles.length >= n) df else df.repartition(n, col("doc_id"))
   }
 
+  private val docCountCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[java.lang.Long]]()
+
+  /** Corpus document count, cached per corpus version — the cheap
+    * statistic the skew-path selection below keys on (a count() over
+    * parquet footers, once per corpus version). */
+  private def docCount(s: SparkSession, d: String): Long =
+    StoredIndexes.versionedValue(docCountCache, d, "documents.parquet",
+      "graft-doccount") { table(s, d, "documents").count() }
+
+  /** Above this many docs, x72 swaps its gram-df window for the
+    * skew-hardened agg+join form (see [[x72Frame]]). The window form
+    * wins below it (one derivation, no join) and its worst-case
+    * single-task buffer is ≤ this many rows by construction. */
+  private[graft] val X72SkewDocs = 1L << 20
+
+  /** x72's per-language repetition report — both strategies, selected
+    * by corpus size in the declared query and pinned hash-equal in
+    * SkewWindowSpec:
+    *
+    *  - `skewSafe = false` (below [[X72SkewDocs]]): gram doc-frequency
+    *    as a window COUNT over partitionBy(gram) — ONE corpus pass,
+    *    no join, but WindowExec buffers a gram's whole partition (one
+    *    row per containing doc) in a single task: a boilerplate-scale
+    *    gram would buffer O(n_docs) rows.
+    *  - `skewSafe = true`: the SUBTRACTION form — rep = total − unique.
+    *    A df=1 gram belongs to exactly ONE document, so its (lang, c)
+    *    attribute cleanly at the gram level: one map-side-combined
+    *    groupBy(gram) — the hot gram collapses to ONE partial row per
+    *    map task BEFORE the shuffle, so the reduce task's input for it
+    *    is O(map tasks), not O(containing docs), and the hash
+    *    aggregate folds rows streaming (no buffered partition
+    *    anywhere) — filtered to nd=1 and re-aggregated per lang.
+    *    Per-language totals come from a separate NARROW scan (every
+    *    token position is one gram occurrence: per-doc total =
+    *    len(tokens)−4; no explode, no gram strings), and the final
+    *    per-lang join is broadcast-tiny. No window, no join of
+    *    corpus-sized tables, exactly one explode derivation
+    *    (plan-pinned). Trade: the corpus is READ twice (the second
+    *    read is explode-free), which is why the one-read window form
+    *    stays the default below the threshold. */
+  private[graft] def x72Frame(docs: DataFrame, skewSafe: Boolean)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = docs.filter(col("text").isNotNull)
+    if (!skewSafe) {
+      val g = live.select(col("doc_id"), col("lang"), explode(
+        TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
+      val dg = g.groupBy("doc_id", "lang", "gram")
+        .agg(count(lit(1)).as("c"))
+      dg.withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0)).as("n_rep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("grams"),
+          sum(col("n_rep")).as("rep_grams"),
+          (sum(col("n_rep")).cast("double") / sum(col("n_grams")))
+            .as("dup_frac"))
+        .orderBy("lang")
+    } else {
+      val totals = live
+        .select(col("lang"),
+          (size(TextFns.tokens(col("text"))) - 4).cast("long").as("ng"))
+        .filter(col("ng") >= 1) // docs under 5 tokens carry no gram
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ng")).as("grams"))
+      val uniq = live
+        .select(col("doc_id"), col("lang"), explode(
+          TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
+        .groupBy("doc_id", "lang", "gram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("csum"),
+          min(col("lang")).as("lang")) // nd=1 ⇒ min is THE owner's lang
+        .filter(col("nd") === 1)
+        .groupBy("lang")
+        .agg(sum(col("csum")).as("uq"))
+      // null-safe lang match: the window form's groupBy treats a null
+      // lang as a group; a plain equi-join would orphan it
+      totals.join(broadcast(uniq.withColumnRenamed("lang", "ulang")),
+          col("lang") <=> col("ulang"), "left_outer")
+        .select(col("lang"), col("n_docs"), col("grams"),
+          (col("grams") - coalesce(col("uq"), lit(0L))).as("rep_grams"),
+          ((col("grams") - coalesce(col("uq"), lit(0L))).cast("double") /
+            col("grams").cast("double")).as("dup_frac"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Query] = Seq(
 
     // corpus stats per language (survey Q22)
@@ -1113,48 +1204,19 @@ object TextQueries {
         "CAST(SUM(n_rep) AS BIGINT) AS rep_grams, " +
         "CAST(SUM(n_rep) AS DOUBLE) / SUM(n_grams) AS dup_frac " +
         "FROM p GROUP BY lang ORDER BY lang") {
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val g = spreadScan(s, table(s, d, "documents"))
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("lang"), explode(
-            TextFns.allShingles(TextFns.tokens(col("text")), 5)).as("gram"))
-        // (doc, gram) occurrence counts; gram doc-frequency (nd) is
-        // then a window COUNT over the SAME aggregated rows — ONE
-        // corpus pass. The r11 shape derived nd with a gram-keyed
-        // self-aggregate joined back, and because `dg` was referenced
-        // twice Spark recomputed the scan+explode+agg subtree (the
-        // dominant stage) for both references; the window form cannot
-        // fork the lineage, it just re-shuffles the already-collapsed
-        // (doc,gram) rows by gram — and the O(shared-vocabulary) join
-        // side (and its broadcast-vs-shuffle gamble) disappears with
-        // the join itself.
-        // SKEW BOUND, acknowledged: unlike the groupBy form, WindowExec
-        // gets no pre-shuffle combine, so a gram's window partition
-        // buffers df(gram) rows — one row per CONTAINING DOC (the
-        // (doc,gram) partial agg above already collapsed within-doc
-        // multiplicity). A truly universal gram therefore lands
-        // O(n_docs) rows in one task. The deployment trade at that
-        // skew is the agg+join form (map-side-combined df + AQE
-        // skew-join) at the cost of the forked-lineage double scan
-        // this query exists to avoid, or stripping boilerplate grams
-        // upstream (x73) BEFORE auditing — for the audit itself the
-        // window form is the right default because the corpus is read
-        // once and hot grams are exactly what it exists to measure.
-        val dg = g.groupBy("doc_id", "lang", "gram")
-          .agg(count(lit(1)).as("c"))
-        dg.withColumn("nd", count(lit(1)).over(Window.partitionBy("gram")))
-          .groupBy("doc_id", "lang")
-          .agg(sum(col("c")).as("n_grams"),
-            sum(when(col("nd") >= 2, col("c")).otherwise(0)).as("n_rep"))
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_grams")).as("grams"),
-            sum(col("n_rep")).as("rep_grams"),
-            (sum(col("n_rep")).cast("double") / sum(col("n_grams")))
-              .as("dup_frac"))
-          .orderBy("lang")
-      }
+      // strategy selection (r14, closing the r12 window-skew residue):
+      // the single-pass window form below X72SkewDocs — one corpus
+      // derivation, worst-case single-task window buffer bounded by
+      // the threshold itself — and the skew-hardened agg+join form
+      // above it, where a boilerplate-scale hot gram would otherwise
+      // buffer O(n_docs) rows in ONE WindowExec task. Both forms are
+      // hash-identical (SkewWindowSpec pins it on a one-gram-in-half-
+      // the-docs fixture); the r11 lesson (forked lineage recomputing
+      // the scan+explode) does not return because both dg references
+      // hang off dg's own aggregate exchange, which ReuseExchange
+      // dedupes — plan-pinned in the same spec. See [[x72Frame]].
+      (s, d) => x72Frame(spreadScan(s, table(s, d, "documents")),
+        skewSafe = docCount(s, d) > X72SkewDocs)
     },
 
     // Boilerplate FILTER — x39 mines the top-50 cross-corpus repeated
@@ -1774,18 +1836,22 @@ object TextQueries {
           .groupBy("doc_id", "token")
           .agg(first("dl").as("dl"),
             count(lit(1)).cast("double").as("tf"))
-        // df window skew bound, acknowledged: no pre-shuffle combine in
-        // WindowExec, so one task buffers df(term) rows — one per
-        // MATCHING DOC (tf already collapsed per-doc multiplicity),
-        // i.e. the posting-list length of a single query term. A
-        // stopword-frequency term makes that O(n_docs); real retrieval
-        // caps it the way search engines do (stopword drop /
-        // max-df), and the mitigation past that is the map-side-
-        // combined groupBy(term) df + broadcast join back at the cost
-        // of a second reference to the tf frame (tiny here, ∝ the
-        // 3-term posting lists, never the corpus).
-        tf.withColumn("df",
-            count(lit(1)).over(Window.partitionBy("token")).cast("double"))
+        // df attach, skew-hardened (r14, closing the r12 ADVICE
+        // residue): the r13 form was a window COUNT over
+        // partitionBy(token) — WindowExec buffers a term's ENTIRE
+        // posting list (one row per matching doc) in one task, so a
+        // stopword-frequency term is a single-task straggler/spill at
+        // corpus scale. Now df is a map-side-combined groupBy(token)
+        // — ≤ |terms| rows by construction — BROADCAST back onto tf:
+        // no token shuffle of tf at all, no per-key buffering
+        // anywhere, and the plan stays one corpus pass (both tf
+        // references hang off tf's own (doc,token) aggregate
+        // exchange, which ReuseExchange dedupes — plan-pinned in
+        // SkewWindowSpec together with hash equality against the
+        // window form).
+        val df = tf.groupBy("token")
+          .agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(df), Seq("token"))
           .crossJoin(broadcast(st))
           .groupBy("doc_id")
           .agg(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)

@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{SpanDedup, TextQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r12-ADVICE window-skew residue, closed properly: the gram-df /
+  * gram-ownership windows (x72, SpanDedup, x94) now have a
+  * skew-hardened pre-aggregated path. On a fixture where ONE gram
+  * appears in half the corpus (the boilerplate pathology), the
+  * hardened form must (a) hash-match the window form exactly,
+  * (b) plan no gram-keyed WindowExec (whose single task would buffer
+  * the hot gram's whole row set), (c) keep the one-derivation
+  * property via ReuseExchange (the r11 x72 lesson), and (d) let AQE
+  * split the hot join partition across tasks — the bounded-per-task
+  * guarantee windows cannot give. */
+class SkewWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 400 docs, the SAME 5-gram opening 200 of them; every other gram
+    * is doc-unique. */
+  private lazy val skewed: DataFrame = {
+    val hot = (0 until 200).map(i =>
+      (i.toLong, "en", s"hot gram alpha beta gamma u${i}a u${i}b u${i}c"))
+    val cold = (200 until 400).map(i =>
+      (i.toLong, "en", s"z${i}a z${i}b z${i}c z${i}d z${i}e z${i}f z${i}g"))
+    (hot ++ cold).toDF("doc_id", "lang", "text")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("x72: hardened agg+join form hash-equals the window form on the hot-gram fixture") {
+    val win = TextQueries.x72Frame(skewed, skewSafe = false)
+    val hard = TextQueries.x72Frame(skewed, skewSafe = true)
+    assert(sortedRows(win) === sortedRows(hard))
+    // sanity: the fixture is genuinely skewed — the hot gram is
+    // repeated, so rep_grams counts its 200 carriers
+    val row = hard.collect().head
+    assert(row.getLong(3) === 200L, "hot gram must dominate rep_grams")
+  }
+
+  test("x72 hardened plan: no window, one explode derivation, combine-friendly df") {
+    val hard = TextQueries.x72Frame(skewed, skewSafe = true)
+    hard.collect()
+    val p = hard.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"hardened path still plans a window:\n$p")
+    // exactly ONE explode derivation in the FINAL plan (the adaptive
+    // plan string repeats nodes in its "Initial Plan" section): the
+    // subtraction form never references the gram chain twice (the r11
+    // x72 double-scan)
+    val finalP = p.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(finalP).size === 1,
+      s"gram chain derived more than once:\n$p")
+    // the gram aggregate is map-side combined: a hot gram reaches its
+    // reduce task as O(map tasks) partial rows, not O(containing docs)
+    assert(p.contains("partial_count"), s"df aggregate lost its combine:\n$p")
+  }
+
+  test("SpanDedup: skewSafe ownership hash-equals the window form, incl. minRun") {
+    for (minRun <- Seq(1, 3)) {
+      val win = SpanDedup.cleanedCorpus(skewed, 5, minRun, skewSafe = false)
+      val hard = SpanDedup.cleanedCorpus(skewed, 5, minRun, skewSafe = true)
+      assert(sortedRows(win) === sortedRows(hard), s"minRun=$minRun")
+    }
+    // and the transform actually fired: doc 0 owns the hot span, every
+    // other hot doc lost exactly the 5 covered tokens
+    val out = SpanDedup.cleanedCorpus(skewed, 5, 1, skewSafe = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) === 0L, "owner keeps its occurrence")
+    (1L until 200L).foreach(i => assert(out(i) === 5L, s"doc $i excision"))
+    (200L until 400L).foreach(i => assert(out(i) === 0L, s"doc $i untouched"))
+  }
+
+  test("SpanDedup skewSafe plan: no gram-keyed window, combine-friendly ownership") {
+    val hard = SpanDedup.cleanedCorpus(skewed, 5, 1, skewSafe = true)
+    hard.collect()
+    val p = hard.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(gram"),
+      s"gram ownership still buffers in a window:\n$p")
+    // ownership folds map-side before the gram shuffle
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"ownership aggregate lost its combine:\n$p")
+    // the doc-ordered windows (gram rebuild, coverage) legitimately
+    // remain — their partitions are per-doc, bounded by doc length
+    assert(p.contains("windowspecdefinition(doc_id"))
+  }
+
+  test("x94: df attach is a broadcast join back, no window, one tf derivation") {
+    val df = SparkEntry.queries("x94_bm25")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"x94 still plans the df window:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"tf referenced twice without exchange reuse:\n$p")
+  }
+
+  test("SpanDedup hot attach partition is AQE-skew-splittable — the bound windows cannot give") {
+    // past broadcast size the ownership attach is an SMJ over two bare
+    // shuffle stages — force that shape at fixture scale (broadcast
+    // off, skew thresholds down) and check AQE splits the hot gram's
+    // partition across tasks: the per-task input bound that motivates
+    // the agg+join form
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a fixture where the hot gram's partition truly dominates the
+      // median (5000 docs carrying ONLY the hot gram vs 100 cold docs)
+      val heavySkew = ((0 until 5000).map(i =>
+        (i.toLong, "en", "hot gram alpha beta gamma")) ++
+        (5000 until 5100).map(i =>
+          (i.toLong, "en", s"z${i}a z${i}b z${i}c z${i}d z${i}e z${i}f z${i}g")))
+        .toDF("doc_id", "lang", "text")
+      // the standing-corpus factorization: owners mined once, PERSISTED,
+      // probed per shard — a stored list joins as a bare scan, giving
+      // the two-bare-shuffle SMJ shape AQE's skew rule matches (an
+      // inline aggregate fuses into the join stage and blocks it)
+      val dir = graft.tables.TempDirs.scratch("graft-skew-owners")
+      SpanDedup.dupGramOwners(heavySkew, 5).write.parquet(s"$dir/owners")
+      val owners = spark.read.parquet(s"$dir/owners")
+      val hard = SpanDedup.cleanedCorpusWithOwners(heavySkew, owners, 5, 1)
+      hard.collect()
+      val p = hard.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"hot partition not split by AQE skew-join:\n$p")
+      // and the stored-probe form IS the transform: equal to the
+      // single-query form on the same corpus
+      assert(sortedRows(hard) ===
+        sortedRows(SpanDedup.cleanedCorpus(heavySkew, 5, 1)))
+      graft.tables.TempDirs.delete(dir)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+}
