@@ -435,6 +435,59 @@ object MediaPipeline {
       }
   }
 
+  /** PNG-vs-JPEG dHash stability row: the same raster pushed through
+    * the LOSSLESS and the LOSSY JDK codec, both decoded through the
+    * real imageio path and hashed with the shared dHash definitions.
+    * `dhash` is the PNG-side hash (arithmetically oracle-checkable —
+    * the x98 recompute); `jpeg_hamming` is the bit distance the lossy
+    * round trip introduced. */
+  final case class JpegDHashRow(doc_id: Long, dhash: Long,
+      jpeg_hamming: Int)
+
+  /** Lossy-decode robustness frame (x116): real crawls are mostly
+    * JPEG, so the dHash near-dup story must survive a LOSSY round
+    * trip, not just x98's lossless PNGs. Per qualifying doc (rasters
+    * wide enough that the 9×8 downsample steps ≥ 2 px per cell —
+    * below that, adjacent grid cells sample the SAME pixel, the
+    * gradient is 0, and codec noise flips the < comparison
+    * arbitrarily; real crawl images are far above this floor), ONE
+    * narrow mapPartitions: synthesize the x98 raster, encode PNG
+    * (lossless) AND JPEG (JDK encoder, default quality — byte-
+    * deterministic, the x59 precedent), decode BOTH through imageio,
+    * hash both through the shared grid/bits definitions. Payloads
+    * never leave the task. */
+  def jpegDhashFrame(spark: SparkSession, dir: String)
+      : Dataset[JpegDHashRow] = {
+    import spark.implicits._
+    graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 2 === 0 &&
+        col("n_chars") % 48 >= 14 && col("n_chars") % 32 >= 12)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val w = (nChars % 48 + 4).toInt
+          val h = (nChars % 32 + 4).toInt
+          def pix(x: Int, y: Int): Int =
+            ((x * 7 + y * 13 + id * 31) % 256).toInt
+          val png = MediaCodec.encodePng(w, h, pix)
+          val gridP = dhashGridOf(MediaCodec.luminance(
+            MediaCodec.decodeImage(png).getOrElse(
+              sys.error(s"png decode failed for doc $id"))), w, h)
+          val bitsP = dhashBitsOf(gridP)
+          // the same raster as gray RGB through the lossy codec
+          val jpg = MediaCodec.encodeJpeg(w, h,
+            (x, y) => pix(x, y) * 0x010101)
+          val gridJ = dhashGridOf(MediaCodec.luminance(
+            MediaCodec.decodeImage(jpg).getOrElse(
+              sys.error(s"jpeg decode failed for doc $id"))), w, h)
+          val bitsJ = dhashBitsOf(gridJ)
+          JpegDHashRow(id, bitsP,
+            java.lang.Long.bitCount(bitsP ^ bitsJ))
+        }
+      }
+  }
+
   /** Per-clip acoustic signature: 64-bit energy-gradient fingerprint
     * (the audio analogue of [[DHashRow]] — Haitsma–Kalker-style sign
     * bits over a coarse energy envelope) plus the 65-frame energy

@@ -142,6 +142,57 @@ object MediaQueries {
       (s, d) => dhashPairs(s, d)
     },
 
+    // Lossy-decode (JPEG) dHash robustness — real crawls are mostly
+    // JPEG, so the near-dup fingerprint must survive a LOSSY round
+    // trip, not just x98's lossless PNGs. Per qualifying raster
+    // (downsample step ≥ 2 px — below that adjacent grid cells sample
+    // the same pixel and codec noise flips the 0-gradient comparison
+    // arbitrarily) the engine encodes the SAME raster as PNG and as
+    // JPEG (JDK encoder, byte-deterministic — x59 precedent), decodes
+    // both through imageio, hashes both through the shared dHash
+    // definitions, and reports the PNG hash (split hi/lo — the full
+    // 64-bit value overflows signed SQL arithmetic at bit 63) plus a
+    // within-budget verdict on the lossy drift. Oracle: the PNG side
+    // recomputes arithmetically (the x98 recompute); within_budget is
+    // the oracle-ASSERTED tripwire — the engine computes the real
+    // JPEG-decode Hamming distance, so any JDK codec behavior change
+    // or decode-path regression flips the boolean and fails the hash
+    // match. Measured drift on this fixture: avg ≈ 1.2 bits, max 9
+    // (ringing at the synthetic rasters' mod-256 wrap edges — harsher
+    // than photographic content); budget pinned at 10. JpegDHashSpec
+    // pins the distribution and byte-determinism. NOTE the honest
+    // finding: lossy recompression shifts dHash beyond the ≤2 pair
+    // threshold on ~10% of these rasters, so a production crawl
+    // dedups JPEGs against JPEG-decoded fingerprints (one signature
+    // space), not against a lossless-side hash.
+    Query("x116_jpeg_dhash",
+      "WITH img AS (SELECT doc_id, n_chars % 48 + 4 AS w, " +
+        "n_chars % 32 + 4 AS h FROM documents WHERE doc_id % 2 = 0 " +
+        "AND n_chars % 48 >= 14 AND n_chars % 32 >= 12), " +
+        "g AS (SELECT doc_id, list_transform(range(72), k -> " +
+        "(7 * (((k % 9) * w) // 9) + 13 * (((k // 9) * h) // 8) " +
+        "+ 31 * doc_id) % 256) AS grid FROM img), " +
+        "fp AS (SELECT doc_id, list_transform(range(64), k -> " +
+        "CASE WHEN grid[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)] < " +
+        "grid[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)] THEN 1 ELSE 0 END) " +
+        "AS bits FROM g) " +
+        "SELECT doc_id, " +
+        "CAST(list_sum(list_transform(range(32), k -> " +
+        "CAST(bits[CAST(k + 33 AS INT)] AS BIGINT) * " +
+        "(CAST(1 AS BIGINT) << CAST(k AS INT)))) AS BIGINT) AS dhash_hi, " +
+        "CAST(list_sum(list_transform(range(32), k -> " +
+        "CAST(bits[CAST(k + 1 AS INT)] AS BIGINT) * " +
+        "(CAST(1 AS BIGINT) << CAST(k AS INT)))) AS BIGINT) AS dhash_lo, " +
+        "TRUE AS within_budget FROM fp ORDER BY doc_id") {
+      (s, d) =>
+        MediaPipeline.jpegDhashFrame(s, d).toDF()
+          .select(col("doc_id"),
+            shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+            col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
+            (col("jpeg_hamming") <= 10).as("within_budget"))
+          .orderBy("doc_id")
+    },
+
     // Acoustic near-dup — x98's sibling for the audio modality, closing
     // the dedup matrix (text exact/near, image, audio): a 64-bit
     // energy-gradient fingerprint over REAL decoded PCM (encode→RIFF
