@@ -77,5 +77,61 @@ object PackingQueries {
               .as("end_tok"))
           .orderBy("lang", "window_id", "doc_id")
       }
+    },
+
+    // EPOCH SHUFFLE — the data-order randomization step a trainer runs
+    // over the packed windows each epoch (every LLM loader shuffles
+    // window order per epoch; doing it deterministically from a seed
+    // is what makes a run reproducible and resumable mid-epoch). The
+    // window universe derives from the same arithmetic as x100
+    // (windows per shard = ceil(Σtokens/W) — no manifest join needed),
+    // and each epoch's permutation is a seeded md5 rank with a
+    // window_id tiebreak: same technique as x80/x114's reproducible
+    // reservoir, so the order is stable under partitioning, reruns
+    // and restarts. Emitting two epochs side by side pins that the
+    // seed actually changes the order. Scale: one map-side-combined
+    // per-shard token total, one O(windows) generate, one per-shard
+    // sort — producing a shard's training order IS a sort, and it
+    // spills externally; at trillion-token scale the shard key widens
+    // to (lang, file-group) exactly as x100 documents, keeping each
+    // permutation partition-sized.
+    Query("x117_epoch_shuffle",
+      "WITH t AS (SELECT lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"s AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM t " +
+        "WHERE n > 0 GROUP BY lang), " +
+        s"w AS (SELECT lang, unnest(range((tot + ${W - 1}) // $W)) " +
+        "AS window_id FROM s), " +
+        "p AS (SELECT lang, CAST(window_id AS BIGINT) AS window_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        graft.functions.TextFns.Sql.md5Bits16(
+          "md5('0#' || CAST(window_id AS VARCHAR))") +
+        ", window_id) AS BIGINT) AS pos_e0, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        graft.functions.TextFns.Sql.md5Bits16(
+          "md5('1#' || CAST(window_id AS VARCHAR))") +
+        ", window_id) AS BIGINT) AS pos_e1 FROM w) " +
+        "SELECT lang, window_id, pos_e0, pos_e1 FROM p " +
+        "ORDER BY lang, window_id") {
+      (s, d) => {
+        def rank(epoch: Int) =
+          row_number().over(Window.partitionBy("lang").orderBy(
+            graft.functions.TextFns.md5Bits16(
+              concat(lit(s"$epoch#"), col("window_id").cast("string"))),
+            col("window_id"))).cast("long")
+        table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") > 0)
+          .groupBy("lang").agg(sum(col("n")).as("tot"))
+          .select(col("lang"), explode(sequence(lit(0L),
+            floor((col("tot") + (W - 1)) / W).cast("long") - 1))
+            .as("window_id"))
+          .select(col("lang"), col("window_id"),
+            rank(0).as("pos_e0"), rank(1).as("pos_e1"))
+          .orderBy("lang", "window_id")
+      }
     })
 }

@@ -59,4 +59,30 @@ class PackingSpec extends AnyFunSuite {
     // conservation: total span tokens == total corpus tokens
     assert(perWin.values.sum === docTokens.map(_._3).sum)
   }
+
+  test("epoch shuffle: each epoch is a true per-shard permutation, epochs differ, order is seed-stable") {
+    val rows = SparkEntry.queries("x117_epoch_shuffle")(
+      spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, ws) =>
+      val n = ws.length.toLong
+      // windows are the full 0..n-1 universe (x100's window count)
+      assert(ws.map(_._2).sorted.toSeq === (0L until n),
+        s"shard $lang window universe")
+      // each epoch's positions are a permutation of 1..n
+      assert(ws.map(_._3).sorted.toSeq === (1L to n), s"shard $lang epoch 0")
+      assert(ws.map(_._4).sorted.toSeq === (1L to n), s"shard $lang epoch 1")
+      // the seed genuinely changes the order (any shard with ≥ 20
+      // windows: identical permutations would mean a dead seed)
+      if (n >= 20)
+        assert(ws.exists(w => w._3 != w._4),
+          s"shard $lang: epoch 0 and 1 orders coincide")
+    }
+    // determinism: a rerun yields the identical permutation
+    val again = SparkEntry.queries("x117_epoch_shuffle")(
+      spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq === rows.sorted.toSeq)
+  }
 }
