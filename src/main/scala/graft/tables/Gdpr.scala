@@ -111,6 +111,19 @@ object Gdpr {
     // about the subject's document and must go
     if (store.exists("ingest_log"))
       store.deleteWhere("ingest_log", col("doc_id").isin(docIds: _*))
+    // r14 doc_id-keyed stores: the media corpus and its derived
+    // fingerprint/verdict tables (the payload and its perceptual
+    // signature ARE subject content — and with the fingerprint gone,
+    // a future re-send of the same bytes re-enters the gate fresh:
+    // erasure means the system forgot it), plus the packing
+    // manifest's span rows (they record the doc's token layout; the
+    // affected windows keep a hole, which the trainer-side reader
+    // tolerates exactly like any filtered span)
+    Seq("media_docs", "media_fps", "media_ingest_log", "packing_manifest")
+      .foreach { t =>
+        if (store.exists(t))
+          store.deleteWhere(t, col("doc_id").isin(docIds: _*))
+      }
     n
   }
 
@@ -125,7 +138,8 @@ object Gdpr {
     * purge → quiesce/await trigger → verify, re-purging on leftovers
     * (idempotent). */
   def verifyErasure(store: TableStore, docIds: Seq[Long]): Map[String, Long] =
-    Seq("documents", "dedup_decisions", "documents_clean", "ingest_log")
+    Seq("documents", "dedup_decisions", "documents_clean", "ingest_log",
+      "media_docs", "media_fps", "media_ingest_log", "packing_manifest")
       .filter(store.exists)
       .map { t =>
         t -> store.load(t).filter(col("doc_id").isin(docIds: _*)).count()

@@ -205,4 +205,50 @@ class GdprDerivedSpec extends AnyFunSuite {
     assert(VectorIndex.forDir(spark, dir).corpus
       .filter(col("vec_id") === 42L).isEmpty)
   }
+
+  test("purge sweeps the r14 doc-keyed stores: media corpus/fps/log + packing spans; re-send re-enters the gate") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.MediaCodec
+    val root = Files.createTempDirectory("graft-gdprmedia").toString
+    val store = new TableStore(spark, root)
+    // checkpointed: the post-purge batch must process ONLY the new
+    // arrival (an uncheckpointed MemoryStream would replay the purged
+    // doc itself alongside it)
+    val flows = new IngestionFlows(spark, store, root,
+      checkpointRoot = Some(root))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val imgA = MediaCodec.encodePng(9, 8, (x, _) => x * 10)
+    val imgB = MediaCodec.encodePng(9, 8, (x, _) => (8 - x) * 10)
+    ms.addData((1L, imgA), (2L, imgB))
+    val q = flows.mediaIngestFlow(ms.toDS().toDF("doc_id", "payload"))
+    q.processAllAvailable(); q.stop()
+    assert(store.load("media_docs").count() === 2)
+    // and a packing manifest referencing both docs
+    store.appendUnique("packing_manifest",
+      Seq(("en", 0L, 1L, 0L, 5L), ("en", 0L, 2L, 0L, 3L))
+        .toDF("lang", "window_id", "doc_id", "start_tok", "end_tok"),
+      Seq("doc_id", "window_id"))
+
+    Gdpr.purgeDocuments(store, Seq(1L))
+    Seq("media_docs", "media_fps", "media_ingest_log", "packing_manifest")
+      .foreach { t =>
+        assert(store.load(t).filter(col("doc_id") === 1L).isEmpty,
+          s"purged doc survives in $t")
+      }
+    assert(Gdpr.verifyErasure(store, Seq(1L)).isEmpty)
+    assert(store.load("media_docs").count() === 1, "doc 2 untouched")
+    assert(store.load("packing_manifest").count() === 1)
+
+    // with the fingerprint gone, the SAME bytes re-sent under a new id
+    // are evaluated fresh and ADMITTED — erasure means the system
+    // forgot the content, not just the row
+    ms.addData((9L, imgA))
+    val q2 = flows.mediaIngestFlow(ms.toDS().toDF("doc_id", "payload"))
+    q2.processAllAvailable(); q2.stop()
+    val v = store.load("media_ingest_log").filter(col("doc_id") === 9L)
+      .collect().head
+    assert(v.getBoolean(1), "re-sent erased content must re-enter the gate")
+    graft.tables.TempDirs.delete(root)
+  }
 }
