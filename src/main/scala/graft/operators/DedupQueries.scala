@@ -645,5 +645,80 @@ object DedupQueries {
           .join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy("doc_id")
+    },
+
+    // CLUSTER-AWARE split assignment — the TRANSFORM that fixes what
+    // x84 audits: the naive per-doc hash split (x35) puts near-dup
+    // twins on opposite sides of the train/eval boundary (x84 counts
+    // exactly those), so eval scores are inflated by memorized
+    // training twins. The fix every careful pipeline ships: the split
+    // decision is made once per NEAR-DUP CLUSTER (the x34 quotient
+    // clustering) — a doc's split bucket hashes its cluster ANCHOR
+    // (min doc_id of its component; unclustered docs anchor on
+    // themselves), so an entire component lands on one side by
+    // construction. Output: per-split doc counts, how many docs MOVED
+    // vs the naive assignment, and the cross-engine invariant column
+    // `straddling` = number of clusters whose members span splits —
+    // both engines COMPUTE it (an aggregate over their own independent
+    // clustering + assignment), and the hash match pins it at 0.
+    // Scale: the clustering is x34's quotient machinery (one narrow
+    // fingerprint scan + ≤2^16-row aggregate + broadcast join back);
+    // the assignment adds one md5 per doc and two bounded rollups. The
+    // anchor frame is referenced twice (per-split rollup + straddle
+    // aggregate) — both are rollups of the same broadcast-joined
+    // narrow scan, nothing corpus-sized shuffles twice.
+    Query("x118_cluster_split", {
+      val anchorBkt = Sql.md5Bits16("md5(CAST(anchor AS VARCHAR))") + " % 100"
+      val naiveBkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "a AS (SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS anchor " +
+        "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id), " +
+        s"sp AS (SELECT doc_id, anchor, " +
+        s"CASE WHEN $anchorBkt < 80 THEN 'train' WHEN $anchorBkt < 90 " +
+        "THEN 'val' ELSE 'test' END AS split, " +
+        s"CASE WHEN $naiveBkt < 80 THEN 'train' WHEN $naiveBkt < 90 " +
+        "THEN 'val' ELSE 'test' END AS naive FROM a), " +
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS straddling FROM (" +
+        "SELECT anchor FROM sp GROUP BY anchor " +
+        "HAVING COUNT(DISTINCT split) > 1)) " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_moved, (SELECT straddling FROM st) AS straddling " +
+        "FROM sp GROUP BY split ORDER BY split"
+    }) {
+      (s, d) =>
+        def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val b = TextFns.md5Bits16(c.cast("string")) % 100
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        val anchored = table(s, d, "documents").select(col("doc_id"))
+          .join(quotientClusters(s, simhashFps(s, d))
+            .select(col("doc_id"), col("cluster")), Seq("doc_id"),
+            "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("anchor"))
+        val sp = anchored.select(
+          splitOf(col("anchor")).as("split"),
+          (splitOf(col("anchor")) =!= splitOf(col("doc_id")))
+            .cast("long").as("moved"),
+          col("anchor"))
+        val straddle = sp.groupBy("anchor")
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("straddling"))
+        sp.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+          .crossJoin(broadcast(straddle))
+          .select(col("split"), col("n_docs"), col("n_moved"),
+            col("straddling"))
+          .orderBy("split")
     })
 }
