@@ -406,6 +406,39 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
   * `maxRepetition`. The default admits everything — an inactive rule
   * contributes no predicate, so null-text docs pass a permissive gate
   * exactly as they did before the gate existed. */
+object IngestionFlows {
+
+  /** Explicit batch-boundary RETRAIN of the frozen topic model — the
+    * other half of [[IngestionFlows.embeddingIngestFlow]]'s freeze
+    * doctrine (ingest never retrains; an operator decides when the
+    * corpus has drifted enough to re-cluster). Re-trains k-means on
+    * the CURRENT embeddings corpus (the per-(corpus version, params)
+    * cache makes repeat calls on an unchanged corpus free), REPLACES
+    * `topic_centroids`, and recomputes `topic_assignments` for every
+    * corpus vector under the new model — replace, not patch: an
+    * assignment is a function of the model, so a model change
+    * invalidates all of them (cid spaces of different models are not
+    * comparable). The ingest flow reads the centroid table each
+    * batch, so the next micro-batch assigns under the refreshed model
+    * automatically. Not atomic against a concurrently-triggering
+    * ingest batch — slot it between triggers, the
+    * purge → quiesce → verify discipline ([[graft.tables.Gdpr]]). */
+  def refreshTopics(spark: SparkSession, store: TableStore,
+      embCorpusDir: String,
+      p: KMeansQueries.KMeansParams = KMeansQueries.KMeansParams()): Unit = {
+    import spark.implicits._
+    val cents = KMeansQueries.train(spark, embCorpusDir, p)
+    store.replace("topic_centroids",
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toSeq.toDF("cid", "c"))
+    store.replace("topic_assignments",
+      spark.read.parquet(s"$embCorpusDir/embeddings.parquet")
+        .select(col("vec_id"),
+          KMeansQueries.assignCid(cents,
+            KMeansQueries.quantExpr(col("embedding"))).as("cid")))
+  }
+}
+
 final case class IngestQuality(minTokens: Int = 0,
     maxRepetition: Double = 1.0) {
 

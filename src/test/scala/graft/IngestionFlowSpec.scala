@@ -318,6 +318,34 @@ class IngestionFlowSpec extends AnyFunSuite {
     rows2.foreach { case (id, e) =>
       assert(assigns1(id) === argminCid(cents0, e), s"vec $id frozen-model cid")
     }
+    // EXPLICIT batch-boundary retrain (the freeze doctrine's other
+    // half): the model re-trains on the grown corpus and EVERY corpus
+    // vector's assignment recomputes under it — replace, not patch
+    graft.streaming.IngestionFlows.refreshTopics(spark, store, dir)
+    val cents2 = store.load("topic_centroids").orderBy("cid").collect()
+      .map(_.getSeq[Long](1).toArray)
+    assert(!cents2.zip(cents0).forall { case (a, b) => a.sameElements(b) },
+      "retrain on the grown corpus must move at least one centroid")
+    val assigns2 = store.load("topic_assignments").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigns2.size === 55, "refresh must cover the WHOLE corpus")
+    val all55 = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    all55.foreach { case (id, e) =>
+      assert(assigns2(id) === argminCid(cents2, e), s"vec $id refreshed cid")
+    }
+    // and the NEXT flow batch assigns under the refreshed model
+    val rows3 = emb.filter(col("vec_id") >= 55 && col("vec_id") < 58)
+      .as[(Long, Seq[Float])].collect().toSeq
+    ms.addData(rows3: _*)
+    run(flows.embeddingIngestFlow(df))
+    val assigns3 = store.load("topic_assignments").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows3.foreach { case (id, e) =>
+      assert(assigns3(id) === argminCid(cents2, e),
+        s"vec $id must use the refreshed model")
+    }
     graft.tables.TempDirs.delete(dir)
   }
 
