@@ -285,8 +285,23 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                   .toSeq.toDF("cid", "c"))
               c
             }
+          // SELF-HEALING assignment sweep: assign every corpus vector
+          // still missing from the table, not just this batch's rows —
+          // a batch that crashed between the corpus append and this
+          // write would otherwise leave its vectors permanently
+          // unassigned (the content anti-join makes the replay a
+          // corpus no-op, so a fresh-only write never revisits them).
+          // Cost: one anti-join against the assignment keys per batch,
+          // same order as the content-idempotence anti-join above;
+          // output is O(missing), normally just the batch.
+          val corpusNow = spark.read.parquet(corpus)
+          val unassigned =
+            if (!store.exists("topic_assignments")) corpusNow
+            else corpusNow.join(
+              store.load("topic_assignments").select("vec_id"),
+              Seq("vec_id"), "left_anti")
           store.appendUnique("topic_assignments",
-            fresh.select(col("vec_id"),
+            unassigned.select(col("vec_id"),
               KMeansQueries.assignCid(cents,
                 KMeansQueries.quantExpr(col("embedding"))).as("cid")),
             Seq("vec_id"))
@@ -369,7 +384,14 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             else store.load("media_fps").as("s")
               .join(broadcast(nbrs).as("n"),
                 col("s.fp") === col("n.probe") &&
-                  col("s.kind") === col("n.kind"))
+                  col("s.kind") === col("n.kind") &&
+                  // never match a doc against its OWN stored row: a
+                  // batch that crashed between the fps append and the
+                  // log write replays its docs, and without this guard
+                  // each would refuse as a near-dup of itself while
+                  // sitting in the corpus — the log would then
+                  // permanently contradict media_docs
+                  col("s.doc_id") =!= col("n.doc_id"))
               .select(col("n.doc_id").as("doc_id")).distinct()
           val surv = readable.join(storedHits, Seq("doc_id"), "left_anti")
           val inBatch = surv.as("a")

@@ -285,10 +285,16 @@ class IngestionFlowSpec extends AnyFunSuite {
     val cents0 = store.load("topic_centroids").orderBy("cid").collect()
       .map(_.getSeq[Long](1).toArray)
     assert(cents0.length === 8, "first batch must train + freeze the model")
+    // the self-healing sweep assigns the WHOLE corpus (seed vectors
+    // included), not just the batch — cluster-balanced sampling over
+    // the table must see every vector
+    val all50 = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
     val assigns0 = store.load("topic_assignments").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(assigns0.keySet === rows.map(_._1).toSet)
-    rows.foreach { case (id, e) =>
+    assert(assigns0.keySet === all50.map(_._1).toSet)
+    all50.foreach { case (id, e) =>
       assert(assigns0(id) === argminCid(cents0, e), s"vec $id cid")
     }
     // REPLAY the same batch: content-level idempotence — corpus and
@@ -300,7 +306,7 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(VectorIndex.forDir(spark, dir) eq ivf0)
     assert(ivf0.corpus.count() === 50)
     assert(srp0.load("srp_idx").select("vec_id").distinct().count() === 50)
-    assert(store.load("topic_assignments").count() === rows.size.toLong,
+    assert(store.load("topic_assignments").count() === 50L,
       "replay must not duplicate topic assignments")
     // a SECOND fresh batch: the model stays FROZEN (no retrain on the
     // ingest path — same centroid rows) and the new vectors land with
@@ -346,6 +352,78 @@ class IngestionFlowSpec extends AnyFunSuite {
       assert(assigns3(id) === argminCid(cents2, e),
         s"vec $id must use the refreshed model")
     }
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("media crash window: fps appended but verdict lost — replay recovers ADMITTED, never self-near-dup") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.{MediaCodec, MediaPipeline}
+    val root = Files.createTempDirectory("graft-ingmediacrash").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    def df = ms.toDS().toDF("doc_id", "payload")
+    // simulate a batch that died AFTER the corpus+fps appends but
+    // BEFORE the log write: the doc exists in media_docs/media_fps
+    // with no verdict anywhere
+    val img = MediaCodec.encodePng(9, 8, (x, _) => x * 10)
+    val (kind, fp) = MediaPipeline.mediaFp(img).get
+    store.appendUnique("media_docs",
+      Seq((7L, img)).toDF("doc_id", "payload"), Seq("doc_id"))
+    store.appendUnique("media_fps",
+      Seq((7L, kind, fp)).toDF("doc_id", "kind", "fp"), Seq("doc_id"))
+    // the replayed batch must complete the lost verdict as ADMITTED —
+    // without the own-row probe guard the doc would refuse as a
+    // near-dup of ITSELF while sitting in the corpus
+    ms.addData((7L, img))
+    val q = flows.mediaIngestFlow(df)
+    q.processAllAvailable(); q.stop()
+    val v = store.load("media_ingest_log").filter(col("doc_id") === 7L)
+      .collect().head
+    assert(v.getBoolean(1), s"crash-replayed admitted doc refused: $v")
+    assert(store.load("media_docs").count() === 1, "no double-append")
+    assert(store.load("media_fps").count() === 1)
+    // and a GENUINE near-dup of it still refuses
+    val near = MediaCodec.encodePng(9, 8,
+      (x, y) => if (x == 8 && y == 0) 0 else x * 10)
+    ms.addData((8L, near))
+    val q2 = flows.mediaIngestFlow(df)
+    q2.processAllAvailable(); q2.stop()
+    assert(store.load("media_ingest_log").filter(col("doc_id") === 8L)
+      .collect().head.getString(2) === "media_near_dup")
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("topic crash window: corpus appended but assignments lost — the sweep heals the hole") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ingtopichole").toString
+    val emb = Tables.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") < 30).write.parquet(s"$dir/embeddings.parquet")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ingtopichole-store").toString)
+    val flows = new IngestionFlows(spark, store, dir)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    def df = ms.toDS().toDF("vec_id", "embedding")
+    ms.addData(emb.filter(col("vec_id") >= 30 && col("vec_id") < 35)
+      .as[(Long, Seq[Float])].collect().toSeq: _*)
+    val q = flows.embeddingIngestFlow(df)
+    q.processAllAvailable(); q.stop()
+    assert(store.load("topic_assignments").count() === 35L)
+    // crash simulation: vectors land in the corpus with no assignment
+    emb.filter(col("vec_id") >= 35 && col("vec_id") < 40)
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(store.load("topic_assignments").count() === 35L)
+    // ANY later batch heals the hole (self-healing sweep assigns every
+    // unassigned corpus vector, not just its own rows)
+    ms.addData(emb.filter(col("vec_id") >= 40 && col("vec_id") < 42)
+      .as[(Long, Seq[Float])].collect().toSeq: _*)
+    val q2 = flows.embeddingIngestFlow(df)
+    q2.processAllAvailable(); q2.stop()
+    assert(store.load("topic_assignments").count() === 42L,
+      "sweep must assign the crash-window vectors too")
     graft.tables.TempDirs.delete(dir)
   }
 
