@@ -334,10 +334,13 @@ object VectorQueries {
       (s, d) =>
         val c = emb(s, d).select(col("vec_id"),
           tbColumn(0, col("embedding")).as("cl"), col("embedding"))
-        val k = c.groupBy("cl").agg(min(col("vec_id")).as("canonical"))
-        val proto = k.join(c.select(col("vec_id").as("canonical"),
-            col("embedding").as("ec")), Seq("canonical"))
-          .select(col("cl"), col("canonical"), col("ec"))
+        // min_by folds the prototype's embedding into the SAME
+        // cluster aggregate that elects it (r14) — the previous
+        // join-back to fetch the canonical's embedding was a third
+        // derivation of the assignment frame
+        val proto = c.groupBy("cl").agg(
+          min(col("vec_id")).as("canonical"),
+          min_by(col("embedding"), col("vec_id")).as("ec"))
         c.join(broadcast(proto), Seq("cl"))
           .withColumn("cos",
             round(VectorFns.cosine(col("embedding"), col("ec")), 6))
@@ -380,10 +383,12 @@ FROM j ORDER BY vec_id""") {
           KMeansQueries.assignCid(cents,
             KMeansQueries.quantExpr(col("embedding"))).as("cl"),
           col("embedding"))
-        val k = c.groupBy("cl").agg(min(col("vec_id")).as("canonical"))
-        val proto = k.join(c.select(col("vec_id").as("canonical"),
-            col("embedding").as("ec")), Seq("canonical"))
-          .select(col("cl"), col("canonical"), col("ec"))
+        // min_by folds the prototype's embedding into the election
+        // aggregate (r14, same as x62): two derivations of the
+        // argmin frame instead of three
+        val proto = c.groupBy("cl").agg(
+          min(col("vec_id")).as("canonical"),
+          min_by(col("embedding"), col("vec_id")).as("ec"))
         c.join(broadcast(proto), Seq("cl"))
           .withColumn("cos",
             round(VectorFns.cosine(col("embedding"), col("ec")), 6))
