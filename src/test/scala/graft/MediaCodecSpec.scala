@@ -128,6 +128,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.wavInfo(wav.take(30)) === None) // truncated mid-fmt
   }
 
+  test("mediaFp is total: seeded fuzz over random, truncated and bit-flipped containers") {
+    // the ingest gate's front line: one thrown codec error in a task
+    // kills a stage for one bad row, so mediaFp must return None (or
+    // a fingerprint), never throw, on ANY bytes
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def check(bytes: Array[Byte]): Unit = {
+      val r = MediaPipeline.mediaFp(bytes) // must not throw
+      r.foreach { case (kind, _) =>
+        assert(Set("image", "audio", "video")(kind))
+      }
+    }
+    for (_ <- 0 until 200)
+      check(Array.fill(rnd.nextInt(512))(rnd.nextInt().toByte))
+    val real = Seq(
+      MediaCodec.encodePng(12, 9, (x, y) => (x * 3 + y) % 256),
+      MediaCodec.encodeJpeg(16, 12, (x, y) => (x * 9 + y * 4) * 0x010101),
+      MediaCodec.encodeWavPcm16(8000, 1,
+        Array.tabulate(300)(i => (i * 7 % 800 - 400).toShort)),
+      MediaCodec.encodeAviDib(8, 8, 10, 3, (x, y, f) => x + y + f))
+    real.foreach { bytes =>
+      assert(MediaPipeline.mediaFp(bytes).isDefined, "real media must fingerprint")
+      for (cut <- Seq(2, 7, 13, bytes.length / 2, bytes.length - 3))
+        check(bytes.take(cut))
+      // single-bit corruptions at seeded positions
+      for (_ <- 0 until 30) {
+        val b = bytes.clone()
+        val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+        check(b)
+      }
+    }
+  }
+
   test("pipeline decode dispatch: real media → real features, text → byte-fold") {
     val meta = MediaPipeline.MediaMeta("png", 10, 10, 1, 0L)
     // a flat 50%-gray image: every pixel in one luminance bin
