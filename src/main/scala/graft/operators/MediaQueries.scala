@@ -157,9 +157,11 @@ object MediaQueries {
     // the oracle-ASSERTED tripwire — the engine computes the real
     // JPEG-decode Hamming distance, so any JDK codec behavior change
     // or decode-path regression flips the boolean and fails the hash
-    // match. Measured drift on this fixture: avg ≈ 1.2 bits, max 9
-    // (ringing at the synthetic rasters' mod-256 wrap edges — harsher
-    // than photographic content); budget pinned at 10. JpegDHashSpec
+    // match. Measured drift: avg ≈ 1.2 bits; max 9 at sf0.01, 11 at
+    // sf0.1 (ringing at the synthetic rasters' mod-256 wrap edges —
+    // harsher than photographic content); budget pinned at 16 — tail
+    // headroom above the observed worst case while a broken decode
+    // path (effectively random bits) would read ≈ 32. JpegDHashSpec
     // pins the distribution and byte-determinism. NOTE the honest
     // finding: lossy recompression shifts dHash beyond the ≤2 pair
     // threshold on ~10% of these rasters, so a production crawl
@@ -189,7 +191,7 @@ object MediaQueries {
           .select(col("doc_id"),
             shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
             col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
-            (col("jpeg_hamming") <= 10).as("within_budget"))
+            (col("jpeg_hamming") <= 16).as("within_budget"))
           .orderBy("doc_id")
     },
 

