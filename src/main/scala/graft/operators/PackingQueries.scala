@@ -133,5 +133,73 @@ object PackingQueries {
             rank(0).as("pos_e0"), rank(1).as("pos_e1"))
           .orderBy("lang", "window_id")
       }
+    },
+
+    // LOADER SCHEDULE — the step-level interleave an LLM trainer
+    // follows ACROSS shards: each training step draws the next window
+    // from some shard, and the draw order must hit shards in
+    // proportion to their (temperature-adjusted) mixing weights,
+    // deterministically. This is the classic smooth/deterministic
+    // weighted interleave (WFQ virtual time — Demers et al. '89; the
+    // same math behind weighted fair queuing and SGMV schedulers):
+    // shard L's k-th window is released at virtual time (k+1)/w_L and
+    // the global order sorts by it — any schedule prefix then holds
+    // each shard within O(#shards) windows of its weighted share while
+    // every shard has supply (PackingSpec pins the bound; the tighter ±1 needs stateful
+    // server virtual time, which would forfeit the stateless
+    // resumable-from-any-step property). No RNG, no sequential state. Weights implement
+    // T=2 temperature sampling (x89's family): w_L = floor(sqrt(
+    // tokens_L · 2^40)) — integer-exact inputs into ONE correctly-
+    // rounded IEEE sqrt/floor, so both engines derive identical
+    // weights, and v = (k+1)/w_L is a single exact-int double
+    // division (no accumulation anywhere, ties broken (lang, k)).
+    // Scale: one map-side-combined per-shard total, one O(windows)
+    // generate, one TakeOrdered LIMIT — the schedule PREFIX is what a
+    // trainer materializes (the full order is implicit in the
+    // formula; any segment regenerates independently, which is the
+    // checkpoint-resume story).
+    Query("x119_loader_schedule",
+      "WITH t AS (SELECT lang, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        s"s AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM t " +
+        "WHERE n > 0 GROUP BY lang), " +
+        "ws AS (SELECT lang, CAST(floor(sqrt(CAST(tot AS DOUBLE) " +
+        s"* 1099511627776)) AS BIGINT) AS w, (tot + ${W - 1}) // $W " +
+        "AS nw FROM s), " +
+        "rel AS (SELECT lang, unnest(range(nw)) AS k, w FROM ws), " +
+        "v AS (SELECT lang, CAST(k AS BIGINT) AS k, " +
+        "CAST(k + 1 AS DOUBLE) / CAST(w AS DOUBLE) AS vt FROM rel), " +
+        "sched AS (SELECT lang, k, CAST(ROW_NUMBER() OVER (" +
+        "ORDER BY vt, lang, k) AS BIGINT) AS step FROM v) " +
+        "SELECT step, lang, k FROM sched ORDER BY step LIMIT 256") {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n"))
+          .filter(col("n") > 0)
+          .groupBy("lang").agg(sum(col("n")).as("tot"))
+          .select(col("lang"),
+            floor(sqrt(col("tot").cast("double") * 1099511627776L))
+              .cast("long").as("w"),
+            floor((col("tot") + (W - 1)) / W).cast("long").as("nw"))
+          .select(col("lang"), col("w"),
+            explode(sequence(lit(0L), col("nw") - 1)).as("k"))
+          .select(col("lang"), col("k"),
+            ((col("k") + 1).cast("double") / col("w").cast("double"))
+              .as("vt"))
+          // TakeOrdered FIRST (map-local top-256, no global sort/
+          // window over the O(windows) stream), then number the
+          // bounded prefix — the unpartitioned row_number only ever
+          // sees 256 rows
+          .orderBy(col("vt"), col("lang"), col("k"))
+          .limit(256)
+          .withColumn("step", row_number().over(
+            Window.orderBy(col("vt"), col("lang"), col("k"))).cast("long"))
+          .select(col("step"), col("lang"), col("k"))
+          .orderBy("step")
+      }
     })
 }

@@ -85,4 +85,72 @@ class PackingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.sorted.toSeq === rows.sorted.toSeq)
   }
+
+  test("loader schedule: finish-tag prefix fairness — every prefix holds each shard within #shards of its weighted share") {
+    import org.apache.spark.sql.functions._
+    val sched = SparkEntry.queries("x119_loader_schedule")(
+      spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.nonEmpty)
+    // steps are 1..n dense and shard-local indices are in-order
+    assert(sched.map(_._1).toSeq === (1L to sched.length))
+    sched.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.sortBy(_._1).map(_._3).toSeq ===
+        (0L until rows.length), s"shard $lang windows out of order")
+    }
+    // recompute the weights the engine derives (integer-exact inputs
+    // into one correctly-rounded sqrt) and check the finish-tag
+    // fairness bound: sorting by release tags (k+1)/w deviates from
+    // the fluid weighted share by O(#shards) windows in any prefix
+    // (±1 per shard pair — the full ±1 WFQ bound needs server virtual
+    // time, which would make the schedule stateful/sequential; the
+    // O(#shards) bound is what a stateless, resumable-from-any-step
+    // formula can give, and is ample at trainer scale)
+    val tots = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n"))
+      .filter(col("n") > 0)
+      .groupBy("lang").agg(sum("n").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = tots.map { case (l, t) =>
+      l -> math.floor(math.sqrt(t.toDouble * (1L << 40))).toLong
+    }
+    val nw = tots.map { case (l, t) => l -> ((t + 255) / 256) }
+    // EXACT first-principles recompute: the full finish-tag universe,
+    // sorted by (tag, lang, k), truncated to the prefix — the engine
+    // schedule must equal it row for row
+    val expect = nw.toSeq.flatMap { case (l, n) =>
+      (0L until n).map(k => (l, k, (k + 1).toDouble / w(l)))
+    }.sortBy { case (l, k, v) => (v, l, k) }.take(sched.length)
+    assert(sched.sortBy(_._1).map(t => (t._2, t._3)).toSeq ===
+      expect.map(t => (t._1, t._2)),
+      "schedule diverges from the finish-tag recompute")
+    // fairness bound, valid while every shard still has supply (a
+    // small exhausted shard's share redistributes, so the fluid model
+    // only applies up to the first exhaustion)
+    val ordered = sched.sortBy(_._1)
+    val servedAll = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val firstExhaust = ordered.indexWhere { case (_, lang, _) =>
+      servedAll(lang) += 1
+      servedAll(lang) == nw(lang)
+    } match { case -1 => ordered.length; case i => i + 1 }
+    val totalW = w.values.sum.toDouble
+    val slack = w.size + 1
+    val served = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    ordered.take(firstExhaust).zipWithIndex.foreach {
+      case ((_, lang, _), i) =>
+        served(lang) += 1
+        val p = i + 1
+        w.keys.foreach { l =>
+          val share = p * w(l) / totalW
+          assert(math.abs(served(l) - share) <= slack,
+            s"prefix $p deviates on $l: ${served(l)} vs share $share")
+        }
+    }
+    assert(firstExhaust > 20, "fixture exhausts too early to test fairness")
+  }
 }
