@@ -170,9 +170,44 @@ object StreamBench {
         s""""msg_per_sec":${(nm / secs).toLong},"sf":"$sfDir"}""")
     }
 
-    require(Set("both", "batch", "stateful", "consumer")(variant),
+    // ------------------------------------------------------------------
+    // S19 pack-on-ingest throughput: the documents corpus through the
+    // full PackingFlow topology (codegen tokenize → per-shard typed
+    // ValueState offset fold + offset-scoped dedup map → manifest
+    // appendUnique). RocksDB provider — transformWithState requires
+    // multiple column families. Reported per-batch docs/sec is the
+    // ingest-side rate a trainer's window supply sustains.
+    def runPacking(metric: String, nRounds: Int): Unit = {
+      stateProvider(rocksdb = true)
+      val root = Files.createTempDirectory("graft-streambench-pack").toString
+      val store = new TableStore(spark, root)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("lang").cast("string"),
+          col("text"))
+        .as[(Long, String, String)].collect()
+      val nd = docs.length
+      val ms = MemoryStream[(Long, String, String)](spark, cpus.toInt)
+      val chunk = (nd + nRounds - 1) / nRounds
+      val t0 = System.nanoTime()
+      val q = graft.streaming.PackingFlow.flow(store,
+        ms.toDS().toDF("doc_id", "lang", "text"),
+        trigger = Trigger.ProcessingTime(0))
+      docs.grouped(chunk).foreach { c =>
+        ms.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val spans = store.load("packing_manifest").count()
+      println(s"""{"metric":"$metric","docs":$nd,"spans":$spans,""" +
+        s""""batches":$nRounds,"sec":$secs,""" +
+        s""""docs_per_sec":${(nd / secs).toLong},"sf":"$sfDir"}""")
+    }
+
+    require(Set("both", "batch", "stateful", "consumer", "packing")(variant),
       s"unknown SPARK_GRAFT_STREAM_VARIANT '$variant' " +
-        "(expected both | batch | stateful | consumer)")
+        "(expected both | batch | stateful | consumer | packing)")
     val runBatch = variant == "both" || variant == "batch"
     val runStateful = variant == "both" || variant == "stateful"
     if (runBatch) run("admission_throughput", stateful = false, 1)
@@ -194,6 +229,10 @@ object StreamBench {
       // admission flow's RocksDB+changelog regime
       runConsumer("consumer_throughput_multibatch_rocksdb", rounds,
         rocksdb = true)
+    }
+    if (variant == "both" || variant == "packing") {
+      runPacking("packing_throughput", 1)
+      runPacking("packing_throughput_multibatch", rounds)
     }
     spark.stop()
   }
