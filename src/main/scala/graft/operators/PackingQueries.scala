@@ -40,6 +40,27 @@ object PackingQueries {
 
   private val W = 256 // tokens per training window
 
+  /** Distributed 0..mx window-id generation per input row (carrying
+    * every other column through): a single `explode(sequence(0, mx))`
+    * would materialize the WHOLE per-shard window universe as one
+    * in-memory array — billions of entries for a trillion-token shard,
+    * i.e. a guaranteed executor OOM at exactly the scale these
+    * operators target. Two-level generation keeps every materialized
+    * array ≤ 2^16 entries: explode the chunk ids (≤ nw/2^16 per row),
+    * then each chunk's window ids — O(nw) ROWS either way, bounded
+    * MEMORY per row always. */
+  private def windowUniverse(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val C = 1L << 16
+    df.filter(col("mx") >= 0)
+      .withColumn("chunk",
+        explode(sequence(lit(0L), floor(col("mx") / C).cast("long"))))
+      .withColumn("window_id",
+        explode(sequence(col("chunk") * C,
+          least(col("mx"), (col("chunk") + 1) * C - 1))))
+      .drop("chunk", "mx")
+  }
+
   val all: Seq[Query] = Seq(
     Query("x100_seq_packing",
       "WITH t AS (SELECT doc_id, lang, " +
@@ -126,9 +147,9 @@ object PackingQueries {
             size(TextFns.tokens(col("text"))).cast("long").as("n"))
           .filter(col("n") > 0)
           .groupBy("lang").agg(sum(col("n")).as("tot"))
-          .select(col("lang"), explode(sequence(lit(0L),
-            floor((col("tot") + (W - 1)) / W).cast("long") - 1))
-            .as("window_id"))
+          .select(col("lang"),
+            (floor((col("tot") + (W - 1)) / W).cast("long") - 1).as("mx"))
+          .transform(windowUniverse)
           .select(col("lang"), col("window_id"),
             rank(0).as("pos_e0"), rank(1).as("pos_e1"))
           .orderBy("lang", "window_id")
@@ -184,9 +205,9 @@ object PackingQueries {
           .select(col("lang"),
             floor(sqrt(col("tot").cast("double") * 1099511627776L))
               .cast("long").as("w"),
-            floor((col("tot") + (W - 1)) / W).cast("long").as("nw"))
-          .select(col("lang"), col("w"),
-            explode(sequence(lit(0L), col("nw") - 1)).as("k"))
+            (floor((col("tot") + (W - 1)) / W).cast("long") - 1).as("mx"))
+          .transform(windowUniverse)
+          .select(col("lang"), col("w"), col("window_id").as("k"))
           .select(col("lang"), col("k"),
             ((col("k") + 1).cast("double") / col("w").cast("double"))
               .as("vt"))
