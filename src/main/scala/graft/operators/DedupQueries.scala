@@ -720,5 +720,61 @@ object DedupQueries {
           .select(col("split"), col("n_docs"), col("n_moved"),
             col("straddling"))
           .orderBy("split")
+    },
+
+    // QUALITY-AWARE canonical election — the retention policy real
+    // dedup pipelines (SemDeDup, Dolma) ship that x34/x40 simplify
+    // away: within a near-dup cluster, keep the most INFORMATIVE
+    // member, not the lowest-id one. Election key is exact-integer
+    // (so both engines argmax identically, no float ties): distinct
+    // token count DESC, then n_chars DESC, then doc_id ASC. Output
+    // per cluster: the elected canonical, its distinct-token count,
+    // the member count, and `moved` = the election differs from the
+    // min-id default (the cross-engine tripwire — both sides derive
+    // it from their own independent clustering + election). Scale:
+    // clusters come from the x34 quotient machinery (one narrow
+    // fingerprint scan + bounded aggregate + broadcast join); the
+    // quality key tokenizes ONLY clustered docs (the corpus joins
+    // cluster ids BEFORE the distinct-token map, so unclustered text
+    // never tokenizes), and the election is one max(struct) hash
+    // aggregate — map-side combined, one row per cluster out.
+    Query("x120_quality_canonical",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "q AS (SELECT cc.cluster, cc.doc_id, " +
+        "CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS dt, " +
+        "d.n_chars FROM cc JOIN documents d ON cc.doc_id = d.doc_id), " +
+        "r2 AS (SELECT cluster, doc_id, dt, " +
+        "ROW_NUMBER() OVER (PARTITION BY cluster " +
+        "ORDER BY dt DESC, n_chars DESC, doc_id ASC) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members " +
+        "FROM q) " +
+        "SELECT cluster, doc_id AS canonical, n_members, dt AS canonical_dt, " +
+        "(doc_id <> cluster) AS moved FROM r2 WHERE rn = 1 ORDER BY cluster") {
+      (s, d) =>
+        val cl = quotientClusters(s, simhashFps(s, d))
+          .select(col("doc_id"), col("cluster"))
+        cl.join(table(s, d, "documents")
+            .select(col("doc_id"), col("text"), col("n_chars")),
+            Seq("doc_id"))
+          .select(col("cluster"), col("doc_id"),
+            size(array_distinct(TextFns.tokens(col("text"))))
+              .cast("bigint").as("dt"),
+            col("n_chars"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("dt"), col("n_chars"),
+              (-col("doc_id")).as("ni"))).as("best"))
+          .select(col("cluster"), (-col("best.ni")).as("canonical"),
+            col("n_members"), col("best.dt").as("canonical_dt"),
+            ((-col("best.ni")) =!= col("cluster")).as("moved"))
+          .orderBy("cluster")
     })
 }

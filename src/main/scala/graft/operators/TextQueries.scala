@@ -214,6 +214,58 @@ object TextQueries {
     }
   }
 
+  /** x121 cap: a source may hold at most this percent of corpus
+    * character mass. */
+  private[graft] val SourceCapPct = 5L
+
+  /** Above this corpus doc count the x121 declared query switches to
+    * the two-level skew-hardened window (the X72SkewDocs pattern). */
+  private[graft] val SourceCapSkewDocs = 1L << 20
+
+  /** x121's frame over any (doc_id, source, n_chars) corpus — both
+    * forms, hash-equal (SkewWindowSpec):
+    *  - `skewSafe = false`: one cumulative-sum window per source.
+    *    At crawl scale a single hot source buffers its ENTIRE row
+    *    set in one window task — fine until a source is huge.
+    *  - `skewSafe = true`: two-level. Bucket = first 2 hex chars of
+    *    the doc's md5 order key (a PREFIX of the window order, so
+    *    bucket boundaries respect it); per-(source,bucket) sums are
+    *    map-side combined into a bounded frame, a per-source
+    *    EXCLUSIVE prefix over the ≤256 buckets yields each bucket's
+    *    offset, and the corpus-sized window runs per (source,
+    *    bucket) — per-task input is 1/256 of the source, and the
+    *    offset join keys (source,bucket) match the window partition
+    *    keys, so no extra corpus exchange. */
+  private[graft] def sourceCapFrame(docs: DataFrame, skewSafe: Boolean)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val cap = m.agg(sum(col("n_chars")).cast("long").as("t"))
+      .select(expr(s"t * $SourceCapPct div 100").as("cap"))
+    val c =
+      if (!skewSafe)
+        m.withColumn("cum", sum(col("n_chars")).over(
+          Window.partitionBy("source").orderBy("h", "doc_id")))
+      else {
+        val mb = m.withColumn("b", substring(col("h"), 1, 2))
+        val off = mb.groupBy("source", "b")
+          .agg(sum(col("n_chars")).as("bsum"))
+          .withColumn("off", coalesce(sum(col("bsum")).over(
+            Window.partitionBy("source").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("b"), col("off"))
+        mb.join(PlanGuards.broadcastIfSmall(off), Seq("source", "b"))
+          .withColumn("cum", col("off") + sum(col("n_chars")).over(
+            Window.partitionBy("source", "b").orderBy("h", "doc_id")))
+      }
+    c.crossJoin(broadcast(cap))
+      .select(col("doc_id"), col("source"),
+        col("cum").cast("long").as("cum_chars"),
+        (col("cum") <= col("cap")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(
 
     // corpus stats per language (survey Q22)
@@ -1897,6 +1949,40 @@ object TextQueries {
             round(lit(10000) * col("pt") / col("z"), 2).as("expected_10k"))
           .orderBy("lang")
       }
+    },
+
+    // PER-SOURCE HARD CAP — the C4/RefinedWeb domain-cap transform
+    // x89 only reports shares for: no single source (domain/crawl
+    // host) may contribute more than CapPct% of total corpus
+    // CHARACTER mass. Docs are admitted per source in deterministic
+    // md5(doc_id) order until the next doc would not fit under the
+    // cap (cumulative mass ≤ cap — the same pure-hash membership
+    // family as x41/x88, so the keep set is stable under corpus
+    // append ORDER and reproducible from the formula alone). Output
+    // is per-doc (cum_chars, kept) — the manifest a mixing step
+    // left-semi-joins against. The cap itself rides in-plan as a
+    // 1-row broadcast (x90's pattern). Scale: the default form is
+    // one per-source cumulative-sum window; above
+    // [[SourceCapSkewDocs]] the skew-hardened two-level form kicks
+    // in ([[sourceCapFrame]]) — per-(source, 256-bucket) windows
+    // plus a bounded bucket-offset rollup, so ONE giant source (the
+    // common-crawl pathology: a few hosts carry half the crawl)
+    // can no longer land its whole row set in a single window task.
+    // Hash-equality of the two forms is pinned in SkewWindowSpec.
+    Query("x121_source_cap",
+      "WITH m AS (SELECT doc_id, source, n_chars, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * $SourceCapPct " +
+        "// 100 AS cap FROM m), " +
+        "c AS (SELECT doc_id, source, CAST(SUM(n_chars) OVER (" +
+        "PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum " +
+        "FROM m) " +
+        "SELECT c.doc_id, c.source, c.cum AS cum_chars, " +
+        "(c.cum <= (SELECT cap FROM cap)) AS kept " +
+        "FROM c ORDER BY c.doc_id") {
+      (s, d) =>
+        sourceCapFrame(table(s, d, "documents"),
+          skewSafe = docCount(s, d) > SourceCapSkewDocs)
     },
 
     // HELD-OUT stupid-backoff LM scoring — the real perplexity-filter

@@ -42,6 +42,35 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(kept === (all -- nonCanonical))
   }
 
+  test("x120 canonical is the max-quality member of its x34 cluster") {
+    import org.apache.spark.sql.functions._
+    val members = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(members.nonEmpty, "fixture has no near-dup clusters")
+    val q = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("dt"),
+        col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expected = members.groupBy(_._2).map { case (cl, ms) =>
+      val best = ms.map(_._1).maxBy(id => (q(id)._1, q(id)._2, -id))
+      cl -> ((best, ms.length.toLong))
+    }
+    val got = SparkEntry.queries("x120_quality_canonical")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (cl, (best, n)) =>
+      val (canonical, nMembers, moved) = got(cl)
+      assert(canonical === best, s"cluster $cl elected $canonical, want $best")
+      assert(nMembers === n, s"cluster $cl member count")
+      assert(moved === (best != cl), s"cluster $cl moved flag")
+    }
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -145,4 +145,53 @@ class SkewWindowSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  /** One source carries 80% of corpus mass — the common-crawl
+    * pathology x121's skew-hardened form exists for. */
+  private lazy val hotSource: DataFrame = {
+    val hot = (0 until 800).map(i => (i.toLong, "srcHOT", 100L))
+    val cold = (800 until 1000).map(i =>
+      (i.toLong, s"src${i % 4}", 100L))
+    (hot ++ cold).toDF("doc_id", "source", "n_chars")
+  }
+
+  test("x121: two-level skew-safe form hash-equals the per-source window form") {
+    val win = TextQueries.sourceCapFrame(hotSource, skewSafe = false)
+    val hard = TextQueries.sourceCapFrame(hotSource, skewSafe = true)
+    assert(sortedRows(win) === sortedRows(hard))
+    // the cap genuinely binds on the hot source: 5% of 100k chars =
+    // 5000 = 50 docs of its 800; each 50-doc cold source fits whole
+    val kept = hard.collect()
+      .map(r => (r.getString(1), r.getBoolean(3)))
+      .groupBy(_._1).view.mapValues(_.count(_._2)).toMap
+    assert(kept("srcHOT") === 50, s"hot source kept ${kept("srcHOT")}")
+    (0 until 4).foreach(i => assert(kept(s"src$i") === 50))
+  }
+
+  test("x121 skew-safe plan: no corpus window partitioned by source alone") {
+    val hard = TextQueries.sourceCapFrame(hotSource, skewSafe = true)
+    hard.collect()
+    val p = hard.queryExecution.executedPlan.toString
+    // the corpus-sized cumulative window must partition on (source,
+    // bucket) — a (source, h-ordered) spec is the unbounded one-task
+    // shape this form removes. The ≤256-row bucket-offset window
+    // (source partition, b order) legitimately remains.
+    assert(!"windowspecdefinition\\(source#\\d+, h#".r.findFirstIn(p).isDefined,
+      s"corpus window still partitions on source alone:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, b#".r.findFirstIn(p).isDefined
+      || "windowspecdefinition\\(source#\\d+, \\w+#\\d+, h#".r
+        .findFirstIn(p).isDefined,
+      s"two-level window shape missing:\n$p")
+    // and the hot source genuinely spreads: >1 bucket in its keep set
+    val nBuckets = hotSource
+      .select(substring(md5(col("doc_id").cast("string")), 1, 2).as("b"))
+      .distinct().count()
+    assert(nBuckets > 1, "fixture degenerated to one bucket")
+    // the simple form IS the one-task shape (the contrast pin)
+    val win = TextQueries.sourceCapFrame(hotSource, skewSafe = false)
+    win.collect()
+    val pw = win.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(source#\\d+, h#".r.findFirstIn(pw).isDefined,
+      s"contrast: simple form lost its per-source window:\n$pw")
+  }
 }
