@@ -67,6 +67,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * reason `contamination` (x86's transform applied at ingest time) —
  * hash-probe of the stored ex8h index + exact-string recheck, both
  * retryable like quality rejections.
+ *
+ * Source-cap gate (r14): with `sourceCapPct` set, the input schema
+ * grows a `source` column and x121's crawl-budget contract is
+ * enforced AT THE DOOR: a source's admitted character mass may not
+ * exceed sourceCapPct% of total admitted mass. Per batch the cap is
+ * evaluated against the snapshot (corpus as of the previous batch
+ * boundary + this batch's cap-eligible mass); within the batch each
+ * source admits docs in x121's deterministic md5(doc_id) order until
+ * its allowance binds — refusals log reason `source_cap` and are
+ * RETRYABLE (the doc never entered the corpus; once OTHER sources
+ * grow the total, a re-send can fit — the crawl-budget semantics).
+ * Documented bound: the cap denominator counts cap-eligible batch
+ * mass BEFORE this batch's own refusals (the admitted-only
+ * denominator is a fixpoint), so a source can overshoot its true
+ * share by at most sourceCapPct% of the batch's refused mass —
+ * vanishing at production batch-to-corpus ratios, and never
+ * compounding (the next batch re-evaluates against the real corpus).
+ * Crash window: the corpus-side mass anti-joins this batch's ids out
+ * first, so a replay after "corpus appended, verdict lost" cannot
+ * count a doc's own appended mass against its re-evaluation (the
+ * media gate's self-match lesson).
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
@@ -74,7 +95,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     trigger: Trigger = Trigger.AvailableNow(),
     quality: IngestQuality = IngestQuality(),
     spanCleanN: Option[Int] = None,
-    contaminationDir: Option[String] = None) {
+    contaminationDir: Option[String] = None,
+    sourceCapPct: Option[Int] = None) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -84,7 +106,9 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
   /** New documents → quality gate → corpus + recomputed dedup
     * decisions + per-doc admit/drop log. Input schema: (doc_id long,
     * text string). */
-  def documentIngestFlow(newDocs: DataFrame): StreamingQuery =
+  def documentIngestFlow(newDocs: DataFrame): StreamingQuery = {
+    require(sourceCapPct.isEmpty || newDocs.columns.contains("source"),
+      "sourceCapPct requires a `source` column on the ingest input")
     start(newDocs, "document_ingest") { batch0 =>
       // which of the batch are genuinely new: a doc is settled once its
       // VERDICT is logged — the ingest_log is written LAST, so a batch
@@ -106,7 +130,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         if (!store.exists("ingest_log")) batch0
         else batch0.join(store.load("ingest_log")
           .filter(col("reason").isNull ||
-            !col("reason").isin("quality", "contamination"))
+            !col("reason").isin("quality", "contamination", "source_cap"))
           .select("doc_id"), Seq("doc_id"), "left_anti")
       // quality gate (x38's repetition rule + a token-count floor, one
       // codegen map) evaluated ONCE per row; then deterministic
@@ -123,8 +147,11 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           coalesce(length(col("text")), lit(-1)).desc,
           col("text").asc_nulls_last)).persist()
       try {
+        val docCols = if (sourceCapPct.isDefined)
+          Seq(col("doc_id"), col("text"), col("source"))
+        else Seq(col("doc_id"), col("text"))
         val clean = batch.filter(col("_fail").isNull)
-          .select(col("doc_id"), col("text"))
+          .select(docCols: _*)
         val rejected = batch.filter(col("_fail").isNotNull)
           .select(col("doc_id"), lit(false).as("admitted"),
             col("_fail").as("reason"))
@@ -174,8 +201,49 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             .select("doc_id").distinct().persist()
         }
         try {
-          val fresh = contamIds.fold(clean)(ids =>
+          val fresh0 = contamIds.fold(clean)(ids =>
             clean.join(ids, Seq("doc_id"), "left_anti"))
+          // source-cap gate (r14): x121's crawl-budget contract at the
+          // door. Corpus-side masses EXCLUDE this batch's ids (crash-
+          // window replay: "corpus appended, verdict lost" must not
+          // count a doc's own appended mass against its re-
+          // evaluation); the two denominators are 1-row collects and
+          // the per-source table is one map-side-combined aggregate.
+          // Within the batch each source admits in x121's
+          // deterministic md5(doc_id) order until cumulative mass
+          // would pass the allowance. `scored` is persisted for the
+          // batch body (the keep filter, the refusal log and the
+          // emptiness probes all reference it — recomputing would
+          // re-run the corpus-side aggregate per reference).
+          val scoredOpt: Option[DataFrame] = sourceCapPct.map { pct =>
+            import org.apache.spark.sql.expressions.Window
+            val mass = length(coalesce(col("text"), lit(""))).cast("long")
+            val prior =
+              if (!store.exists("documents")) None
+              else Some(store.load("documents")
+                .join(fresh0.select("doc_id"), Seq("doc_id"), "left_anti"))
+            val priorTotal: Long = prior
+              .map(_.agg(coalesce(sum(mass), lit(0L)).as("t"))
+                .collect()(0).getLong(0)).getOrElse(0L)
+            val batchTotal: Long = fresh0
+              .agg(coalesce(sum(mass), lit(0L)).as("t"))
+              .collect()(0).getLong(0)
+            val cap = (priorTotal + batchTotal) * pct / 100
+            val srcMass = prior.map(_.groupBy("source")
+              .agg(sum(mass).as("_cm")))
+            val scored0 = fresh0.withColumn("_bcum", sum(mass).over(
+              Window.partitionBy("source")
+                .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+            srcMass.fold(scored0.withColumn("_cm", lit(0L)))(m =>
+                scored0.join(graft.operators.PlanGuards.broadcastIfSmall(m),
+                  Seq("source"), "left_outer")
+                  .withColumn("_cm", coalesce(col("_cm"), lit(0L))))
+              .withColumn("_kept", col("_cm") + col("_bcum") <= cap)
+              .persist()
+          }
+          try {
+          val fresh = scoredOpt.fold(fresh0)(sc => sc.filter(col("_kept"))
+            .select(fresh0.columns.map(col).toIndexedSeq: _*))
           store.appendUnique("documents", fresh, Seq("doc_id"))
           // upsert, not appendUnique: a retryable rejection must
           // SUPERSEDE a stale retryable row in either direction —
@@ -189,6 +257,13 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
               store.upsert("ingest_log", ids
                 .select(col("doc_id"), lit(false).as("admitted"),
                   lit("contamination").as("reason")), Seq("doc_id"))
+          }
+          scoredOpt.foreach { sc =>
+            val refused = sc.filter(!col("_kept")).select("doc_id")
+            if (!refused.isEmpty)
+              store.upsert("ingest_log", refused
+                .select(col("doc_id"), lit(false).as("admitted"),
+                  lit("source_cap").as("reason")), Seq("doc_id"))
           }
         if (!fresh.isEmpty) {
           // recompute the derived decision table on the grown corpus
@@ -226,9 +301,11 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 store.load("documents"), ng))
           }
         }
+          } finally { scoredOpt.foreach { sc => sc.unpersist(); () } }
         } finally { contamIds.foreach { ids => ids.unpersist(); () } }
       } finally { batch.unpersist(); () }
     }
+  }
 
   /** New embeddings → parquet corpus + incremental ingest into the
     * stored IVF and SRP indexes. Input schema: (vec_id long,

@@ -89,6 +89,124 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  /** Exact-length single-token text, unique per doc — length is the
+    * gate's mass unit, uniqueness keeps the near-dup gate quiet. */
+  private def capText(id: Long, len: Int): String = {
+    val head = s"q$id"
+    head + "z" * (len - head.length)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("source-cap gate: a flooding source is budget-limited at the door; refusal retryable; replay no-op") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingcap").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      sourceCapPct = Some(40))
+    val ms = MemoryStream[(Long, String, String)]
+    def df = ms.toDS().toDF("doc_id", "text", "source")
+    // batch 1: three sources, masses 40/30/30 — total 100, cap 40,
+    // every source fits whole
+    ms.addData((1L, capText(1, 40), "s1"), (2L, capText(2, 30), "s2"),
+      (3L, capText(3, 30), "s3"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === 3)
+    assert(store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap ===
+      Map(1L -> true, 2L -> true, 3L -> true))
+    // batch 2: s1 floods with 4×50 chars. cap = 40% × (100 + 200) =
+    // 120; s1's prior mass 40 admits exactly ONE 50-char doc (40+50 ≤
+    // 120, 40+100 > 120) — the md5(doc_id)-least one, x121's order
+    val flood = Seq(10L, 11L, 12L, 13L)
+    ms.addData(flood.map(i => (i, capText(i, 50), "s1")): _*)
+    run(flows.documentIngestFlow(df))
+    val expKept = flood.minBy(i => (md5hex(i.toString), i))
+    val log2 = store.load("ingest_log")
+      .filter(col("doc_id").isin(flood: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(log2(expKept) === ((true, null)), s"md5-least doc $expKept admitted")
+    (flood.toSet - expKept).foreach { i =>
+      assert(log2(i) === ((false, "source_cap")), s"doc $i refused")
+    }
+    assert(store.load("documents").count() === 4, "refused docs never enter the corpus")
+    // batch 3: REPLAY of the flood — the admitted doc is settled
+    // (anti-joined away); the refused docs re-enter the gate, the
+    // corpus hasn't grown, so they refuse again: total no-op
+    val v0 = (store.load("documents").count(),
+      store.load("ingest_log").collect().map(_.toString).sorted.toSeq)
+    ms.addData(flood.map(i => (i, capText(i, 50), "s1")): _*)
+    run(flows.documentIngestFlow(df))
+    assert((store.load("documents").count(),
+      store.load("ingest_log").collect().map(_.toString).sorted.toSeq) === v0,
+      "replay must be a no-op")
+    // batch 4: OTHER sources grow the total, and the refused flood
+    // docs re-enter automatically (uncheckpointed MemoryStream
+    // replays everything; retryable refusals are exactly the rows the
+    // settled-filter lets back in). Cap-eligible batch = {10,12,13,
+    // 20,21} mass 350, cap = 40% × (150 + 350) = 200: s1's next two
+    // docs in md5 order (12 at 140, 13 at 190) fit, the third (10 at
+    // 240) stays refused; s2/s3 fit whole.
+    ms.addData((20L, capText(20, 100), "s2"), (21L, capText(21, 100), "s3"))
+    run(flows.documentIngestFlow(df))
+    val floodMd5 = flood.sortBy(i => (md5hex(i.toString), i))
+    val log4 = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log4(floodMd5(1)) === true && log4(floodMd5(2)) === true,
+      "two more flood docs fit under the grown cap")
+    assert(log4(floodMd5(3)) === false, "the md5-last flood doc still refused")
+    assert(log4(20L) === true && log4(21L) === true)
+    assert(store.load("documents").count() === 8)
+    // batch 5: one more growth doc lands the last refused doc EXACTLY
+    // at the cap (≤ boundary): corpus 450 + batch {10, 22} mass 150 →
+    // cap = 40% × 600 = 240; s1 190 + 50 = 240 ≤ 240 → admitted
+    ms.addData((22L, capText(22, 100), "s2"))
+    run(flows.documentIngestFlow(df))
+    val log5 = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log5(floodMd5(3)) === true,
+      "refused doc admitted once the total grew (boundary ≤ cap)")
+    assert(store.load("documents").count() === 10)
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("source-cap crash window: corpus appended but verdict lost — replay must not double-count the doc's own mass") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingcapcrash").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      sourceCapPct = Some(50))
+    val ms = MemoryStream[(Long, String, String)]
+    def df = ms.toDS().toDF("doc_id", "text", "source")
+    // corpus: total 100, s1 holds 20
+    ms.addData((1L, capText(1, 20), "s1"), (2L, capText(2, 40), "s2"),
+      (3L, capText(3, 40), "s3"))
+    run(flows.documentIngestFlow(df))
+    // simulate a crash AFTER the corpus append, BEFORE the verdict:
+    // doc 10 (s1, 50 chars) is in `documents` with no log row
+    store.appendUnique("documents",
+      Seq((10L, capText(10, 50), "s1")).toDF("doc_id", "text", "source"),
+      Seq("doc_id"))
+    assert(!store.load("ingest_log").collect().map(_.getLong(0)).contains(10L))
+    // replayed batch: CORRECT evaluation excludes the doc's own
+    // appended mass — cap = 50% × (100 + 50) = 75, s1 20 + 50 = 70 ≤
+    // 75 → admitted. Double-counting it (prior 70, cap 50% × 200 =
+    // 100, mass 70 + 50 = 120 > 100) would refuse a doc that is
+    // ALREADY in the corpus — a verdict/corpus inconsistency.
+    ms.addData((10L, capText(10, 50), "s1"))
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").count() === 4, "no double append")
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log(10L) === true,
+      "replay must admit: the doc's own appended mass is not prior mass")
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("quality gate: short/repetitive docs rejected before the corpus; replay no-op") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
