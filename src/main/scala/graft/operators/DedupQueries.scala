@@ -776,5 +776,56 @@ object DedupQueries {
             col("n_members"), col("best.dt").as("canonical_dt"),
             ((-col("best.ni")) =!= col("cluster")).as("moved"))
           .orderBy("cluster")
+    },
+
+    // the TRANSFORM x120 elects for (the house audit→transform pair,
+    // x40's analogue under quality election): the deduplicated corpus
+    // that keeps each cluster's QUALITY-elected canonical — documents
+    // anti-joined against cluster members that lost their election.
+    // Same plan skeleton as x40 (quotient clustering + one left-anti
+    // against a bounded drop list) plus x120's bounded election
+    // aggregate feeding the drop side; the corpus-sized path is one
+    // scan + one anti-join either way.
+    Query("x122_quality_corpus",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "q AS (SELECT cc.cluster, cc.doc_id, " +
+        "CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS dt, " +
+        "d.n_chars FROM cc JOIN documents d ON cc.doc_id = d.doc_id), " +
+        "w AS (SELECT cluster, doc_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY cluster ORDER BY dt DESC, n_chars DESC, doc_id ASC) " +
+        "AS rn FROM q), " +
+        "dropped AS (SELECT doc_id FROM w WHERE rn > 1) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "LEFT JOIN dropped x ON d.doc_id = x.doc_id " +
+        "WHERE x.doc_id IS NULL ORDER BY d.doc_id") {
+      (s, d) =>
+        val cl = quotientClusters(s, simhashFps(s, d))
+          .select(col("doc_id"), col("cluster"))
+        val m = cl.join(table(s, d, "documents")
+            .select(col("doc_id"), col("text"), col("n_chars")),
+            Seq("doc_id"))
+          .select(col("cluster"), col("doc_id"),
+            size(array_distinct(TextFns.tokens(col("text"))))
+              .cast("bigint").as("dt"),
+            col("n_chars"))
+        val winners = m.groupBy("cluster")
+          .agg(max(struct(col("dt"), col("n_chars"),
+            (-col("doc_id")).as("ni"))).as("best"))
+          .select(col("cluster"), (-col("best.ni")).as("winner"))
+        val dropped = m.join(winners, Seq("cluster"))
+          .filter(col("doc_id") =!= col("winner"))
+          .select(col("doc_id"))
+        table(s, d, "documents")
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
     })
 }

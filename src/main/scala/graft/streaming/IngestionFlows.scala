@@ -220,8 +220,18 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             val mass = length(coalesce(col("text"), lit(""))).cast("long")
             val prior =
               if (!store.exists("documents")) None
-              else Some(store.load("documents")
-                .join(fresh0.select("doc_id"), Seq("doc_id"), "left_anti"))
+              else {
+                val c = store.load("documents")
+                // fail with a pointed message, not a mid-plan analysis
+                // error, when the gate is turned on over a corpus that
+                // predates it (rows appended without a source column)
+                require(c.columns.contains("source"),
+                  "sourceCapPct set but the existing `documents` corpus " +
+                    "has no `source` column — the gate needs per-source " +
+                    "masses; rebuild or backfill the corpus with sources")
+                Some(c.join(fresh0.select("doc_id"), Seq("doc_id"),
+                  "left_anti"))
+              }
             val priorTotal: Long = prior
               .map(_.agg(coalesce(sum(mass), lit(0L)).as("t"))
                 .collect()(0).getLong(0)).getOrElse(0L)

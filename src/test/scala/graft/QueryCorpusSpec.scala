@@ -71,6 +71,21 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("x122 quality corpus = documents minus x120's losing cluster members") {
+    val all = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val winners = SparkEntry.queries("x120_quality_canonical")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val losers = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (doc, cl) if winners(cl) != doc => doc }.toSet
+    val kept = SparkEntry.queries("x122_quality_corpus")(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (all -- losers))
+    assert(losers.nonEmpty, "fixture must exercise the drop path")
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
