@@ -827,5 +827,59 @@ object DedupQueries {
           .join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy("doc_id")
+    },
+
+    // CONTRASTIVE PAIR MINING — dedup structures repurposed as
+    // dataset CONSTRUCTION (the SimCSE/E5-style recipe: embedding
+    // models train on mined positive pairs + hard negatives):
+    // positives are (cluster anchor, member) pairs from the x34
+    // near-dup clustering (same content family, the min-id anchor is
+    // the orientation); hard negatives are band-COLLIDING pairs whose
+    // fingerprints are nonetheless far (Hamming 3–6) — LSH-adjacent
+    // lookalikes, exactly the pairs a contrastive loss needs to be
+    // hard. Scale: positives ride the quotient machinery + two
+    // fingerprint joins; negatives are the banded candidate equi-join
+    // (one shuffle on the band key, never all-pairs) with the same
+    // per-band saturation profile as x25's fallback path. Output is
+    // the labeled pair manifest a trainer samples from.
+    Query("x124_contrastive_pairs",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "pos AS (SELECT cc.cluster AS doc_a, cc.doc_id AS doc_b, " +
+        "'pos' AS label, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming " +
+        "FROM cc JOIN fp fa ON fa.doc_id = cc.cluster " +
+        "JOIN fp fb ON fb.doc_id = cc.doc_id WHERE cc.doc_id <> cc.cluster), " +
+        "neg AS (SELECT doc_a, doc_b, 'neg' AS label, " +
+        "CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand " +
+        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6) " +
+        "SELECT doc_a, doc_b, label, hamming FROM " +
+        "(SELECT * FROM pos UNION ALL SELECT * FROM neg) " +
+        "ORDER BY label, doc_a, doc_b") {
+      (s, d) =>
+        val fps = simhashFps(s, d)
+        val pos = quotientClusters(s, fps)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id"), col("cluster"))
+          .join(fps.select(col("doc_id").as("cluster"), col("f").as("fa")),
+            Seq("cluster"))
+          .join(fps.select(col("doc_id"), col("f").as("fb")), Seq("doc_id"))
+          .select(col("cluster").as("doc_a"), col("doc_id").as("doc_b"),
+            lit("pos").as("label"),
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long")
+              .as("hamming"))
+        val neg = simhashCandidates(s, d)
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+          .filter(col("hamming").between(3, 6))
+          .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),
+            col("hamming"))
+        pos.unionByName(neg).orderBy("label", "doc_a", "doc_b")
     })
 }

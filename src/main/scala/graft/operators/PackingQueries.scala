@@ -222,5 +222,52 @@ object PackingQueries {
           .select(col("step"), col("lang"), col("k"))
           .orderBy("step")
       }
+    },
+
+    // CURRICULUM ORDER — the quality-staged training order next to
+    // x117's uniform shuffle: curricula feed cleaner data first
+    // (stage 1 = least-repetitive quartile per shard) and shuffle
+    // WITHIN each stage so a stage is not itself quality-sorted (the
+    // anneal needs stage boundaries, not a global quality sort the
+    // model would see as a drifting distribution). Score is the
+    // exact-integer repetition count (tokens − distinct tokens, the
+    // x38 signal); staging is ntile(4) per lang shard over (score,
+    // doc_id); intra-stage order is x117's seeded md5 rank. Both
+    // windows ride ONE lang exchange (same partition key). Scale: a
+    // shard's curriculum IS a per-shard sort — the x117 doctrine —
+    // and at trillion-token scale the shard key widens the same way;
+    // nothing is global, nothing is corpus-wide single-task.
+    Query("x123_curriculum_order", {
+      val seeded = graft.functions.TextFns.Sql.md5Bits16(
+        "md5('c#' || CAST(doc_id AS VARCHAR))")
+      "WITH t AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) - " +
+        "len(list_distinct(string_split(text, ' '))) AS BIGINT) AS rep " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "s AS (SELECT lang, doc_id, rep, CAST(ntile(4) OVER (" +
+        "PARTITION BY lang ORDER BY rep, doc_id) AS BIGINT) AS stage " +
+        "FROM t), " +
+        "p AS (SELECT lang, doc_id, stage, CAST(ROW_NUMBER() OVER (" +
+        s"PARTITION BY lang ORDER BY stage, $seeded, doc_id) AS BIGINT) " +
+        "AS pos FROM s) " +
+        "SELECT lang, pos, doc_id, stage FROM p ORDER BY lang, pos"
+    }) {
+      (s, d) => {
+        val ts = TextFns.tokens(col("text"))
+        val base = table(s, d, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("lang"), col("doc_id"),
+            (size(ts) - size(array_distinct(ts))).cast("long").as("rep"))
+          .withColumn("stage", ntile(4).over(
+            Window.partitionBy("lang").orderBy(col("rep"), col("doc_id")))
+            .cast("long"))
+        base.withColumn("pos", row_number().over(
+            Window.partitionBy("lang").orderBy(col("stage"),
+              TextFns.md5Bits16(
+                concat(lit("c#"), col("doc_id").cast("string"))),
+              col("doc_id"))).cast("long"))
+          .select(col("lang"), col("pos"), col("doc_id"), col("stage"))
+          .orderBy("lang", "pos")
+      }
     })
 }

@@ -86,6 +86,50 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(losers.nonEmpty, "fixture must exercise the drop path")
   }
 
+  test("x123 curriculum: per-lang permutation, staged by quality, shuffled within stage") {
+    val rows = SparkEntry.queries("x123_curriculum_order")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byPos = rs.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq === (1L to rs.length).toSeq,
+        s"$lang: pos must be a 1..n permutation")
+      val stages = byPos.map(_._4)
+      assert(stages.zip(stages.tail).forall { case (a, b) => a <= b },
+        s"$lang: stage must be non-decreasing along the schedule")
+      assert(stages.distinct.sorted.toSeq === (1L to stages.distinct.length).toSeq)
+    }
+    // the intra-stage order is a genuine shuffle somewhere: at least
+    // one stage emits docs out of doc_id order
+    val shuffled = rows.groupBy(r => (r._1, r._4)).exists { case (_, rs) =>
+      val ids = rs.sortBy(_._2).map(_._3)
+      ids.length > 2 && ids.toSeq != ids.sorted.toSeq
+    }
+    assert(shuffled, "every stage came out doc_id-sorted — no shuffle happened")
+  }
+
+  test("x124 pairs: positives are x34 cluster members, negatives are far band-collisions") {
+    val pairs = SparkEntry.queries("x124_contrastive_pairs")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clusters = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDup = SparkEntry.queries("x25_simhash_neardup")(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pos = pairs.filter(_._3 == "pos")
+    val neg = pairs.filter(_._3 == "neg")
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must exercise both classes")
+    pos.foreach { case (a, b, _, _) =>
+      assert(clusters(b) === a, s"positive ($a,$b) must anchor b's cluster")
+    }
+    assert(pos.length === clusters.count { case (doc, cl) => doc != cl },
+      "every non-anchor member mines exactly one positive")
+    neg.foreach { case (a, b, _, h) =>
+      assert(h >= 3 && h <= 6, s"negative ($a,$b) hamming $h out of range")
+      assert(!nearDup((a, b)), s"negative ($a,$b) is actually a near-dup")
+    }
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
