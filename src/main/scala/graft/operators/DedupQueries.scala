@@ -837,11 +837,16 @@ object DedupQueries {
     // the orientation); hard negatives are band-COLLIDING pairs whose
     // fingerprints are nonetheless far (Hamming 3–6) — LSH-adjacent
     // lookalikes, exactly the pairs a contrastive loss needs to be
-    // hard. Scale: positives ride the quotient machinery + two
-    // fingerprint joins; negatives are the banded candidate equi-join
-    // (one shuffle on the band key, never all-pairs) with the same
-    // per-band saturation profile as x25's fallback path. Output is
-    // the labeled pair manifest a trainer samples from.
+    // hard — capped at the 3 HARDEST per anchor (hamming asc, doc_b
+    // tiebreak). The cap is the scale guard, found by measurement:
+    // the uncapped 3–6 set at sf0.1 is 2.5M pairs because the 16-bit
+    // fingerprint space saturates and band buckets go quadratic — a
+    // real miner keeps O(k) negatives per anchor, and the rank-≤-k
+    // filter compiles to WindowGroupLimit (map-local top-k before the
+    // doc_a shuffle, the x80 shape), so output is O(docs·k) at any
+    // corpus size. Positives ride the quotient machinery + two
+    // fingerprint joins; negatives the banded candidate equi-join
+    // (one band-key shuffle, never all-pairs).
     Query("x124_contrastive_pairs",
       s"WITH RECURSIVE $simhashCandSql, " +
         "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
@@ -856,9 +861,13 @@ object DedupQueries {
         "'pos' AS label, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming " +
         "FROM cc JOIN fp fa ON fa.doc_id = cc.cluster " +
         "JOIN fp fb ON fb.doc_id = cc.doc_id WHERE cc.doc_id <> cc.cluster), " +
-        "neg AS (SELECT doc_a, doc_b, 'neg' AS label, " +
+        "negall AS (SELECT doc_a, doc_b, " +
         "CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand " +
-        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6) " +
+        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6), " +
+        "neg AS (SELECT doc_a, doc_b, 'neg' AS label, hamming FROM (" +
+        "SELECT doc_a, doc_b, hamming, ROW_NUMBER() OVER (" +
+        "PARTITION BY doc_a ORDER BY hamming, doc_b) AS rk FROM negall) " +
+        "WHERE rk <= 3) " +
         "SELECT doc_a, doc_b, label, hamming FROM " +
         "(SELECT * FROM pos UNION ALL SELECT * FROM neg) " +
         "ORDER BY label, doc_a, doc_b") {
@@ -878,6 +887,10 @@ object DedupQueries {
           .withColumn("hamming",
             bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
           .filter(col("hamming").between(3, 6))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_a")
+              .orderBy(col("hamming"), col("doc_b"))))
+          .filter(col("rk") <= 3)
           .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),
             col("hamming"))
         pos.unionByName(neg).orderBy("label", "doc_a", "doc_b")

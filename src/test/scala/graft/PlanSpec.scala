@@ -536,6 +536,19 @@ class PlanSpec extends AnyFunSuite {
       s"rk <= 5 did not push a group limit below the shuffle:\n$p")
   }
 
+  test("x124: negative cap is a WindowGroupLimit; x123 shares one lang exchange") {
+    // the per-anchor k=3 cap must prune map-locally BEFORE the doc_a
+    // shuffle — the guard that keeps the saturated band set O(docs·k)
+    val p = plan("x124_contrastive_pairs")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= 3 did not push a group limit below the shuffle:\n$p")
+    // x123's two windows (ntile staging + seeded rank) partition on
+    // the same lang key: exactly one exchange on the corpus path
+    val p123 = plan("x123_curriculum_order")
+    val nEx = "Exchange hashpartitioning\\(lang".r.findAllIn(p123).size
+    assert(nEx === 1, s"x123 shuffled the corpus $nEx times on lang:\n$p123")
+  }
+
   test("x81: blocked ER pairs ride an equi-join, never a cartesian") {
     val p = plan("x81_er_fuzzy")
     assert(!p.contains("CartesianProduct") &&

@@ -128,6 +128,12 @@ class QueryCorpusSpec extends AnyFunSuite {
       assert(h >= 3 && h <= 6, s"negative ($a,$b) hamming $h out of range")
       assert(!nearDup((a, b)), s"negative ($a,$b) is actually a near-dup")
     }
+    // the scale guard: at most k=3 negatives per anchor (the uncapped
+    // band set goes quadratic under fingerprint-space saturation —
+    // measured 2.5M pairs at sf0.1)
+    neg.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length <= 3, s"anchor $a carries ${ns.length} negatives")
+    }
   }
 
   test("minhash LSH finds a subset of the exact near-dup pairs") {
