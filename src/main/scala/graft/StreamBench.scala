@@ -205,9 +205,54 @@ object StreamBench {
         s""""docs_per_sec":${(nd / secs).toLong},"sf":"$sfDir"}""")
     }
 
-    require(Set("both", "batch", "stateful", "consumer", "packing")(variant),
+    // ------------------------------------------------------------------
+    // S22 gated document-ingest throughput: the documents corpus
+    // through documentIngestFlow with the quality AND source-cap
+    // gates on. Per batch this pays the gate windows (batch-sized,
+    // plus one bounded corpus-side mass aggregate) and the
+    // dedup-decisions recompute — one narrow fingerprint scan of the
+    // GROWN corpus + quotient clustering — which dominates the
+    // multibatch regime: the honest steady-state cost of
+    // verdict-on-arrival ingest (O(corpus) per trigger, amortized by
+    // batch size in deployment).
+    def runIngest(metric: String, nRounds: Int): Unit = {
+      val root = Files.createTempDirectory("graft-streambench-ingest").toString
+      val store = new TableStore(spark, root)
+      val flows = new graft.streaming.IngestionFlows(spark, store, root,
+        trigger = Trigger.ProcessingTime(0),
+        quality = graft.streaming.IngestQuality(minTokens = 2),
+        // the fixture's 20 sources hold ~5% each — a 3% cap makes the
+        // gate genuinely bite, so the measurement covers the refusal
+        // path (log upserts), not just the pass-through
+        sourceCapPct = Some(3))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"),
+          col("source").cast("string"))
+        .as[(Long, String, String)].collect()
+      val nd = docs.length
+      val ms = MemoryStream[(Long, String, String)](spark, cpus.toInt)
+      val chunk = (nd + nRounds - 1) / nRounds
+      val t0 = System.nanoTime()
+      val q = flows.documentIngestFlow(
+        ms.toDS().toDF("doc_id", "text", "source"))
+      docs.grouped(chunk).foreach { c =>
+        ms.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val log = store.load("ingest_log")
+      val admitted = log.filter(col("admitted")).count()
+      val capped = log.filter(col("reason") === "source_cap").count()
+      println(s"""{"metric":"$metric","docs":$nd,"admitted":$admitted,""" +
+        s""""source_capped":$capped,"batches":$nRounds,"sec":$secs,""" +
+        s""""docs_per_sec":${(nd / secs).toLong},"sf":"$sfDir"}""")
+    }
+
+    require(Set("both", "batch", "stateful", "consumer", "packing",
+      "ingest")(variant),
       s"unknown SPARK_GRAFT_STREAM_VARIANT '$variant' " +
-        "(expected both | batch | stateful | consumer | packing)")
+        "(expected both | batch | stateful | consumer | packing | ingest)")
     val runBatch = variant == "both" || variant == "batch"
     val runStateful = variant == "both" || variant == "stateful"
     if (runBatch) run("admission_throughput", stateful = false, 1)
@@ -233,6 +278,10 @@ object StreamBench {
     if (variant == "both" || variant == "packing") {
       runPacking("packing_throughput", 1)
       runPacking("packing_throughput_multibatch", rounds)
+    }
+    if (variant == "both" || variant == "ingest") {
+      runIngest("ingest_throughput", 1)
+      runIngest("ingest_throughput_multibatch", rounds)
     }
     spark.stop()
   }
