@@ -154,7 +154,7 @@ object DedupQueries {
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b, fa, fb)` — the
     * same fingerprints and band boundaries the Spark side uses. */
-  private val simhashCandSql =
+  private[graft] val simhashCandSql =
     "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
       "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
       "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +

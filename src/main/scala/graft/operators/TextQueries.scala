@@ -237,6 +237,15 @@ object TextQueries {
     *    offset join keys (source,bucket) match the window partition
     *    keys, so no extra corpus exchange. */
   private[graft] def sourceCapFrame(docs: DataFrame, skewSafe: Boolean)
+      : DataFrame =
+    sourceCapScores(docs, skewSafe)
+      .select(col("doc_id"), col("source"),
+        col("cum").cast("long").as("cum_chars"), col("kept"))
+      .orderBy("doc_id")
+
+  /** The unordered (doc_id, source, n_chars, cum, kept) frame behind
+    * x121 — x125's scorecard consumes it without the output sort. */
+  private[graft] def sourceCapScores(docs: DataFrame, skewSafe: Boolean)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = docs.select(col("doc_id"), col("source"), col("n_chars"),
@@ -260,10 +269,8 @@ object TextQueries {
             Window.partitionBy("source", "b").orderBy("h", "doc_id")))
       }
     c.crossJoin(broadcast(cap))
-      .select(col("doc_id"), col("source"),
-        col("cum").cast("long").as("cum_chars"),
-        (col("cum") <= col("cap")).as("kept"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cum"), (col("cum") <= col("cap")).as("kept"))
   }
 
   val all: Seq[Query] = Seq(
@@ -1983,6 +1990,65 @@ object TextQueries {
       (s, d) =>
         sourceCapFrame(table(s, d, "documents"),
           skewSafe = docCount(s, d) > SourceCapSkewDocs)
+    },
+
+    // SOURCE SCORECARD — the per-source publication a crawl pipeline
+    // reviews before mixing (x44 carries the mass/quality columns;
+    // this adds the two signals x44 cannot see): near-dup EXPOSURE
+    // (fraction of the source's docs participating in ≥1 Hamming-≤2
+    // fingerprint pair — a source full of templated near-dups is a
+    // curation problem even when its docs individually pass quality)
+    // and CAP status under x121's budget (docs refused, character
+    // mass surviving). Scale: the pair participants come from the
+    // quotient/banded pair engine (bounded), the cap column from
+    // x121's window frame (one corpus exchange), and everything
+    // reduces to one per-source aggregate — no corpus-sized join
+    // beyond the doc_id equi-joins of the two bounded columns.
+    Query("x125_source_scorecard", {
+      val pairsSql =
+        "pairs AS (SELECT doc_a, doc_b FROM cand " +
+          "WHERE bit_count(xor(fa, fb)) <= 2), " +
+          "part AS (SELECT DISTINCT doc_id FROM (" +
+          "SELECT doc_a AS doc_id FROM pairs " +
+          "UNION ALL SELECT doc_b FROM pairs)), "
+      s"WITH ${DedupQueries.simhashCandSql}, " + pairsSql +
+        "m AS (SELECT doc_id, source, n_chars, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * $SourceCapPct " +
+        "// 100 AS cap FROM m), " +
+        "cw AS (SELECT doc_id, source, n_chars, SUM(n_chars) OVER (" +
+        "PARTITION BY source ORDER BY h, doc_id) AS cum FROM m), " +
+        "base AS (SELECT cw.doc_id, cw.source, cw.n_chars, " +
+        "(cw.cum <= (SELECT cap FROM cap)) AS kept, " +
+        "(p.doc_id IS NOT NULL) AS paired FROM cw " +
+        "LEFT JOIN part p ON cw.doc_id = p.doc_id) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN paired THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_docs, " +
+        "round(CAST(SUM(CASE WHEN paired THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 6) AS pair_frac, " +
+        "CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_capped, " +
+        "CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
+        "FROM base GROUP BY source ORDER BY source"
+    }) {
+      (s, d) =>
+        val pairs = DedupQueries.simhashPairs(s, d)
+        val part = pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .distinct()
+        sourceCapScores(table(s, d, "documents"),
+            skewSafe = docCount(s, d) > SourceCapSkewDocs)
+          .join(part.withColumn("paired", lit(true)), Seq("doc_id"),
+            "left_outer")
+          .withColumn("paired", coalesce(col("paired"), lit(false)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("paired").cast("long")).as("n_pair_docs"),
+            round(sum(col("paired").cast("long")).cast("double") /
+              count(lit(1)), 6).as("pair_frac"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_capped"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L))
+              .as("kept_chars"))
+          .orderBy("source")
     },
 
     // HELD-OUT stupid-backoff LM scoring — the real perplexity-filter

@@ -136,6 +136,29 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("x125 scorecard columns re-derive from x121 and x25") {
+    val docs = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cap = SparkEntry.queries("x121_source_cap")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    val paired = SparkEntry.queries("x25_simhash_neardup")(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val card = SparkEntry.queries("x125_source_scorecard")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    val expCapped = cap.filter(!_._3).groupBy(_._2).view.mapValues(_.length.toLong)
+    val expPaired = paired.toSeq.map(docs).groupBy(identity).view.mapValues(_.length.toLong)
+    card.foreach { case (src, (nDocs, nPair, nCapped)) =>
+      assert(nCapped === expCapped.getOrElse(src, 0L), s"$src capped count")
+      assert(nPair === expPaired.getOrElse(src, 0L), s"$src pair participation")
+      assert(nDocs === docs.values.count(_ == src), s"$src doc count")
+    }
+    assert(card.values.exists(_._3 > 0) || expCapped.isEmpty,
+      "cap column never exercised")
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
