@@ -861,9 +861,17 @@ object DedupQueries {
         "'pos' AS label, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming " +
         "FROM cc JOIN fp fa ON fa.doc_id = cc.cluster " +
         "JOIN fp fb ON fb.doc_id = cc.doc_id WHERE cc.doc_id <> cc.cluster), " +
+        // same-COMPONENT pairs can reach Hamming 3–6 through closure
+        // (a–b–c chains) — they are positives by definition and must
+        // never mine as negatives (review-caught: 3 double-labeled
+        // pairs on the sf0.01 fixture before this filter)
         "negall AS (SELECT doc_a, doc_b, " +
         "CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand " +
-        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6), " +
+        "LEFT JOIN cc ca ON ca.doc_id = cand.doc_a " +
+        "LEFT JOIN cc cb ON cb.doc_id = cand.doc_b " +
+        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6 " +
+        "AND (ca.cluster IS NULL OR cb.cluster IS NULL " +
+        "OR ca.cluster <> cb.cluster)), " +
         "neg AS (SELECT doc_a, doc_b, 'neg' AS label, hamming FROM (" +
         "SELECT doc_a, doc_b, hamming, ROW_NUMBER() OVER (" +
         "PARTITION BY doc_a ORDER BY hamming, doc_b) AS rk FROM negall) " +
@@ -873,9 +881,9 @@ object DedupQueries {
         "ORDER BY label, doc_a, doc_b") {
       (s, d) =>
         val fps = simhashFps(s, d)
-        val pos = quotientClusters(s, fps)
+        val cl = quotientClusters(s, fps).select(col("doc_id"), col("cluster"))
+        val pos = cl
           .filter(col("doc_id") =!= col("cluster"))
-          .select(col("doc_id"), col("cluster"))
           .join(fps.select(col("doc_id").as("cluster"), col("f").as("fa")),
             Seq("cluster"))
           .join(fps.select(col("doc_id"), col("f").as("fb")), Seq("doc_id"))
@@ -883,10 +891,18 @@ object DedupQueries {
             lit("pos").as("label"),
             bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long")
               .as("hamming"))
+        // cross-component only: a same-component pair at Hamming 3–6
+        // (closure chain) is a positive, never a hard negative
         val neg = simhashCandidates(s, d)
           .withColumn("hamming",
             bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
           .filter(col("hamming").between(3, 6))
+          .join(cl.select(col("doc_id").as("doc_a"),
+            col("cluster").as("ca")), Seq("doc_a"), "left_outer")
+          .join(cl.select(col("doc_id").as("doc_b"),
+            col("cluster").as("cb")), Seq("doc_b"), "left_outer")
+          .filter(col("ca").isNull || col("cb").isNull ||
+            col("ca") =!= col("cb"))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("doc_a")
               .orderBy(col("hamming"), col("doc_b"))))

@@ -134,6 +134,15 @@ class QueryCorpusSpec extends AnyFunSuite {
     neg.groupBy(_._1).foreach { case (a, ns) =>
       assert(ns.length <= 3, s"anchor $a carries ${ns.length} negatives")
     }
+    // class disjointness: no pair may be labeled both ways, and no
+    // negative may join two docs of the SAME component (closure
+    // chains reach Hamming 3–6 — review-caught double labels)
+    val posSet = pos.map(p => (p._1, p._2)).toSet
+    neg.foreach { case (a, b, _, _) =>
+      assert(!posSet((a, b)), s"($a,$b) labeled both pos and neg")
+      assert(clusters.get(a).isEmpty || clusters.get(b).isEmpty ||
+        clusters(a) != clusters(b), s"($a,$b) negative within one component")
+    }
   }
 
   test("x125 scorecard columns re-derive from x121 and x25") {
