@@ -910,5 +910,91 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), lit("neg").as("label"),
             col("hamming"))
         pos.unionByName(neg).orderBy("label", "doc_a", "doc_b")
+    },
+
+    // RETENTION FUNNEL — the survivorship summary every pipeline
+    // publishes: docs and character mass surviving each gate, gates
+    // applied as intersecting FULL-CORPUS keep sets (each stage uses
+    // the exact semantics of its declared query, not a re-derivation
+    // on a filtered corpus): exact text dedup (min doc_id per text —
+    // q21's uniq), near-dup canonical retention (x40's kept set),
+    // x121's source cap. Scale: three bounded keep columns attach to
+    // one narrow corpus frame (a map-side-combined text aggregate, the
+    // quotient drop list, the cap window), then ONE aggregate emits
+    // all four stages — no per-stage corpus rescans.
+    Query("x126_retention_funnel",
+      s"WITH RECURSIVE $simhashCandSql, " +
+        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "reach(doc_id, r) AS (" +
+        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+        "UNION " +
+        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+        "dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cluster), " +
+        "ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "m AS (SELECT doc_id, source, n_chars, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * 5 // 100 " +
+        "AS cap FROM m), " +
+        "cw AS (SELECT doc_id, SUM(n_chars) OVER (" +
+        "PARTITION BY source ORDER BY h, doc_id) AS cum FROM m), " +
+        "flags AS (SELECT d.doc_id, d.n_chars, " +
+        "(e.doc_id IS NOT NULL) AS ek, (x.doc_id IS NULL) AS nk, " +
+        "(cw.cum <= (SELECT cap FROM cap)) AS ck FROM documents d " +
+        "LEFT JOIN ex e ON e.doc_id = d.doc_id " +
+        "LEFT JOIN dropped x ON x.doc_id = d.doc_id " +
+        "JOIN cw ON cw.doc_id = d.doc_id) " +
+        "SELECT 0 AS stage_id, 'all' AS stage, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM flags " +
+        "UNION ALL SELECT 1, 'exact_dedup', " +
+        "CAST(SUM(CASE WHEN ek THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "UNION ALL SELECT 2, 'near_dedup', " +
+        "CAST(SUM(CASE WHEN ek AND nk THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek AND nk THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "UNION ALL SELECT 3, 'source_cap', " +
+        "CAST(SUM(CASE WHEN ek AND nk AND ck THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek AND nk AND ck THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "ORDER BY stage_id") {
+      (s, d) =>
+        val docs = table(s, d, "documents")
+        val exKeep = docs.groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("ek"))
+        val dropped = quotientClusters(s, simhashFps(s, d))
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id"), lit(true).as("dropped"))
+        val capKeep = TextQueries.sourceCapScoresFor(s, d)
+          .select(col("doc_id"), col("kept").as("ck"))
+        val flags = docs.select(col("doc_id"), col("n_chars"))
+          .join(exKeep, Seq("doc_id"), "left_outer")
+          .join(dropped, Seq("doc_id"), "left_outer")
+          .join(capKeep, Seq("doc_id"))
+          .select(col("n_chars"),
+            coalesce(col("ek"), lit(false)).as("ek"),
+            not(coalesce(col("dropped"), lit(false))).as("nk"),
+            col("ck"))
+        def stage(cond: org.apache.spark.sql.Column) = struct(
+          sum(when(cond, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(cond, col("n_chars")).otherwise(0L)).as("chars"))
+        flags.agg(
+            stage(lit(true)).as("s0"), stage(col("ek")).as("s1"),
+            stage(col("ek") && col("nk")).as("s2"),
+            stage(col("ek") && col("nk") && col("ck")).as("s3"))
+          .select(explode(array(
+            struct(lit(0L).as("stage_id"), lit("all").as("stage"),
+              col("s0.n_docs"), col("s0.chars")),
+            struct(lit(1L).as("stage_id"), lit("exact_dedup").as("stage"),
+              col("s1.n_docs"), col("s1.chars")),
+            struct(lit(2L).as("stage_id"), lit("near_dedup").as("stage"),
+              col("s2.n_docs"), col("s2.chars")),
+            struct(lit(3L).as("stage_id"), lit("source_cap").as("stage"),
+              col("s3.n_docs"), col("s3.chars")))).as("r"))
+          .select(col("r.stage_id"), col("r.stage"), col("r.n_docs"),
+            col("r.chars"))
+          .orderBy("stage_id")
     })
 }

@@ -243,6 +243,13 @@ object TextQueries {
         col("cum").cast("long").as("cum_chars"), col("kept"))
       .orderBy("doc_id")
 
+  /** The scores frame with the declared queries' skew-threshold
+    * switch applied — x125/x126 consume the same form x121 declares. */
+  private[graft] def sourceCapScoresFor(s: SparkSession, d: String)
+      : DataFrame =
+    sourceCapScores(table(s, d, "documents"),
+      skewSafe = docCount(s, d) > SourceCapSkewDocs)
+
   /** The unordered (doc_id, source, n_chars, cum, kept) frame behind
     * x121 — x125's scorecard consumes it without the output sort. */
   private[graft] def sourceCapScores(docs: DataFrame, skewSafe: Boolean)
@@ -2035,8 +2042,7 @@ object TextQueries {
         val part = pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id")))
           .distinct()
-        sourceCapScores(table(s, d, "documents"),
-            skewSafe = docCount(s, d) > SourceCapSkewDocs)
+        sourceCapScoresFor(s, d)
           .join(part.withColumn("paired", lit(true)), Seq("doc_id"),
             "left_outer")
           .withColumn("paired", coalesce(col("paired"), lit(false)))

@@ -168,6 +168,23 @@ class QueryCorpusSpec extends AnyFunSuite {
       "cap column never exercised")
   }
 
+  test("x126 funnel: monotone survivorship, stage anchors re-derive") {
+    val rows = SparkEntry.queries("x126_retention_funnel")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("all", "exact_dedup", "near_dedup", "source_cap"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4,
+        s"funnel grew from ${a._2} to ${b._2}")
+    }
+    val q21 = SparkEntry.queries("q21_dedup_exact")(spark, TestSpark.sf)
+      .collect().head
+    assert(rows(0)._3 === q21.getLong(0), "stage 0 = corpus doc count")
+    assert(rows(1)._3 === q21.getLong(1), "stage 1 = q21's distinct-text count")
+    assert(rows(3)._3 > 0, "the full funnel must leave survivors")
+  }
+
   test("minhash LSH finds a subset of the exact near-dup pairs") {
     val exact = SparkEntry.queries("x7_ngram_jaccard")(spark, TestSpark.sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
