@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash16"),
       info("simhash16", "simhash16(tokens) - 16-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash16(one(args, "simhash16"))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(one(args, "simhash64"))))
     ext.injectFunction((FunctionIdentifier("rolling_fp"),
       info("rolling_fp", "rolling_fp(tokens) - order-sensitive rolling-hash fingerprint"),
       (args: Seq[Expression]) => RollingHashFp(one(args, "rolling_fp"))))

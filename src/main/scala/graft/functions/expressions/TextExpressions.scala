@@ -277,6 +277,44 @@ object TextExprUtil {
     out
   }
 
+  /** 64-bit SimHash over md5(token): v64 = first eight digest bytes
+    * big-endian; per bit j the sign sum over all token occurrences;
+    * result = Σ 2^j where sum > 0, as a SIGNED long (bit 63 set →
+    * negative — callers doing SQL-visible arithmetic split hi/lo, the
+    * x116 convention). The 16-bit variant saturates its 2¹⁶ space at
+    * ~10⁴ documents (Hamming-≤2 neighborhoods start percolating into
+    * one giant component — measured at sf0.1); 64 bits keep near-dup
+    * semantics meaningful at corpus scale, which is why the whole
+    * text dedup family anchors here. Null-token poisoning matches
+    * [[simhash16]]. */
+  def simhash64(ts: ArrayData): java.lang.Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](64)
+    val len = ts.numElements()
+    var i = 0
+    while (i < len) {
+      if (ts.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(ts.getUTF8String(i).getBytes)
+      var v64 = 0L
+      var b = 0
+      while (b < 8) { v64 = (v64 << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((v64 >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken '03) over a
     * token array: 24-bit md5 hashes of the k-token grams (first 3
     * digest bytes big-endian — md5Bits24), minimum per w-window (one
@@ -475,6 +513,15 @@ case class SimHash16(child: Expression) extends TextUnaryNullableLong {
   override def prettyName: String = "simhash16"
 }
 
+case class SimHash64(child: Expression) extends TextUnaryNullableLong {
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.simhash64(a.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.simhash64($c)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
     extends TextUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -564,6 +611,7 @@ object TextExpressions {
     Bridge.column(ShinglesAll(expr(ts), n))
   def rolling_fp(ts: Column): Column = Bridge.column(RollingHashFp(expr(ts)))
   def simhash16(ts: Column): Column = Bridge.column(SimHash16(expr(ts)))
+  def simhash64(ts: Column): Column = Bridge.column(SimHash64(expr(ts)))
   def minhash_bands(sh: Column): Column = Bridge.column(MinHashBands(expr(sh)))
   def winnow_fps(ts: Column, k: Int = 4, w: Int = 4): Column =
     Bridge.column(WinnowFpsExpr(expr(ts), k, w))

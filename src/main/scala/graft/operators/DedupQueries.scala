@@ -141,56 +141,96 @@ object DedupQueries {
     verified(candidatePairs(prefixIndex(sh)), sh, spread = true, prune = true)
   }
 
-  // SimHash Hamming-ball candidate generation (shared by x25/x34):
-  // 16-bit fingerprints banded into THREE disjoint bands (5+5+6 bits)
-  // — by pigeonhole any pair within Hamming distance ≤ 2 has some
-  // band with zero differing bits, so recall is EXACT for the
-  // threshold. Three wide bands beat a 4×4-bit layout ~3× on
-  // candidate volume (collision probability 2⁻⁵+2⁻⁵+2⁻⁶ vs 4×2⁻⁴).
-  // Candidates equi-join on (band index, band value) — one shuffle,
-  // no all-pairs. Bands: bits [0,5) [5,10) [10,16).
-  private val BandOffs = Seq(0, 5, 10)
-  private val BandMasks = Seq(31L, 31L, 63L)
+  // ------------------------------------------------------------------
+  // 64-bit SimHash near-dup engine (r15). The r8–r14 16-bit engine
+  // SATURATED: 2¹⁶ fingerprints mean Hamming-≤2 neighborhoods start
+  // percolating at ~10⁴ documents — at sf0.1 the whole corpus
+  // collapsed into ONE component (CHECK_SF01_r14.json), which still
+  // hash-matched (the oracle replayed the same definition) but is not
+  // a near-dup semantics that survives corpus growth. The family now
+  // anchors on [[TextExpressions.simhash64]]:
+  //  - pair generation is the media engine's technique
+  //    ([[MediaQueries]].hamming64Pairs): quotient neighbor table
+  //    (present × 2081 ≤2-bit XOR masks) under a saturation guard,
+  //    3-band (22+21+21) pigeonhole equi-join above it — exact either
+  //    way for Hamming ≤ 2, spec-pinned identical;
+  //  - clustering is the DISTRIBUTED pointer-jumping connected
+  //    components below (the 64-bit quotient graph is corpus-sized,
+  //    so the r8 ≤2¹⁶ driver union-find no longer applies);
+  //  - fingerprints and clusters are MATERIALIZED once per corpus
+  //    version ([[SimhashIndex]]: `fp64`, `cl64`) and shared by the
+  //    whole family — a dedup decision is corpus state, not a
+  //    per-query recompute.
+  // Oracle-side fingerprints ride as (hi, lo) 32-bit halves — bit 63
+  // would overflow signed SQL arithmetic (the x116 convention).
 
-  /** DuckDB CTE chain ending in `cand(doc_a, doc_b, fa, fb)` — the
-    * same fingerprints and band boundaries the Spark side uses. */
-  private[graft] val simhashCandSql =
-    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
-      "v AS (SELECT doc_id, " + Sql.md5Bits16("md5(t)") + " AS v16 FROM tok), " +
-      "vb AS (SELECT doc_id, v16, j FROM v, (SELECT unnest(range(16)) AS j)), " +
-      "c AS (SELECT doc_id, j, SUM(CASE WHEN CAST(floor(v16 / power(2, j)) AS BIGINT) % 2 = 1 " +
-      "THEN 1 ELSE -1 END) AS sgn FROM vb GROUP BY 1, 2), " +
-      "fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) " +
-      "AS BIGINT) AS f FROM c GROUP BY doc_id), " +
-      "bands AS (SELECT doc_id, f, i, " +
-      "CASE i WHEN 0 THEN CAST(floor(f / 1) AS BIGINT) % 32 " +
-      "WHEN 1 THEN CAST(floor(f / 32) AS BIGINT) % 32 " +
-      "ELSE CAST(floor(f / 1024) AS BIGINT) % 64 END AS bv " +
-      "FROM fp, (SELECT unnest(range(3)) AS i)), " +
-      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb " +
-      "FROM bands x JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id)"
-
-  /** (doc_id, f): one narrow codegen scan computing the 16-bit SimHash
-    * fingerprint per document (shared by x25's banding and x34's
-    * quotient clustering). */
-  private def simhashFps(s: SparkSession, d: String): DataFrame =
-    simhashFpsOf(table(s, d, "documents"))
-
-  /** The same fingerprint scan over any (doc_id, text) frame — the
-    * ingestion flow fingerprints TableStore-held corpora with it. */
-  private[graft] def simhashFpsOf(docs: DataFrame): DataFrame =
+  /** (doc_id, f): 64-bit SimHash per document with non-null text, over
+    * any (doc_id, text) frame — one narrow codegen scan; the ingestion
+    * flow fingerprints its batches and TableStore corpora with it. */
+  private[graft] def simhash64FpsOf(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        TextExpressions.simhash16(graft.functions.TextFns.tokens(col("text")))
+        TextExpressions.simhash64(graft.functions.TextFns.tokens(col("text")))
           .as("f"))
 
-  /** Spark twin of simhashCandSql: (doc_a, doc_b, fa, fb), distinct. */
-  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val fpDf = simhashFps(s, d)
-    val bands = fpDf.select(col("doc_id"), col("f"),
+  /** DuckDB CTE chain ending in `fp(doc_id, hi, lo)` — the 64-bit
+    * SimHash split into 32-bit halves. Bit j of the fingerprint = bit
+    * (j mod 4) of hex digit (16 − j/4) of md5(token) (big-endian first
+    * 8 digest bytes — exactly TextExprUtil.simhash64's arithmetic). */
+  private[graft] val simhash64FpSql =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "hx AS (SELECT doc_id, md5(t) AS h FROM tok), " +
+      "nib AS (SELECT doc_id, j, CASE WHEN ascii(substr(h, CAST(16 - j // 4 AS INT), 1)) >= 97 " +
+      "THEN ascii(substr(h, CAST(16 - j // 4 AS INT), 1)) - 87 " +
+      "ELSE ascii(substr(h, CAST(16 - j // 4 AS INT), 1)) - 48 END AS hd " +
+      "FROM hx, (SELECT unnest(range(64)) AS j)), " +
+      "sg AS (SELECT doc_id, j, SUM(CASE WHEN ((hd >> CAST(j % 4 AS INT)) & 1) = 1 " +
+      "THEN 1 ELSE -1 END) AS sgn FROM nib GROUP BY 1, 2), " +
+      "fp AS (SELECT doc_id, " +
+      "CAST(SUM(CASE WHEN sgn > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi, " +
+      "CAST(SUM(CASE WHEN sgn > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS lo " +
+      "FROM sg GROUP BY doc_id)"
+
+  /** `$simhash64FpSql, pairs(doc_a, doc_b, hamming)` — Hamming-≤2
+    * pairs as a band-free all-pairs filter: legitimate because BOTH
+    * Spark paths are exact for Hamming ≤ 2 (quotient by construction,
+    * banded by pigeonhole), so the filtered sets coincide; the oracle
+    * only needs the same RESULT, not the same candidate structure. */
+  private[graft] val simhash64PairsSql = simhash64FpSql + ", " +
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+    "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming " +
+    "FROM fp a JOIN fp b ON a.doc_id < b.doc_id " +
+    "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2)"
+
+  /** `$simhash64PairsSql, edges, reach, cc(doc_id, cluster)` — the
+    * connected components of the pair graph via recursive reachability
+    * (callers must open WITH RECURSIVE). */
+  private[graft] val simhash64ClustersSql = simhash64PairsSql + ", " +
+    "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
+    "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+    "reach(doc_id, r) AS (" +
+    "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
+    "UNION " +
+    "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
+    "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id)"
+
+  /** 64-bit band layout for Hamming ≤ 2: three bands (22+21+21 bits) —
+    * pigeonhole leaves ≥ one band untouched for any ≤2-bit pair; a
+    * collision at larger Hamming distance is the LSH-adjacent
+    * candidate set x124 mines for hard negatives. Same layout as the
+    * media engine (MediaQueries.scala:327). */
+  private val Band64Offs = Seq(0, 22, 43)
+  private val Band64Masks = Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
+
+  /** Banded candidates (doc_a, doc_b, fa, fb), distinct, over a
+    * (doc_id, f) fingerprint frame — one band-key equi-join shuffle,
+    * never all-pairs. */
+  private[graft] def simhash64Candidates(fps: DataFrame): DataFrame = {
+    val bands = fps.select(col("doc_id"), col("f"),
       explode(array((0 until 3).map(i =>
         struct(lit(i).as("i"),
-          shiftright(col("f"), BandOffs(i)).bitwiseAND(lit(BandMasks(i))).as("bv")))
+          shiftrightunsigned(col("f"), Band64Offs(i))
+            .bitwiseAND(lit(Band64Masks(i))).as("bv")))
         .toIndexedSeq: _*)).as("band"))
       .select(col("doc_id"), col("f"),
         col("band.i").as("i"), col("band.bv").as("bv"))
@@ -203,54 +243,35 @@ object DedupQueries {
       .distinct()
   }
 
-  // Above this many distinct present fingerprints the x25 quotient
-  // neighbor table stops being "small" (rows ≈ present × 137; 2¹⁴
-  // fps → ~2.2M rows ≈ 50 MB broadcast) and the banded candidate
-  // join wins. The 16-bit space saturates at 65536 — the guard is
-  // insurance for a wider-fingerprint future, not a path this
-  // corpus hits (sf0.1 has ~2.2k present fps).
-  private val QuotientMaxFps = 1 << 14
+  /** Past this many present 64-bit fingerprints the ≤2-bit quotient
+    * neighbor table (present × 2081 rows) outgrows a sane broadcast
+    * and pair generation switches to the banded path — identical
+    * results, spec-pinned (DedupHotPathSpec). Same bound as the media
+    * engine's dhashQuotientMax. */
+  private val Fp64QuotientMax = 1L << 11
 
-  /** x25's pair generation: (doc_a, doc_b, hamming), doc_a < doc_b,
-    * Hamming(fa, fb) ≤ 2, UNORDERED. Quotient path when the present
-    * fingerprint count is small (the 16-bit norm): the Hamming-≤2
-    * fp neighbor table is built distributedly (present × 137 masks,
-    * semi-joined to present — bounded by fp space, not corpus) and
-    * broadcast into two equi-joins. Past `maxQuotientFps` (spec knob;
-    * wider-fingerprint insurance) it falls back to the banded
-    * candidate join — identical results, pinned by spec. */
-  // Guard statistic for the quotient-vs-banded choice: the distinct
-  // present-fingerprint count is stable per corpus version, so it is
-  // computed once per version (same fingerprint-keyed lifecycle as the
-  // stored indexes, cost in the bench `build` section) instead of
-  // paying a corpus scan per invocation just to pick a path.
-  private val presentFpCache = new java.util.concurrent.ConcurrentHashMap[
-    String, StoredIndexes.Cached[java.lang.Long]]()
-
-  private[graft] def simhashPairs(s: SparkSession, d: String,
-      maxQuotientFps: Long = QuotientMaxFps): DataFrame = {
-    val fps = simhashFps(s, d)
-    val presentDf = fps.select(col("f")).distinct()
-    val nPresent: Long = StoredIndexes.versionedValue(presentFpCache, d,
-      "documents.parquet", "graft-simhash-present") { presentDf.count() }
+  /** Hamming-≤2 pairs (doc_a, doc_b, hamming), doc_a < doc_b,
+    * UNORDERED, over a (doc_id, f) fingerprint frame. `nPresent` is
+    * the distinct-fingerprint guard statistic (callers cache it per
+    * corpus version). */
+  private[graft] def hamming64PairsOf(fps: DataFrame, nPresent: Long,
+      maxQuotientFps: Long = Fp64QuotientMax): DataFrame =
     if (nPresent > maxQuotientFps)
-      simhashCandidates(s, d)
+      simhash64Candidates(fps)
         .withColumn("hamming",
           bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
         .filter(col("hamming") <= 2)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     else {
-      val masks = Seq(0L) ++ (0 until 16).map(1L << _) ++
-        (for (i <- 0 until 16; j <- i + 1 until 16)
-          yield (1L << i) | (1L << j))
-      val maskArr = array(masks.map(m =>
+      val present = fps.select(col("f")).distinct()
+      val maskArr = array(MediaQueries.hamming2Masks.map(m =>
         struct(lit(m).as("m"),
           lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
-      val nbr = presentDf.select(col("f").as("fa"),
+      val nbr = present.select(col("f").as("fa"),
           explode(maskArr).as("mk"))
         .select(col("fa"), col("fa").bitwiseXOR(col("mk.m")).as("fb"),
           col("mk.h").as("hamming"))
-        .join(presentDf.select(col("f").as("fb")), Seq("fb"), "left_semi")
+        .join(present.select(col("f").as("fb")), Seq("fb"), "left_semi")
       fps.as("x")
         .join(broadcast(nbr), col("x.f") === col("fa"))
         .join(fps.as("y"),
@@ -258,68 +279,81 @@ object DedupQueries {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("hamming").cast("int").as("hamming"))
     }
+
+  // quotient-vs-banded guard statistic, computed once per corpus
+  // version (stored-index lifecycle; cost lands in the bench `build`
+  // section) instead of a distinct-count per invocation.
+  private val presentFp64Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[java.lang.Long]]()
+
+  /** x25's pair generation over the STORED fingerprint table (built
+    * once per corpus version — probes never re-tokenize the corpus). */
+  private[graft] def simhash64Pairs(s: SparkSession, d: String,
+      maxQuotientFps: Long = Fp64QuotientMax): DataFrame = {
+    val fps = SimhashIndex.forDir(s, d).load("fp64")
+    val nPresent: Long = StoredIndexes.versionedValue(presentFp64Cache, d,
+      "documents.parquet", "graft-simhash64-present") {
+      fps.select(col("f")).distinct().count()
+    }
+    hamming64PairsOf(fps, nPresent, maxQuotientFps)
   }
 
-  /** Near-dup clustering on the FINGERPRINT QUOTIENT graph (the x34
-    * engine, factored out so the ingestion flow can recompute the
-    * dedup-decision table per micro-batch over a TableStore corpus):
-    * components of the doc pair graph (Hamming(fa, fb) ≤ 2) are
-    * exactly the preimages of components of the ≤2¹⁶-node fingerprint
-    * graph — one narrow fingerprint scan + one bounded aggregate feed
-    * a driver union-find, docs pick up (cluster, canonical) through
-    * one broadcast join. Returns (doc_id, cluster, canonical) for
-    * every doc participating in ≥1 pair, UNORDERED — callers add
-    * their own determinism ORDER BY. */
-  private[graft] def quotientClusters(s: SparkSession,
-      fps: DataFrame): DataFrame = {
-    // ≤65536 rows: per-fingerprint doc count + min doc_id
-    val byFp = fps.groupBy(col("f"))
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("minDoc"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val present = byFp.map(_._1).toSet
-    // driver union-find over the fingerprint quotient graph
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    def union(a: Long, b: Long): Unit = {
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val masks = (0 until 16).map(1L << _) ++
-      (for (i <- 0 until 16; j <- i + 1 until 16)
-        yield (1L << i) | (1L << j))
-    byFp.foreach { case (f, _, _) =>
-      masks.foreach { m =>
-        val nb = f ^ m
-        if (f < nb && present.contains(nb)) union(f, nb)
-      }
-    }
-    // a doc is in the output iff its fp pairs with some doc: its
-    // fp holds ≥2 docs, or its fp has a present Hamming-≤2
-    // neighbor (i.e. it was unioned)
-    val eligible = byFp.filter { case (f, cnt, _) =>
-      cnt >= 2 || parent.contains(f)
-    }
-    // component cluster label = min doc_id across member fps
-    val clusterOf = eligible
-      .groupBy { case (f, _, _) =>
-        if (parent.contains(f)) find(f) else f
-      }
-      .values.flatMap { members =>
-        val cluster = members.iterator.map(_._3).min
-        members.iterator.map { case (f, _, _) => (f, cluster) }
-      }.toSeq
-    import s.implicits._
-    val compDf = clusterOf.toDF("f", "cluster")
-    fps.join(broadcast(compDf), Seq("f"))
+  /** The stored near-dup clustering (doc_id, cluster) for a corpus
+    * dir — every doc participating in ≥1 Hamming-≤2 pair, cluster =
+    * min doc_id of its component. */
+  private[graft] def clusters64(s: SparkSession, d: String): DataFrame =
+    SimhashIndex.forDir(s, d).load("cl64")
+
+  /** (doc_id, f, dt, n_chars): the 64-bit fingerprint AND the x120
+    * quality-election key (distinct-token count, char count) in ONE
+    * narrow codegen scan — what the ingest flow appends to its stored
+    * `text_fps` sidecar per batch. */
+  private[graft] def fpQualityOf(docs: DataFrame): DataFrame = {
+    val ts = graft.functions.TextFns.tokens(col("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextExpressions.simhash64(ts).as("f"),
+        size(array_distinct(ts)).cast("long").as("dt"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Quality election over a clustering: (doc_id, cluster) joined to
+    * its members' (dt, n_chars) quality keys → (doc_id, cluster,
+    * canonical) where canonical marks x120's exact-integer winner
+    * (dt DESC, n_chars DESC, doc_id ASC). Election cost is one
+    * max(struct) aggregate over CLUSTERED docs only. */
+  private[graft] def electDecisions(cl: DataFrame,
+      quality: DataFrame): DataFrame = {
+    val m = cl.select(col("doc_id"), col("cluster"))
+      .join(quality.select(col("doc_id"), col("dt"), col("n_chars")),
+        Seq("doc_id"))
+    val winners = m.groupBy("cluster")
+      .agg(max(struct(col("dt"), col("n_chars"),
+        (-col("doc_id")).as("ni"))).as("best"))
+      .select(col("cluster"), (-col("best.ni")).as("winner"))
+    m.join(winners, Seq("cluster"))
       .select(col("doc_id"), col("cluster"),
-        (col("doc_id") === col("cluster")).as("canonical"))
+        (col("doc_id") === col("winner")).as("canonical"))
+  }
+
+  /** Full near-dup DECISION recompute over any (doc_id, text) corpus
+    * frame: (doc_id, cluster, canonical) for every doc participating
+    * in ≥1 Hamming-≤2 pair, canonical = the QUALITY-elected member
+    * (so the kept corpus equals x122's output on the same rows — the
+    * SemDeDup-style retention the ingest gate enforces since r15).
+    * This is the BATCH engine: the Gdpr purge recompute and the
+    * parity spec for the ingest flow's INCREMENTALLY-maintained
+    * `dedup_decisions` both run it; the per-micro-batch path never
+    * does (it merges the batch's new edges into the stored decisions
+    * in O(batch) — IngestionFlows). */
+  private[graft] def decisions64Of(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val q = fpQualityOf(docs)
+    val fps = q.select(col("doc_id"), col("f"))
+    val nPresent = fps.select(col("f")).distinct().count()
+    val cl = connectedComponents(s,
+      hamming64PairsOf(fps, nPresent).select(col("doc_a"), col("doc_b")))
+    electDecisions(cl, q)
   }
 
   /** Distributed connected components over an undirected pair graph
@@ -515,32 +549,27 @@ object DedupQueries {
     },
 
     // SimHash Hamming-ball near-dup (ROADMAP §5): pairs of documents
-    // whose 16-bit SimHash fingerprints differ in ≤ 2 bits.
+    // whose 64-bit SimHash fingerprints differ in ≤ 2 bits — 64-bit
+    // since r15 (the 16-bit space saturated at sf0.1: one giant
+    // component, 1.08M mostly-spurious pairs; at 64 bits the sf0.1
+    // corpus yields ~155 real near-dup pairs).
     //
-    // QUOTIENT formulation (r8, same insight as x34): the pair
-    // predicate depends only on the fingerprints, and the fingerprint
-    // space is ≤2¹⁶ at any corpus scale — so the candidate structure
-    // is a NEIGHBOR TABLE of present fingerprint pairs within
-    // Hamming ≤ 2, built DISTRIBUTEDLY (r9): present fps × the 137
-    // masks exploded, semi-joined back to the present set — nothing
-    // corpus-scale and nothing materialized on the driver (the r8
-    // version built ~present×137 boxed tuples driver-side). Docs pick
-    // up their pairs through two broadcast joins against it: no
-    // banding explode, no candidate shuffle, no distinct — each
-    // unordered doc pair emits exactly once via the doc_a < doc_b
-    // guard because (fa, fb) neighbor rows are unique. A SATURATION
-    // GUARD (r9) falls back to the banded simhashCandidates path when
-    // the present-fp count would make the broadcast neighbor table
-    // large (a wider-fingerprint future, not this 16-bit one): the
-    // two paths are result-identical (DedupHotPathSpec pins it), the
-    // banded one just shuffles candidates instead of broadcasting
-    // neighbors. Wall-clock at sf0.1 is OUTPUT-bound — 1.08M
-    // qualifying pairs through the mandated total ORDER BY.
+    // Fingerprints come from the STORED fp64 table (built once per
+    // corpus version — probes never re-tokenize). Pair generation is
+    // the shared 64-bit engine (hamming64PairsOf, the media engine's
+    // technique): under the saturation guard the candidate structure
+    // is a broadcast NEIGHBOR TABLE (present fps × the 2081 ≤2-bit
+    // XOR masks, semi-joined back to present — built distributedly,
+    // nothing driver-side) probed by two equi-joins; above the guard
+    // (the 64-bit norm once corpora grow — sf0.1 already crosses it)
+    // the 3-band (22+21+21) pigeonhole equi-join takes over. Both
+    // paths are EXACT for Hamming ≤ 2 and result-identical
+    // (DedupHotPathSpec pins it), which is also why the oracle may
+    // verify with a band-free all-pairs filter.
     Query("x25_simhash_neardup",
-      s"WITH $simhashCandSql " +
-        "SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming " +
-        "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY doc_a, doc_b") {
-      (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b")
+      s"WITH $simhash64PairsSql " +
+        "SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b") {
+      (s, d) => simhash64Pairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // near-dup CLUSTERING — the step that turns pairwise near-dup
@@ -549,36 +578,26 @@ object DedupQueries {
     // in the component, `canonical` marks the one representative a
     // pipeline would KEEP (every other row is the drop list).
     //
-    // QUOTIENT formulation (r8): the pair relation is defined purely
-    // on the 16-bit fingerprints (hamming(fa, fb) ≤ 2), so components
-    // of the document graph are exactly the preimages of components of
-    // the FINGERPRINT graph — which has at most 2¹⁶ nodes at ANY
-    // corpus scale. One narrow codegen scan + one ≤65536-row aggregate
-    // (per-fp doc count and min doc_id) feed a driver-side union-find
-    // over the quotient (each fp probes its 136 Hamming-≤2 neighbor
-    // masks); docs then pick up (cluster, canonical) through one
-    // broadcast join. No pair graph is ever materialized and nothing
-    // iterates — the iterative pointer-jumping operator
-    // (connectedComponents above) remains the general-purpose path for
-    // graphs whose label space CANNOT be quotiented to driver size,
-    // pinned by DedupHotPathSpec. The oracle recomputes the same
-    // fixpoint via recursive reachability (feasible at the sf0.01
-    // gate; tools/check_sf01.py replays the quotient union-find
-    // independently at sf0.1). 5.1 → 0.6 s at sf0.1.
+    // 64-bit since r15: the 16-bit era's driver union-find rested on
+    // the ≤2¹⁶ fingerprint quotient, which no longer exists — the
+    // clustering is now the DISTRIBUTED pointer-jumping CC
+    // (connectedComponents above) over the 64-bit pair graph, run
+    // ONCE per corpus version at index build and served from the
+    // stored cl64 table (SimhashIndex): seven family queries share
+    // one clustering, and a dedup decision is corpus state, exactly
+    // like the ingest flow's maintained dedup_decisions. The oracle
+    // recomputes the same fixpoint via recursive reachability
+    // (feasible at the sf0.01 gate; tools/check_sf01.py replays the
+    // pair graph + union-find independently at sf0.1).
     Query("x34_dedup_clusters",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id) " +
+      s"WITH RECURSIVE $simhash64ClustersSql " +
         "SELECT doc_id, cluster, doc_id = cluster AS canonical FROM cc " +
         "ORDER BY cluster, doc_id") {
       (s, d) =>
-        quotientClusters(s, simhashFps(s, d)).orderBy("cluster", "doc_id")
+        clusters64(s, d)
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).as("canonical"))
+          .orderBy("cluster", "doc_id")
     },
 
     // MinHash + LSH near-dup: 8 32-bit minhash signatures (md5-hex
@@ -614,31 +633,23 @@ object DedupQueries {
 
     // canonical-corpus materialization — the dedup family's actual
     // OUTPUT: the training corpus after near-dup removal. Composes
-    // x34's quotient clustering into an anti-join: a document is kept
+    // x34's stored clustering into an anti-join: a document is kept
     // iff it is its cluster's canonical member (min doc_id) or it has
     // no near-dup at all (absent from the pair graph — including
     // null-text docs, which cannot pair). Scale shape: the cluster
-    // frame comes from the ≤2¹⁶-fp quotient (corpus-size-independent
-    // candidate structure), the drop list is ∝ duplicate docs, and
-    // the anti-join shuffles on doc_id (AQE broadcasts it while
-    // small). Narrow metadata projection — re-attaching full text is
-    // the same join, just wider.
+    // frame is the stored cl64 table (built once per corpus version),
+    // the drop list is ∝ duplicate docs, and the anti-join shuffles
+    // on doc_id (AQE broadcasts it while small). Narrow metadata
+    // projection — re-attaching full text is the same join, just
+    // wider.
     Query("x40_dedup_canonical",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
         "dropped AS (SELECT doc_id FROM cc WHERE doc_id != cluster) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         "LEFT JOIN dropped x ON d.doc_id = x.doc_id " +
         "WHERE x.doc_id IS NULL ORDER BY d.doc_id") {
       (s, d) =>
-        val dropped = quotientClusters(s, simhashFps(s, d))
+        val dropped = clusters64(s, d)
           .filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id"))
         table(s, d, "documents")
@@ -661,24 +672,16 @@ object DedupQueries {
     // `straddling` = number of clusters whose members span splits —
     // both engines COMPUTE it (an aggregate over their own independent
     // clustering + assignment), and the hash match pins it at 0.
-    // Scale: the clustering is x34's quotient machinery (one narrow
-    // fingerprint scan + ≤2^16-row aggregate + broadcast join back);
-    // the assignment adds one md5 per doc and two bounded rollups. The
-    // anchor frame is referenced twice (per-split rollup + straddle
-    // aggregate) — both are rollups of the same broadcast-joined
-    // narrow scan, nothing corpus-sized shuffles twice.
+    // Scale: the clustering is the stored cl64 table (one build per
+    // corpus version); the assignment adds one md5 per doc and two
+    // bounded rollups. The anchor frame is referenced twice (per-split
+    // rollup + straddle aggregate) — both are rollups of the same
+    // broadcast-joined narrow scan, nothing corpus-sized shuffles
+    // twice.
     Query("x118_cluster_split", {
       val anchorBkt = Sql.md5Bits16("md5(CAST(anchor AS VARCHAR))") + " % 100"
       val naiveBkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
         "a AS (SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS anchor " +
         "FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id), " +
         s"sp AS (SELECT doc_id, anchor, " +
@@ -700,7 +703,7 @@ object DedupQueries {
           when(b < 80, "train").when(b < 90, "val").otherwise("test")
         }
         val anchored = table(s, d, "documents").select(col("doc_id"))
-          .join(quotientClusters(s, simhashFps(s, d))
+          .join(clusters64(s, d)
             .select(col("doc_id"), col("cluster")), Seq("doc_id"),
             "left_outer")
           .select(col("doc_id"),
@@ -732,22 +735,14 @@ object DedupQueries {
     // the member count, and `moved` = the election differs from the
     // min-id default (the cross-engine tripwire — both sides derive
     // it from their own independent clustering + election). Scale:
-    // clusters come from the x34 quotient machinery (one narrow
-    // fingerprint scan + bounded aggregate + broadcast join); the
-    // quality key tokenizes ONLY clustered docs (the corpus joins
-    // cluster ids BEFORE the distinct-token map, so unclustered text
-    // never tokenizes), and the election is one max(struct) hash
-    // aggregate — map-side combined, one row per cluster out.
+    // clusters come from the stored cl64 table (one build per corpus
+    // version); the quality key tokenizes ONLY clustered docs (the
+    // corpus joins cluster ids BEFORE the distinct-token map, so
+    // unclustered text never tokenizes), and the election is one
+    // max(struct) hash aggregate — map-side combined, one row per
+    // cluster out.
     Query("x120_quality_canonical",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
         "q AS (SELECT cc.cluster, cc.doc_id, " +
         "CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS dt, " +
         "d.n_chars FROM cc JOIN documents d ON cc.doc_id = d.doc_id), " +
@@ -759,8 +754,7 @@ object DedupQueries {
         "SELECT cluster, doc_id AS canonical, n_members, dt AS canonical_dt, " +
         "(doc_id <> cluster) AS moved FROM r2 WHERE rn = 1 ORDER BY cluster") {
       (s, d) =>
-        val cl = quotientClusters(s, simhashFps(s, d))
-          .select(col("doc_id"), col("cluster"))
+        val cl = clusters64(s, d).select(col("doc_id"), col("cluster"))
         cl.join(table(s, d, "documents")
             .select(col("doc_id"), col("text"), col("n_chars")),
             Seq("doc_id"))
@@ -787,15 +781,7 @@ object DedupQueries {
     // aggregate feeding the drop side; the corpus-sized path is one
     // scan + one anti-join either way.
     Query("x122_quality_corpus",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
         "q AS (SELECT cc.cluster, cc.doc_id, " +
         "CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS dt, " +
         "d.n_chars FROM cc JOIN documents d ON cc.doc_id = d.doc_id), " +
@@ -807,8 +793,7 @@ object DedupQueries {
         "LEFT JOIN dropped x ON d.doc_id = x.doc_id " +
         "WHERE x.doc_id IS NULL ORDER BY d.doc_id") {
       (s, d) =>
-        val cl = quotientClusters(s, simhashFps(s, d))
-          .select(col("doc_id"), col("cluster"))
+        val cl = clusters64(s, d).select(col("doc_id"), col("cluster"))
         val m = cl.join(table(s, d, "documents")
             .select(col("doc_id"), col("text"), col("n_chars")),
             Seq("doc_id"))
@@ -838,38 +823,42 @@ object DedupQueries {
     // fingerprints are nonetheless far (Hamming 3–6) — LSH-adjacent
     // lookalikes, exactly the pairs a contrastive loss needs to be
     // hard — capped at the 3 HARDEST per anchor (hamming asc, doc_b
-    // tiebreak). The cap is the scale guard, found by measurement:
-    // the uncapped 3–6 set at sf0.1 is 2.5M pairs because the 16-bit
-    // fingerprint space saturates and band buckets go quadratic — a
-    // real miner keeps O(k) negatives per anchor, and the rank-≤-k
-    // filter compiles to WindowGroupLimit (map-local top-k before the
-    // doc_a shuffle, the x80 shape), so output is O(docs·k) at any
-    // corpus size. Positives ride the quotient machinery + two
-    // fingerprint joins; negatives the banded candidate equi-join
-    // (one band-key shuffle, never all-pairs).
+    // tiebreak). The cap is the scale guard: a real miner keeps O(k)
+    // negatives per anchor, and the rank-≤-k filter compiles to
+    // WindowGroupLimit (map-local top-k before the doc_a shuffle, the
+    // x80 shape), so output is O(docs·k) at any corpus size. At 64
+    // bits a band collision is 21-22 shared bits — a genuinely
+    // selective lookalike signal, where the 16-bit era's saturated
+    // buckets went quadratic (2.5M uncapped pairs at sf0.1).
+    // Positives ride the stored clustering + two fingerprint joins;
+    // negatives the banded candidate equi-join (one band-key shuffle,
+    // never all-pairs) — so the NEGATIVE side's oracle must replay
+    // the exact 22+21+21 band layout, unlike the Hamming-≤2 queries
+    // whose all-pairs oracle filter coincides with the banded result.
     Query("x124_contrastive_pairs",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
+        "bands AS (SELECT doc_id, hi, lo, i, " +
+        "CASE i WHEN 0 THEN lo % 4194304 " +
+        "WHEN 1 THEN (lo // 4194304) + (hi % 2048) * 1024 " +
+        "ELSE hi // 2048 END AS bv " +
+        "FROM fp, (SELECT unnest(range(3)) AS i)), " +
         "pos AS (SELECT cc.cluster AS doc_a, cc.doc_id AS doc_b, " +
-        "'pos' AS label, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming " +
+        "'pos' AS label, CAST(bit_count(xor(fa.hi, fb.hi)) + " +
+        "bit_count(xor(fa.lo, fb.lo)) AS BIGINT) AS hamming " +
         "FROM cc JOIN fp fa ON fa.doc_id = cc.cluster " +
         "JOIN fp fb ON fb.doc_id = cc.doc_id WHERE cc.doc_id <> cc.cluster), " +
         // same-COMPONENT pairs can reach Hamming 3–6 through closure
         // (a–b–c chains) — they are positives by definition and must
         // never mine as negatives (review-caught: 3 double-labeled
         // pairs on the sf0.01 fixture before this filter)
-        "negall AS (SELECT doc_a, doc_b, " +
-        "CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM cand " +
-        "LEFT JOIN cc ca ON ca.doc_id = cand.doc_a " +
-        "LEFT JOIN cc cb ON cb.doc_id = cand.doc_b " +
-        "WHERE bit_count(xor(fa, fb)) BETWEEN 3 AND 6 " +
+        "negall AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) " +
+        "AS BIGINT) AS hamming FROM bands x " +
+        "JOIN bands y ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id " +
+        "LEFT JOIN cc ca ON ca.doc_id = x.doc_id " +
+        "LEFT JOIN cc cb ON cb.doc_id = y.doc_id " +
+        "WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) " +
+        "BETWEEN 3 AND 6 " +
         "AND (ca.cluster IS NULL OR cb.cluster IS NULL " +
         "OR ca.cluster <> cb.cluster)), " +
         "neg AS (SELECT doc_a, doc_b, 'neg' AS label, hamming FROM (" +
@@ -880,8 +869,8 @@ object DedupQueries {
         "(SELECT * FROM pos UNION ALL SELECT * FROM neg) " +
         "ORDER BY label, doc_a, doc_b") {
       (s, d) =>
-        val fps = simhashFps(s, d)
-        val cl = quotientClusters(s, fps).select(col("doc_id"), col("cluster"))
+        val fps = SimhashIndex.forDir(s, d).load("fp64")
+        val cl = clusters64(s, d).select(col("doc_id"), col("cluster"))
         val pos = cl
           .filter(col("doc_id") =!= col("cluster"))
           .join(fps.select(col("doc_id").as("cluster"), col("f").as("fa")),
@@ -893,7 +882,7 @@ object DedupQueries {
               .as("hamming"))
         // cross-component only: a same-component pair at Hamming 3–6
         // (closure chain) is a positive, never a hard negative
-        val neg = simhashCandidates(s, d)
+        val neg = simhash64Candidates(fps)
           .withColumn("hamming",
             bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
           .filter(col("hamming").between(3, 6))
@@ -913,38 +902,53 @@ object DedupQueries {
     },
 
     // RETENTION FUNNEL — the survivorship summary every pipeline
-    // publishes: docs and character mass surviving each gate, gates
-    // applied as intersecting FULL-CORPUS keep sets (each stage uses
-    // the exact semantics of its declared query, not a re-derivation
-    // on a filtered corpus): exact text dedup (min doc_id per text —
-    // q21's uniq), near-dup canonical retention (x40's kept set),
-    // x121's source cap. Scale: three bounded keep columns attach to
-    // one narrow corpus frame (a map-side-combined text aggregate, the
-    // quotient drop list, the cap window), then ONE aggregate emits
-    // all four stages — no per-stage corpus rescans.
-    Query("x126_retention_funnel",
-      s"WITH RECURSIVE $simhashCandSql, " +
-        "pairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(fa, fb)) <= 2), " +
-        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs " +
-        "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "reach(doc_id, r) AS (" +
-        "SELECT s, s FROM (SELECT DISTINCT s FROM edges) " +
-        "UNION " +
-        "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
-        "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id), " +
-        "dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cluster), " +
-        "ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+    // publishes (the Dolma data-card shape): docs and character mass
+    // surviving each gate, gates applied as intersecting FULL-CORPUS
+    // keep sets (each stage uses the exact semantics of its declared
+    // query, not a re-derivation on a filtered corpus): exact text
+    // dedup (min doc_id per text — q21's uniq), near-dup canonical
+    // retention (x40's kept set from the stored cl64 clustering),
+    // x74's quality verdict (too_short / low_quality), x86's
+    // eval-decontamination drop roster, x121's source cap (the pct
+    // interpolated from the ONE SourceCapPct constant, so the oracle
+    // cannot desync from the Spark plan). Scale: five bounded keep
+    // columns attach to one narrow corpus frame (a map-side-combined
+    // text aggregate, the stored drop list, one codegen quality map,
+    // the stored-ex8h contamination probe, the cap window), then ONE
+    // aggregate emits all six stages — no per-stage corpus rescans.
+    // Survivorship is monotone by construction (stages intersect).
+    Query("x126_retention_funnel", {
+      val bkt = Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+      s"WITH RECURSIVE $simhash64ClustersSql, " +
+        "nd AS (SELECT doc_id FROM cc WHERE doc_id <> cluster), " +
+        "exk AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "qk AS (SELECT doc_id FROM (SELECT doc_id, n_chars, " +
+        "string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL) WHERE n_chars >= 50 " +
+        "AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3), " +
+        s"csp AS (SELECT doc_id, CASE WHEN $bkt < 80 THEN 'train' " +
+        s"WHEN $bkt < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "string_split(text, ' ') AS ts FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "cex AS (SELECT doc_id, split, unnest(" +
+        Sql.shingles("ts", 8) + ") AS g FROM csp WHERE len(ts) >= 8), " +
+        "ceg AS (SELECT DISTINCT g FROM cex WHERE split <> 'train'), " +
+        "cdrop AS (SELECT DISTINCT doc_id FROM cex " +
+        "WHERE split = 'train' AND g IN (SELECT g FROM ceg)), " +
         "m AS (SELECT doc_id, source, n_chars, " +
         "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
-        s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * 5 // 100 " +
+        s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * ${TextQueries.SourceCapPct} // 100 " +
         "AS cap FROM m), " +
         "cw AS (SELECT doc_id, SUM(n_chars) OVER (" +
         "PARTITION BY source ORDER BY h, doc_id) AS cum FROM m), " +
         "flags AS (SELECT d.doc_id, d.n_chars, " +
         "(e.doc_id IS NOT NULL) AS ek, (x.doc_id IS NULL) AS nk, " +
+        "(q.doc_id IS NOT NULL) AS qk, (c2.doc_id IS NULL) AS dk, " +
         "(cw.cum <= (SELECT cap FROM cap)) AS ck FROM documents d " +
-        "LEFT JOIN ex e ON e.doc_id = d.doc_id " +
-        "LEFT JOIN dropped x ON x.doc_id = d.doc_id " +
+        "LEFT JOIN exk e ON e.doc_id = d.doc_id " +
+        "LEFT JOIN nd x ON x.doc_id = d.doc_id " +
+        "LEFT JOIN qk q ON q.doc_id = d.doc_id " +
+        "LEFT JOIN cdrop c2 ON c2.doc_id = d.doc_id " +
         "JOIN cw ON cw.doc_id = d.doc_id) " +
         "SELECT 0 AS stage_id, 'all' AS stage, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
@@ -955,44 +959,62 @@ object DedupQueries {
         "UNION ALL SELECT 2, 'near_dedup', " +
         "CAST(SUM(CASE WHEN ek AND nk THEN 1 ELSE 0 END) AS BIGINT), " +
         "CAST(SUM(CASE WHEN ek AND nk THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
-        "UNION ALL SELECT 3, 'source_cap', " +
-        "CAST(SUM(CASE WHEN ek AND nk AND ck THEN 1 ELSE 0 END) AS BIGINT), " +
-        "CAST(SUM(CASE WHEN ek AND nk AND ck THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
-        "ORDER BY stage_id") {
+        "UNION ALL SELECT 3, 'quality', " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "UNION ALL SELECT 4, 'decontaminated', " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk AND dk THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk AND dk THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "UNION ALL SELECT 5, 'source_cap', " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk AND dk AND ck THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN ek AND nk AND qk AND dk AND ck THEN n_chars ELSE 0 END) AS BIGINT) FROM flags " +
+        "ORDER BY stage_id"
+    }) {
       (s, d) =>
         val docs = table(s, d, "documents")
         val exKeep = docs.groupBy("text")
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), lit(true).as("ek"))
-        val dropped = quotientClusters(s, simhashFps(s, d))
+        val dropped = clusters64(s, d)
           .filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id"), lit(true).as("dropped"))
+        val ts = graft.functions.TextFns.tokens(col("text"))
+        val qKeep = docs.filter(col("text").isNotNull)
+          .filter(col("n_chars") >= 50 &&
+            size(array_distinct(ts)).cast("double") / size(ts) >= 0.3)
+          .select(col("doc_id"), lit(true).as("qk"))
+        val contam = TextQueries.contaminatedTrainDocs(s, d)
+          .select(col("doc_id"), lit(true).as("contam"))
         val capKeep = TextQueries.sourceCapScoresFor(s, d)
           .select(col("doc_id"), col("kept").as("ck"))
         val flags = docs.select(col("doc_id"), col("n_chars"))
           .join(exKeep, Seq("doc_id"), "left_outer")
           .join(dropped, Seq("doc_id"), "left_outer")
+          .join(qKeep, Seq("doc_id"), "left_outer")
+          .join(contam, Seq("doc_id"), "left_outer")
           .join(capKeep, Seq("doc_id"))
           .select(col("n_chars"),
             coalesce(col("ek"), lit(false)).as("ek"),
             not(coalesce(col("dropped"), lit(false))).as("nk"),
+            coalesce(col("qk"), lit(false)).as("qk"),
+            not(coalesce(col("contam"), lit(false))).as("dk"),
             col("ck"))
         def stage(cond: org.apache.spark.sql.Column) = struct(
           sum(when(cond, 1L).otherwise(0L)).as("n_docs"),
           sum(when(cond, col("n_chars")).otherwise(0L)).as("chars"))
+        val names = Seq("all", "exact_dedup", "near_dedup", "quality",
+          "decontaminated", "source_cap")
         flags.agg(
             stage(lit(true)).as("s0"), stage(col("ek")).as("s1"),
             stage(col("ek") && col("nk")).as("s2"),
-            stage(col("ek") && col("nk") && col("ck")).as("s3"))
-          .select(explode(array(
-            struct(lit(0L).as("stage_id"), lit("all").as("stage"),
-              col("s0.n_docs"), col("s0.chars")),
-            struct(lit(1L).as("stage_id"), lit("exact_dedup").as("stage"),
-              col("s1.n_docs"), col("s1.chars")),
-            struct(lit(2L).as("stage_id"), lit("near_dedup").as("stage"),
-              col("s2.n_docs"), col("s2.chars")),
-            struct(lit(3L).as("stage_id"), lit("source_cap").as("stage"),
-              col("s3.n_docs"), col("s3.chars")))).as("r"))
+            stage(col("ek") && col("nk") && col("qk")).as("s3"),
+            stage(col("ek") && col("nk") && col("qk") && col("dk")).as("s4"),
+            stage(col("ek") && col("nk") && col("qk") && col("dk") &&
+              col("ck")).as("s5"))
+          .select(explode(array(names.zipWithIndex.map { case (n, i) =>
+            struct(lit(i.toLong).as("stage_id"), lit(n).as("stage"),
+              col(s"s$i.n_docs"), col(s"s$i.chars"))
+          }.toIndexedSeq: _*)).as("r"))
           .select(col("r.stage_id"), col("r.stage"), col("r.n_docs"),
             col("r.chars"))
           .orderBy("stage_id")

@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
  *    ([[StoredIndexes.versionedValue]]; params ride the cache key on
  *    the [[VectorIndex.IvfParams]] pattern, so tuning experiments
  *    never evict the serving model) in `iters` passes, each pass ONE
- *    narrow scan + a map-side-combined 65-aggregate groupBy into k
- *    groups (the shuffle moves k·(Dim+1) partial sums per task, not
- *    rows). The k×dim centroid table is bounded by construction —
- *    the only driver materialization beyond the 8k-row seed sample.
+ *    narrow scan + posexplode + a map-side-combined (cid, component)
+ *    groupBy (the shuffle moves k·(dim+1) partial sums per task, not
+ *    rows; two aggregate columns keep whole-stage codegen inside
+ *    janino's method limit at ANY dimension — the r14 dim+1-column
+ *    form fell back to the interpreted aggregate at dim 64). The
+ *    k×dim centroid table is bounded by construction — the only
+ *    driver materialization beyond the 8k-row seed sample.
  *  - The declared query then assigns every vector in ONE narrow pass:
  *    the trained centroids ride as literal arrays inside a single
  *    `array_min` argmin expression (key = dist·k+cid, so one
@@ -139,8 +142,16 @@ object KMeansQueries {
 
   /** Train once per (corpus version, params): spread seed, then
     * `iters` assign→update rounds. Each round is one Spark job:
-    * narrow argmin scan → groupBy(cid) with count + Dim element sums
-    * (map-side combined; k groups) → k-row collect. */
+    * narrow argmin scan → posexplode → groupBy(cid, j) with ONE count
+    * and ONE sum (map-side combined into k·dim groups) → k·dim-row
+    * collect. The r14 form aggregated dim+1 separate sum columns in
+    * one groupBy(cid), which blew `hashAgg_doAggregateWithKeys` past
+    * janino's 64 KB method limit at dim = 64 — Spark fell back to the
+    * INTERPRETED aggregate on the training pass, the worst place to
+    * lose codegen. Two aggregates over exploded rows stay compiled at
+    * any dimension, and the engine stops hardcoding the dimension
+    * anywhere (it is read off each vector; only the ORACLE SQL pins
+    * the fixture's 64). */
   private[graft] def train(s: SparkSession, d: String,
       p: KMeansParams = KMeansParams()): Array[Array[Long]] =
     StoredIndexes.versionedValue(centroidCache, d, "embeddings.parquet",
@@ -165,25 +176,18 @@ object KMeansQueries {
         }
       var it = 0
       while (it < p.iters) {
-        val aggs = count(lit(1)).as("n") +:
-          (0 until Dim).map(j =>
-            sum(element_at(col("v"), j + 1)).as(s"s$j"))
         val rows = q
-          .select(assignCid(cents).as("cid"), col("v"))
-          .groupBy("cid")
-          .agg(aggs.head, aggs.tail: _*)
+          .select(assignCid(cents).as("cid"),
+            posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy("cid", "j")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
           .collect()
         val next = cents.map(_.clone()) // empty cluster keeps its centroid
         rows.foreach { r =>
-          val cid = r.getInt(0)
-          val n = r.getLong(1)
-          var j = 0
-          while (j < Dim) {
-            // FLOOR division = DuckDB `//` (truncating `/` diverges
-            // on negative sums, i.e. any component < -2.048)
-            next(cid)(j) = Math.floorDiv(r.getLong(2 + j), n)
-            j += 1
-          }
+          // FLOOR division = DuckDB `//` (truncating `/` diverges
+          // on negative sums, i.e. any component < -2.048)
+          next(r.getInt(0))(r.getInt(1)) =
+            Math.floorDiv(r.getLong(3), r.getLong(2))
         }
         cents = next
         it += 1

@@ -214,6 +214,33 @@ object TextQueries {
     }
   }
 
+  /** x86's drop roster — TRAIN-split docs sharing ≥1 exact 8-token
+    * shingle with any val/test doc: stored-ex8h hash probe + exact
+    * string recheck (x36's machinery, via
+    * [[ShingleIndex.candidateShingles]] so shingle width and hash
+    * cannot drift). ONE definition shared by x86 (the transform) and
+    * x126's decontamination funnel stage. Returns distinct (doc_id),
+    * UNORDERED. */
+  private[graft] def contaminatedTrainDocs(s: SparkSession,
+      d: String): DataFrame = {
+    val ex = ShingleIndex.forDir(s, d).load("ex8h")
+    val evalG = ex.filter(col("split") =!= "train")
+      .select(col("h")).distinct()
+    val candRows = ex.filter(col("split") === "train")
+      .join(evalG, Seq("h"), "left_semi")
+    val candHashes = candRows.select(col("h")).distinct()
+    val candTrainDocs = candRows.select(col("doc_id")).distinct()
+    val candEvalDocs = ex.filter(col("split") =!= "train")
+      .join(candHashes, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val evalStr = ShingleIndex.candidateShingles(s, d, candEvalDocs,
+        candHashes)
+      .select(col("g")).distinct()
+    ShingleIndex.candidateShingles(s, d, candTrainDocs, candHashes)
+      .join(evalStr, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** x121 cap: a source may hold at most this percent of corpus
     * character mass. */
   private[graft] val SourceCapPct = 5L
@@ -1587,23 +1614,8 @@ object TextQueries {
         "ON sh.doc_id = dropped.doc_id ORDER BY sh.doc_id"
     }) {
       (s, d) => {
-        val ex = graft.operators.ShingleIndex.forDir(s, d).load("ex8h")
-        val evalG = ex.filter(col("split") =!= "train")
-          .select(col("h")).distinct()
-        val candRows = ex.filter(col("split") === "train")
-          .join(evalG, Seq("h"), "left_semi")
-        val candHashes = candRows.select(col("h")).distinct()
-        val candTrainDocs = candRows.select(col("doc_id")).distinct()
-        val candEvalDocs = ex.filter(col("split") =!= "train")
-          .join(candHashes, Seq("h"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val evalStr = candidateShingles(s, d, candEvalDocs, candHashes)
-          .select(col("g")).distinct()
-        val dropped = candidateShingles(s, d, candTrainDocs, candHashes)
-          .join(evalStr, Seq("g"), "left_semi")
-          .select(col("doc_id")).distinct()
         table(s, d, "documents")
-          .join(dropped, Seq("doc_id"), "left_semi")
+          .join(contaminatedTrainDocs(s, d), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       }
@@ -2013,12 +2025,10 @@ object TextQueries {
     // beyond the doc_id equi-joins of the two bounded columns.
     Query("x125_source_scorecard", {
       val pairsSql =
-        "pairs AS (SELECT doc_a, doc_b FROM cand " +
-          "WHERE bit_count(xor(fa, fb)) <= 2), " +
-          "part AS (SELECT DISTINCT doc_id FROM (" +
+        "part AS (SELECT DISTINCT doc_id FROM (" +
           "SELECT doc_a AS doc_id FROM pairs " +
           "UNION ALL SELECT doc_b FROM pairs)), "
-      s"WITH ${DedupQueries.simhashCandSql}, " + pairsSql +
+      s"WITH ${DedupQueries.simhash64PairsSql}, " + pairsSql +
         "m AS (SELECT doc_id, source, n_chars, " +
         "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
         s"cap AS (SELECT CAST(SUM(n_chars) AS BIGINT) * $SourceCapPct " +
@@ -2038,7 +2048,7 @@ object TextQueries {
         "FROM base GROUP BY source ORDER BY source"
     }) {
       (s, d) =>
-        val pairs = DedupQueries.simhashPairs(s, d)
+        val pairs = DedupQueries.simhash64Pairs(s, d)
         val part = pairs.select(col("doc_a").as("doc_id"))
           .unionByName(pairs.select(col("doc_b").as("doc_id")))
           .distinct()

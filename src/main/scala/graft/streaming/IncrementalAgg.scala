@@ -33,17 +33,25 @@ object IncrementalAgg {
 
   /** Fold `delta` partials into `current` by full-outer coalesce-add
     * on every non-key column. Columns absent on one side count as
-    * zero; key sets union. */
+    * zero; key sets union. NULL keys merge null-safely (`<=>`): a
+    * null group key is one group, exactly as groupBy produced it — a
+    * plain equi-join would re-emit a fresh NULL row per fold and the
+    * view's total would drift. */
   def merged(current: DataFrame, delta: DataFrame,
       key: Seq[String]): DataFrame = {
     val adds = delta.columns.toSeq.diff(key)
     require(adds.nonEmpty, "delta carries no aggregate columns")
-    val d = adds.foldLeft(delta)((df, c) =>
+    val d = delta.columns.foldLeft(delta)((df, c) =>
       df.withColumnRenamed(c, s"_delta_$c"))
-    current.join(d, key, "full_outer")
-      .select(key.map(col) ++ adds.map(c =>
-        (coalesce(col(c), lit(0L)) +
-          coalesce(col(s"_delta_$c"), lit(0L))).as(c)): _*)
+    current.join(d,
+        key.map(k => col(k) <=> col(s"_delta_$k")).reduce(_ && _),
+        "full_outer")
+      .select(key.map(k =>
+        when(col(k).isNull && col(s"_delta_$k").isNotNull,
+          col(s"_delta_$k")).otherwise(col(k)).as(k)) ++
+        adds.map(c =>
+          (coalesce(col(c), lit(0L)) +
+            coalesce(col(s"_delta_$c"), lit(0L))).as(c)): _*)
   }
 
   /** Apply one batch's partials to the stored view. */

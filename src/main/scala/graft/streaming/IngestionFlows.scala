@@ -16,21 +16,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  * Two flows:
  *
- *  - [[documentIngestFlow]]: new (doc_id, text) rows append
- *    idempotently into the `documents` corpus table; the
- *    `dedup_decisions` DERIVED table (doc_id, cluster, canonical — the
- *    x34 near-dup clustering of the corpus as of this batch) is then
- *    recomputed, and each NEW doc's admit/drop verdict is emitted to
- *    the `ingest_log` (drop = the doc joined an existing cluster
- *    non-canonically, i.e. a near-dup of the stored corpus).
- *    Recomputing (not patching) the decision table is what makes its
- *    contents EXACTLY x34's canonical selection over the unioned
- *    corpus at every batch boundary — including the cluster-merge case
- *    where a new doc bridges two previously separate clusters and
- *    demotes one old canonical (an incremental patch would miss the
- *    demotion). The recompute is the quotient formulation: one narrow
- *    fingerprint scan + one ≤2¹⁶-row aggregate + driver union-find —
- *    per-batch cost is a codegen scan, not a pair graph.
+ *  - [[documentIngestFlow]]: new (doc_id, text[, source]) rows append
+ *    idempotently into the `documents` corpus table; the batch's
+ *    64-bit SimHash fingerprints + quality keys append into the
+ *    `text_fps` sidecar; and the `dedup_decisions` DERIVED table
+ *    (doc_id, cluster, canonical) is maintained INCREMENTALLY
+ *    (r15): the batch's Hamming-≤2 edges are discovered by the media
+ *    gate's probe shape (batch explodes into 2081 neighbor probes
+ *    and broadcasts; the stored fingerprint table scans once, never
+ *    explodes), and the bounded label-level merge graph relabels +
+ *    re-elects ONLY the affected clusters — including the
+ *    cluster-merge case where a new doc bridges two previously
+ *    separate clusters and demotes one old canonical (incremental CC
+ *    under edge ADDITIONS is exact; deletions go through the GDPR
+ *    batch recompute). `canonical` is x120's QUALITY election
+ *    (distinct tokens desc, chars desc, doc_id asc — the
+ *    SemDeDup-style retention): a later-arriving BETTER twin wins
+ *    the flag and the stored twin demotes, rather than the newcomer
+ *    being refused on arrival order; the kept view of the corpus
+ *    (canonical ∪ unclustered) therefore equals x122 over the union
+ *    at every batch boundary (spec-pinned against the batch engine,
+ *    DedupQueries.decisions64Of).
  *
  *  - [[embeddingIngestFlow]]: new (vec_id, embedding) rows append into
  *    the parquet embeddings corpus and are routed into the STORED
@@ -68,26 +74,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * hash-probe of the stored ex8h index + exact-string recheck, both
  * retryable like quality rejections.
  *
- * Source-cap gate (r14): with `sourceCapPct` set, the input schema
- * grows a `source` column and x121's crawl-budget contract is
- * enforced AT THE DOOR: a source's admitted character mass may not
- * exceed sourceCapPct% of total admitted mass. Per batch the cap is
- * evaluated against the snapshot (corpus as of the previous batch
- * boundary + this batch's cap-eligible mass); within the batch each
- * source admits docs in x121's deterministic md5(doc_id) order until
- * its allowance binds — refusals log reason `source_cap` and are
- * RETRYABLE (the doc never entered the corpus; once OTHER sources
- * grow the total, a re-send can fit — the crawl-budget semantics).
- * Documented bound: the cap denominator counts cap-eligible batch
- * mass BEFORE this batch's own refusals (the admitted-only
- * denominator is a fixpoint), so a source can overshoot its true
- * share by at most sourceCapPct% of the batch's refused mass —
- * vanishing at production batch-to-corpus ratios, and never
- * compounding (the next batch re-evaluates against the real corpus).
- * Crash window: the corpus-side mass anti-joins this batch's ids out
- * first, so a replay after "corpus appended, verdict lost" cannot
- * count a doc's own appended mass against its re-evaluation (the
- * media gate's self-match lesson).
+ * Source-cap gate (r14; INCREMENTAL since r15): with `sourceCapPct`
+ * set, the input schema grows a `source` column and x121's
+ * crawl-budget contract is enforced AT THE DOOR: a source's admitted
+ * character mass may not exceed sourceCapPct% of total admitted
+ * mass. The denominators are served from the `source_mass` VIEW —
+ * per-source character mass maintained by folding the corpus's
+ * VERSION DIFF ([[TableStore.changesBetween]], which on the
+ * append-only manifest chain reads only the delta segments), so the
+ * per-trigger cost is O(batch), not the r14 full-corpus text scan;
+ * the view carries its own `_synced_v` watermark, making the fold
+ * exactly-once under any crash (data + watermark flip in one atomic
+ * publish). Per batch the cap is evaluated against (view − this
+ * batch's own already-appended mass + this batch's cap-eligible
+ * mass); within the batch each source admits docs in x121's
+ * deterministic md5(doc_id) order until its allowance binds —
+ * refusals log reason `source_cap` and are RETRYABLE (the doc never
+ * entered the corpus; once OTHER sources grow the total, a re-send
+ * can fit — the crawl-budget semantics). Documented bound: the cap
+ * denominator counts cap-eligible batch mass BEFORE this batch's own
+ * refusals (the admitted-only denominator is a fixpoint), so a
+ * source can overshoot its true share by at most sourceCapPct% of
+ * the batch's refused mass — vanishing at production
+ * batch-to-corpus ratios, and never compounding (the next batch
+ * re-evaluates against the real corpus). Crash window: the batch's
+ * own already-appended mass is SUBTRACTED before evaluation, so a
+ * replay after "corpus appended, verdict lost" cannot count a doc's
+ * own mass against its re-evaluation (the media gate's self-match
+ * lesson).
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
@@ -103,18 +117,23 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       body: DataFrame => Unit): StreamingQuery =
     FlowRunner.start(store, checkpointRoot, trigger, df, name)(body)
 
-  /** New documents → quality gate → corpus + recomputed dedup
-    * decisions + per-doc admit/drop log. Input schema: (doc_id long,
-    * text string). */
+  /** New documents → quality gate → corpus + incrementally maintained
+    * dedup decisions + per-doc admit/drop log. Input schema: (doc_id
+    * long, text string[, source string]). The `source` column is
+    * PRESERVED whenever the input carries it (schema-evolving append),
+    * independent of whether the cap gate is on — enabling the cap
+    * later over a corpus that always had sources must not hit the
+    * rebuild-or-backfill wall. */
   def documentIngestFlow(newDocs: DataFrame): StreamingQuery = {
     require(sourceCapPct.isEmpty || newDocs.columns.contains("source"),
       "sourceCapPct requires a `source` column on the ingest input")
+    val hasSource = newDocs.columns.contains("source")
     start(newDocs, "document_ingest") { batch0 =>
       // which of the batch are genuinely new: a doc is settled once its
       // VERDICT is logged — the ingest_log is written LAST, so a batch
       // that crashed mid-way (corpus appended, derived writes lost)
       // replays in full. Every write below is key-idempotent
-      // (appendUnique/upsert) or a derived-table recompute, so
+      // (appendUnique/upsert) or an idempotent incremental merge, so
       // reprocessing an already-appended doc is harmless; keying
       // freshness off the FIRST write (the corpus) instead would make
       // that crash-replay a silent no-op that permanently loses the
@@ -122,8 +141,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       // never reached the corpus, so a re-send with corrected content
       // re-enters the gate (and its log row is superseded via upsert
       // below) instead of being permanently anti-joined away. The
-      // anti-join runs FIRST so the gate and the dedup window below
-      // cost O(new rows), not O(batch), on replay-heavy batches.
+      // anti-join runs FIRST so the gate and the incremental probes
+      // below cost O(new rows), not O(batch), on replay-heavy batches.
       // quality AND contamination rejections are retryable (the doc
       // never entered the corpus); admitted/near-dup verdicts settle
       val unsettled =
@@ -147,7 +166,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           coalesce(length(col("text")), lit(-1)).desc,
           col("text").asc_nulls_last)).persist()
       try {
-        val docCols = if (sourceCapPct.isDefined)
+        val docCols = if (hasSource)
           Seq(col("doc_id"), col("text"), col("source"))
         else Seq(col("doc_id"), col("text"))
         val clean = batch.filter(col("_fail").isNull)
@@ -194,67 +213,93 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             .select("g").distinct()
           // persisted for the batch's duration: the anti-join below,
           // the emptiness probe, the log write and the admitted join
-          // all reference it — unpersisted at the END of the batch
-          // body (an early unpersist would re-run the whole probe,
-          // benchmark scan included, for every later reference)
+          // all reference it (an early unpersist would re-run the
+          // whole probe, benchmark scan included, per reference)
           candRows.join(evalStr, Seq("g"), "left_semi")
             .select("doc_id").distinct().persist()
         }
         try {
           val fresh0 = contamIds.fold(clean)(ids =>
             clean.join(ids, Seq("doc_id"), "left_anti"))
-          // source-cap gate (r14): x121's crawl-budget contract at the
-          // door. Corpus-side masses EXCLUDE this batch's ids (crash-
-          // window replay: "corpus appended, verdict lost" must not
-          // count a doc's own appended mass against its re-
-          // evaluation); the two denominators are 1-row collects and
-          // the per-source table is one map-side-combined aggregate.
-          // Within the batch each source admits in x121's
-          // deterministic md5(doc_id) order until cumulative mass
-          // would pass the allowance. `scored` is persisted for the
-          // batch body (the keep filter, the refusal log and the
-          // emptiness probes all reference it — recomputing would
-          // re-run the corpus-side aggregate per reference).
+          // source-cap gate (r14; made INCREMENTAL in r15): x121's
+          // crawl-budget contract at the door, with the denominators
+          // served from the `source_mass` VIEW — an incrementally
+          // maintained per-source mass aggregate (syncSourceMass: the
+          // corpus's version diff folds in O(batch), never a
+          // full-corpus text scan per trigger). The crash window
+          // ("corpus appended, verdict lost") is handled by
+          // SUBTRACTING this batch's own already-appended mass: a
+          // narrow membership semi-join on the corpus's doc_id column
+          // — the same shape and cost class as the appendUnique
+          // anti-join every batch already pays — which matches
+          // nothing on the happy path. Within the batch each source
+          // admits in x121's deterministic md5(doc_id) order until
+          // its allowance binds; refusals are RETRYABLE. Documented
+          // bound (unchanged): the cap denominator counts the batch's
+          // cap-eligible mass BEFORE its own refusals, so a source
+          // can overshoot its true share by at most sourceCapPct% of
+          // the batch's refused mass — vanishing at production
+          // batch-to-corpus ratios, never compounding.
           val scoredOpt: Option[DataFrame] = sourceCapPct.map { pct =>
             import org.apache.spark.sql.expressions.Window
             val mass = length(coalesce(col("text"), lit(""))).cast("long")
-            val prior =
+            if (store.exists("documents"))
+              // fail with a pointed message, not a mid-plan analysis
+              // error, when the gate is turned on over a corpus that
+              // predates it (rows appended without a source column)
+              require(store.load("documents").columns.contains("source"),
+                "sourceCapPct set but the existing `documents` corpus " +
+                  "has no `source` column — the gate needs per-source " +
+                  "masses; rebuild or backfill the corpus with sources")
+            syncSourceMass()
+            val view =
+              if (!store.exists("source_mass")) None
+              else Some(store.load("source_mass")
+                .select(col("source"), col("chars")))
+            val own =
               if (!store.exists("documents")) None
-              else {
-                val c = store.load("documents")
-                // fail with a pointed message, not a mid-plan analysis
-                // error, when the gate is turned on over a corpus that
-                // predates it (rows appended without a source column)
-                require(c.columns.contains("source"),
-                  "sourceCapPct set but the existing `documents` corpus " +
-                    "has no `source` column — the gate needs per-source " +
-                    "masses; rebuild or backfill the corpus with sources")
-                Some(c.join(fresh0.select("doc_id"), Seq("doc_id"),
-                  "left_anti"))
+              else Some(fresh0
+                .join(store.load("documents").select("doc_id"),
+                  Seq("doc_id"), "left_semi")
+                .groupBy("source").agg(sum(mass).as("_own")).persist())
+            try {
+              val viewTotal: Long = view
+                .map(_.agg(coalesce(sum(col("chars")), lit(0L)).as("t"))
+                  .collect()(0).getLong(0)).getOrElse(0L)
+              val ownTotal: Long = own
+                .map(_.agg(coalesce(sum(col("_own")), lit(0L)).as("t"))
+                  .collect()(0).getLong(0)).getOrElse(0L)
+              val priorTotal = viewTotal - ownTotal
+              val batchTotal: Long = fresh0
+                .agg(coalesce(sum(mass), lit(0L)).as("t"))
+                .collect()(0).getLong(0)
+              val cap = (priorTotal + batchTotal) * pct / 100
+              val srcMass = view.map { v =>
+                val withOwn = own.fold(v.withColumn("_own", lit(0L)))(o =>
+                  v.join(o, Seq("source"), "left_outer")
+                    .withColumn("_own", coalesce(col("_own"), lit(0L))))
+                withOwn.select(col("source"),
+                  (col("chars") - col("_own")).as("_cm"))
               }
-            val priorTotal: Long = prior
-              .map(_.agg(coalesce(sum(mass), lit(0L)).as("t"))
-                .collect()(0).getLong(0)).getOrElse(0L)
-            val batchTotal: Long = fresh0
-              .agg(coalesce(sum(mass), lit(0L)).as("t"))
-              .collect()(0).getLong(0)
-            val cap = (priorTotal + batchTotal) * pct / 100
-            val srcMass = prior.map(_.groupBy("source")
-              .agg(sum(mass).as("_cm")))
-            val scored0 = fresh0.withColumn("_bcum", sum(mass).over(
-              Window.partitionBy("source")
-                .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-            srcMass.fold(scored0.withColumn("_cm", lit(0L)))(m =>
-                scored0.join(graft.operators.PlanGuards.broadcastIfSmall(m),
-                  Seq("source"), "left_outer")
-                  .withColumn("_cm", coalesce(col("_cm"), lit(0L))))
-              .withColumn("_kept", col("_cm") + col("_bcum") <= cap)
-              .persist()
+              val scored0 = fresh0.withColumn("_bcum", sum(mass).over(
+                Window.partitionBy("source")
+                  .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+              srcMass.fold(scored0.withColumn("_cm", lit(0L)))(m =>
+                  scored0.join(graft.operators.PlanGuards.broadcastIfSmall(m),
+                    Seq("source"), "left_outer")
+                    .withColumn("_cm", coalesce(col("_cm"), lit(0L))))
+                .withColumn("_kept", col("_cm") + col("_bcum") <= cap)
+                .persist()
+            } finally { own.foreach { o => o.unpersist(); () } }
           }
           try {
           val fresh = scoredOpt.fold(fresh0)(sc => sc.filter(col("_kept"))
             .select(fresh0.columns.map(col).toIndexedSeq: _*))
-          store.appendUnique("documents", fresh, Seq("doc_id"))
+          // schema-evolving append: a corpus started without sources
+          // grows the (nullable) column the first time a sourced
+          // batch arrives, instead of walling off the cap gate
+          store.appendUnique("documents", fresh, Seq("doc_id"),
+            evolveSchema = true)
           // upsert, not appendUnique: a retryable rejection must
           // SUPERSEDE a stale retryable row in either direction —
           // appendUnique would leave a doc whose contamination
@@ -276,22 +321,45 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                   lit("source_cap").as("reason")), Seq("doc_id"))
           }
         if (!fresh.isEmpty) {
-          // recompute the derived decision table on the grown corpus
-          // — per-batch cost: one narrow codegen scan + bounded agg
-          val decisions = DedupQueries.quotientClusters(spark,
-            DedupQueries.simhashFpsOf(store.load("documents")))
-          store.replace("dedup_decisions", decisions)
-          // the new docs' verdicts: a new doc is DROPPED iff the
-          // current clustering marks it non-canonical (near-dup of a
-          // smaller-id doc); docs outside any cluster are admitted
-          val admitted = fresh.select(col("doc_id"))
-            .join(store.load("dedup_decisions")
-              .select(col("doc_id"), col("canonical")),
-              Seq("doc_id"), "left_outer")
-            .select(col("doc_id"),
-              coalesce(col("canonical"), lit(true)).as("admitted"),
-              when(not(coalesce(col("canonical"), lit(true))),
-                lit("near_dup")).as("reason"))
+          // near-dup decisions, maintained INCREMENTALLY (r15, 64-bit):
+          // the batch fingerprints into the stored `text_fps` sidecar
+          // (fp + quality key, one codegen scan of the batch), its new
+          // Hamming-≤2 edges are found by the media gate's probe shape
+          // (batch side explodes into the 2081 ≤2-bit XOR neighbors
+          // and BROADCASTS; the stored fingerprint table scans once,
+          // never explodes), and the bounded edge set merges into the
+          // stored decision table — relabel + re-election touch only
+          // AFFECTED clusters, so per-batch compute is O(batch + its
+          // neighborhoods), not O(corpus pairs). The r14 engine
+          // recomputed the full clustering per batch off the ≤2¹⁶
+          // quotient, which 64-bit fingerprints no longer admit — and
+          // the recompute was the scale wart anyway.
+          val bq = graft.operators.DedupQueries.fpQualityOf(fresh).persist()
+          try {
+            store.appendUnique("text_fps", bq, Seq("doc_id"))
+            mergeDecisions(bq)
+          } finally { bq.unpersist(); () }
+          // the new docs' verdicts: since r15 the retention policy is
+          // x120's QUALITY election (SemDeDup-style), not min-id — a
+          // newcomer that beats its admitted twin on the exact-integer
+          // quality key WINS the canonical flag (the twin demotes in
+          // `dedup_decisions`, the current-truth table); a newcomer
+          // that loses logs (admitted=false, 'near_dup'). Docs outside
+          // any cluster are admitted.
+          // the table may not exist yet (no pair has ever formed) —
+          // every doc is then trivially admitted
+          val admitted =
+            if (!store.exists("dedup_decisions"))
+              fresh.select(col("doc_id"), lit(true).as("admitted"),
+                lit(null).cast("string").as("reason"))
+            else fresh.select(col("doc_id"))
+              .join(store.load("dedup_decisions")
+                .select(col("doc_id"), col("canonical")),
+                Seq("doc_id"), "left_outer")
+              .select(col("doc_id"),
+                coalesce(col("canonical"), lit(true)).as("admitted"),
+                when(not(coalesce(col("canonical"), lit(true))),
+                  lit("near_dup")).as("reason"))
           // upsert, not appendUnique: a doc whose earlier quality
           // rejection was corrected by this batch has a stale
           // (admitted=false,'quality') row to supersede
@@ -300,9 +368,9 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // maintained derived table): `documents_clean` is the
           // cross-doc repeated-span-excised view of the corpus as of
           // this batch boundary. Recomputed, not patched, for the same
-          // reason as dedup_decisions: a new doc can introduce NEW
-          // duplication that excises spans from previously-clean rows,
-          // and a new doc with a smaller doc_id can even take
+          // reason as the old decision table: a new doc can introduce
+          // NEW duplication that excises spans from previously-clean
+          // rows, and a new doc with a smaller doc_id can even take
           // ownership of a span an older doc kept — both cases mutate
           // OLD output rows, which a patch would miss.
           spanCleanN.foreach { ng =>
@@ -315,6 +383,147 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         } finally { contamIds.foreach { ids => ids.unpersist(); () } }
       } finally { batch.unpersist(); () }
     }
+  }
+
+  /** Incrementally sync the `source_mass` view — (source, chars,
+    * _synced_v) where `_synced_v` is a constant column naming the
+    * `documents` version the view covers — up to the corpus's current
+    * version. The append-only fast path folds ONLY the delta segments
+    * (TableStore.changesBetween reads nothing else), O(batch); a
+    * rewriting transition (GDPR purge, compaction) or a vacuumed base
+    * version falls back to ONE full recompute — the standard IVM
+    * resync, after which delta-folding resumes. Exactly-once without
+    * a separate commit file: the marker rides INSIDE the view, so the
+    * read-merge-replace publishes data and watermark in one atomic
+    * version flip — a crash anywhere simply replays from whatever
+    * marker the live view carries. */
+  private[graft] def syncSourceMass(): Unit = {
+    if (!store.exists("documents")) return
+    val cur = store.version("documents")
+    def massOf(df: DataFrame): DataFrame = df
+      .groupBy("source")
+      .agg(sum(length(coalesce(col("text"), lit(""))).cast("long"))
+        .as("chars"))
+    def resync(): Unit =
+      store.replace("source_mass", massOf(store.load("documents"))
+        .withColumn("_synced_v", lit(cur.toLong)))
+    if (!store.exists("source_mass")) { resync(); return }
+    val v0: Long = store.load("source_mass")
+      .agg(max(col("_synced_v"))).collect()(0).getLong(0)
+    if (v0 >= cur) return
+    if (!store.appendOnlySince("documents", v0.toInt)) resync()
+    else {
+      val delta = massOf(
+        store.changesBetween("documents", v0.toInt, cur, Seq("doc_id"))
+          .drop("_op")) // append-only chain: pure inserts
+      store.replace("source_mass",
+        IncrementalAgg.merged(
+          store.load("source_mass").drop("_synced_v"), delta,
+          Seq("source")).withColumn("_synced_v", lit(cur.toLong)))
+    }
+  }
+
+  /** Merge one batch's Hamming-≤2 edges into the stored
+    * `dedup_decisions` table. `bq` = the batch's (doc_id, f, dt,
+    * n_chars) rows (already appended to `text_fps`).
+    *
+    *  - Edge discovery: batch fps explode into the 2081 ≤2-bit XOR
+    *    probes and broadcast against ONE scan of `text_fps` (which
+    *    already contains the batch, so in-batch pairs come out of the
+    *    same probe); a doc never matches its own stored row (the
+    *    crash-window self-match guard, the media gate's lesson).
+    *  - Component merge: edge endpoints map to their current cluster
+    *    labels (themselves when unclustered); the label-level merge
+    *    graph — bounded by the batch's edge count, the documented
+    *    driver cap — union-finds to min-label roots.
+    *  - Rewrite: only AFFECTED clusters (labels in the merge graph)
+    *    relabel, new members join them, and x120's quality election
+    *    re-runs on exactly those clusters; everything else is
+    *    untouched. Upserts are key-idempotent, so crash replays
+    *    re-derive the same edges and re-apply as no-ops. Parity with
+    *    the batch engine (DedupQueries.decisions64Of) is spec-pinned
+    *    across batches, replays and purges. */
+  private def mergeDecisions(bq: DataFrame): Unit = {
+    import spark.implicits._
+    val maskArr = array(MediaQueries.hamming2Masks.map(lit).toIndexedSeq: _*)
+    val nbrs = bq.select(col("doc_id"), col("f"), explode(maskArr).as("m"))
+      .select(col("doc_id"), col("f").bitwiseXOR(col("m")).as("probe"))
+    val edges0 = store.load("text_fps").as("s")
+      .join(broadcast(nbrs).as("n"),
+        col("s.f") === col("n.probe") &&
+          col("s.doc_id") =!= col("n.doc_id"))
+      .select(least(col("s.doc_id"), col("n.doc_id")).as("a"),
+        greatest(col("s.doc_id"), col("n.doc_id")).as("b"))
+      .distinct()
+    val curOpt =
+      if (store.exists("dedup_decisions")) Some(store.load("dedup_decisions"))
+      else None
+    val labeled = curOpt.fold(
+        edges0.withColumn("la", col("a")).withColumn("lb", col("b"))) { cur =>
+      edges0
+        .join(cur.select(col("doc_id").as("a"), col("cluster").as("_ca")),
+          Seq("a"), "left_outer")
+        .join(cur.select(col("doc_id").as("b"), col("cluster").as("_cb")),
+          Seq("b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("_ca"), col("a")).as("la"),
+          coalesce(col("_cb"), col("b")).as("lb"))
+    }
+    // bounded by the batch's edge count (documented driver cap — the
+    // merge graph is label-level, never corpus-level)
+    val e = labeled.select(col("a"), col("b"), col("la"), col("lb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    if (e.isEmpty) {
+      // no new pairs — still establish the (empty) table on first
+      // contact, so readers can treat its existence as "the flow has
+      // run" (the pre-r15 recompute always published one)
+      if (!store.exists("dedup_decisions")) {
+        import spark.implicits._
+        store.replace("dedup_decisions",
+          Seq.empty[(Long, Long, Boolean)]
+            .toDF("doc_id", "cluster", "canonical"))
+      }
+      return
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+    }
+    // endpoints union their LABELS; a new endpoint's label is itself,
+    // so new docs are first-class merge-graph nodes (a new SMALLER
+    // doc_id can become its component's label)
+    e.foreach { case (a, b, la, lb) =>
+      union(la, lb); union(a, la); union(b, lb)
+    }
+    val relabel = parent.keys.map(k => (k, find(k))).toSeq
+    val relabelDf = relabel.toDF("cluster", "_newc")
+    val endpointRoots = e.flatMap { case (a, b, _, _) => Seq(a, b) }
+      .distinct.map(x => (x, find(x))).toSeq.toDF("doc_id", "_newc")
+    // affected members = old rows of touched clusters (relabeled) +
+    // edge endpoints not yet in the table
+    val oldMembers = curOpt.fold(endpointRoots.limit(0)) { cur =>
+      cur.join(broadcast(relabelDf), Seq("cluster"))
+        .select(col("doc_id"), col("_newc"))
+    }
+    val newMembers = curOpt.fold(endpointRoots) { cur =>
+      endpointRoots.join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+    }
+    val members = oldMembers.unionByName(newMembers).distinct()
+      .select(col("doc_id"), col("_newc").as("cluster"))
+    // x120's election over exactly the affected clusters
+    val elected = graft.operators.DedupQueries.electDecisions(
+      members, store.load("text_fps"))
+    store.upsert("dedup_decisions", elected, Seq("doc_id"))
   }
 
   /** New embeddings → parquet corpus + incremental ingest into the

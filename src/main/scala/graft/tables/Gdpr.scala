@@ -85,22 +85,29 @@ object Gdpr {
     // idempotent RE-purge — which deletes 0 corpus rows, so a purely
     // n-gated recompute would never clear the residuals and the
     // purge → quiesce → verify loop could not converge.
-    val residual = n == 0L && Seq("dedup_decisions", "documents_clean")
-      .exists(t => store.exists(t) &&
-        !store.load(t).filter(col("doc_id").isin(docIds: _*)).isEmpty)
+    val residual = n == 0L &&
+      Seq("dedup_decisions", "documents_clean", "text_fps")
+        .exists(t => store.exists(t) &&
+          !store.load(t).filter(col("doc_id").isin(docIds: _*)).isEmpty)
     if ((n > 0L || residual) && store.exists("documents")) {
       val remaining = store.load("documents")
       val spark = remaining.sparkSession
+      // full batch recompute (pairs + distributed CC + quality
+      // election) — the purge is a rare admin op, and removing a doc
+      // can re-elect canonicals or split components, which only a
+      // recompute sees. The fingerprint sidecar re-derives with it.
       if (store.exists("dedup_decisions"))
         store.replace("dedup_decisions",
-          graft.operators.DedupQueries.quotientClusters(spark,
-            graft.operators.DedupQueries.simhashFpsOf(remaining)))
+          graft.operators.DedupQueries.decisions64Of(spark, remaining))
+      if (store.exists("text_fps"))
+        store.replace("text_fps",
+          graft.operators.DedupQueries.fpQualityOf(remaining))
       if (store.exists("documents_clean"))
         store.replace("documents_clean",
           graft.operators.SpanDedup.cleanedCorpus(remaining, spanCleanN))
     } else if (residual) {
       // no corpus table to recompute from: prune the rows directly
-      Seq("dedup_decisions", "documents_clean").foreach { t =>
+      Seq("dedup_decisions", "documents_clean", "text_fps").foreach { t =>
         if (store.exists(t))
           store.deleteWhere(t, col("doc_id").isin(docIds: _*))
       }
@@ -139,7 +146,8 @@ object Gdpr {
     * (idempotent). */
   def verifyErasure(store: TableStore, docIds: Seq[Long]): Map[String, Long] =
     Seq("documents", "dedup_decisions", "documents_clean", "ingest_log",
-      "media_docs", "media_fps", "media_ingest_log", "packing_manifest")
+      "text_fps", "media_docs", "media_fps", "media_ingest_log",
+      "packing_manifest")
       .filter(store.exists)
       .map { t =>
         t -> store.load(t).filter(col("doc_id").isin(docIds: _*)).count()

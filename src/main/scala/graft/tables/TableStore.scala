@@ -671,6 +671,14 @@ final class TableStore(spark: SparkSession, root: String,
         .startsWith(fl.filterNot(_.startsWith("#")))
   }
 
+  /** True iff the transition `fromV` → current is append-only (pure
+    * inserts, readable from the delta segments alone) — the probe an
+    * incremental view maintainer uses to choose between a delta fold
+    * and a full resync (false also when `fromV` has been vacuumed). */
+  def appendOnlySince(name: String, fromV: Int): Boolean =
+    versionExists(name, fromV) &&
+      appendOnlyBetween(name, fromV, currentVersion(name))
+
   /** Incremental replication: bring `dst` (hosted by this store) up to
     * `src`'s current snapshot by applying the version diff since the
     * last sync — the CDC CONSUMER side of [[changesBetween]], the

@@ -13,7 +13,7 @@ object FpStats {
     spark.sparkContext.setLogLevel("WARN")
     for (d <- args) {
       val docs = graft.sources.Tables.table(spark, d, "documents")
-      val fps = graft.operators.DedupQueries.simhashFpsOf(docs)
+      val fps = graft.operators.DedupQueries.simhash64FpsOf(docs)
       val n = fps.select(col("f")).distinct().count()
       println(s"[fpstats] $d distinct_fps=$n docs=${docs.count()}")
     }

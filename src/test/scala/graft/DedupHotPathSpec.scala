@@ -148,20 +148,23 @@ class DedupHotPathSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
-  test("x34 quotient clustering ≡ general pointer-jumping CC on the same pair graph") {
-    // the quotient union-find over fingerprints and the distributed CC
-    // over the document pair graph must produce the identical fixpoint
-    val quotient = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
+  test("stored x34 clustering ≡ fresh banded-candidate CC on the same pair graph") {
+    // the stored cl64 table (quotient/banded pair engine + distributed
+    // CC, built once per corpus version) and a from-scratch CC over the
+    // banded candidate graph must produce the identical fixpoint
+    val stored = SparkEntry.queries("x34_dedup_clusters")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    val pairs = DedupQueries.simhashCandidates(spark, TestSpark.sf)
+    val fps = DedupQueries.simhash64FpsOf(
+      graft.sources.Tables.table(spark, TestSpark.sf, "documents"))
+    val pairs = DedupQueries.simhash64Candidates(fps)
       .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 2)
       .select(col("doc_a"), col("doc_b"))
     val general = DedupQueries.connectedComponents(spark, pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(quotient.nonEmpty)
-    assert(quotient.map(d => d._1 -> d._2).toMap === general)
+    assert(stored.nonEmpty)
+    assert(stored.map(d => d._1 -> d._2).toMap === general)
     // exactly one canonical per cluster, and it is the cluster min
-    quotient.groupBy(_._2).foreach { case (c, ms) =>
+    stored.groupBy(_._2).foreach { case (c, ms) =>
       assert(ms.map(_._1).min === c)
       assert(ms.count(_._3) === 1)
     }
@@ -169,11 +172,12 @@ class DedupHotPathSpec extends AnyFunSuite {
 
   test("x25 saturation fallback: banded path returns the identical pair set") {
     // force the guard (maxQuotientFps = 0 → every corpus "saturates")
-    // and compare against the default quotient path — the two
-    // formulations must agree pair-for-pair including hamming values
-    val quotient = DedupQueries.simhashPairs(spark, TestSpark.sf)
+    // and compare against the quotient path (forced the other way) —
+    // the two formulations must agree pair-for-pair incl. hamming
+    val quotient = DedupQueries.simhash64Pairs(spark, TestSpark.sf,
+      maxQuotientFps = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val banded = DedupQueries.simhashPairs(spark, TestSpark.sf,
+    val banded = DedupQueries.simhash64Pairs(spark, TestSpark.sf,
       maxQuotientFps = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(quotient.nonEmpty)

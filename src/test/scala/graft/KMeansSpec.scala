@@ -231,4 +231,91 @@ class KMeansSpec extends AnyFunSuite {
       assert(KMeansQueries.train(spark, dir, KMeansParams(k = 4)) eq k4)
     } finally graft.tables.TempDirs.delete(dir)
   }
+
+  test("engine is dimension-agnostic: dim-16 corpus trains, assigns and dedups end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 16-dim corpus (the fixture is 64): the ENGINE paths — quantize,
+    // posexplode update aggregate, literal-centroid argmin, x115-shaped
+    // semantic dedup — must carry the dimension from the data, with no
+    // 64 baked in anywhere (only the ORACLE SQL pins the fixture dim)
+    val dim = 16
+    val rnd = new scala.util.Random(20260815L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-km16").toString
+    val rows = (0L until 120L).map { id =>
+      val center = (id % 3).toInt
+      val v = Array.tabulate(dim)(j =>
+        (center * 0.8f - 0.8f) + (rnd.nextFloat() - 0.5f) * 0.2f +
+          (if (j % 3 == center) 0.5f else 0f))
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val p = KMeansParams(k = 3, iters = 2)
+    val cents = KMeansQueries.train(spark, dir, p)
+    assert(cents.length === 3)
+    assert(cents.forall(_.length === dim), "centroid dim must track the data")
+    // independent reference over the collected corpus
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray
+          .map(e => math.floor(e.toDouble * 1000).toLong + 2048))
+      }
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    def refArgmin(cs: Array[Array[Long]], v: Array[Long]): Int = {
+      var bk = Long.MaxValue; var i = 0
+      while (i < cs.length) {
+        val k2 = sq(cs(i), v) * cs.length + i
+        if (k2 < bk) bk = k2
+        i += 1
+      }
+      (bk % cs.length).toInt
+    }
+    val sample = vs.sortBy { case (id, _) => (md5bits16(id.toString), id) }
+      .take(p.sampleN)
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    while (seeds.length < p.k) {
+      var bestId = Long.MaxValue; var bestD = -1L
+      var bestV: Array[Long] = null
+      sample.foreach { case (id, v) =>
+        val md = seeds.map(c => sq(v, c)).min
+        if (md > bestD || (md == bestD && id < bestId)) {
+          bestD = md; bestId = id; bestV = v
+        }
+      }
+      seeds += bestV
+    }
+    var ref = seeds.toArray.map(_.clone())
+    for (_ <- 0 until p.iters) {
+      val sums = Array.fill(p.k)(Array.fill(dim)(0L))
+      val ns = Array.fill(p.k)(0L)
+      vs.foreach { case (_, v) =>
+        val cid = refArgmin(ref, v)
+        ns(cid) += 1
+        var j = 0
+        while (j < dim) { sums(cid)(j) += v(j); j += 1 }
+      }
+      ref = Array.tabulate(p.k)(i =>
+        if (ns(i) == 0) ref(i) else sums(i).map(s => Math.floorDiv(s, ns(i))))
+    }
+    assert(cents.map(_.toSeq).toSeq === ref.map(_.toSeq).toSeq,
+      "dim-16 training trajectory must equal the reference")
+    // assignment + x115-shaped semantic dedup run end-to-end on dim 16
+    val assigned = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        KMeansQueries.assignCid(cents,
+          KMeansQueries.quantExpr(col("embedding"))).as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vs.foreach { case (id, v) =>
+      assert(assigned(id) === refArgmin(cents, v), s"vec $id assignment")
+    }
+    assert(assigned.values.toSet.size === 3, "all three clusters populated")
+    graft.tables.TempDirs.delete(dir)
+  }
 }

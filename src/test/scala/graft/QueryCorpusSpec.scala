@@ -173,7 +173,8 @@ class QueryCorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(rows.map(_._2).toSeq ===
-      Seq("all", "exact_dedup", "near_dedup", "source_cap"))
+      Seq("all", "exact_dedup", "near_dedup", "quality",
+        "decontaminated", "source_cap"))
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b._3 <= a._3 && b._4 <= a._4,
         s"funnel grew from ${a._2} to ${b._2}")
@@ -182,7 +183,23 @@ class QueryCorpusSpec extends AnyFunSuite {
       .collect().head
     assert(rows(0)._3 === q21.getLong(0), "stage 0 = corpus doc count")
     assert(rows(1)._3 === q21.getLong(1), "stage 1 = q21's distinct-text count")
-    assert(rows(3)._3 > 0, "the full funnel must leave survivors")
+    // the near-dup stage drops exactly x40's drop list ∩ exact-dedup
+    // survivors; the decontamination stage drops x86's roster ∩ prior
+    // survivors — re-derive both counts from the anchor queries
+    val x40Kept = SparkEntry.queries("x40_dedup_canonical")(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactKept = graft.sources.Tables.table(spark, TestSpark.sf, "documents")
+      .groupBy("text").agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows(2)._3 === (exactKept & x40Kept).size.toLong,
+      "stage 2 = exact-dedup survivors that x40 keeps")
+    val x86Dropped = SparkEntry.queries("x86_decontaminate")(spark, TestSpark.sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows(4)._3 >= rows(5)._3 && rows(3)._3 - rows(4)._3 <=
+      x86Dropped.size.toLong,
+      "stage 4 drops at most x86's roster")
+    assert(rows(5)._3 > 0, "the full funnel must leave survivors")
   }
 
   test("minhash LSH finds a subset of the exact near-dup pairs") {

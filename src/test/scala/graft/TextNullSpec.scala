@@ -31,6 +31,42 @@ class TextNullSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) === 0L)
   }
 
+  test("simhash64: bit arithmetic matches the reference fold; null poisons; dup-multiset invariance") {
+    import spark.implicits._
+    // reference recompute: big-endian first 8 md5 bytes per token,
+    // per-bit ±1 sign counts — the definition the DuckDB oracle's
+    // hex-digit arithmetic mirrors
+    def ref(tokens: Seq[String]): Long = {
+      val counts = new Array[Int](64)
+      tokens.foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val v = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+        (0 until 64).foreach(j =>
+          counts(j) += (if (((v >>> j) & 1L) == 1L) 1 else -1))
+      }
+      (0 until 64).foldLeft(0L)((a, j) =>
+        if (counts(j) > 0) a | (1L << j) else a)
+    }
+    val toks = Seq("alpha", "beta", "gamma", "中文", "x")
+    val df = Seq(
+      (1L, toks),
+      (2L, toks ++ toks),                  // duplicated multiset
+      (3L, Seq[String]("a", null, "c")),   // null poisoning
+      (4L, Seq[String]())
+    ).toDF("id", "ts")
+    val rows = df.select(col("id"),
+        TextExpressions.simhash64(col("ts")).as("f"))
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) === ref(toks))
+    // duplicating every token preserves all sign counts → identical
+    // fingerprint (the Hamming-0 twin construction the election
+    // specs use)
+    assert(rows(1).getLong(1) === rows(0).getLong(1))
+    assert(rows(2).isNullAt(1), "null token must null the simhash")
+    assert(rows(3).getLong(1) === 0L)
+  }
+
   test("minhash_bands: null shingles skipped (array_min semantics)") {
     import spark.implicits._
     val df = Seq(

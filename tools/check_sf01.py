@@ -68,35 +68,38 @@ def check_x16(sf, vout):
 
 
 @lru_cache(maxsize=None)
-def md5bits16(token):
-    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:4], 16)
+def md5bits64(token):
+    # big-endian first 8 digest bytes — TextExprUtil.simhash64's token hash
+    return int.from_bytes(
+        hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
-def simhash16(text):
-    counts = [0] * 16
+def simhash64(text):
+    counts = [0] * 64
     for t in text.split(" "):
-        v = md5bits16(t)
-        for j in range(16):
+        v = md5bits64(t)
+        for j in range(64):
             counts[j] += 1 if (v >> j) & 1 else -1
-    return sum(1 << j for j in range(16) if counts[j] > 0)
+    return sum(1 << j for j in range(64) if counts[j] > 0)
 
 
 def check_x34(sf, vout):
-    """Union-find connected components over the SimHash <=2-bit pair
-    graph (the same fingerprints/threshold as x25/x34; the 3-band
-    LSH join is exact for the threshold by pigeonhole, so the pair
-    set is simply: all pairs at Hamming distance <= 2)."""
+    """Union-find connected components over the 64-bit SimHash <=2-bit
+    pair graph (the same fingerprints/threshold as x25/x34; both the
+    quotient-neighbor and 3-band engine paths are exact for the
+    threshold, so the pair set is simply: all pairs at Hamming
+    distance <= 2)."""
     docs = pd.read_parquet(f"{sf}/documents.parquet",
                            columns=["doc_id", "text"])
     docs = docs[docs.text.notna()]
-    fps = {int(d): simhash16(t)
+    fps = {int(d): simhash64(t)
            for d, t in zip(docs.doc_id.values, docs.text.values)}
     by_fp = {}
     for d, f in fps.items():
         by_fp.setdefault(f, []).append(d)
-    # Hamming<=2 neighborhood masks: identity, 16 one-bit, 120 two-bit
-    masks = [0] + [1 << i for i in range(16)] + \
-        [(1 << i) | (1 << j) for i in range(16) for j in range(i + 1, 16)]
+    # Hamming<=2 neighborhood masks: identity, 64 one-bit, 2016 two-bit
+    masks = [0] + [1 << i for i in range(64)] + \
+        [(1 << i) | (1 << j) for i in range(64) for j in range(i + 1, 64)]
     parent = {}
 
     def find(x):
