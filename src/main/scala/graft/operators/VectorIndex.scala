@@ -255,19 +255,25 @@ object VectorIndex {
     * `cents` must be sorted by cell. */
   def assignCells(base: DataFrame,
       cents: Array[(Long, Array[Double])]): DataFrame = {
-    val withD = cents.foldLeft(base) { case (df, (c, m)) =>
-      df.withColumn(s"__d$c",
-        VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*)))
-    }
-    var best: Column = col(s"__d${cents.head._1}")
-    var cell: Column = lit(cents.head._1)
-    cents.tail.foreach { case (c, _) =>
-      val d0 = col(s"__d$c")
-      cell = when(d0 < best, lit(c)).otherwise(cell)
-      best = when(d0 < best, d0).otherwise(best)
-    }
-    withD.withColumn("cell", cell)
-      .drop(cents.map(c => s"__d${c._1}").toIndexedSeq: _*)
+    // argmin as ONE array_min over (dist·k + rank) keys — the
+    // KMeansQueries.assignCid shape. The r14 form folded a when-chain
+    // (cell/best rebuilt per step, each referencing the previous
+    // expression twice), whose collapsed-Project codegen grew
+    // EXPONENTIALLY in the cell count and blew janino's 64 KB method
+    // limit at cells=16 (spec's parameterized build). dist is an
+    // exact-integer-valued double (fixed-point inputs; ≤ 2^43 ≪ 2^53),
+    // so the key encoding is exact; ties break to the smaller rank =
+    // the earlier cell, the when-chain's rule.
+    val n = cents.length
+    val key = array_min(array(cents.zipWithIndex.map { case ((_, m), i) =>
+      VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*))
+        .cast("long") * n + i
+    }.toIndexedSeq: _*))
+    val cellIds = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    base.withColumn("__k", key)
+      .withColumn("cell",
+        element_at(cellIds, (col("__k") % n).cast("int") + 1))
+      .drop("__k")
   }
 
   /** k-means over the fixed-point projection: deterministic seeds
@@ -287,16 +293,21 @@ object VectorIndex {
     var cents: Array[(Long, Array[Double])] = seeds
     for (_ <- 0 until p.iters) {
       val assigned = assignCells(base, cents)
-      val aggCols = (0 until p.dim)
-        .map(i => sum(element_at(col("pfp"), i + 1)).as(s"s$i")) :+
-        count(lit(1)).as("cnt")
-      val agg = assigned.groupBy("cell")
-        .agg(aggCols.head, aggCols.tail: _*).collect()
-      cents = agg.map { r =>
-        val cnt = r.getLong(p.dim + 1)
-        (r.getLong(0),
-          Array.tabulate(p.dim)(i => r.getLong(i + 1).toDouble / cnt))
-      }.sortBy(_._1)
+      // posexplode + (cell, component) groupBy with TWO aggregate
+      // columns: the r14 dim+1-column aggregate blew janino's 64 KB
+      // method limit (interpreted fallback on the training pass —
+      // the same defect, and fix, as the KMeansQueries trainer)
+      val agg = assigned
+        .select(col("cell"), posexplode(col("pfp")).as(Seq("j", "x")))
+        .groupBy("cell", "j")
+        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"))
+        .collect()
+      cents = agg.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        val m = new Array[Double](p.dim)
+        rows.foreach(r =>
+          m(r.getInt(1)) = r.getLong(3).toDouble / r.getLong(2))
+        (cell, m)
+      }.toArray.sortBy(_._1)
     }
     // cell is written as INT explicitly (cells ∝ √n stays far under
     // 2³¹ at any feasible corpus) so the stored type matches what

@@ -536,5 +536,71 @@ FROM j ORDER BY vec_id""") {
             round(col("shift"), 6).as("shift"))
           .orderBy("label")
       }
+    },
+
+    // EMBEDDING-SPACE contrastive pair mining — x124's complement in
+    // the vector modality (the E5/SimCSE hard-negative recipe run on
+    // embeddings instead of text fingerprints): positives are x10's
+    // exact-verified near-dup pairs (cosine ≥ 0.45); hard NEGATIVES
+    // are SRP-bucket-colliding pairs whose exact cosine falls BELOW
+    // the near-dup threshold — LSH-adjacent lookalikes, the pairs a
+    // contrastive loss most needs — capped at the 3 HARDEST (highest
+    // cosine, vec_b tiebreak) per anchor. Scale: candidates are ONE
+    // equi-join on the stored SRP inverted index (the same build-once
+    // index x10/x11 probe — never all-pairs), verification one dot
+    // product per candidate, and the per-anchor cap compiles to
+    // WindowGroupLimit (map-local top-k before the vec_a shuffle, the
+    // x80/x124 shape), so output is O(vectors·k) at any corpus size.
+    // Determinism: the rank key is the RAW cosine, whose IEEE op
+    // sequence (dot/‖a‖/‖b‖) is identical in both engines (x10's
+    // parity argument), with vec_b as the total-order tiebreak.
+    Query("x127_embed_contrastive",
+      s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
+        "FROM embeddings), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM idx a JOIN idx b ON a.tb = b.tb AND a.vec_id < b.vec_id), " +
+        "c AS (SELECT vec_a, vec_b, " +
+        s"${Sql.cosine("ea.embedding", "eb.embedding")} AS cos " +
+        "FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a " +
+        "JOIN embeddings eb ON eb.vec_id = cand.vec_b), " +
+        "pos AS (SELECT vec_a, vec_b, 'pos' AS label, cos FROM c " +
+        "WHERE cos >= 0.45), " +
+        "neg AS (SELECT vec_a, vec_b, 'neg' AS label, cos FROM (" +
+        "SELECT vec_a, vec_b, cos, ROW_NUMBER() OVER (" +
+        "PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rk " +
+        "FROM c WHERE cos < 0.45) WHERE rk <= 3) " +
+        "SELECT vec_a, vec_b, label, round(cos, 6) AS cos FROM " +
+        "(SELECT * FROM pos UNION ALL SELECT * FROM neg) " +
+        "ORDER BY label, vec_a, vec_b") {
+      (s, d) =>
+        val idx = VectorIndex.srpForDir(s, d, srpIndexRows).load("srp_idx")
+        val cand = idx.select(col("vec_id").as("vec_a"), col("tb"))
+          .join(idx.select(col("vec_id").as("vec_b"), col("tb")), Seq("tb"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
+        val base = emb(s, d).select(col("vec_id"), col("embedding"),
+          sqrt(VectorFns.normsq(col("embedding"))).as("nrm"))
+        val c = cand
+          .join(base.select(col("vec_id").as("vec_a"),
+            col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+          .join(base.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+          .withColumn("cos",
+            VectorFns.dot(col("ea"), col("eb")) / col("na") / col("nb"))
+          .select(col("vec_a"), col("vec_b"), col("cos"))
+        val pos = c.filter(col("cos") >= 0.45)
+          .select(col("vec_a"), col("vec_b"), lit("pos").as("label"),
+            col("cos"))
+        val neg = c.filter(col("cos") < 0.45)
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_a")
+              .orderBy(col("cos").desc, col("vec_b"))))
+          .filter(col("rk") <= 3)
+          .select(col("vec_a"), col("vec_b"), lit("neg").as("label"),
+            col("cos"))
+        pos.unionByName(neg)
+          .select(col("vec_a"), col("vec_b"), col("label"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("label", "vec_a", "vec_b")
     })
 }

@@ -393,4 +393,58 @@ class VectorSpec extends AnyFunSuite {
     assert(diverges,
       "k-means partition coincides with the SRP stand-in on the fixture")
   }
+
+  test("x127 embedding contrastive pairs: positives = x10, negatives hardest-3 sub-threshold bucket collisions") {
+    val pairs = SparkEntry.queries("x127_embed_contrastive")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val x10 = SparkEntry.queries("x10_embed_neardup")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pos = pairs.filter(_._3 == "pos")
+    val neg = pairs.filter(_._3 == "neg")
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must exercise both classes")
+    assert(pos.map(p => (p._1, p._2)).toSet === x10,
+      "positives must be exactly x10's near-dup pairs")
+    neg.foreach { case (a, b, _, cos) =>
+      assert(cos < 0.45, s"negative ($a,$b) cos $cos crosses the dup threshold")
+      assert(!x10((a, b)), s"negative ($a,$b) is a near-dup")
+    }
+    neg.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length <= 3, s"anchor $a carries ${ns.length} negatives")
+    }
+    // class disjointness
+    val posSet = pos.map(p => (p._1, p._2)).toSet
+    neg.foreach { case (a, b, _, _) =>
+      assert(!posSet((a, b)), s"($a,$b) labeled both pos and neg")
+    }
+    // negatives really are the HARDEST: for a sampled anchor, no
+    // bucket-colliding sub-threshold pair has higher cosine than its
+    // kept set (re-derive from the stored index + exact cosine)
+    import org.apache.spark.sql.functions._
+    val idx = graft.operators.VectorIndex.srpForDir(spark, TestSpark.sf,
+      graft.operators.VectorQueries.srpIndexRows).load("srp_idx")
+    val anchor = neg.head._1
+    val kept = neg.filter(_._1 == anchor).map(_._4)
+    val cands = idx.filter(col("vec_id") === anchor)
+      .select(col("tb"))
+      .join(idx.select(col("vec_id").as("vec_b"), col("tb")), Seq("tb"))
+      .filter(col("vec_b") > anchor)
+      .select("vec_b").distinct()
+      .collect().map(_.getLong(0))
+    val e = graft.sources.Tables.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) /
+        math.sqrt(b.map(x => x * x).sum)
+    }
+    val subThreshold = cands.map(b => cos(e(anchor), e(b)))
+      .filter(_ < 0.4494) // below the verified gap under 0.45
+      .sorted(Ordering[Double].reverse)
+    if (subThreshold.nonEmpty && kept.nonEmpty)
+      assert(kept.max >= subThreshold.take(kept.length).last - 1e-6,
+        "kept negatives must be the hardest sub-threshold candidates")
+  }
 }
