@@ -176,9 +176,15 @@ object KMeansQueries {
         }
       var it = 0
       while (it < p.iters) {
+        // the argmin select and the posexplode MUST be two steps: a
+        // single select puts the generator's sibling expressions in a
+        // Project ABOVE the Generate, re-evaluating the k-fold argmin
+        // once per EXPLODED row (×dim — measured 9.8 s vs 1.0 s on the
+        // fixture); the two-step form pins the Project below, one
+        // argmin per input row
         val rows = q
-          .select(assignCid(cents).as("cid"),
-            posexplode(col("v")).as(Seq("j", "x")))
+          .select(assignCid(cents).as("cid"), col("v"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
           .groupBy("cid", "j")
           .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
           .collect()

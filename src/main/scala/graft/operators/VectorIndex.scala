@@ -297,7 +297,12 @@ object VectorIndex {
       // columns: the r14 dim+1-column aggregate blew janino's 64 KB
       // method limit (interpreted fallback on the training pass —
       // the same defect, and fix, as the KMeansQueries trainer)
+      // two-step select: a single select would hoist the collapsed
+      // argmin `cell` expression into a Project ABOVE the Generate and
+      // re-evaluate it per exploded row (×dim) — the KMeansQueries
+      // trainer's lesson
       val agg = assigned
+        .select(col("cell"), col("pfp"))
         .select(col("cell"), posexplode(col("pfp")).as(Seq("j", "x")))
         .groupBy("cell", "j")
         .agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"))

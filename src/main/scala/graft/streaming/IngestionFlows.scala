@@ -434,8 +434,9 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     *    crash-window self-match guard, the media gate's lesson).
     *  - Component merge: edge endpoints map to their current cluster
     *    labels (themselves when unclustered); the label-level merge
-    *    graph — bounded by the batch's edge count, the documented
-    *    driver cap — union-finds to min-label roots.
+    *    graph — DISTINCT label pairs, the one driver collect, bounded
+    *    by the labels a batch touches (a doc with thousands of stored
+    *    twins contributes ONE pair) — union-finds to min-label roots.
     *  - Rewrite: only AFFECTED clusters (labels in the merge graph)
     *    relabel, new members join them, and x120's quality election
     *    re-runs on exactly those clusters; everything else is
@@ -469,12 +470,17 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           coalesce(col("_ca"), col("a")).as("la"),
           coalesce(col("_cb"), col("b")).as("lb"))
     }
-    // bounded by the batch's edge count (documented driver cap — the
-    // merge graph is label-level, never corpus-level)
-    val e = labeled.select(col("a"), col("b"), col("la"), col("lb"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(2), r.getLong(3)))
-    if (e.isEmpty) {
+    // the ONE driver materialization: DISTINCT LABEL PAIRS. An edge's
+    // endpoints enter the merge graph as their current cluster LABELS
+    // (an unclustered endpoint's label is itself, so a new smaller
+    // doc_id can become its component's label) — never as raw edges,
+    // so the collect is bounded by (batch docs + affected clusters)²
+    // in the worst case and by the handful of labels a batch actually
+    // touches in practice, even when a pathological batch doc has
+    // thousands of stored twins (those collapse to one label pair).
+    val labelPairs = labeled.select(col("la"), col("lb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (labelPairs.isEmpty) {
       // no new pairs — still establish the (empty) table on first
       // contact, so readers can treat its existence as "the flow has
       // run" (the pre-r15 recompute always published one)
@@ -499,25 +505,27 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       val (rx, ry) = (find(x), find(y))
       if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
     }
-    // endpoints union their LABELS; a new endpoint's label is itself,
-    // so new docs are first-class merge-graph nodes (a new SMALLER
-    // doc_id can become its component's label)
-    e.foreach { case (a, b, la, lb) =>
-      union(la, lb); union(a, la); union(b, lb)
-    }
+    labelPairs.foreach { case (la, lb) => union(la, lb) }
     val relabel = parent.keys.map(k => (k, find(k))).toSeq
     val relabelDf = relabel.toDF("cluster", "_newc")
-    val endpointRoots = e.flatMap { case (a, b, _, _) => Seq(a, b) }
-      .distinct.map(x => (x, find(x))).toSeq.toDF("doc_id", "_newc")
     // affected members = old rows of touched clusters (relabeled) +
-    // edge endpoints not yet in the table
-    val oldMembers = curOpt.fold(endpointRoots.limit(0)) { cur =>
+    // edge endpoints not yet in the table (their label IS their id,
+    // so their root comes off the same relabel map — in Spark, no
+    // endpoint-level collect)
+    val oldMembers = curOpt.fold(
+        relabelDf.select(col("cluster").as("doc_id"), col("_newc"))
+          .limit(0)) { cur =>
       cur.join(broadcast(relabelDf), Seq("cluster"))
         .select(col("doc_id"), col("_newc"))
     }
-    val newMembers = curOpt.fold(endpointRoots) { cur =>
-      endpointRoots.join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
-    }
+    val endpoints = labeled.select(col("a").as("doc_id"), col("la").as("cluster"))
+      .unionByName(labeled.select(col("b").as("doc_id"), col("lb").as("cluster")))
+      .distinct()
+    val newMembers0 = curOpt.fold(endpoints)(cur =>
+      endpoints.join(cur.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val newMembers = newMembers0
+      .join(broadcast(relabelDf), Seq("cluster"))
+      .select(col("doc_id"), col("_newc"))
     val members = oldMembers.unionByName(newMembers).distinct()
       .select(col("doc_id"), col("_newc").as("cluster"))
     // x120's election over exactly the affected clusters
