@@ -222,11 +222,11 @@ object DedupQueries {
   private val Band64Offs = Seq(0, 22, 43)
   private val Band64Masks = Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
 
-  /** Banded candidates (doc_a, doc_b, fa, fb), distinct, over a
-    * (doc_id, f) fingerprint frame — one band-key equi-join shuffle,
-    * never all-pairs. */
-  private[graft] def simhash64Candidates(fps: DataFrame): DataFrame = {
-    val bands = fps.select(col("doc_id"), col("f"),
+  /** (doc_id, f, i, bv): the three-band explosion of a fingerprint
+    * frame — the shared candidate alphabet of the banded self-join
+    * below and the ingest gate's asymmetric batch-vs-stored probe. */
+  private[graft] def banded64(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("f"),
       explode(array((0 until 3).map(i =>
         struct(lit(i).as("i"),
           shiftrightunsigned(col("f"), Band64Offs(i))
@@ -234,6 +234,12 @@ object DedupQueries {
         .toIndexedSeq: _*)).as("band"))
       .select(col("doc_id"), col("f"),
         col("band.i").as("i"), col("band.bv").as("bv"))
+
+  /** Banded candidates (doc_a, doc_b, fa, fb), distinct, over a
+    * (doc_id, f) fingerprint frame — one band-key equi-join shuffle,
+    * never all-pairs. */
+  private[graft] def simhash64Candidates(fps: DataFrame): DataFrame = {
+    val bands = banded64(fps)
     bands.as("x")
       .join(bands.as("y"),
         col("x.i") === col("y.i") && col("x.bv") === col("y.bv") &&

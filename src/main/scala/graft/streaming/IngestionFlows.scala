@@ -21,10 +21,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *    64-bit SimHash fingerprints + quality keys append into the
  *    `text_fps` sidecar; and the `dedup_decisions` DERIVED table
  *    (doc_id, cluster, canonical) is maintained INCREMENTALLY
- *    (r15): the batch's Hamming-≤2 edges are discovered by the media
- *    gate's probe shape (batch explodes into 2081 neighbor probes
+ *    (r15): the batch's Hamming-≤2 edges are discovered by an
+ *    asymmetric banded probe (batch explodes into its 3 band keys
  *    and broadcasts; the stored fingerprint table scans once, never
- *    explodes), and the bounded label-level merge graph relabels +
+ *    shuffles), and the bounded label-level merge graph relabels +
  *    re-elects ONLY the affected clusters — including the
  *    cluster-merge case where a new doc bridges two previously
  *    separate clusters and demotes one old canonical (incremental CC
@@ -252,45 +252,47 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                   "has no `source` column — the gate needs per-source " +
                   "masses; rebuild or backfill the corpus with sources")
             syncSourceMass()
-            val view =
-              if (!store.exists("source_mass")) None
-              else Some(store.load("source_mass")
-                .select(col("source"), col("chars")))
-            val own =
-              if (!store.exists("documents")) None
-              else Some(fresh0
+            // the view and the crash-window own-mass rollup are both
+            // bounded by SOURCE CARDINALITY — collect each once (the
+            // x41 rate-table contract) and derive every denominator
+            // driver-side: one narrow probe job + one tiny view read
+            // per trigger instead of three aggregate jobs + a join
+            val viewRows: Seq[(Option[String], Long)] =
+              if (!store.exists("source_mass")) Nil
+              else store.load("source_mass")
+                .select(col("source"), col("chars")).collect().toSeq
+                .map(r => (Option(r.getString(0)), r.getLong(1)))
+            val ownRows: Map[Option[String], Long] =
+              if (!store.exists("documents")) Map.empty
+              else fresh0
                 .join(store.load("documents").select("doc_id"),
                   Seq("doc_id"), "left_semi")
-                .groupBy("source").agg(sum(mass).as("_own")).persist())
-            try {
-              val viewTotal: Long = view
-                .map(_.agg(coalesce(sum(col("chars")), lit(0L)).as("t"))
-                  .collect()(0).getLong(0)).getOrElse(0L)
-              val ownTotal: Long = own
-                .map(_.agg(coalesce(sum(col("_own")), lit(0L)).as("t"))
-                  .collect()(0).getLong(0)).getOrElse(0L)
-              val priorTotal = viewTotal - ownTotal
-              val batchTotal: Long = fresh0
-                .agg(coalesce(sum(mass), lit(0L)).as("t"))
-                .collect()(0).getLong(0)
-              val cap = (priorTotal + batchTotal) * pct / 100
-              val srcMass = view.map { v =>
-                val withOwn = own.fold(v.withColumn("_own", lit(0L)))(o =>
-                  v.join(o, Seq("source"), "left_outer")
-                    .withColumn("_own", coalesce(col("_own"), lit(0L))))
-                withOwn.select(col("source"),
-                  (col("chars") - col("_own")).as("_cm"))
-              }
-              val scored0 = fresh0.withColumn("_bcum", sum(mass).over(
-                Window.partitionBy("source")
-                  .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-              srcMass.fold(scored0.withColumn("_cm", lit(0L)))(m =>
-                  scored0.join(graft.operators.PlanGuards.broadcastIfSmall(m),
-                    Seq("source"), "left_outer")
-                    .withColumn("_cm", coalesce(col("_cm"), lit(0L))))
-                .withColumn("_kept", col("_cm") + col("_bcum") <= cap)
-                .persist()
-            } finally { own.foreach { o => o.unpersist(); () } }
+                .groupBy("source").agg(sum(mass).as("_own")).collect()
+                .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+            val priorTotal = viewRows.map(_._2).sum - ownRows.values.sum
+            val batchTotal: Long = fresh0
+              .agg(coalesce(sum(mass), lit(0L)).as("t"))
+              .collect()(0).getLong(0)
+            val cap = (priorTotal + batchTotal) * pct / 100
+            // per-source prior masses as a broadcast literal frame
+            // (null-source rows contribute to the TOTAL but never
+            // match the per-source join — unchanged semantics)
+            val srcMass = viewRows.collect { case (Some(s), chars) =>
+              (s, chars - ownRows.getOrElse(Some(s), 0L))
+            }
+            val scored0 = fresh0.withColumn("_bcum", sum(mass).over(
+              Window.partitionBy("source")
+                .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+            (if (srcMass.isEmpty) scored0.withColumn("_cm", lit(0L))
+             else {
+               import spark.implicits._
+               scored0.join(
+                   broadcast(srcMass.toDF("source", "_cm")),
+                   Seq("source"), "left_outer")
+                 .withColumn("_cm", coalesce(col("_cm"), lit(0L)))
+             })
+              .withColumn("_kept", col("_cm") + col("_bcum") <= cap)
+              .persist()
           }
           try {
           val fresh = scoredOpt.fold(fresh0)(sc => sc.filter(col("_kept"))
@@ -300,40 +302,38 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // batch arrives, instead of walling off the cap gate
           store.appendUnique("documents", fresh, Seq("doc_id"),
             evolveSchema = true)
-          // upsert, not appendUnique: a retryable rejection must
-          // SUPERSEDE a stale retryable row in either direction —
-          // appendUnique would leave a doc whose contamination
-          // rejection was followed by a quality-failing re-send
-          // permanently logged as "contamination"
-          if (!rejected.isEmpty)
-            store.upsert("ingest_log", rejected, Seq("doc_id"))
-          contamIds.foreach { ids =>
-            if (!ids.isEmpty)
-              store.upsert("ingest_log", ids
-                .select(col("doc_id"), lit(false).as("admitted"),
-                  lit("contamination").as("reason")), Seq("doc_id"))
-          }
-          scoredOpt.foreach { sc =>
-            val refused = sc.filter(!col("_kept")).select("doc_id")
-            if (!refused.isEmpty)
-              store.upsert("ingest_log", refused
-                .select(col("doc_id"), lit(false).as("admitted"),
-                  lit("source_cap").as("reason")), Seq("doc_id"))
-          }
-        if (!fresh.isEmpty) {
+          // every verdict class accumulates into ONE log upsert at the
+          // very end of the batch body (below): upsert-not-append so a
+          // retryable rejection SUPERSEDES a stale retryable row in
+          // either direction, and one table rewrite per trigger
+          // instead of the r14 three-to-four. The refusal classes are
+          // disjoint by construction (each gate sees the previous
+          // gates' survivors).
+          val refusals = Seq(
+            Some(rejected),
+            contamIds.map(_.select(col("doc_id"),
+              lit(false).as("admitted"),
+              lit("contamination").as("reason"))),
+            scoredOpt.map(_.filter(!col("_kept"))
+              .select(col("doc_id"), lit(false).as("admitted"),
+                lit("source_cap").as("reason")))
+          ).flatten.reduce(_.unionByName(_))
+          var verdicts = refusals
+          val freshNonEmpty = !fresh.isEmpty
+        if (freshNonEmpty) {
           // near-dup decisions, maintained INCREMENTALLY (r15, 64-bit):
           // the batch fingerprints into the stored `text_fps` sidecar
           // (fp + quality key, one codegen scan of the batch), its new
-          // Hamming-≤2 edges are found by the media gate's probe shape
-          // (batch side explodes into the 2081 ≤2-bit XOR neighbors
-          // and BROADCASTS; the stored fingerprint table scans once,
-          // never explodes), and the bounded edge set merges into the
-          // stored decision table — relabel + re-election touch only
-          // AFFECTED clusters, so per-batch compute is O(batch + its
-          // neighborhoods), not O(corpus pairs). The r14 engine
-          // recomputed the full clustering per batch off the ≤2¹⁶
-          // quotient, which 64-bit fingerprints no longer admit — and
-          // the recompute was the scale wart anyway.
+          // Hamming-≤2 edges come from the asymmetric BANDED probe
+          // (batch side explodes into its 3 band keys and BROADCASTS;
+          // the stored fingerprint table computes band keys inside one
+          // narrow scan, never shuffles), and the bounded edge set
+          // merges into the stored decision table — relabel +
+          // re-election touch only AFFECTED clusters, so per-batch
+          // compute is O(batch + its neighborhoods), not O(corpus
+          // pairs). The r14 engine recomputed the full clustering per
+          // batch off the ≤2¹⁶ quotient, which 64-bit fingerprints no
+          // longer admit — and the recompute was the scale wart anyway.
           val bq = graft.operators.DedupQueries.fpQualityOf(fresh).persist()
           try {
             store.appendUnique("text_fps", bq, Seq("doc_id"))
@@ -360,10 +360,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 coalesce(col("canonical"), lit(true)).as("admitted"),
                 when(not(coalesce(col("canonical"), lit(true))),
                   lit("near_dup")).as("reason"))
-          // upsert, not appendUnique: a doc whose earlier quality
-          // rejection was corrected by this batch has a stale
-          // (admitted=false,'quality') row to supersede
-          store.upsert("ingest_log", admitted, Seq("doc_id"))
+          verdicts = verdicts.unionByName(admitted)
           // optional span-clean gate (the x85/SpanDedup transform as a
           // maintained derived table): `documents_clean` is the
           // cross-doc repeated-span-excised view of the corpus as of
@@ -379,6 +376,15 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
                 store.load("documents"), ng))
           }
         }
+          // the ingest_log write is LAST — the settledness marker that
+          // makes every crash window above replayable (and, new in
+          // r15, it now also covers the spanClean recompute: a crash
+          // between log and documents_clean can no longer strand the
+          // clean view stale forever, because the log write follows).
+          // The emptiness probe only runs when it can actually be
+          // empty: a non-empty fresh set always carries verdicts
+          if (freshNonEmpty || !verdicts.isEmpty)
+            store.upsert("ingest_log", verdicts, Seq("doc_id"))
           } finally { scoredOpt.foreach { sc => sc.unpersist(); () } }
         } finally { contamIds.foreach { ids => ids.unpersist(); () } }
       } finally { batch.unpersist(); () }
@@ -427,11 +433,13 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     * `dedup_decisions` table. `bq` = the batch's (doc_id, f, dt,
     * n_chars) rows (already appended to `text_fps`).
     *
-    *  - Edge discovery: batch fps explode into the 2081 ≤2-bit XOR
-    *    probes and broadcast against ONE scan of `text_fps` (which
+    *  - Edge discovery: batch fps explode into their THREE band keys
+    *    and broadcast against ONE banded scan of `text_fps` (which
     *    already contains the batch, so in-batch pairs come out of the
-    *    same probe); a doc never matches its own stored row (the
-    *    crash-window self-match guard, the media gate's lesson).
+    *    same probe); exact-Hamming recheck on collisions — recall
+    *    exact for ≤2 by pigeonhole; a doc never matches its own
+    *    stored row (the crash-window self-match guard, the media
+    *    gate's lesson).
     *  - Component merge: edge endpoints map to their current cluster
     *    labels (themselves when unclustered); the label-level merge
     *    graph — DISTINCT label pairs, the one driver collect, bounded
@@ -446,19 +454,31 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     *    across batches, replays and purges. */
   private def mergeDecisions(bq: DataFrame): Unit = {
     import spark.implicits._
-    val maskArr = array(MediaQueries.hamming2Masks.map(lit).toIndexedSeq: _*)
-    val nbrs = bq.select(col("doc_id"), col("f"), explode(maskArr).as("m"))
-      .select(col("doc_id"), col("f").bitwiseXOR(col("m")).as("probe"))
-    val edges0 = store.load("text_fps").as("s")
-      .join(broadcast(nbrs).as("n"),
-        col("s.f") === col("n.probe") &&
+    // asymmetric BANDED probe: the batch side explodes into its THREE
+    // 22/21/21-bit band keys (3×batch rows, a tiny broadcast) and the
+    // stored side computes its own band keys inside ONE narrow scan;
+    // band-colliding candidates re-check the exact Hamming distance.
+    // Recall is exact for ≤2 by pigeonhole — and the per-trigger
+    // broadcast is 3×batch instead of the media gate's 2081×batch
+    // neighbor explosion, which at text batch sizes dominated the
+    // trigger (measured: the broadcast build alone was seconds).
+    val bb = DedupQueries.banded64(
+      bq.select(col("doc_id"), col("f")))
+    val edges0 = DedupQueries.banded64(
+        store.load("text_fps").select(col("doc_id"), col("f"))).as("s")
+      .join(broadcast(bb).as("n"),
+        col("s.i") === col("n.i") && col("s.bv") === col("n.bv") &&
           col("s.doc_id") =!= col("n.doc_id"))
+      .filter(bit_count(col("s.f").bitwiseXOR(col("n.f"))) <= 2)
       .select(least(col("s.doc_id"), col("n.doc_id")).as("a"),
         greatest(col("s.doc_id"), col("n.doc_id")).as("b"))
       .distinct()
     val curOpt =
       if (store.exists("dedup_decisions")) Some(store.load("dedup_decisions"))
       else None
+    // persisted: the label-pair collect AND the endpoint derivation
+    // both consume it — unpersisted, the stored-fps probe join (the
+    // batch's one corpus-narrow scan) would run twice per trigger
     val labeled = curOpt.fold(
         edges0.withColumn("la", col("a")).withColumn("lb", col("b"))) { cur =>
       edges0
@@ -469,7 +489,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         .select(col("a"), col("b"),
           coalesce(col("_ca"), col("a")).as("la"),
           coalesce(col("_cb"), col("b")).as("lb"))
-    }
+    }.persist()
+    try {
     // the ONE driver materialization: DISTINCT LABEL PAIRS. An edge's
     // endpoints enter the merge graph as their current cluster LABELS
     // (an unclustered endpoint's label is itself, so a new smaller
@@ -532,6 +553,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     val elected = graft.operators.DedupQueries.electDecisions(
       members, store.load("text_fps"))
     store.upsert("dedup_decisions", elected, Seq("doc_id"))
+    } finally { labeled.unpersist(); () }
   }
 
   /** New embeddings → parquet corpus + incremental ingest into the
