@@ -198,4 +198,36 @@ class DedupHotPathSpec extends AnyFunSuite {
     assert(cc(200L) === 200L && cc(201L) === 200L)
     assert(cc.size === 18)
   }
+
+  test("hamming64 pair engine: quotient ≡ banded ≡ brute force on planted near-dup fingerprints") {
+    import spark.implicits._
+    // synthetic 64-bit fingerprints with PLANTED ≤2-bit mutations and
+    // exact duplicates; brute-force all-pairs is the ground truth, and
+    // both engine paths must reproduce it exactly (the real-corpus
+    // equality test above cannot prove completeness — a path that
+    // silently dropped a class of pairs could still agree with itself)
+    val rnd = new scala.util.Random(20260815L)
+    val planted: Seq[(Long, Long)] =
+      Seq.tabulate(300)(i => (i, rnd.nextLong())).flatMap { case (i, f) =>
+        val oneBit = f ^ (1L << rnd.nextInt(64))
+        val twoBit = f ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))
+        Seq((i * 10L, f)) ++
+          (if (i % 7 == 0) Seq((i * 10L + 1, oneBit)) else Nil) ++
+          (if (i % 11 == 0) Seq((i * 10L + 2, twoBit)) else Nil) ++
+          (if (i % 13 == 0) Seq((i * 10L + 3, f)) else Nil) // exact dup
+      }
+    val brute = (for {
+      (a, fa) <- planted; (b, fb) <- planted
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(fa ^ fb))).toSet
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1) &&
+      brute.exists(_._3 == 2), "fixture must plant all three distances")
+    val fps = planted.toDF("doc_id", "f")
+    val quotient = DedupQueries.hamming64PairsOf(fps, nPresent = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = DedupQueries.hamming64PairsOf(fps, nPresent = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(quotient === brute, "quotient path diverged from brute force")
+    assert(banded === brute, "banded path diverged from brute force")
+  }
 }
