@@ -214,13 +214,6 @@ object DedupQueries {
     "SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.doc_id), " +
     "cc AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id)"
 
-  /** 64-bit band layout for Hamming ≤ 2: three bands (22+21+21 bits) —
-    * pigeonhole leaves ≥ one band untouched for any ≤2-bit pair; a
-    * collision at larger Hamming distance is the LSH-adjacent
-    * candidate set x124 mines for hard negatives. Same layout as the
-    * media engine (MediaQueries.scala:327). */
-  private val Band64Offs = Seq(0, 22, 43)
-  private val Band64Masks = Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
 
   /** (doc_id, f, i, bv): the three-band explosion of a fingerprint
     * frame — the shared candidate alphabet of the banded self-join
@@ -229,8 +222,8 @@ object DedupQueries {
     fps.select(col("doc_id"), col("f"),
       explode(array((0 until 3).map(i =>
         struct(lit(i).as("i"),
-          shiftrightunsigned(col("f"), Band64Offs(i))
-            .bitwiseAND(lit(Band64Masks(i))).as("bv")))
+          shiftrightunsigned(col("f"), Hamming64.BandOffs(i))
+            .bitwiseAND(lit(Hamming64.BandMasks(i))).as("bv")))
         .toIndexedSeq: _*)).as("band"))
       .select(col("doc_id"), col("f"),
         col("band.i").as("i"), col("band.bv").as("bv"))
@@ -270,7 +263,7 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     else {
       val present = fps.select(col("f")).distinct()
-      val maskArr = array(MediaQueries.hamming2Masks.map(m =>
+      val maskArr = array(Hamming64.masks2.map(m =>
         struct(lit(m).as("m"),
           lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
       val nbr = present.select(col("f").as("fa"),
@@ -310,17 +303,25 @@ object DedupQueries {
   private[graft] def clusters64(s: SparkSession, d: String): DataFrame =
     SimhashIndex.forDir(s, d).load("cl64")
 
-  /** (doc_id, f, dt, n_chars): the 64-bit fingerprint AND the x120
-    * quality-election key (distinct-token count, char count) in ONE
+  /** (doc_id, f, dt, n_chars, source): the 64-bit fingerprint, the
+    * x120 quality-election key (distinct-token count, char count) AND
+    * the doc's source (null when the frame carries none) in ONE
     * narrow codegen scan — what the ingest flow appends to its stored
-    * `text_fps` sidecar per batch. */
+    * `text_fps` sidecar per batch. Carrying (n_chars, source) here is
+    * what lets the source-cap gate's crash-window subtraction read
+    * the STORED row's mass and source (the corpus truth) instead of
+    * the re-sent batch row's, without touching the corpus text. */
   private[graft] def fpQualityOf(docs: DataFrame): DataFrame = {
     val ts = graft.functions.TextFns.tokens(col("text"))
+    val src =
+      if (docs.columns.contains("source")) col("source").cast("string")
+      else lit(null).cast("string")
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextExpressions.simhash64(ts).as("f"),
         size(array_distinct(ts)).cast("long").as("dt"),
-        length(col("text")).cast("long").as("n_chars"))
+        length(col("text")).cast("long").as("n_chars"),
+        src.as("source"))
   }
 
   /** Quality election over a clustering: (doc_id, cluster) joined to
@@ -844,9 +845,9 @@ object DedupQueries {
     Query("x124_contrastive_pairs",
       s"WITH RECURSIVE $simhash64ClustersSql, " +
         "bands AS (SELECT doc_id, hi, lo, i, " +
-        "CASE i WHEN 0 THEN lo % 4194304 " +
-        "WHEN 1 THEN (lo // 4194304) + (hi % 2048) * 1024 " +
-        "ELSE hi // 2048 END AS bv " +
+        s"CASE i WHEN 0 THEN ${Hamming64.bandSql(0)} " +
+        s"WHEN 1 THEN ${Hamming64.bandSql(1)} " +
+        s"ELSE ${Hamming64.bandSql(2)} END AS bv " +
         "FROM fp, (SELECT unnest(range(3)) AS i)), " +
         "pos AS (SELECT cc.cluster AS doc_a, cc.doc_id AS doc_b, " +
         "'pos' AS label, CAST(bit_count(xor(fa.hi, fb.hi)) + " +

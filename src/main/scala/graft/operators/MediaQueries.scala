@@ -314,19 +314,9 @@ object MediaQueries {
     * and the banded path takes over. */
   private val dhashQuotientMax = 1L << 11
 
-  /** All 2081 XOR masks at Hamming ≤ 2 over 64 bits — the quotient
-    * neighbor alphabet, shared with the ingest-time media gate
-    * ([[graft.streaming.IngestionFlows.mediaIngestFlow]]). */
-  private[graft] val hamming2Masks: Seq[Long] =
-    Seq(0L) ++ (0 until 64).map(1L << _) ++
-      (for (i <- 0 until 64; j <- i + 1 until 64)
-        yield (1L << i) | (1L << j))
-
-  /** 64-bit band split for Hamming ≤ 2: three bands (22+21+21 bits) —
-    * pigeonhole leaves ≥ one band untouched for any ≤2-bit pair. */
-  private val DBandOffs = Seq(0, 22, 43)
-  private val DBandMasks =
-    Seq((1L << 22) - 1, (1L << 21) - 1, (1L << 21) - 1)
+  // the 2081-mask quotient alphabet and the 22+21+21 band layout live
+  // in ONE place ([[Hamming64]]) — this engine, the text engine and
+  // the ingest gates are spec-pinned bit-identical on them
 
   private[graft] def dhashPairs(s: SparkSession, d: String,
       maxQuotientFps: Long = dhashQuotientMax): DataFrame =
@@ -376,7 +366,7 @@ object MediaQueries {
       cacheKey = s"$d#$tag") { present.count() }
     val cand =
       if (nPresent <= maxQuotientFps) {
-        val maskArr = array(hamming2Masks.map(m =>
+        val maskArr = array(Hamming64.masks2.map(m =>
           struct(lit(m).as("m"),
             lit(java.lang.Long.bitCount(m)).as("h"))).toIndexedSeq: _*)
         val nbr = present.select(col("fp").as("fa"),
@@ -397,8 +387,8 @@ object MediaQueries {
         val bands = fps.select(col("doc_id"), col("fp"), col("vec"),
           explode(array((0 until 3).map(i =>
             struct(lit(i).as("i"),
-              shiftright(col("fp"), DBandOffs(i))
-                .bitwiseAND(lit(DBandMasks(i))).as("bv")))
+              shiftright(col("fp"), Hamming64.BandOffs(i))
+                .bitwiseAND(lit(Hamming64.BandMasks(i))).as("bv")))
             .toIndexedSeq: _*)).as("band"))
           .select(col("doc_id"), col("fp"), col("vec"),
             col("band.i").as("i"), col("band.bv").as("bv"))

@@ -255,24 +255,27 @@ object VectorIndex {
     * `cents` must be sorted by cell. */
   def assignCells(base: DataFrame,
       cents: Array[(Long, Array[Double])]): DataFrame = {
-    // argmin as ONE array_min over (dist·k + rank) keys — the
-    // KMeansQueries.assignCid shape. The r14 form folded a when-chain
-    // (cell/best rebuilt per step, each referencing the previous
-    // expression twice), whose collapsed-Project codegen grew
-    // EXPONENTIALLY in the cell count and blew janino's 64 KB method
-    // limit at cells=16 (spec's parameterized build). dist is an
-    // exact-integer-valued double (fixed-point inputs; ≤ 2^43 ≪ 2^53),
-    // so the key encoding is exact; ties break to the smaller rank =
-    // the earlier cell, the when-chain's rule.
-    val n = cents.length
+    // argmin as ONE array_min over (dist, rank) STRUCTS — struct
+    // ordering is lexicographic, so the minimum is the smallest exact
+    // DOUBLE distance with ties to the smaller rank = the earlier
+    // cell, exactly the r14 when-chain's rule (that when-chain rebuilt
+    // cell/best per step, each referencing the previous expression
+    // twice, and its collapsed-Project codegen grew EXPONENTIALLY in
+    // the cell count — janino's 64 KB limit at cells=16). A scalar
+    // dist·k+rank key (the KMeansQueries.assignCid trick) is NOT
+    // usable here: post-update centroids are fractional means, so the
+    // integer encode would floor real distances before comparing
+    // (review-caught — assignCid's centroids stay integer via
+    // floorDiv, this path's do not).
     val key = array_min(array(cents.zipWithIndex.map { case ((_, m), i) =>
-      VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*))
-        .cast("long") * n + i
+      struct(
+        VectorFns.l2sq(col("pd"), array(m.map(lit).toIndexedSeq: _*))
+          .as("d"),
+        lit(i).as("i"))
     }.toIndexedSeq: _*))
     val cellIds = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
     base.withColumn("__k", key)
-      .withColumn("cell",
-        element_at(cellIds, (col("__k") % n).cast("int") + 1))
+      .withColumn("cell", element_at(cellIds, col("__k.i") + 1))
       .drop("__k")
   }
 

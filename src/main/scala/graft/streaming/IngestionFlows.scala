@@ -129,6 +129,23 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
       "sourceCapPct requires a `source` column on the ingest input")
     val hasSource = newDocs.columns.contains("source")
     start(newDocs, "document_ingest") { batch0 =>
+      // one-time migration for a store that predates the r15 sidecar
+      // (an r14-era corpus): the incremental machinery is only exact
+      // over a COMPLETE fingerprint sidecar and a 64-bit decision
+      // table, so first contact rebuilds BOTH from the stored corpus
+      // (the documented resync class — review-caught: without it a
+      // legacy store's first r15 batch would silently miss near-dups
+      // of every pre-existing doc). Decisions rebuild FIRST: a crash
+      // between the two writes leaves text_fps absent, so the next
+      // trigger re-runs the whole migration instead of stranding a
+      // legacy decision table behind a fresh-looking sidecar.
+      if (store.exists("documents") && !store.exists("text_fps")) {
+        val corpus = store.load("documents")
+        store.replace("dedup_decisions",
+          graft.operators.DedupQueries.decisions64Of(spark, corpus))
+        store.replace("text_fps",
+          graft.operators.DedupQueries.fpQualityOf(corpus))
+      }
       // which of the batch are genuinely new: a doc is settled once its
       // VERDICT is logged — the ingest_log is written LAST, so a batch
       // that crashed mid-way (corpus appended, derived writes lost)
@@ -262,12 +279,20 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
               else store.load("source_mass")
                 .select(col("source"), col("chars")).collect().toSeq
                 .map(r => (Option(r.getString(0)), r.getLong(1)))
+            // the crash-window subtraction reads the STORED rows'
+            // (source, n_chars) off the text_fps sidecar — the corpus
+            // truth the view counted — never the re-sent batch row's
+            // text, whose corrected content can differ from what
+            // appendUnique actually kept (review-caught: subtracting
+            // the batch's own lengths overstated a source by the
+            // correction delta). Null-text stored docs carry no fps
+            // row AND zero mass — consistent on both sides.
             val ownRows: Map[Option[String], Long] =
-              if (!store.exists("documents")) Map.empty
-              else fresh0
-                .join(store.load("documents").select("doc_id"),
-                  Seq("doc_id"), "left_semi")
-                .groupBy("source").agg(sum(mass).as("_own")).collect()
+              if (!store.exists("text_fps")) Map.empty
+              else store.load("text_fps")
+                .join(fresh0.select("doc_id"), Seq("doc_id"), "left_semi")
+                .groupBy("source")
+                .agg(sum(col("n_chars")).as("_own")).collect()
                 .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
             val priorTotal = viewRows.map(_._2).sum - ownRows.values.sum
             val batchTotal: Long = fresh0
@@ -393,34 +418,49 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
 
   /** Incrementally sync the `source_mass` view — (source, chars,
     * _synced_v) where `_synced_v` is a constant column naming the
-    * `documents` version the view covers — up to the corpus's current
-    * version. The append-only fast path folds ONLY the delta segments
-    * (TableStore.changesBetween reads nothing else), O(batch); a
-    * rewriting transition (GDPR purge, compaction) or a vacuumed base
-    * version falls back to ONE full recompute — the standard IVM
-    * resync, after which delta-folding resumes. Exactly-once without
-    * a separate commit file: the marker rides INSIDE the view, so the
-    * read-merge-replace publishes data and watermark in one atomic
-    * version flip — a crash anywhere simply replays from whatever
-    * marker the live view carries. */
+    * `text_fps` version the view covers — up to the sidecar's current
+    * version. The view deliberately keys on the SIDECAR, not the
+    * documents table: the sidecar carries each STORED row's
+    * (source, n_chars), so (a) the delta fold never touches text at
+    * all, and (b) the gate's crash-window subtraction (text_fps rows
+    * ∩ batch ids) is consistent with the view BY CONSTRUCTION — a doc
+    * that reached `documents` but whose fps row was lost to a crash
+    * is absent from BOTH the view and the subtraction, i.e. treated
+    * as not-yet-ingested, which is exactly the gate's
+    * corpus-minus-this-batch semantics (the replay completes the
+    * sidecar idempotently). The append-only fast path folds ONLY the
+    * delta segments (TableStore.changesBetween reads nothing else),
+    * O(batch); a rewriting transition (GDPR purge, compaction) or a
+    * vacuumed base version falls back to ONE full recompute — the
+    * standard IVM resync, after which delta-folding resumes.
+    * Exactly-once without a separate commit file: the marker rides
+    * INSIDE the view, so the read-merge-replace publishes data and
+    * watermark in one atomic version flip — a crash anywhere simply
+    * replays from whatever marker the live view carries. */
   private[graft] def syncSourceMass(): Unit = {
-    if (!store.exists("documents")) return
-    val cur = store.version("documents")
+    if (!store.exists("text_fps")) return
+    val cur = store.version("text_fps")
     def massOf(df: DataFrame): DataFrame = df
       .groupBy("source")
-      .agg(sum(length(coalesce(col("text"), lit(""))).cast("long"))
-        .as("chars"))
+      .agg(sum(col("n_chars")).cast("long").as("chars"))
     def resync(): Unit =
-      store.replace("source_mass", massOf(store.load("documents"))
+      store.replace("source_mass", massOf(store.load("text_fps"))
         .withColumn("_synced_v", lit(cur.toLong)))
     if (!store.exists("source_mass")) { resync(); return }
-    val v0: Long = store.load("source_mass")
-      .agg(max(col("_synced_v"))).collect()(0).getLong(0)
+    // a ZERO-ROW view (an all-rejected first batch, or a purge that
+    // emptied the corpus) carries no marker rows at all — max() is
+    // NULL, not a version; treat it as "never synced" and resync
+    // (review-caught: getLong on the null aggregate threw and wedged
+    // every later trigger)
+    val v0Row = store.load("source_mass")
+      .agg(max(col("_synced_v"))).collect()(0)
+    if (v0Row.isNullAt(0)) { resync(); return }
+    val v0: Long = v0Row.getLong(0)
     if (v0 >= cur) return
-    if (!store.appendOnlySince("documents", v0.toInt)) resync()
+    if (!store.appendOnlySince("text_fps", v0.toInt)) resync()
     else {
       val delta = massOf(
-        store.changesBetween("documents", v0.toInt, cur, Seq("doc_id"))
+        store.changesBetween("text_fps", v0.toInt, cur, Seq("doc_id"))
           .drop("_op")) // append-only chain: pure inserts
       store.replace("source_mass",
         IncrementalAgg.merged(
@@ -655,7 +695,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     *    ADMITTED same-kind doc → refused `media_near_dup`. Probe
     *    shape: the x25/x98 quotient technique with the sides swapped
     *    to fit ingest — the BATCH side explodes into its 2081 ≤2-bit
-    *    XOR neighbors ([[MediaQueries.hamming2Masks]]) and is
+    *    XOR neighbors ([[graft.operators.Hamming64.masks2]]) and is
     *    BROADCAST; the stored `media_fps` table is equi-join-probed
     *    in one scan per batch. The corpus-sized side never explodes
     *    and never shuffles — the shape that survives a growing
@@ -697,7 +737,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         try {
           val unreadable = sigs.filter(col("kind").isNull).select("doc_id")
           val readable = sigs.filter(col("kind").isNotNull)
-          val maskArr = array(MediaQueries.hamming2Masks
+          val maskArr = array(graft.operators.Hamming64.masks2
             .map(lit).toIndexedSeq: _*)
           val nbrs = readable
             .select(col("doc_id"), col("kind"), col("fp"),

@@ -787,27 +787,24 @@ class IngestionFlowSpec extends AnyFunSuite {
     val store = new TableStore(spark, root)
     val flows = new IngestionFlows(spark, store, root,
       sourceCapPct = Some(50))
+    // the view keys on the text_fps SIDECAR's version chain (stored
+    // n_chars + stored source — never the corpus text)
+    def fpsRows(rows: (Long, Long, String)*) =
+      rows.toSeq.map { case (id, n, s) => (id, 0L, 1L, n, s) }
+        .toDF("doc_id", "f", "dt", "n_chars", "source")
     def massView(): Map[String, Long] =
       store.load("source_mass").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    def recompute(): Map[String, Long] =
-      store.load("documents").groupBy("source")
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.length(
-            org.apache.spark.sql.functions.col("text"))).as("m"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // bootstrap: full recompute once
-    store.replace("documents", Seq((1L, "aaaa", "s1"), (2L, "bb", "s2"))
-      .toDF("doc_id", "text", "source"))
+    store.replace("text_fps", fpsRows((1L, 4L, "s1"), (2L, 2L, "s2")))
     flows.syncSourceMass()
     assert(massView() === Map("s1" -> 4L, "s2" -> 2L))
     // append-only delta: folds ONLY the delta segments — proved
-    // structurally by making the OLD segment unreadable (delete its
-    // files): a full rescan would throw, the delta fold cannot see it
-    store.appendUnique("documents",
-      Seq((3L, "cccccc", "s1")).toDF("doc_id", "text", "source"),
-      Seq("doc_id"))
-    val seg0 = java.nio.file.Paths.get(root, "documents", "d0")
+    // structurally by making the OLD segment unreadable (move its
+    // files away): a full rescan would throw, the delta fold cannot
+    // see it
+    store.appendUnique("text_fps", fpsRows((3L, 6L, "s1")), Seq("doc_id"))
+    val seg0 = java.nio.file.Paths.get(root, "text_fps", "d0")
     val stash = java.nio.file.Paths.get(root, "d0_stash")
     java.nio.file.Files.move(seg0, stash)
     try flows.syncSourceMass()
@@ -825,11 +822,98 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(massView() === Map("s1" -> 10L, "s2" -> 2L))
     assert(store.version("source_mass") === v)
     // rewriting transition (GDPR delete) → one full resync, correct
-    store.deleteWhere("documents",
+    store.deleteWhere("text_fps",
       org.apache.spark.sql.functions.col("doc_id") === 1L)
     flows.syncSourceMass()
-    assert(massView() === recompute())
     assert(massView() === Map("s1" -> 6L, "s2" -> 2L))
+    // a purge that empties the sidecar publishes a ZERO-ROW view;
+    // later syncs must not NPE on the missing marker (review-caught)
+    store.deleteWhere("text_fps",
+      org.apache.spark.sql.functions.lit(true))
+    flows.syncSourceMass()
+    assert(massView() === Map.empty[String, Long])
+    flows.syncSourceMass() // marker-less view: resync, never throw
+    assert(massView() === Map.empty[String, Long])
+    store.appendUnique("text_fps", fpsRows((9L, 7L, "s3")), Seq("doc_id"))
+    flows.syncSourceMass()
+    assert(massView() === Map("s3" -> 7L), "view recovers after emptiness")
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("legacy r14-era store: first r15 batch backfills the sidecar and rebuilds decisions") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-inglegacy").toString
+    val store = new TableStore(spark, root)
+    // an r14-shaped store: a corpus and a (stale, pre-64-bit) decision
+    // table exist; the text_fps sidecar does not
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    store.replace("documents",
+      Seq((3L, t1), (10L, "one two three four five six")).toDF("doc_id", "text"))
+    store.replace("dedup_decisions",
+      Seq((999L, 999L, true)).toDF("doc_id", "cluster", "canonical"))
+    store.replace("ingest_log",
+      Seq((3L, true, null.asInstanceOf[String]),
+        (10L, true, null.asInstanceOf[String]))
+        .toDF("doc_id", "admitted", "reason"))
+    val flows = new IngestionFlows(spark, store, root)
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    // the arriving doc is a Hamming-0 twin of STORED doc 3 (duplicated
+    // multiset) and BETTER (longer) — without the backfill the probe
+    // would see an empty sidecar and admit it as pairless
+    ms.addData((7L, s"$t1 $t1"))
+    run(flows.documentIngestFlow(df))
+    assert(store.exists("text_fps") &&
+      store.load("text_fps").count() === 3L,
+      "sidecar must cover the legacy corpus plus the batch")
+    val dec = store.load("dedup_decisions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dec === Set((3L, 3L, false), (7L, 3L, true)),
+      "stale decisions replaced; twin detected against the LEGACY doc")
+    val viaBatch = graft.operators.DedupQueries
+      .decisions64Of(spark, store.load("documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dec === viaBatch)
+    graft.tables.TempDirs.delete(root)
+  }
+
+  test("cap crash window with a CORRECTED re-send: subtraction uses the STORED row's mass") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingcapfix").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root,
+      sourceCapPct = Some(50))
+    val ms = MemoryStream[(Long, String, String)]
+    def df = ms.toDS().toDF("doc_id", "text", "source")
+    ms.addData((1L, capText(1, 20), "s1"), (2L, capText(2, 40), "s2"),
+      (3L, capText(3, 40), "s3"))
+    run(flows.documentIngestFlow(df))
+    // crash window: doc 10 (s1, 50 chars) reached the corpus AND the
+    // sidecar, but its verdict was lost
+    store.appendUnique("documents",
+      Seq((10L, capText(10, 50), "s1")).toDF("doc_id", "text", "source"),
+      Seq("doc_id"))
+    store.appendUnique("text_fps",
+      graft.operators.DedupQueries.fpQualityOf(
+        Seq((10L, capText(10, 50), "s1")).toDF("doc_id", "text", "source")),
+      Seq("doc_id"))
+    // the unsettled re-send carries CORRECTED (longer, 90-char)
+    // content. The gate must subtract the STORED row's 50 chars (what
+    // the view counted): prior total = 150 − 50 = 100, cap = 50% ×
+    // (100 + 90) = 95, s1 = (70 − 50) + 90 = 110 > 95 → REFUSED —
+    // exactly what the r14 corpus-anti-join semantics decide on the
+    // same state. Subtracting the BATCH row's 90 instead
+    // (review-caught) would compute total 60 / cap 75 / s1 70 ≤ 75
+    // and wrongly admit.
+    ms.addData((10L, capText(10, 90), "s1"))
+    run(flows.documentIngestFlow(df))
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(log(10L) === ((false, Some("source_cap"))),
+      "stored-mass subtraction must drive the decision")
     graft.tables.TempDirs.delete(root)
   }
 }
