@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Query
+import graft.functions.TextFns
+import graft.functions.TextFns.Sql
+import graft.sources.Tables.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation composites (r15 additions to the LLM-pipeline
+ * surface): hybrid lexical+dense retrieval, DSIR-style importance
+ * resampling for data selection, and token-window chunking.
+ *
+ * All three COMPOSE existing scale-audited machinery instead of
+ * introducing new corpus passes:
+ *  - x128 fuses x94's BM25 scorer (O(term occurrences)) with x11's
+ *    stored-SRP-index probe (O(query buckets)) — the fusion itself
+ *    touches only two ≤20-row ranked frames;
+ *  - x129 is ONE tokenize scan aggregated to (doc, bucket) counts; the
+ *    64-row bucket log-ratio table derives from that same aggregate
+ *    (ReuseExchange dedupes) and BROADCASTS back — no token shuffle,
+ *    no second corpus pass;
+ *  - x131 is a pure narrow per-document map (sequence + slice +
+ *    fingerprint) — zero shuffles beyond the output sort.
+ */
+object CurationQueries {
+
+  // ------------------------------------------------- x128 hybrid retrieval
+  // Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09 — the
+  // standard hybrid-search combiner in Elasticsearch/OpenSearch/
+  // Vespa): rrf(d) = Σ_arms 1/(60 + rank_arm(d)) over the lexical
+  // (BM25, x94's scorer verbatim) and dense (stored-SRP-probe exact
+  // cosine, x11's frame verbatim) top-20 rankings. Embeddings are
+  // row-aligned with documents (vec_id ≡ doc_id — the corpus's
+  // embedding of that document), so the fusion join is an id
+  // equi-join of two 20-row frames. Ranks are ROW_NUMBERs over
+  // (6-rounded score DESC, id) — total orders, so ranks, the rank-20
+  // admission boundary and the final top-10 are all tie-proof; the
+  // rrf sum is two doubles from exact integer ranks, deterministic
+  // bit-for-bit.
+  private val RrfK = 60
+  private val ArmK = 20
+
+  private val x128Sql =
+    s"WITH ${TextQueries.bm25ScoreSql}, ${VectorQueries.annCosSql}, " +
+      "lex AS (SELECT doc_id, ROW_NUMBER() OVER " +
+      "(ORDER BY round(sco, 6) DESC, doc_id) AS lex_rank FROM " +
+      s"(SELECT * FROM sc ORDER BY round(sco, 6) DESC, doc_id LIMIT $ArmK)), " +
+      "den AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER " +
+      "(ORDER BY cos DESC, vec_id) AS den_rank FROM " +
+      s"(SELECT * FROM res ORDER BY cos DESC, vec_id LIMIT $ArmK)), " +
+      "f AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, " +
+      "l.lex_rank, r.den_rank, " +
+      s"COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0) + " +
+      s"COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r.den_rank), 0) AS rrf " +
+      "FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id) " +
+      "SELECT doc_id, lex_rank, den_rank, round(rrf, 6) AS rrf FROM f " +
+      "ORDER BY round(rrf, 6) DESC, doc_id LIMIT 10"
+
+  /** The fused top-10 frame — exposed for CurationSpec's arm-consistency
+    * pins. */
+  private[graft] def hybridFused(s: SparkSession, d: String): DataFrame = {
+    // each arm is TopK'd BEFORE ranking: the global row_number window
+    // runs over ≤ ArmK rows by construction (x89's bounded-window
+    // contract), never over a corpus-sized frame
+    val lex = TextQueries.bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(ArmK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val den = VectorQueries.annCosineFrame(s, d)
+      .orderBy(col("cos").desc, col("vec_id")).limit(ArmK)
+      .withColumn("den_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("den_rank"))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("den_rank")), lit(0.0)))
+      .select(col("doc_id"), col("lex_rank"), col("den_rank"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------- x129 DSIR selection
+  // Data Selection with Importance Resampling (Xie et al., NeurIPS'23):
+  // score each raw document by how much more likely its hashed n-gram
+  // features are under a TARGET distribution than under the raw pool,
+  // w(doc) = Σ_tokens log(p_target[bucket]/p_raw[bucket]), and keep the
+  // top-weighted docs. Features are hashed UNIGRAM buckets
+  // (md5Bits16 % 64 — the paper's hashed-ngram generative model with
+  // B=64), target = the corpus's 'en' documents, both distributions
+  // add-one smoothed. Per-bucket log-ratios are exact-integer-ratio
+  // logs; per-doc weights sum ≤64 (count × ratio) terms and round to 4
+  // (the x93/x97 log-family contract), ranking ties broken by doc_id.
+  private val DsirB = 64
+
+  private val x129Sql =
+    "WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT doc_id, lang, md5(tk) AS m FROM t), " +
+      s"b AS (SELECT doc_id, lang, ${Sql.md5Bits16("m")} % $DsirB AS bk FROM h), " +
+      "dc AS (SELECT doc_id, lang, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3), " +
+      "bc AS (SELECT bk, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct, " +
+      "SUM(c) AS cr FROM dc GROUP BY 1), " +
+      "tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc), " +
+      s"lr AS (SELECT bk, ln((CAST(ct + 1 AS DOUBLE) / (tt + $DsirB)) / " +
+      s"(CAST(cr + 1 AS DOUBLE) / (tr + $DsirB))) AS lr FROM bc, tot), " +
+      "w AS (SELECT dc.doc_id, SUM(dc.c * lr.lr) AS wt FROM dc " +
+      "JOIN lr ON dc.bk = lr.bk GROUP BY 1) " +
+      "SELECT doc_id, round(wt, 4) AS dsir_weight FROM w " +
+      "ORDER BY round(wt, 4) DESC, doc_id LIMIT 25"
+
+  /** (doc_id, lang, bk, c): one tokenize scan aggregated to per-doc
+    * hashed-bucket counts — the single corpus pass both x129 stages
+    * hang off. */
+  private def dsirDocBuckets(s: SparkSession, d: String): DataFrame =
+    TextQueries.spreadScan(s, table(s, d, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("tk"))
+      .withColumn("bk", TextFns.md5Bits16(col("tk")) % DsirB)
+      .groupBy("doc_id", "lang", "bk")
+      .agg(count(lit(1)).as("c"))
+
+  /** The full (doc_id, dsir_weight) frame before top-k — exposed for
+    * CurationSpec's independent-recompute pin. */
+  private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val dc = dsirDocBuckets(s, d)
+    // bucket table: ≤ DsirB rows by construction, derived from dc's
+    // OWN aggregate (ReuseExchange dedupes the exchange — x94's
+    // tf/df pattern) and broadcast back; totals are a window over the
+    // bounded bucket frame
+    val wAll = Window.partitionBy()
+    val lr = dc.groupBy("bk")
+      .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+        sum(col("c")).as("cr"))
+      .withColumn("tt", sum(col("ct")).over(wAll))
+      .withColumn("tr", sum(col("cr")).over(wAll))
+      .select(col("bk"),
+        log(((col("ct") + 1).cast("double") / (col("tt") + DsirB)) /
+          ((col("cr") + 1).cast("double") / (col("tr") + DsirB))).as("lr"))
+    dc.join(broadcast(lr), Seq("bk"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("c") * col("lr")), 4).as("dsir_weight"))
+  }
+
+  // -------------------------------------------------- x131 token chunking
+  // Fixed token windows with overlap — the RAG/training segmentation
+  // transform: W=32-token chunks at stride S=24 (8-token overlap), a
+  // trailing window shorter than 8 tokens is dropped (its tokens are
+  // already covered by the previous chunk's overlap; chunk 0 always
+  // emits so no document vanishes). Every chunk carries its token
+  // count and x5's rolling-hash fingerprint — the unit key a chunk
+  // store dedups/retrieves on. Pure narrow per-document arithmetic:
+  // zero shuffles at any corpus scale beyond the declared output sort.
+  private val ChunkW = 32
+  private val ChunkS = 24
+  private val ChunkMinTail = 8
+
+  /** DuckDB CTE chain ending in `ch(doc_id, chunk_id, n_tok, fp)` —
+    * the chunk pipeline shared by x131 (raw listing) and x132 (dedup
+    * groups). */
+  private val chunkCteSql: String =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "n AS (SELECT doc_id, ts, len(ts) AS n FROM t), " +
+      s"c AS (SELECT doc_id, n, ts, unnest(range(0, n, $ChunkS)) AS st FROM n), " +
+      s"k AS (SELECT doc_id, CAST(st // $ChunkS AS BIGINT) AS chunk_id, " +
+      s"list_slice(ts, st + 1, least(st + $ChunkW, n)) AS ck FROM c " +
+      s"WHERE st = 0 OR n - st >= $ChunkMinTail), " +
+      "ch AS (SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tok, " +
+      s"${Sql.fingerprint("ck")} AS fp FROM k)"
+
+  private val x131Sql =
+    s"WITH $chunkCteSql " +
+      "SELECT doc_id, chunk_id, n_tok, fp FROM ch ORDER BY doc_id, chunk_id"
+
+  /** The chunk frame (doc_id, chunk_id, n_tok, fp) — exposed for
+    * CurationSpec's coverage/overlap invariants. */
+  private[graft] def chunkFrame(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("n"), col("ts"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkS)))
+          .as(Seq("chunk_id", "st")))
+      .filter(col("st") === 0 || col("n") - col("st") >= ChunkMinTail)
+      .withColumn("ck", slice(col("ts"), col("st") + 1, lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ck")).cast("long").as("n_tok"),
+        TextFns.fingerprint(col("ck")).as("fp"))
+
+  val all: Seq[Query] = Seq(
+
+    Query("x128_hybrid_retrieval", x128Sql) {
+      (s, d) => hybridFused(s, d)
+    },
+
+    Query("x129_dsir_selection", x129Sql) {
+      (s, d) =>
+        dsirWeights(s, d)
+          .orderBy(col("dsir_weight").desc, col("doc_id"))
+          .limit(25)
+    },
+
+    Query("x131_chunk_windows", x131Sql) {
+      (s, d) => chunkFrame(s, d).orderBy("doc_id", "chunk_id")
+    },
+
+    // Chunk-store dedup view — the payoff of x131: fingerprints held
+    // by MORE THAN ONE document are exactly the rows a RAG/training
+    // chunk store must collapse before indexing (the chunk-granular
+    // analogue of q21's doc-level exact dedup; x58 lists template
+    // HEADS, this lists every repeated 32-token unit wherever it
+    // sits). One hash aggregate over the chunk frame — map-side
+    // combined, HAVING prunes singletons before the member lists
+    // materialize, top-50 by weight is TakeOrdered. Alignment caveat
+    // by design: fixed-stride chunks only collide when the shared run
+    // sits at the same stride offsets (duplicate/near-dup docs do);
+    // shift-robust span detection is x65/x130's job.
+    Query("x132_dup_chunks",
+      s"WITH $chunkCteSql " +
+        "SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ, " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id, chunk_id) " +
+        "AS members FROM ch GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1 " +
+        "ORDER BY n_occ DESC, fp LIMIT 50") {
+      (s, d) =>
+        chunkFrame(s, d)
+          .groupBy("fp")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            array_join(transform(sort_array(collect_list(
+              struct(col("doc_id"), col("chunk_id")))),
+              x => x.getField("doc_id").cast("string")), ",").as("members"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("n_occ").desc, col("fp"))
+          .limit(50)
+    })
+}

@@ -511,6 +511,78 @@ object DedupQueries {
       s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
       "ORDER BY doc_a, doc_b"
 
+  /** DuckDB CTEs `bands(doc_id, bv)` + `cand(doc_a, doc_b)` — x8's
+    * MinHash-LSH band candidates (4 bands of 2 md5-chunk-min
+    * signatures over `sh`), shared verbatim by x8 and x130 so both
+    * probe one candidate definition. */
+  private val bandCandSql: String = {
+    val sigs = Seq.tabulate(8) { k =>
+      val (src, off) = if (k < 4) ("md5(g)", 8 * k + 1) else ("md5('~' || g)", 8 * (k - 4) + 1)
+      s"list_aggregate(list_transform(s, g -> substr($src, $off, 8)), 'min')"
+    }
+    val bandVals = sigs.grouped(2).zipWithIndex.map { case (Seq(s1, s2), i) =>
+      s"'$i|' || $s1 || $s2"
+    }.mkString(", ")
+    s"bands AS (SELECT doc_id, unnest([$bandVals]) AS bv FROM sh), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id)"
+  }
+
+  /** Spark twin of [[bandCandSql]]: candidate pairs from the STORED
+    * band signatures (ShingleIndex `bands3`, one MinHashBands pass at
+    * index build — never per query). */
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = ShingleIndex.forDir(s, d).load("bands3")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** x130's full pipeline over any (doc_id, text) frame — winnowing
+    * fp sets, containment-complete prefix-probe candidates, exact
+    * verify with all-integer admission (see the x130 query header);
+    * exposed for DedupHotPathSpec-style fixture drives. */
+  private[graft] def spanContainmentPairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sz = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 4)
+      .select(col("doc_id"), TextFns.winnowFps(col("ts")).as("fps"))
+      .withColumn("n", size(col("fps")))
+    val ex = sz.select(col("doc_id"), col("n"), explode(col("fps")).as("fp"))
+    // df via aggregate + equi-join (NOT a per-fp window: a hot
+    // boilerplate fp's posting list would buffer in one task); the
+    // per-doc ranking window is bounded by that doc's own fp count
+    val dfq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+    val pfx = ex.join(dfq, Seq("fp"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "fp")))
+      .filter(col("r") <= floor(col("n") * 2 / 5) + 1)
+      .select(col("doc_id"), col("fp"))
+    val cand = pfx
+      .join(ex.select(col("doc_id").as("idx_doc"), col("fp")), Seq("fp"))
+      .filter(col("doc_id") =!= col("idx_doc"))
+      .select(least(col("doc_id"), col("idx_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("idx_doc")).as("doc_b"))
+      .distinct()
+    val a = sz.select(col("doc_id").as("doc_a"), col("fps").as("sa"),
+      col("n").as("na"))
+    val b = sz.select(col("doc_id").as("doc_b"), col("fps").as("sb"),
+      col("n").as("nb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 6 &&
+        col("inter") * 5 < (col("na") + col("nb") - col("inter")) * 4)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Query] = Seq(
     x58,
 
@@ -611,31 +683,75 @@ object DedupQueries {
     // chunk minima), 4 bands of 2, bucket-join candidates,
     // exact-Jaccard verification. MinHashBands computes all 8
     // signatures + 4 band strings in one codegen pass per document.
-    Query("x8_minhash_lsh", {
-      val sigs = Seq.tabulate(8) { k =>
-        val (src, off) = if (k < 4) ("md5(g)", 8 * k + 1) else ("md5('~' || g)", 8 * (k - 4) + 1)
-        s"list_aggregate(list_transform(s, g -> substr($src, $off, 8)), 'min')"
-      }
-      val bandVals = sigs.grouped(2).zipWithIndex.map { case (Seq(s1, s2), i) =>
-        s"'$i|' || $s1 || $s2"
-      }.mkString(", ")
-      s"WITH $shingledSql, " +
-        s"bands AS (SELECT doc_id, unnest([$bandVals]) AS bv FROM sh), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-        "JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id), " +
-        verifiedSql
-    }) {
+    Query("x8_minhash_lsh",
+      s"WITH $shingledSql, $bandCandSql, " + verifiedSql) {
       (s, d) =>
         // candidate buckets from the STORED band signatures (one
         // MinHashBands pass at index build, not per query); the exact
         // verify recomputes the shingle arrays in one codegen scan
-        val bands = ShingleIndex.forDir(s, d).load("bands3")
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        verified(cand, shingled(s, d))
+        verified(bandCandidates(s, d), shingled(s, d))
+    },
+
+    // SPAN CONTAINMENT — the subset-duplication detector Jaccard
+    // near-dup misses: a document whose fingerprinted content is
+    // mostly EMBEDDED in a longer one (a quoted article inside a
+    // page, boilerplate wrapping real content) has
+    // |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard |A∩B|/|A∪B| sits far
+    // below any near-dup threshold, so x7/x8/x25 never pair it. The
+    // set unit is x65's WINNOWING fingerprint set (k=4-gram, w=4
+    // minima — the span-level sketch, so shared RUNS drive
+    // containment, not shared vocabulary; this corpus has real
+    // span-subset docs at this level and none at the raw-shingle
+    // level). Candidates are COMPLETE for containment ≥ 0.6 by
+    // prefix-probing (Bayardo et al.'s pigeonhole, re-derived for the
+    // asymmetric measure): if ≥ 0.6·n of A's n fps lie in B, then
+    // among A's ⌊0.4n⌋+1 rarest fps (global (df, fp) order) at least
+    // one is in B — so each doc probes its prefix against the FULL
+    // inverted index and every qualifying pair is hit from its
+    // smaller side. Scale shape: the probe side carries only RARE fps
+    // by construction (hot boilerplate fps sink to the back of every
+    // prefix ordering and are never probed), so candidate volume is
+    // Σ_prefix-fps df — measured 302 candidates / 5000 docs at sf0.1;
+    // df attaches via a map-side-combined aggregate JOIN (no per-fp
+    // window buffering a hot posting list in one task). Admission
+    // predicates are ALL-INTEGER (inter·10 ≥ min·6, inter·5 <
+    // union·4) so no float boundary can flip membership; the rounded
+    // ratios are display columns.
+    Query("x130_span_containment", {
+      val gram = "ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]"
+      "WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "wh AS (SELECT doc_id, list_transform(range(len(ts) - 3), " +
+        s"i -> ${Sql.md5Bits24(s"md5($gram)")}) AS hs FROM wt " +
+        "WHERE len(ts) >= 4), " +
+        "wf AS (SELECT doc_id, list_distinct(" +
+        "list_transform(range(CASE WHEN len(hs) < 4 THEN 1 " +
+        "ELSE len(hs) - 3 END), " +
+        "i -> list_min(list_slice(hs, i + 1, i + 4)))) AS fps FROM wh), " +
+        "wsz AS (SELECT doc_id, fps, len(fps) AS n FROM wf), " +
+        "wex AS (SELECT doc_id, n, unnest(fps) AS fp FROM wsz), " +
+        "wdf AS (SELECT fp, COUNT(*) AS df FROM wex GROUP BY fp), " +
+        "wrk AS (SELECT doc_id, n, wex.fp, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY wdf.df, wex.fp) AS r " +
+        "FROM wex JOIN wdf ON wex.fp = wdf.fp), " +
+        "wpfx AS (SELECT doc_id, fp FROM wrk WHERE r <= n * 2 // 5 + 1), " +
+        "wcand AS (SELECT DISTINCT least(p.doc_id, x.doc_id) AS doc_a, " +
+        "greatest(p.doc_id, x.doc_id) AS doc_b " +
+        "FROM wpfx p JOIN wex x ON p.fp = x.fp AND p.doc_id != x.doc_id), " +
+        "wj AS (SELECT doc_a, doc_b, " +
+        "len(list_intersect(sa.fps, sb.fps)) AS inter, " +
+        "sa.n AS na, sb.n AS nb FROM wcand " +
+        "JOIN wsz sa ON sa.doc_id = doc_a " +
+        "JOIN wsz sb ON sb.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, " +
+        "round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment, " +
+        "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+        "FROM wj WHERE inter * 10 >= least(na, nb) * 6 " +
+        "AND inter * 5 < (na + nb - inter) * 4 " +
+        "ORDER BY doc_a, doc_b"
+    }) {
+      (s, d) => spanContainmentPairs(
+        TextQueries.spreadScan(s, table(s, d, "documents")))
     },
 
     // canonical-corpus materialization — the dedup family's actual

@@ -118,7 +118,7 @@ object TextQueries {
     * repartition is byte-light at fixture scale, AQE does not
     * re-coalesce it, and a production corpus with ≥ cores files takes
     * the shuffle-free branch. */
-  private def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
+  private[operators] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
     val n = s.sessionState.conf.numShufflePartitions
     if (df.inputFiles.length >= n) df else df.repartition(n, col("doc_id"))
   }
@@ -306,6 +306,73 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("cum"), (col("cum") <= col("cap")).as("kept"))
   }
+
+  // ---------------------------------------------------------- BM25 scorer
+  // x94's scoring pipeline, factored out so x128's hybrid-retrieval
+  // lexical arm ranks with the IDENTICAL score (one definition, two
+  // declared queries). See x94's header for the scale discussion.
+
+  /** The fixed 3-term query both BM25 consumers score against. */
+  private[operators] val Bm25Terms = Seq("hash", "join", "filter")
+
+  /** (doc_id, score): BM25 over [[Bm25Terms]], k1=1.2, b=0.75, Lucene
+    * idf, score rounded to 6 before any ranking (tie-proof ordering
+    * downstream). One O(term-occurrences) frame — never the corpus
+    * vocabulary; N/avglen ride in from the stored 1-row stats table. */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val st = broadcast(UnigramLM.forDir(s, d).load("stats")
+      .select(
+        (col("n_tokens").cast("double") / col("n_docs")).as("avglen"),
+        col("n_docs").cast("double").as("n")))
+    val tf = spreadScan(s, table(s, d, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(first("dl").as("dl"),
+        count(lit(1)).cast("double").as("tf"))
+    // df attach, skew-hardened (r14, closing the r12 ADVICE residue):
+    // a window COUNT over partitionBy(token) buffers a term's ENTIRE
+    // posting list in one task — a stopword-frequency term is a
+    // single-task straggler/spill at corpus scale. df is instead a
+    // map-side-combined groupBy(token) — ≤ |terms| rows by
+    // construction — BROADCAST back onto tf: no token shuffle of tf,
+    // no per-key buffering, one corpus pass (both tf references hang
+    // off tf's own aggregate exchange, which ReuseExchange dedupes —
+    // plan-pinned in SkewWindowSpec with hash equality vs the window
+    // form).
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(st))
+      .groupBy("doc_id")
+      .agg(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+        * col("tf") * 2.2 /
+        (col("tf") +
+          (lit(0.25) + col("dl") * 0.75 / col("avglen")) * 1.2))
+        .as("sco"))
+      .select(col("doc_id"), round(col("sco"), 6).as("score"))
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, sco)` — [[bm25Scored]]'s
+    * oracle twin (callers round: `round(sco, 6)`). */
+  private[operators] val bm25ScoreSql: String =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "st AS (SELECT CAST(AVG(len(ts)) AS DOUBLE) AS avglen, " +
+      "CAST(COUNT(*) AS DOUBLE) AS n FROM t), " +
+      "q AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM t), " +
+      "tf AS (SELECT doc_id, token, any_value(dl) AS dl, " +
+      "CAST(COUNT(*) AS DOUBLE) AS tf FROM q " +
+      s"WHERE token IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")}) " +
+      "GROUP BY doc_id, token), " +
+      "wdf AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) " +
+      "AS DOUBLE) AS df FROM tf), " +
+      "sc AS (SELECT doc_id, SUM(ln((st.n - df + 0.5) / (df + 0.5) + 1) " +
+      "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / st.avglen))) AS sco " +
+      "FROM wdf CROSS JOIN st GROUP BY doc_id)"
 
   val all: Seq[Query] = Seq(
 
@@ -1875,72 +1942,17 @@ object TextQueries {
     // over the tiny tf frame (one pass — no second reference to the
     // explode), and the corpus-level N/avglen ride in as a 1-row
     // broadcast (x61's in-plan pattern). Scores round before ranking
-    // with a doc_id tie-break, so the top-10 is tie-proof.
+    // with a doc_id tie-break, so the top-10 is tie-proof. The scorer
+    // itself is [[bm25Scored]]/[[bm25ScoreSql]], shared with x128's
+    // hybrid-retrieval lexical arm.
     Query("x94_bm25",
-      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
-        "FROM documents WHERE text IS NOT NULL), " +
-        "st AS (SELECT CAST(AVG(len(ts)) AS DOUBLE) AS avglen, " +
-        "CAST(COUNT(*) AS DOUBLE) AS n FROM t), " +
-        "q AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM t), " +
-        "tf AS (SELECT doc_id, token, any_value(dl) AS dl, " +
-        "CAST(COUNT(*) AS DOUBLE) AS tf FROM q " +
-        "WHERE token IN ('hash', 'join', 'filter') GROUP BY doc_id, token), " +
-        "wdf AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) " +
-        "AS DOUBLE) AS df FROM tf), " +
-        "sc AS (SELECT doc_id, SUM(ln((st.n - df + 0.5) / (df + 0.5) + 1) " +
-        "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / st.avglen))) AS sco " +
-        "FROM wdf CROSS JOIN st GROUP BY doc_id) " +
+      s"WITH $bm25ScoreSql " +
         "SELECT doc_id, round(sco, 6) AS score FROM sc " +
         "ORDER BY round(sco, 6) DESC, doc_id LIMIT 10") {
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val terms = Seq("hash", "join", "filter")
-        // N and avglen come from the stored model's 1-row stats table
-        // (avglen = n_tokens/n_docs is bit-identical to AVG(len): the
-        // AVG's integer sum is exact in a double, so sum/count IS this
-        // division) — not from a second corpus scan+tokenize, whose
-        // cost would dominate the O(3-term occurrences) frame this
-        // query is designed around
-        val st = broadcast(UnigramLM.forDir(s, d).load("stats")
-          .select(
-            (col("n_tokens").cast("double") / col("n_docs")).as("avglen"),
-            col("n_docs").cast("double").as("n")))
-        val tf = spreadScan(s, table(s, d, "documents"))
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-          .select(col("doc_id"), size(col("ts")).as("dl"),
-            explode(col("ts")).as("token"))
-          .filter(col("token").isin(terms: _*))
-          .groupBy("doc_id", "token")
-          .agg(first("dl").as("dl"),
-            count(lit(1)).cast("double").as("tf"))
-        // df attach, skew-hardened (r14, closing the r12 ADVICE
-        // residue): the r13 form was a window COUNT over
-        // partitionBy(token) — WindowExec buffers a term's ENTIRE
-        // posting list (one row per matching doc) in one task, so a
-        // stopword-frequency term is a single-task straggler/spill at
-        // corpus scale. Now df is a map-side-combined groupBy(token)
-        // — ≤ |terms| rows by construction — BROADCAST back onto tf:
-        // no token shuffle of tf at all, no per-key buffering
-        // anywhere, and the plan stays one corpus pass (both tf
-        // references hang off tf's own (doc,token) aggregate
-        // exchange, which ReuseExchange dedupes — plan-pinned in
-        // SkewWindowSpec together with hash equality against the
-        // window form).
-        val df = tf.groupBy("token")
-          .agg(count(lit(1)).cast("double").as("df"))
-        tf.join(broadcast(df), Seq("token"))
-          .crossJoin(broadcast(st))
-          .groupBy("doc_id")
-          .agg(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-            * col("tf") * 2.2 /
-            (col("tf") +
-              (lit(0.25) + col("dl") * 0.75 / col("avglen")) * 1.2))
-            .as("sco"))
-          .select(col("doc_id"), round(col("sco"), 6).as("score"))
+      (s, d) =>
+        bm25Scored(s, d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
-      }
     },
 
     // Temperature-based corpus mixing — the multilingual sampling

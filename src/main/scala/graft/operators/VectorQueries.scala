@@ -114,15 +114,42 @@ object VectorQueries {
   private[graft] def srpIndexRows(e: DataFrame): DataFrame =
     e.select(col("vec_id"), explode(tbArray(col("embedding"))).as("tb"))
 
-  private lazy val x11Sql =
-    s"WITH idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
+  /** DuckDB CTE chain ending in `res(vec_id, cos)` — the SRP-probe +
+    * exact-cosine stage shared by x11 (top-10) and x128's dense
+    * hybrid-retrieval arm (top-20 rank): candidates share ≥1 of query
+    * vector 0's L bucket ids, cosine rounded to 6. */
+  private[operators] lazy val annCosSql =
+    s"idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
       "FROM embeddings), " +
       "qt AS (SELECT tb AS qtb FROM idx WHERE vec_id = 0), " +
       "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "cand AS (SELECT DISTINCT i.vec_id FROM idx i JOIN qt ON i.tb = qt.qtb), " +
       s"res AS (SELECT e.vec_id, round(${Sql.cosine("e.embedding", "qv.qe")}, 6) AS cos " +
-      "FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv) " +
-      "SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
+      "FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv)"
+
+  private lazy val x11Sql =
+    s"WITH $annCosSql SELECT vec_id, cos FROM res ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** (vec_id, cos): [[annCosSql]]'s Spark twin — probes the STORED SRP
+    * inverted index with query vector 0's L buckets (one bounded 1-row
+    * collect, x11's documented pattern), partition-prunes to those
+    * bucket directories, exact-cosine re-ranks. Probe cost is O(query
+    * buckets), never O(corpus·L). */
+  private[operators] def annCosineFrame(s: SparkSession, d: String): DataFrame = {
+    val idxStore = VectorIndex.srpForDir(s, d, srpIndexRows)
+    val qtbs = emb(s, d).filter(col("vec_id") === 0)
+      .select(tbArray(col("embedding")).as("tbs"))
+      .collect().head.getSeq[String](0)
+    val cand = idxStore.load("srp_idx")
+      .filter(col("tb").isin(qtbs: _*))
+      .select(col("vec_id")).distinct()
+    val q = emb(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    emb(s, d).join(cand, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
 
   // ---------------------------------------------------------------- IVF
   // build parameters live on the stored index (VectorIndex); NProbe is
@@ -260,19 +287,7 @@ object VectorQueries {
     // against the brute-force top-10 and the partition pruning.
     Query("x11_ann_lsh", x11Sql) {
       (s, d) =>
-        val idxStore = VectorIndex.srpForDir(s, d, srpIndexRows)
-        val qtbs = emb(s, d).filter(col("vec_id") === 0)
-          .select(tbArray(col("embedding")).as("tbs"))
-          .collect().head.getSeq[String](0)
-        val cand = idxStore.load("srp_idx")
-          .filter(col("tb").isin(qtbs: _*))
-          .select(col("vec_id")).distinct()
-        val q = emb(s, d).filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"))
-        emb(s, d).join(cand, Seq("vec_id"), "left_semi")
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        annCosineFrame(s, d)
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
     },

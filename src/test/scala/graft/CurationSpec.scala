@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{CurationQueries, DedupQueries}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r15 curation composites: hybrid-retrieval fusion arithmetic, DSIR
+  * weight recompute, span-containment completeness on an adversarial
+  * fixture, and chunking coverage invariants. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def sf = TestSpark.sf
+
+  // ------------------------------------------------------------- x128
+  test("x128: rrf is exactly the rank formula and arms stay consistent") {
+    val rows = CurationQueries.hybridFused(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val lex = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val den = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(lex.nonEmpty || den.nonEmpty, "a fused doc must come from an arm")
+      lex.foreach(k => assert(k >= 1 && k <= 20))
+      den.foreach(k => assert(k >= 1 && k <= 20))
+      val expect = lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        den.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 5e-7,
+        s"rrf mismatch for doc ${r.get(0)}: ${r.getDouble(3)} vs $expect")
+    }
+    // descending rrf with doc_id tie-break (the declared order)
+    val rrfs = rows.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(rrfs.sameElements(rrfs.sorted), "fused order must be (rrf desc, doc_id)")
+    // the dense arm's rank-1 is the query vector itself (cosine 1.0),
+    // so doc 0 must appear with den_rank 1 wherever it fuses
+    rows.find(_.getLong(0) == 0L).foreach { r =>
+      assert(r.getLong(2) == 1L, "doc 0 (the query vector) must be dense rank 1")
+    }
+  }
+
+  // ------------------------------------------------------------- x129
+  test("x129: weights equal an independent driver-side recompute") {
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 64
+    def bucket(tok: String): Int = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = m.map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % B
+    }
+    val docBk = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).map(bucket).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong })
+    }
+    val ct = Array.fill(B)(0L); val cr = Array.fill(B)(0L)
+    docBk.foreach { case (_, lang, m) =>
+      m.foreach { case (bk, c) =>
+        cr(bk) += c; if (lang == "en") ct(bk) += c
+      }
+    }
+    val tt = ct.sum; val tr = cr.sum
+    val lr = Array.tabulate(B)(bk => math.log(
+      ((ct(bk) + 1).toDouble / (tt + B)) / ((cr(bk) + 1).toDouble / (tr + B))))
+    val want = docBk.map { case (id, _, m) =>
+      id -> m.map { case (bk, c) => c * lr(bk) }.sum
+    }.toMap
+    val got = CurationQueries.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - want(id)) < 1e-3, s"doc $id: $w vs ${want(id)}")
+    }
+  }
+
+  // ------------------------------------------------------------- x130
+  test("x130: finds the embedded-span doc, skips near-dups, misses nothing") {
+    import spark.implicits._
+    // base doc with distinctive runs; A = a contiguous interior span of
+    // base (span containment, low Jaccard); D = exact copy of base
+    // (near-dup, must be EXCLUDED by the jaccard < 0.8 guard); C, E =
+    // unrelated docs sharing no runs
+    val words = (0 until 60).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val span = words.slice(20, 40).mkString(" ")
+    val other = (0 until 60).map(i => s"v$i").mkString(" ")
+    val other2 = (0 until 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, span), (3L, other), (4L, base), (5L, other2))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.spanContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the span is contained in base AND in base's exact copy; the
+    // (1,4) twin pair itself is a near-dup (jaccard 1) and must NOT
+    // appear — that's x7/x8/x25's catch, not this query's
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (2L, 4L)),
+      s"expected the two (base-ish, span) pairs, got ${got.toSeq}")
+    got.foreach { case (_, _, cont, jac) =>
+      assert(cont >= 0.6 && cont <= 1.0)
+      assert(jac < 0.8, "a containment pair must sit below the near-dup bar")
+    }
+    // completeness oracle: brute-force all-pairs verify over the same
+    // fp sets must agree (the prefix probe may only add candidates the
+    // exact verify rejects, never lose a qualifying pair)
+    val sz = docs
+      .select(col("doc_id"), graft.functions.TextFns.winnowFps(
+        split(col("text"), " ")).as("fps"))
+      .withColumn("n", size(col("fps")))
+    val brute = sz.as("a").join(sz.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.fps"), col("b.fps"))))
+      .filter(col("inter") * 10 >= least(col("a.n"), col("b.n")) * 6 &&
+        col("inter") * 5 < (col("a.n") + col("b.n") - col("inter")) * 4)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute.toSet == got.map(p => (p._1, p._2)).toSet,
+      "prefix-probe candidates must be complete for containment >= 0.6")
+  }
+
+  // ------------------------------------------------------------- x131
+  test("x131: chunks cover every token, respect W/S/tail rules, fp parity") {
+    val chunks = CurationQueries.chunkFrame(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == docs.keySet, "every non-null doc must chunk")
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"doc $id must emit chunk 0")
+      // contiguous chunk ids (stride admission never skips a window)
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      sorted.foreach { case (_, cid, ntok, _) =>
+        val st = cid * 24
+        assert(ntok == math.min(32, n - st),
+          s"doc $id chunk $cid: n_tok $ntok for start $st of $n")
+        if (cid > 0) assert(n - st >= 8, "tails under 8 tokens must drop")
+      }
+      // coverage: the last emitted chunk reaches the end of the doc
+      // (dropped tails are inside the previous chunk's 8-token overlap)
+      val (_, lastCid, lastTok, _) = sorted.last
+      assert(lastCid * 24 + lastTok >= n, s"doc $id tail uncovered")
+    }
+    // a single-chunk doc's fp is x5's whole-doc rolling fingerprint
+    val oneChunk = chunks.filter { case (id, cs) =>
+      cs.length == 1 && docs(id) <= 32 }
+    assert(oneChunk.nonEmpty, "fixture should hold a <=32-token doc")
+    val fps = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.TextFns.fingerprint(
+        split(col("text"), " ")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    oneChunk.foreach { case (id, cs) =>
+      assert(cs.head._4 == fps(id), s"doc $id single-chunk fp != doc fp")
+    }
+  }
+
+  // ------------------------------------------------------------- x132
+  test("x132: dup-chunk groups agree with a recount over the chunk frame") {
+    val chunks = CurationQueries.chunkFrame(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val want = chunks.groupBy(_._2)
+      .map { case (fp, occ) => fp -> ((occ.map(_._1).distinct.length,
+        occ.length)) }
+      .filter(_._2._1 > 1)
+    val got = SparkEntry.queries("x132_dup_chunks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt)))
+      .toMap
+    assert(got.nonEmpty, "fixture should hold cross-doc duplicate chunks")
+    // top-50 is a subset of the recount with identical counts
+    got.foreach { case (fp, counts) =>
+      assert(want.get(fp).contains(counts), s"fp $fp: $counts vs ${want.get(fp)}")
+    }
+    if (want.size <= 50) assert(got.keySet == want.keySet)
+  }
+}

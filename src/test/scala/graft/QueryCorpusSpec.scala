@@ -10,7 +10,11 @@ class QueryCorpusSpec extends AnyFunSuite {
 
   // queries where an empty result is legitimate at tiny SF
   private val mayBeEmpty = Set("x7_ngram_jaccard", "x8_minhash_lsh",
-    "x10_embed_neardup", "x39_boilerplate")
+    "x10_embed_neardup", "x39_boilerplate",
+    // the 50-doc corpus holds no span-subset document (the first one
+    // appears at sf0.01 — the driver gate and CurationSpec's fixture
+    // cover the non-empty path)
+    "x130_span_containment")
 
   SparkEntry.declared.foreach { q =>
     test(s"${q.name} executes") {
