@@ -74,6 +74,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x129: the corpus scan+explode stage is reused, not recomputed") {
+    val df = SparkEntry.queries("x129_dsir_selection")(spark, sf)
+    df.collect() // AQE finalizes the plan during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"dc pipeline executed twice:\n$p")
+  }
+
   // ------------------------------------------------------------- x130
   test("x130: finds the embedded-span doc, skips near-dups, misses nothing") {
     import spark.implicits._
