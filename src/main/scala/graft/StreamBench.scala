@@ -216,7 +216,8 @@ object StreamBench {
     // neighbor broadcast against one narrow scan of the stored
     // fingerprints + affected-cluster re-election, replacing the r14
     // full-corpus recompute per trigger).
-    def runIngest(metric: String, nRounds: Int): Unit = {
+    def runIngest(metric: String, nRounds: Int,
+        chunkStore: Boolean = false): Unit = {
       val root = Files.createTempDirectory("graft-streambench-ingest").toString
       val store = new TableStore(spark, root)
       val flows = new graft.streaming.IngestionFlows(spark, store, root,
@@ -225,7 +226,8 @@ object StreamBench {
         // the fixture's 20 sources hold ~5% each — a 3% cap makes the
         // gate genuinely bite, so the measurement covers the refusal
         // path (log upserts), not just the pass-through
-        sourceCapPct = Some(3))
+        sourceCapPct = Some(3),
+        chunkStore = chunkStore)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text"),
           col("source").cast("string"))
@@ -245,8 +247,11 @@ object StreamBench {
       val log = store.load("ingest_log")
       val admitted = log.filter(col("admitted")).count()
       val capped = log.filter(col("reason") === "source_cap").count()
+      val chunks =
+        if (!chunkStore || !store.exists("chunks")) ""
+        else s""""chunks":${store.load("chunks").count()},"""
       println(s"""{"metric":"$metric","docs":$nd,"admitted":$admitted,""" +
-        s""""source_capped":$capped,"batches":$nRounds,"sec":$secs,""" +
+        s""""source_capped":$capped,$chunks"batches":$nRounds,"sec":$secs,""" +
         s""""docs_per_sec":${(nd / secs).toLong},"sf":"$sfDir"}""")
     }
 
@@ -283,6 +288,9 @@ object StreamBench {
     if (variant == "both" || variant == "ingest") {
       runIngest("ingest_throughput", 1)
       runIngest("ingest_throughput_multibatch", rounds)
+      // the S23 chunk tier's marginal cost on the same gated flow
+      runIngest("ingest_throughput_chunks_multibatch", rounds,
+        chunkStore = true)
     }
     spark.stop()
   }

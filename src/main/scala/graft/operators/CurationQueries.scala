@@ -179,10 +179,13 @@ object CurationQueries {
     s"WITH $chunkCteSql " +
       "SELECT doc_id, chunk_id, n_tok, fp FROM ch ORDER BY doc_id, chunk_id"
 
-  /** The chunk frame (doc_id, chunk_id, n_tok, fp) — exposed for
-    * CurationSpec's coverage/overlap invariants. */
-  private[graft] def chunkFrame(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+  /** The chunk frame (doc_id, chunk_id, n_tok, fp) over ANY
+    * (doc_id, text) frame — x131's pipeline; the ingest flow maintains
+    * the stored `chunks` table with it (chunks are pure per-doc
+    * derivations of an append-only corpus, so incremental maintenance
+    * is an idempotent append of each batch's own chunks). */
+  private[graft] def chunkRowsOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .withColumn("n", size(col("ts")))
@@ -194,6 +197,11 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(col("ck")).cast("long").as("n_tok"),
         TextFns.fingerprint(col("ck")).as("fp"))
+
+  /** [[chunkRowsOf]] over the corpus table — exposed for
+    * CurationSpec's coverage/overlap invariants. */
+  private[graft] def chunkFrame(s: SparkSession, d: String): DataFrame =
+    chunkRowsOf(table(s, d, "documents"))
 
   val all: Seq[Query] = Seq(
 

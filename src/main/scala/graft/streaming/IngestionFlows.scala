@@ -102,6 +102,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * replay after "corpus appended, verdict lost" cannot count a doc's
  * own mass against its re-evaluation (the media gate's self-match
  * lesson).
+ *
+ * Chunk store (r15, S23): with `chunkStore` set, the x131 chunk view
+ * is maintained as a stored `chunks` table — each batch's admitted
+ * docs chunk through the ONE shared pipeline
+ * ([[graft.operators.CurationQueries.chunkRowsOf]]) and append
+ * idempotently keyed on (doc_id, chunk_id). Chunks are pure per-doc
+ * derivations of an append-only corpus, so this is the cheapest
+ * derived-table class: O(batch) narrow compute, no stored-side scan,
+ * no recompute path outside GDPR purges (row prunes).
  */
 final class IngestionFlows(spark: SparkSession, store: TableStore,
     embCorpusDir: String,
@@ -110,7 +119,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     quality: IngestQuality = IngestQuality(),
     spanCleanN: Option[Int] = None,
     contaminationDir: Option[String] = None,
-    sourceCapPct: Option[Int] = None) {
+    sourceCapPct: Option[Int] = None,
+    chunkStore: Boolean = false) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -364,6 +374,21 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             store.appendUnique("text_fps", bq, Seq("doc_id"))
             mergeDecisions(bq)
           } finally { bq.unpersist(); () }
+          // chunk-store maintenance (S23, r15): the x131 chunk view
+          // kept current per batch. Chunks are PURE per-doc
+          // derivations of an append-only corpus — a new doc never
+          // changes an old doc's chunks — so maintenance is exactly
+          // one idempotent append of the batch's own chunks, O(batch)
+          // narrow compute (replays anti-join away on doc_id; GDPR
+          // purges sweep the table like every doc-keyed store).
+          // Parity with the batch engine (stored chunks ==
+          // chunkRowsOf(documents) at every batch boundary) is
+          // spec-pinned in IngestionFlowSpec.
+          if (chunkStore)
+            store.appendUnique("chunks",
+              graft.operators.CurationQueries.chunkRowsOf(
+                fresh.select(col("doc_id"), col("text"))),
+              Seq("doc_id", "chunk_id"))
           // the new docs' verdicts: since r15 the retention policy is
           // x120's QUALITY election (SemDeDup-style), not min-id — a
           // newcomer that beats its admitted twin on the exact-integer

@@ -125,8 +125,11 @@ object Gdpr {
     // erasure means the system forgot it), plus the packing
     // manifest's span rows (they record the doc's token layout; the
     // affected windows keep a hole, which the trainer-side reader
-    // tolerates exactly like any filtered span)
-    Seq("media_docs", "media_fps", "media_ingest_log", "packing_manifest")
+    // tolerates exactly like any filtered span), plus (r15) the
+    // chunk store — chunk fingerprints derive from the doc's tokens
+    // and are independent per doc, so a row prune IS the full purge
+    Seq("media_docs", "media_fps", "media_ingest_log", "packing_manifest",
+      "chunks")
       .foreach { t =>
         if (store.exists(t))
           store.deleteWhere(t, col("doc_id").isin(docIds: _*))
@@ -147,7 +150,7 @@ object Gdpr {
   def verifyErasure(store: TableStore, docIds: Seq[Long]): Map[String, Long] =
     Seq("documents", "dedup_decisions", "documents_clean", "ingest_log",
       "text_fps", "media_docs", "media_fps", "media_ingest_log",
-      "packing_manifest")
+      "packing_manifest", "chunks")
       .filter(store.exists)
       .map { t =>
         t -> store.load(t).filter(col("doc_id").isin(docIds: _*)).count()

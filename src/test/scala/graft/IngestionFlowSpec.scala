@@ -916,4 +916,52 @@ class IngestionFlowSpec extends AnyFunSuite {
       "stored-mass subtraction must drive the decision")
     graft.tables.TempDirs.delete(root)
   }
+
+  test("S23 chunk store: batch-engine parity across batches, replay no-op, purge sweeps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingchunk").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root, chunkStore = true)
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    def longText(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+    def storedChunks() = store.load("chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def batchEngine() = graft.operators.CurationQueries
+      .chunkRowsOf(store.load("documents").select("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch 1: a multi-chunk doc (70 tokens → 3 chunks) + a 1-chunk doc
+    ms.addData((1L, longText(1, 70)), (2L, longText(2, 20)))
+    run(flows.documentIngestFlow(df))
+    assert(storedChunks() === batchEngine(), "batch 1 parity")
+    assert(storedChunks().count(_._1 == 1L) === 3)
+    // batch 2: another doc — old docs' chunks unchanged, new ones added
+    ms.addData((3L, longText(3, 40)))
+    run(flows.documentIngestFlow(df))
+    assert(storedChunks() === batchEngine(), "batch 2 parity")
+    // replay of batch 2: nothing may change
+    val v0 = storedChunks()
+    ms.addData((3L, longText(3, 40)))
+    run(flows.documentIngestFlow(df))
+    assert(storedChunks() === v0, "replay must be a chunk-store no-op")
+    // crash window: corpus appended, chunk write lost — the replayed
+    // batch completes the chunk store (doc 9 is unsettled: no verdict)
+    store.appendUnique("documents",
+      Seq((9L, longText(9, 30))).toDF("doc_id", "text"), Seq("doc_id"))
+    ms.addData((9L, longText(9, 30)))
+    run(flows.documentIngestFlow(df))
+    assert(storedChunks() === batchEngine(), "crash-window replay heals")
+    assert(storedChunks().exists(_._1 == 9L))
+    // GDPR purge: the subject's chunk rows go with the corpus rows
+    graft.tables.Gdpr.purgeDocuments(store, Seq(1L))
+    assert(!storedChunks().exists(_._1 == 1L), "purged doc's chunks must go")
+    assert(storedChunks() === batchEngine(), "post-purge parity")
+    assert(graft.tables.Gdpr.verifyErasure(store, Seq(1L)).isEmpty)
+    graft.tables.TempDirs.delete(root)
+  }
 }
