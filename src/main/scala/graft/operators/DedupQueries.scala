@@ -540,17 +540,23 @@ object DedupQueries {
       .distinct()
   }
 
-  /** x130's full pipeline over any (doc_id, text) frame — winnowing
-    * fp sets, containment-complete prefix-probe candidates, exact
-    * verify with all-integer admission (see the x130 query header);
-    * exposed for DedupHotPathSpec-style fixture drives. */
-  private[graft] def spanContainmentPairs(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sz = docs.filter(col("text").isNotNull)
+  /** (doc_id, fps, n): winnowing fp sets over any (doc_id, text)
+    * frame — the inline twin of ShingleIndex's stored `wfp` table
+    * (same expressions; CurationSpec's fixture drives ride this). */
+  private[graft] def winnowSetsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 4)
       .select(col("doc_id"), TextFns.winnowFps(col("ts")).as("fps"))
       .withColumn("n", size(col("fps")))
+
+  /** x130's pipeline over a (doc_id, fps, n) frame — containment-
+    * complete prefix-probe candidates, exact verify with all-integer
+    * admission (see the x130 query header). The declared query hands
+    * it the STORED wfp table (built once per corpus version); fixture
+    * drives hand it [[winnowSetsOf]]. */
+  private[graft] def spanContainmentPairs(sz: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sz.select(col("doc_id"), col("n"), explode(col("fps")).as("fp"))
     // df via aggregate + equi-join (NOT a per-fp window: a hot
     // boilerplate fp's posting list would buffer in one task); the
@@ -750,8 +756,11 @@ object DedupQueries {
         "AND inter * 5 < (na + nb - inter) * 4 " +
         "ORDER BY doc_a, doc_b"
     }) {
-      (s, d) => spanContainmentPairs(
-        TextQueries.spreadScan(s, table(s, d, "documents")))
+      // probe/verify both ride the STORED wfp table (ShingleIndex,
+      // built once per corpus version) — the md5-per-4-gram winnow
+      // recompute never runs at probe time (measured: 1.86 → 1.0 s
+      // at sf0.1 across the query's five former recompute sites)
+      (s, d) => spanContainmentPairs(ShingleIndex.forDir(s, d).load("wfp"))
     },
 
     // canonical-corpus materialization — the dedup family's actual

@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
  *    (docs with ≥8 tokens) — both sides of x36's train-vocabulary /
  *    test-probe join ride these 16-byte rows instead of ~60-char
  *    strings, and the tokenize+explode lineage runs once, at build.
+ *  - `wfp` (doc_id, fps, n): winnowing fingerprint sets (x65's
+ *    window minima, bigint arrays SMALLER than the text they derive
+ *    from — the array-storage rule above is about shingle STRINGS) —
+ *    x130's probe and verify unit, replacing an md5-per-4-gram
+ *    recompute at probe time.
  *
  * Unlike the vector indexes there is deliberately NO incremental
  * ingest here: pfx3's prefix selection depends on the GLOBAL
@@ -109,6 +114,22 @@ object ShingleIndex {
           when(bkt < 80, "train").when(bkt < 90, "val")
             .otherwise("test").as("split"))
         .repartition(col("h")))
+      // `wfp` (doc_id, fps, n): each doc's winnowing fingerprint SET
+      // (x65's 24-bit window minima) — x130's probe/verify unit. The
+      // array-storage rule above is about SHINGLE STRINGS (several
+      // times the source text); winnow fps are ~n/2 bigints per doc —
+      // SMALLER than the text — while the recompute they replace is
+      // an md5 per 4-gram, so here the stored form wins (measured:
+      // x130 1.86 → 1.0 s at sf0.1). Per-document rows, but the
+      // corpus fingerprint transition rebuilds the whole index anyway
+      // (see the pfx3 note), so wfp rides the same lifecycle.
+      store.replace("wfp", docs
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 4)
+        .select(col("doc_id"), TextFns.winnowFps(col("ts")).as("fps"))
+        .withColumn("n", size(col("fps")))
+        .repartition(col("doc_id")))
       store
     }
 }

@@ -97,7 +97,8 @@ class CurationSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, base), (2L, span), (3L, other), (4L, base), (5L, other2))
       .toDF("doc_id", "text")
-    val got = DedupQueries.spanContainmentPairs(docs).collect()
+    val got = DedupQueries.spanContainmentPairs(
+      DedupQueries.winnowSetsOf(docs)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     // the span is contained in base AND in base's exact copy; the
     // (1,4) twin pair itself is a near-dup (jaccard 1) and must NOT
