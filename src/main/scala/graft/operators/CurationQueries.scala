@@ -154,8 +154,11 @@ object CurationQueries {
   // trailing window shorter than 8 tokens is dropped (its tokens are
   // already covered by the previous chunk's overlap; chunk 0 always
   // emits so no document vanishes). Every chunk carries its token
-  // count and x5's rolling-hash fingerprint — the unit key a chunk
-  // store dedups/retrieves on. Pure narrow per-document arithmetic:
+  // count, x5's rolling-hash fingerprint (the cheap in-plan key), and
+  // `ck_md5` — the 128-bit content key a chunk store dedups/retrieves
+  // on: the mod-1e9+7 rolling fp's ~30-bit space birthday-collides at
+  // ~4·10⁴ chunks (a few thousand docs), far below any real corpus,
+  // so IDENTITY rides the md5. Pure narrow per-document arithmetic:
   // zero shuffles at any corpus scale beyond the declared output sort.
   private val ChunkW = 32
   private val ChunkS = 24
@@ -173,11 +176,13 @@ object CurationQueries {
       s"list_slice(ts, st + 1, least(st + $ChunkW, n)) AS ck FROM c " +
       s"WHERE st = 0 OR n - st >= $ChunkMinTail), " +
       "ch AS (SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tok, " +
-      s"${Sql.fingerprint("ck")} AS fp FROM k)"
+      s"${Sql.fingerprint("ck")} AS fp, " +
+      "md5(array_to_string(ck, ' ')) AS ck_md5 FROM k)"
 
   private val x131Sql =
     s"WITH $chunkCteSql " +
-      "SELECT doc_id, chunk_id, n_tok, fp FROM ch ORDER BY doc_id, chunk_id"
+      "SELECT doc_id, chunk_id, n_tok, fp, ck_md5 FROM ch " +
+      "ORDER BY doc_id, chunk_id"
 
   /** The chunk frame (doc_id, chunk_id, n_tok, fp) over ANY
     * (doc_id, text) frame — x131's pipeline; the ingest flow maintains
@@ -196,7 +201,8 @@ object CurationQueries {
       .withColumn("ck", slice(col("ts"), col("st") + 1, lit(ChunkW)))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         size(col("ck")).cast("long").as("n_tok"),
-        TextFns.fingerprint(col("ck")).as("fp"))
+        TextFns.fingerprint(col("ck")).as("fp"),
+        md5(concat_ws(" ", col("ck"))).as("ck_md5"))
 
   /** [[chunkRowsOf]] over the corpus table — exposed for
     * CurationSpec's coverage/overlap invariants. */
@@ -220,33 +226,38 @@ object CurationQueries {
       (s, d) => chunkFrame(s, d).orderBy("doc_id", "chunk_id")
     },
 
-    // Chunk-store dedup view — the payoff of x131: fingerprints held
+    // Chunk-store dedup view — the payoff of x131: content keys held
     // by MORE THAN ONE document are exactly the rows a RAG/training
     // chunk store must collapse before indexing (the chunk-granular
     // analogue of q21's doc-level exact dedup; x58 lists template
     // HEADS, this lists every repeated 32-token unit wherever it
-    // sits). One hash aggregate over the chunk frame — map-side
-    // combined, HAVING prunes singletons before the member lists
-    // materialize, top-50 by weight is TakeOrdered. Alignment caveat
-    // by design: fixed-stride chunks only collide when the shared run
-    // sits at the same stride offsets (duplicate/near-dup docs do);
-    // shift-robust span detection is x65/x130's job.
+    // sits). Groups key on the 128-bit ck_md5 content key (the
+    // rolling fp's ~30-bit space would birthday-merge unrelated
+    // chunks at real corpus scale). One hash aggregate over the chunk
+    // frame — map-side combined, HAVING prunes singletons before the
+    // member lists materialize, top-50 by weight is TakeOrdered.
+    // Alignment caveat by design: fixed-stride chunks only collide
+    // when the shared run sits at the same stride offsets
+    // (duplicate/near-dup docs do); shift-robust span detection is
+    // x65/x130's job.
     Query("x132_dup_chunks",
       s"WITH $chunkCteSql " +
-        "SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ, " +
+        "SELECT ck_md5, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "COUNT(*) AS n_occ, " +
         "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id, chunk_id) " +
-        "AS members FROM ch GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1 " +
-        "ORDER BY n_occ DESC, fp LIMIT 50") {
+        "AS members FROM ch GROUP BY ck_md5 " +
+        "HAVING COUNT(DISTINCT doc_id) > 1 " +
+        "ORDER BY n_occ DESC, ck_md5 LIMIT 50") {
       (s, d) =>
         chunkFrame(s, d)
-          .groupBy("fp")
+          .groupBy("ck_md5")
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"),
             array_join(transform(sort_array(collect_list(
               struct(col("doc_id"), col("chunk_id")))),
               x => x.getField("doc_id").cast("string")), ",").as("members"))
           .filter(col("n_docs") > 1)
-          .orderBy(col("n_occ").desc, col("fp"))
+          .orderBy(col("n_occ").desc, col("ck_md5"))
           .limit(50)
     })
 }

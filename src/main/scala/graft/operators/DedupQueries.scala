@@ -513,8 +513,8 @@ object DedupQueries {
 
   /** DuckDB CTEs `bands(doc_id, bv)` + `cand(doc_a, doc_b)` — x8's
     * MinHash-LSH band candidates (4 bands of 2 md5-chunk-min
-    * signatures over `sh`), shared verbatim by x8 and x130 so both
-    * probe one candidate definition. */
+    * signatures over `sh`), factored out of the query literal so the
+    * SQL and the Spark twin below sit side by side. */
   private val bandCandSql: String = {
     val sigs = Seq.tabulate(8) { k =>
       val (src, off) = if (k < 4) ("md5(g)", 8 * k + 1) else ("md5('~' || g)", 8 * (k - 4) + 1)

@@ -115,21 +115,18 @@ object ShingleIndex {
             .otherwise("test").as("split"))
         .repartition(col("h")))
       // `wfp` (doc_id, fps, n): each doc's winnowing fingerprint SET
-      // (x65's 24-bit window minima) — x130's probe/verify unit. The
-      // array-storage rule above is about SHINGLE STRINGS (several
-      // times the source text); winnow fps are ~n/2 bigints per doc —
-      // SMALLER than the text — while the recompute they replace is
-      // an md5 per 4-gram, so here the stored form wins (measured:
-      // x130 1.86 → 1.0 s at sf0.1). Per-document rows, but the
-      // corpus fingerprint transition rebuilds the whole index anyway
-      // (see the pfx3 note), so wfp rides the same lifecycle.
-      store.replace("wfp", docs
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 4)
-        .select(col("doc_id"), TextFns.winnowFps(col("ts")).as("fps"))
-        .withColumn("n", size(col("fps")))
-        .repartition(col("doc_id")))
+      // (x65's 24-bit window minima, the ONE winnowSetsOf definition
+      // CurationSpec's fixture drives also pin) — x130's probe/verify
+      // unit. The array-storage rule above is about SHINGLE STRINGS
+      // (several times the source text); winnow fps are ~n/2 bigints
+      // per doc — SMALLER than the text — while the recompute they
+      // replace is an md5 per 4-gram, so here the stored form wins
+      // (measured: x130 1.86 → 1.0 s at sf0.1). Per-document rows,
+      // but the corpus fingerprint transition rebuilds the whole
+      // index anyway (see the pfx3 note), so wfp rides the same
+      // lifecycle.
+      store.replace("wfp",
+        DedupQueries.winnowSetsOf(docs).repartition(col("doc_id")))
       store
     }
 }

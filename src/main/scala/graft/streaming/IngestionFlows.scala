@@ -332,11 +332,42 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           try {
           val fresh = scoredOpt.fold(fresh0)(sc => sc.filter(col("_kept"))
             .select(fresh0.columns.map(col).toIndexedSeq: _*))
+          // which batch docs ALREADY sit in the corpus — i.e. the
+          // crash-window re-sends ("corpus appended, verdict lost").
+          // Their batch text may be a CORRECTION the corpus never kept
+          // (appendUnique lets the stored row win), so every derived
+          // row below (fps sidecar, decisions probe, chunks) must
+          // derive from the STORED text, never the re-sent text —
+          // the same corpus-truth rule the cap subtraction follows.
+          // One key-column semi-join on the happy path (empty result);
+          // the corpus TEXT is only re-read in the actual heal case.
+          val preIds =
+            if (!store.exists("documents")) None
+            else {
+              val ids = fresh.select("doc_id")
+                .join(store.load("documents").select("doc_id"),
+                  Seq("doc_id"), "left_semi").persist()
+              if (ids.isEmpty) { ids.unpersist(); None } else Some(ids)
+            }
           // schema-evolving append: a corpus started without sources
           // grows the (nullable) column the first time a sourced
           // batch arrives, instead of walling off the cap gate
           store.appendUnique("documents", fresh, Seq("doc_id"),
             evolveSchema = true)
+          // the batch's docs with CORPUS-TRUTH text: identical to
+          // `fresh` except crash-window re-sends, whose rows swap in
+          // the stored text (post-append, the corpus holds the truth
+          // for every batch doc)
+          def corpusTruth(): DataFrame = preIds match {
+            case None => fresh
+            case Some(ids) =>
+              // post-append, `documents` carries every column of
+              // `fresh` (the append just evolved the schema if needed)
+              fresh.join(ids, Seq("doc_id"), "left_anti")
+                .unionByName(store.load("documents")
+                  .join(ids, Seq("doc_id"), "left_semi")
+                  .select(fresh.columns.map(col).toIndexedSeq: _*))
+          }
           // every verdict class accumulates into ONE log upsert at the
           // very end of the batch body (below): upsert-not-append so a
           // retryable rejection SUPERSEDES a stale retryable row in
@@ -369,7 +400,15 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // pairs). The r14 engine recomputed the full clustering per
           // batch off the ≤2¹⁶ quotient, which 64-bit fingerprints no
           // longer admit — and the recompute was the scale wart anyway.
-          val bq = graft.operators.DedupQueries.fpQualityOf(fresh).persist()
+          // every derived row below derives from corpusTruth(), not
+          // `fresh`: a crash-window re-send can carry corrected text
+          // the corpus never kept (stored row wins), and a sidecar/
+          // decision/chunk row computed from THAT text would disagree
+          // with the corpus forever (review-caught — the cap
+          // subtraction had the same defect in r15 and fixed it the
+          // same way)
+          val bq = graft.operators.DedupQueries.fpQualityOf(corpusTruth())
+            .persist()
           try {
             store.appendUnique("text_fps", bq, Seq("doc_id"))
             mergeDecisions(bq)
@@ -379,15 +418,16 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // derivations of an append-only corpus — a new doc never
           // changes an old doc's chunks — so maintenance is exactly
           // one idempotent append of the batch's own chunks, O(batch)
-          // narrow compute (replays anti-join away on doc_id; GDPR
-          // purges sweep the table like every doc-keyed store).
+          // narrow compute (replays recompute identical rows off the
+          // corpus truth and anti-join away on (doc_id, chunk_id);
+          // GDPR purges sweep the table like every doc-keyed store).
           // Parity with the batch engine (stored chunks ==
           // chunkRowsOf(documents) at every batch boundary) is
           // spec-pinned in IngestionFlowSpec.
           if (chunkStore)
             store.appendUnique("chunks",
               graft.operators.CurationQueries.chunkRowsOf(
-                fresh.select(col("doc_id"), col("text"))),
+                corpusTruth().select(col("doc_id"), col("text"))),
               Seq("doc_id", "chunk_id"))
           // the new docs' verdicts: since r15 the retention policy is
           // x120's QUALITY election (SemDeDup-style), not min-id — a
@@ -433,6 +473,7 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // clean view stale forever, because the log write follows).
           // The emptiness probe only runs when it can actually be
           // empty: a non-empty fresh set always carries verdicts
+          preIds.foreach { p => p.unpersist(); () }
           if (freshNonEmpty || !verdicts.isEmpty)
             store.upsert("ingest_log", verdicts, Seq("doc_id"))
           } finally { scoredOpt.foreach { sc => sc.unpersist(); () } }

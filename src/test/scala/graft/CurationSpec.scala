@@ -171,18 +171,19 @@ class CurationSpec extends AnyFunSuite {
   // ------------------------------------------------------------- x132
   test("x132: dup-chunk groups agree with a recount over the chunk frame") {
     val chunks = CurationQueries.chunkFrame(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getString(4)))
     val want = chunks.groupBy(_._2)
-      .map { case (fp, occ) => fp -> ((occ.map(_._1).distinct.length,
+      .map { case (key, occ) => key -> ((occ.map(_._1).distinct.length,
         occ.length)) }
       .filter(_._2._1 > 1)
     val got = SparkEntry.queries("x132_dup_chunks")(spark, sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt)))
+      .map(r => r.getString(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt)))
       .toMap
     assert(got.nonEmpty, "fixture should hold cross-doc duplicate chunks")
     // top-50 is a subset of the recount with identical counts
-    got.foreach { case (fp, counts) =>
-      assert(want.get(fp).contains(counts), s"fp $fp: $counts vs ${want.get(fp)}")
+    got.foreach { case (key, counts) =>
+      assert(want.get(key).contains(counts),
+        s"key $key: $counts vs ${want.get(key)}")
     }
     if (want.size <= 50) assert(got.keySet == want.keySet)
   }

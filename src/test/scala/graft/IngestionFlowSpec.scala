@@ -928,12 +928,14 @@ class IngestionFlowSpec extends AnyFunSuite {
     def longText(seed: Int, n: Int): String =
       (0 until n).map(i => s"w${seed}_$i").mkString(" ")
     def storedChunks() = store.load("chunks").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
       .toSet
     def batchEngine() = graft.operators.CurationQueries
       .chunkRowsOf(store.load("documents").select("doc_id", "text"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
       .toSet
     // batch 1: a multi-chunk doc (70 tokens → 3 chunks) + a 1-chunk doc
     ms.addData((1L, longText(1, 70)), (2L, longText(2, 20)))
@@ -957,6 +959,24 @@ class IngestionFlowSpec extends AnyFunSuite {
     run(flows.documentIngestFlow(df))
     assert(storedChunks() === batchEngine(), "crash-window replay heals")
     assert(storedChunks().exists(_._1 == 9L))
+    // corrected re-send IN the crash window (review-caught): doc 11's
+    // 30-token text reached the corpus, every derived write was lost,
+    // and the retry carries a LONGER corrected text. The corpus keeps
+    // the stored row (appendUnique), so the healed chunks AND the fps
+    // sidecar must derive from the STORED 30-token text — deriving
+    // from the re-sent 70-token text would append phantom chunk_ids
+    // 1–2 and a sidecar row disagreeing with the corpus forever
+    store.appendUnique("documents",
+      Seq((11L, longText(11, 30))).toDF("doc_id", "text"), Seq("doc_id"))
+    ms.addData((11L, longText(11, 70)))
+    run(flows.documentIngestFlow(df))
+    assert(storedChunks() === batchEngine(),
+      "corrected crash-window re-send must chunk the STORED text")
+    assert(storedChunks().count(_._1 == 11L) === 1, "30 tokens = 1 chunk")
+    val fps11 = store.load("text_fps").filter(col("doc_id") === 11L)
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(fps11.toSeq === Seq(longText(11, 30).length.toLong),
+      "the fps sidecar must carry the stored row's length, not the re-send's")
     // GDPR purge: the subject's chunk rows go with the corpus rows
     graft.tables.Gdpr.purgeDocuments(store, Seq(1L))
     assert(!storedChunks().exists(_._1 == 1L), "purged doc's chunks must go")
