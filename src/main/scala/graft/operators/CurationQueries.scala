@@ -209,6 +209,22 @@ object CurationQueries {
   private[graft] def chunkFrame(s: SparkSession, d: String): DataFrame =
     chunkRowsOf(table(s, d, "documents"))
 
+  /** (doc_id, chunk_id, dl): every chunk's id and token length derived
+    * PURELY from per-doc token counts — no text re-pass, no chunk
+    * arrays. Must stay row-identical to [[chunkRowsOf]]'s
+    * (doc_id, chunk_id, n_tok) (CurationSpec pins it); x133's stats
+    * and dl attach ride this frame. */
+  private[graft] def chunkMeta(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n"))
+      .select(col("doc_id"), col("n"), explode(sequence(lit(0L),
+        greatest(floor((col("n") - ChunkMinTail).cast("double") / ChunkS)
+          .cast("long"), lit(0L)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkW), col("n") - col("chunk_id") * ChunkS).as("dl"))
+
   val all: Seq[Query] = Seq(
 
     Query("x128_hybrid_retrieval", x128Sql) {
@@ -224,6 +240,90 @@ object CurationQueries {
 
     Query("x131_chunk_windows", x131Sql) {
       (s, d) => chunkFrame(s, d).orderBy("doc_id", "chunk_id")
+    },
+
+    // Chunk-granular BM25 — retrieval at the unit RAG actually serves
+    // (a CHUNK, not a whole document): top-10 (doc_id, chunk_id) for
+    // the x94 query, k1/b/idf identical. The scale trick: chunk token
+    // arrays are NEVER materialized. Occurrences explode once and
+    // filter to the query terms IMMEDIATELY (x94's O(term-occurrence)
+    // shape); each occurrence's containing chunks come from ARITHMETIC
+    // over its token position (a position sits in ≤ ⌈W/S⌉ = 2
+    // windows), and chunk lengths/stats come from a chunk-id frame
+    // derived purely from per-doc token counts (no second text pass) —
+    // an inner join against that frame also drops tail-pruned windows.
+    // df is chunk-level (count of chunks carrying the term), attached
+    // via the same broadcast-agg-back pattern as x94; N/avgdl ride a
+    // 1-row broadcast. Scores round to 6 before ranking, ties break on
+    // (doc_id, chunk_id) — tie-proof top-10.
+    Query("x133_chunk_bm25", {
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "dn AS (SELECT doc_id, len(ts) AS n, ts FROM t), " +
+        s"cm AS (SELECT doc_id, n, unnest(range(0, " +
+        s"greatest(CAST(floor(CAST(n - $ChunkMinTail AS DOUBLE) / $ChunkS) " +
+        "AS BIGINT), 0) + 1)) AS chunk_id FROM dn), " +
+        s"cm2 AS (SELECT doc_id, chunk_id, " +
+        s"least($ChunkW, n - chunk_id * $ChunkS) AS dl FROM cm), " +
+        "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nch, " +
+        "CAST(AVG(dl) AS DOUBLE) AS avgdl FROM cm2), " +
+        "oc0 AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+        "i -> {'p': i, 'tok': ts[i + 1]})) AS o FROM dn), " +
+        "oc AS (SELECT doc_id, o.p AS p0, o.tok AS token FROM oc0 " +
+        s"WHERE o.tok IN (${TextQueries.Bm25Terms.map("'" + _ + "'").mkString(", ")})), " +
+        "cc AS (SELECT doc_id, token, unnest(range(" +
+        s"greatest(CAST(floor(CAST(p0 - $ChunkW AS DOUBLE) / $ChunkS) " +
+        "AS BIGINT) + 1, 0), " +
+        s"CAST(floor(CAST(p0 AS DOUBLE) / $ChunkS) AS BIGINT) + 1)) " +
+        "AS chunk_id FROM oc), " +
+        "tf AS (SELECT cc.doc_id, cc.chunk_id, token, any_value(dl) AS dl, " +
+        "CAST(COUNT(*) AS DOUBLE) AS tf FROM cc " +
+        "JOIN cm2 ON cc.doc_id = cm2.doc_id AND cc.chunk_id = cm2.chunk_id " +
+        "GROUP BY 1, 2, 3), " +
+        "wdf AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) " +
+        "AS DOUBLE) AS df FROM tf), " +
+        "sc AS (SELECT doc_id, chunk_id, " +
+        "SUM(ln((st.nch - df + 0.5) / (df + 0.5) + 1) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))) AS sco " +
+        "FROM wdf CROSS JOIN st GROUP BY 1, 2) " +
+        "SELECT doc_id, chunk_id, round(sco, 6) AS score FROM sc " +
+        "ORDER BY round(sco, 6) DESC, doc_id, chunk_id LIMIT 10"
+    }) {
+      (s, d) =>
+        val cm = chunkMeta(s, d)
+        val st = broadcast(cm.agg(
+          count(lit(1)).cast("double").as("nch"),
+          avg(col("dl")).as("avgdl")))
+        val oc = TextQueries.spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "token")))
+          .filter(col("token").isin(TextQueries.Bm25Terms: _*))
+        val lo = greatest(
+          (floor((col("p0") - ChunkW).cast("double") / ChunkS) + 1)
+            .cast("long"), lit(0L))
+        val hi = floor(col("p0").cast("double") / ChunkS).cast("long")
+        val tf = oc
+          .select(col("doc_id"), col("token"),
+            explode(sequence(lo, hi)).as("chunk_id"))
+          .join(cm, Seq("doc_id", "chunk_id"))
+          .groupBy("doc_id", "chunk_id", "token")
+          .agg(first("dl").as("dl"),
+            count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy("token")
+          .agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(df), Seq("token"))
+          .crossJoin(st)
+          .groupBy("doc_id", "chunk_id")
+          .agg(sum(log((col("nch") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * 2.2 /
+            (col("tf") +
+              (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2))
+            .as("sco"))
+          .select(col("doc_id"), col("chunk_id"),
+            round(col("sco"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+          .limit(10)
     },
 
     // Chunk-store dedup view — the payoff of x131: content keys held

@@ -168,6 +168,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- x133
+  test("x133: arithmetic chunk meta is row-identical to the slice pipeline") {
+    val meta = CurationQueries.chunkMeta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val slices = CurationQueries.chunkFrame(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(meta === slices,
+      "chunkMeta (token-count arithmetic) must equal chunkRowsOf (slices)")
+  }
+
+  test("x133: top chunks carry the exact per-chunk term frequencies") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Tables.table(spark, sf, "documents")
+      .filter(c("text").isNotNull)
+      .select(c("doc_id"), c("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val terms = Set("hash", "join", "filter")
+    val got = SparkEntry.queries("x133_chunk_bm25")(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (id, cid) = (r.getLong(0), r.getLong(1))
+      val ts = docs(id)
+      val ck = ts.slice((cid * 24).toInt,
+        math.min(cid * 24 + 32, ts.length).toInt)
+      assert(ck.exists(terms), s"chunk ($id,$cid) in the top-10 must hold a term")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
   // ------------------------------------------------------------- x132
   test("x132: dup-chunk groups agree with a recount over the chunk frame") {
     val chunks = CurationQueries.chunkFrame(spark, sf).collect()

@@ -115,7 +115,8 @@ class PlanSpec extends AnyFunSuite {
       "x121_source_cap", // 1-row corpus-cap broadcast
       "x125_source_scorecard", // same 1-row cap broadcast via sourceCapScores
       "x126_retention_funnel", // same 1-row cap broadcast via sourceCapScores
-      "x128_hybrid_retrieval") // x94's 1-row stats broadcast in the lexical arm
+      "x128_hybrid_retrieval", // x94's 1-row stats broadcast in the lexical arm
+      "x133_chunk_bm25") // 1-row chunk-stats (nch, avgdl) broadcast
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
