@@ -156,6 +156,16 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         store.replace("text_fps",
           graft.operators.DedupQueries.fpQualityOf(corpus))
       }
+      // same migration class for a chunks table persisted before the
+      // ck_md5 content key: first contact REBUILDS it from the corpus
+      // (schema-evolving the append alone would leave every legacy
+      // row with a null key, silently breaking the stored-chunks ==
+      // chunkRowsOf(documents) parity and x132's dedup groups)
+      if (chunkStore && store.exists("chunks") &&
+        !store.load("chunks").columns.contains("ck_md5"))
+        store.replace("chunks",
+          graft.operators.CurationQueries.chunkRowsOf(
+            store.load("documents").select(col("doc_id"), col("text"))))
       // which of the batch are genuinely new: a doc is settled once its
       // VERDICT is logged — the ingest_log is written LAST, so a batch
       // that crashed mid-way (corpus appended, derived writes lost)
@@ -356,18 +366,28 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
             evolveSchema = true)
           // the batch's docs with CORPUS-TRUTH text: identical to
           // `fresh` except crash-window re-sends, whose rows swap in
-          // the stored text (post-append, the corpus holds the truth
-          // for every batch doc)
-          def corpusTruth(): DataFrame = preIds match {
+          // the stored text. Materialized ONCE (the fps sidecar and
+          // the chunk store both consume it on the heal path) and
+          // released in the try/finally below together with preIds.
+          // A batch column the corpus STILL lacks (an all-re-send
+          // batch appends nothing, so the schema never evolved —
+          // review-caught poison pill) reads as null: the corpus
+          // holds no value for it, which IS the corpus truth.
+          val corpusTruth: DataFrame = preIds match {
             case None => fresh
             case Some(ids) =>
-              // post-append, `documents` carries every column of
-              // `fresh` (the append just evolved the schema if needed)
+              val stored = store.load("documents")
+              val cols = fresh.schema.fields.map { f =>
+                if (stored.columns.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }
               fresh.join(ids, Seq("doc_id"), "left_anti")
-                .unionByName(store.load("documents")
+                .unionByName(stored
                   .join(ids, Seq("doc_id"), "left_semi")
-                  .select(fresh.columns.map(col).toIndexedSeq: _*))
+                  .select(cols.toIndexedSeq: _*))
+                .persist()
           }
+          try {
           // every verdict class accumulates into ONE log upsert at the
           // very end of the batch body (below): upsert-not-append so a
           // retryable rejection SUPERSEDES a stale retryable row in
@@ -400,14 +420,14 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // pairs). The r14 engine recomputed the full clustering per
           // batch off the ≤2¹⁶ quotient, which 64-bit fingerprints no
           // longer admit — and the recompute was the scale wart anyway.
-          // every derived row below derives from corpusTruth(), not
+          // every derived row below derives from corpusTruth, not
           // `fresh`: a crash-window re-send can carry corrected text
           // the corpus never kept (stored row wins), and a sidecar/
           // decision/chunk row computed from THAT text would disagree
           // with the corpus forever (review-caught — the cap
           // subtraction had the same defect in r15 and fixed it the
           // same way)
-          val bq = graft.operators.DedupQueries.fpQualityOf(corpusTruth())
+          val bq = graft.operators.DedupQueries.fpQualityOf(corpusTruth)
             .persist()
           try {
             store.appendUnique("text_fps", bq, Seq("doc_id"))
@@ -424,11 +444,15 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // Parity with the batch engine (stored chunks ==
           // chunkRowsOf(documents) at every batch boundary) is
           // spec-pinned in IngestionFlowSpec.
+          // evolveSchema: a chunks table persisted by an older engine
+          // version must grow new chunk columns on first contact
+          // instead of poisoning every replay (review-caught — the
+          // documents append already follows this rule)
           if (chunkStore)
             store.appendUnique("chunks",
               graft.operators.CurationQueries.chunkRowsOf(
-                corpusTruth().select(col("doc_id"), col("text"))),
-              Seq("doc_id", "chunk_id"))
+                corpusTruth.select(col("doc_id"), col("text"))),
+              Seq("doc_id", "chunk_id"), evolveSchema = true)
           // the new docs' verdicts: since r15 the retention policy is
           // x120's QUALITY election (SemDeDup-style), not min-id — a
           // newcomer that beats its admitted twin on the exact-integer
@@ -473,9 +497,15 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           // clean view stale forever, because the log write follows).
           // The emptiness probe only runs when it can actually be
           // empty: a non-empty fresh set always carries verdicts
-          preIds.foreach { p => p.unpersist(); () }
           if (freshNonEmpty || !verdicts.isEmpty)
             store.upsert("ingest_log", verdicts, Seq("doc_id"))
+          } finally {
+            // release the heal-path caches even when a write throws
+            // (review-caught: an exception between persist and here
+            // leaked one cached frame per streaming retry)
+            if (!(corpusTruth eq fresh)) { corpusTruth.unpersist(); () }
+            preIds.foreach { p => p.unpersist(); () }
+          }
           } finally { scoredOpt.foreach { sc => sc.unpersist(); () } }
         } finally { contamIds.foreach { ids => ids.unpersist(); () } }
       } finally { batch.unpersist(); () }

@@ -984,4 +984,44 @@ class IngestionFlowSpec extends AnyFunSuite {
     assert(graft.tables.Gdpr.verifyErasure(store, Seq(1L)).isEmpty)
     graft.tables.TempDirs.delete(root)
   }
+
+  test("schema upgrades cannot poison replays: new batch column, new chunk column") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingschema").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root, chunkStore = true)
+    val text = (0 until 40).map(i => s"w$i").mkString(" ")
+    // a SOURCELESS corpus with doc 1 stuck in the crash window (no
+    // verdict), PLUS a chunks table persisted by the pre-ck_md5 engine
+    store.appendUnique("documents",
+      Seq((1L, text)).toDF("doc_id", "text"), Seq("doc_id"))
+    store.replace("chunks", graft.operators.CurationQueries
+      .chunkRowsOf(Seq((1L, text)).toDF("doc_id", "text")).drop("ck_md5"))
+    // the upgraded pipeline re-sends doc 1 WITH a source column (an
+    // all-re-send batch appends nothing, so `documents` never evolves)
+    // and ships chunk rows that now carry ck_md5: both upgrades must
+    // heal in place, not throw on every deterministic replay
+    val ms = MemoryStream[(Long, String, String)]
+    ms.addData((1L, text, "s1"))
+    run(flows.documentIngestFlow(ms.toDS().toDF("doc_id", "text", "source")))
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(log(1L), "the healed re-send must settle with a verdict")
+    // corpus truth: the sidecar's source is NULL (the corpus holds
+    // none), never the re-send's 's1'
+    val fps = store.load("text_fps").filter(col("doc_id") === 1L)
+      .select("source").collect().map(r => Option(r.getString(0)))
+    assert(fps.toSeq === Seq(None),
+      "sidecar must carry the corpus-truth (absent) source")
+    // the chunks table was REBUILT with the new key on first contact
+    // (an evolve-only path would leave legacy rows with null keys,
+    // breaking stored-chunks parity and x132's groups)
+    val ch = store.load("chunks").collect()
+    assert(store.load("chunks").columns.contains("ck_md5"))
+    assert(ch.count(_.getLong(0) == 1L) === 2)
+    assert(ch.forall(r => r.getString(4) != null),
+      "every chunk row must carry a real content key after migration")
+    graft.tables.TempDirs.delete(root)
+  }
 }
