@@ -98,7 +98,9 @@ object CurationQueries {
   // (the x93/x97 log-family contract), ranking ties broken by doc_id.
   private val DsirB = 64
 
-  private val x129Sql =
+  /** DuckDB CTE chain ending in `w(doc_id, wt)` — x129's weight
+    * pipeline, shared with x134's resample. */
+  private val x129CoreSql =
     "WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk " +
       "FROM documents WHERE text IS NOT NULL), " +
       "h AS (SELECT doc_id, lang, md5(tk) AS m FROM t), " +
@@ -110,8 +112,11 @@ object CurationQueries {
       s"lr AS (SELECT bk, ln((CAST(ct + 1 AS DOUBLE) / (tt + $DsirB)) / " +
       s"(CAST(cr + 1 AS DOUBLE) / (tr + $DsirB))) AS lr FROM bc, tot), " +
       "w AS (SELECT dc.doc_id, SUM(dc.c * lr.lr) AS wt FROM dc " +
-      "JOIN lr ON dc.bk = lr.bk GROUP BY 1) " +
-      "SELECT doc_id, round(wt, 4) AS dsir_weight FROM w " +
+      "JOIN lr ON dc.bk = lr.bk GROUP BY 1)"
+
+  private val x129Sql =
+    x129CoreSql +
+      " SELECT doc_id, round(wt, 4) AS dsir_weight FROM w " +
       "ORDER BY round(wt, 4) DESC, doc_id LIMIT 25"
 
   /** (doc_id, lang, bk, c): one tokenize scan aggregated to per-doc
@@ -128,7 +133,13 @@ object CurationQueries {
 
   /** The full (doc_id, dsir_weight) frame before top-k — exposed for
     * CurationSpec's independent-recompute pin. */
-  private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsRaw(s, d)
+      .select(col("doc_id"), round(col("wt"), 4).as("dsir_weight"))
+
+  /** (doc_id, wt): the unrounded weight frame x129 rounds and x134
+    * perturbs with deterministic Gumbel noise. */
+  private def dsirWeightsRaw(s: SparkSession, d: String): DataFrame = {
     val dc = dsirDocBuckets(s, d)
     // bucket table: ≤ DsirB rows by construction, derived from dc's
     // OWN aggregate (ReuseExchange dedupes the exchange — x94's
@@ -145,7 +156,7 @@ object CurationQueries {
           ((col("cr") + 1).cast("double") / (col("tr") + DsirB))).as("lr"))
     dc.join(broadcast(lr), Seq("bk"))
       .groupBy("doc_id")
-      .agg(round(sum(col("c") * col("lr")), 4).as("dsir_weight"))
+      .agg(sum(col("c") * col("lr")).as("wt"))
   }
 
   // -------------------------------------------------- x131 token chunking
@@ -236,6 +247,39 @@ object CurationQueries {
         dsirWeights(s, d)
           .orderBy(col("dsir_weight").desc, col("doc_id"))
           .limit(25)
+    },
+
+    // DSIR's actual RESAMPLING step (the payoff x129 only scores):
+    // importance resampling via the Gumbel top-k trick (Xie
+    // NeurIPS'23 §2.2; Vieira '14) — sampling k docs WITHOUT
+    // replacement with probability ∝ exp(weight) is exactly taking
+    // the top-k of weight + Gumbel noise. The noise is DETERMINISTIC
+    // (the x88/x35 doctrine: u = (md5Bits16(doc_id)+0.5)/65536,
+    // g = −ln(−ln u)), so the sample is reproducible on any engine
+    // and any cluster size, and a grown corpus keeps its old draws.
+    // Keys round to 6 before ranking with a doc_id tie-break —
+    // cross-engine libm ulp differences cannot flip the top-k. One
+    // broadcast-joined pass over x129's weight frame: the sampling
+    // itself adds NO corpus pass (weights reuse the one tokenize
+    // scan) and no shuffle beyond x129's own.
+    Query("x134_dsir_resample",
+      x129CoreSql +
+        ", g AS (SELECT doc_id, wt, -ln(-ln((" +
+        s"${Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))")} + 0.5) / 65536.0)) " +
+        "AS gum FROM w) " +
+        "SELECT doc_id, round(wt, 4) AS dsir_weight, " +
+        "round(wt + gum, 6) AS sample_key FROM g " +
+        "ORDER BY round(wt + gum, 6) DESC, doc_id LIMIT 50") {
+      (s, d) =>
+        dsirWeightsRaw(s, d)
+          .withColumn("gum", -log(-log(
+            (TextFns.md5Bits16(col("doc_id").cast("string")) + 0.5)
+              / 65536.0)))
+          .select(col("doc_id"),
+            round(col("wt"), 4).as("dsir_weight"),
+            round(col("wt") + col("gum"), 6).as("sample_key"))
+          .orderBy(col("sample_key").desc, col("doc_id"))
+          .limit(50)
     },
 
     Query("x131_chunk_windows", x131Sql) {

@@ -82,6 +82,30 @@ class CurationSpec extends AnyFunSuite {
       s"dc pipeline executed twice:\n$p")
   }
 
+  test("x134: sample keys are weight + deterministic Gumbel; noise reorders") {
+    val got = SparkEntry.queries("x134_dsir_resample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { case (id, w, key) =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val u = (Integer.parseInt(
+        m.map("%02x".format(_)).mkString.take(4), 16) + 0.5) / 65536.0
+      val gum = -math.log(-math.log(u))
+      // dsir_weight rounds to 4 and sample_key to 6, so the recompute
+      // agrees within the combined rounding slack
+      assert(math.abs((key - w) - gum) < 6e-5,
+        s"doc $id: key $key != weight $w + gumbel $gum")
+    }
+    // the noise must actually matter: the resample is NOT the pure
+    // weight top-k (otherwise the Gumbel leg is dead code)
+    val topByWeight = CurationQueries.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, w) => (-w, id) }.take(got.length).map(_._1).toSet
+    assert(got.map(_._1).toSet != topByWeight,
+      "Gumbel noise should reorder the sample away from the pure top-k")
+  }
+
   // ------------------------------------------------------------- x130
   test("x130: finds the embedded-span doc, skips near-dups, misses nothing") {
     import spark.implicits._
