@@ -221,6 +221,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x133: chunk arithmetic matches slices for every length 1..200") {
+    // the fixture corpus only exercises the token counts it happens to
+    // contain; this drives the chunkMeta/chunkRowsOf pair through every
+    // doc length a boundary could hide in (tail exactly 8, exactly 7,
+    // multiples of the stride, single-token, sub-window)
+    import spark.implicits._
+    val docs = (1 to 200).map(n =>
+      (n.toLong, (0 until n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val slices = CurationQueries.chunkRowsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // arithmetic twin over the same lengths, recomputed in plain Scala
+    val want = (1 to 200).flatMap { n =>
+      (0 to math.max((n - 8) / 24, 0)).filter(i => i == 0 || n - i * 24 >= 8)
+        .map(i => (n.toLong, i.toLong, math.min(32, n - i * 24).toLong))
+    }.toSet
+    assert(slices === want)
+    // coverage: every token position of every length is inside a chunk
+    (1 to 200).foreach { n =>
+      val covered = want.collect { case (d, i, len) if d == n =>
+        (i * 24) until (i * 24 + len) }.flatten.toSet
+      assert(covered === (0 until n).toSet, s"length $n has uncovered tokens")
+    }
+  }
+
   // ------------------------------------------------------------- x132
   test("x132: dup-chunk groups agree with a recount over the chunk frame") {
     val chunks = CurationQueries.chunkFrame(spark, sf).collect()
