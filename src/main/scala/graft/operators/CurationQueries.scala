@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
  *  - x128 fuses x94's BM25 scorer (O(term occurrences)) with x11's
  *    stored-SRP-index probe (O(query buckets)) — the fusion itself
  *    touches only two ≤20-row ranked frames;
- *  - x129 is ONE tokenize scan aggregated to (doc, bucket) counts; the
- *    64-row bucket log-ratio table derives from that same aggregate
- *    (ReuseExchange dedupes) and BROADCASTS back — no token shuffle,
- *    no second corpus pass;
+ *  - x129/x134 probe the STORED per-doc weight table ([[DsirIndex]],
+ *    r16): the one-tokenize-scan build (64-row log-ratio table
+ *    derived from the same aggregate, ReuseExchange-deduped,
+ *    broadcast back — no token shuffle) runs once per corpus
+ *    version; each probe is a narrow scan + TakeOrdered;
  *  - x131 is a pure narrow per-document map (sequence + slice +
  *    fingerprint) — zero shuffles beyond the output sort.
  */
@@ -131,15 +132,19 @@ object CurationQueries {
       .groupBy("doc_id", "lang", "bk")
       .agg(count(lit(1)).as("c"))
 
-  /** The full (doc_id, dsir_weight) frame before top-k — exposed for
-    * CurationSpec's independent-recompute pin. */
+  /** The full (doc_id, dsir_weight) frame before top-k, served from
+    * the STORED weight table ([[DsirIndex]] — what x129/x134 probe) —
+    * exposed for CurationSpec's independent-recompute pin, which
+    * recomputes every weight driver-side from raw text and therefore
+    * verifies the stored table, not just the build plan. */
   private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirWeightsRaw(s, d)
+    DsirIndex.forDir(s, d).load("weights")
       .select(col("doc_id"), round(col("wt"), 4).as("dsir_weight"))
 
-  /** (doc_id, wt): the unrounded weight frame x129 rounds and x134
-    * perturbs with deterministic Gumbel noise. */
-  private def dsirWeightsRaw(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, wt): the unrounded weight frame — the [[DsirIndex]]
+    * BUILD plan (one tokenize scan, 64-row ratio table broadcast
+    * back), run once per corpus version, never inside a probe. */
+  private[graft] def dsirWeightsRaw(s: SparkSession, d: String): DataFrame = {
     val dc = dsirDocBuckets(s, d)
     // bucket table: ≤ DsirB rows by construction, derived from dc's
     // OWN aggregate (ReuseExchange dedupes the exchange — x94's
@@ -221,10 +226,12 @@ object CurationQueries {
     chunkRowsOf(table(s, d, "documents"))
 
   /** (doc_id, chunk_id, dl): every chunk's id and token length derived
-    * PURELY from per-doc token counts — no text re-pass, no chunk
-    * arrays. Must stay row-identical to [[chunkRowsOf]]'s
-    * (doc_id, chunk_id, n_tok) (CurationSpec pins it); x133's stats
-    * and dl attach ride this frame. */
+    * from each doc's token COUNT alone — no chunk-array
+    * materialization, no slices (the text column itself is still
+    * scanned once here to count tokens, so x133 pays two text scans:
+    * this frame plus its occurrence explode). Must stay row-identical
+    * to [[chunkRowsOf]]'s (doc_id, chunk_id, n_tok) (CurationSpec pins
+    * it); x133's stats and dl attach ride this frame. */
   private[graft] def chunkMeta(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .filter(col("text").isNotNull)
@@ -254,27 +261,29 @@ object CurationQueries {
     // NeurIPS'23 §2.2; Vieira '14) — sampling k docs WITHOUT
     // replacement with probability ∝ exp(weight) is exactly taking
     // the top-k of weight + Gumbel noise. The noise is DETERMINISTIC
-    // (the x88/x35 doctrine: u = (md5Bits16(doc_id)+0.5)/65536,
-    // g = −ln(−ln u)), so the sample is reproducible on any engine
-    // and any cluster size, and a grown corpus keeps its old draws.
-    // Keys round to 6 before ranking with a doc_id tie-break —
+    // (the x88/x35 doctrine: u = (md5Bits24(doc_id)+0.5)/2^24,
+    // g = −ln(−ln u); 24 bits not 16 — 65536 distinct draws birthday-
+    // collide at ~300 docs, handing colliding doc_ids IDENTICAL noise
+    // and bending the exp(weight)-proportional distribution at corpus
+    // scale), so the sample is reproducible on any engine and any
+    // cluster size, and a grown corpus keeps its old draws. Keys
+    // round to 6 before ranking with a doc_id tie-break —
     // cross-engine libm ulp differences cannot flip the top-k. One
-    // broadcast-joined pass over x129's weight frame: the sampling
-    // itself adds NO corpus pass (weights reuse the one tokenize
-    // scan) and no shuffle beyond x129's own.
+    // codegen projection over the STORED weight table ([[DsirIndex]]):
+    // the sampling adds NO corpus pass and no shuffle at all.
     Query("x134_dsir_resample",
       x129CoreSql +
         ", g AS (SELECT doc_id, wt, -ln(-ln((" +
-        s"${Sql.md5Bits16("md5(CAST(doc_id AS VARCHAR))")} + 0.5) / 65536.0)) " +
+        s"${Sql.md5Bits24("md5(CAST(doc_id AS VARCHAR))")} + 0.5) / 16777216.0)) " +
         "AS gum FROM w) " +
         "SELECT doc_id, round(wt, 4) AS dsir_weight, " +
         "round(wt + gum, 6) AS sample_key FROM g " +
         "ORDER BY round(wt + gum, 6) DESC, doc_id LIMIT 50") {
       (s, d) =>
-        dsirWeightsRaw(s, d)
+        DsirIndex.forDir(s, d).load("weights")
           .withColumn("gum", -log(-log(
-            (TextFns.md5Bits16(col("doc_id").cast("string")) + 0.5)
-              / 65536.0)))
+            (TextFns.md5Bits24(col("doc_id").cast("string")) + 0.5)
+              / 16777216.0)))
           .select(col("doc_id"),
             round(col("wt"), 4).as("dsir_weight"),
             round(col("wt") + col("gum"), 6).as("sample_key"))
