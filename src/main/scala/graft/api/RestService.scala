@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
  *
  *   GET /query/{name}?limit=            any declared query, limit-capped
  *   GET /query/{name}/plan              formatted physical plan (no exec)
+ *   GET /search?q=&k=[&unit=chunk]      parameterized BM25 retrieval
  *   GET /metrics[/{flow}]               per-batch flow telemetry rows
  *   GET /tables/{t}/version             live version number
  *   GET /tables/{t}/at/{v}?limit=       time-travel snapshot read
@@ -114,6 +115,7 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(routeMetrics))
   server.createContext("/tables", (ex: HttpExchange) => safely(ex)(routeTables))
   server.createContext("/subjects", (ex: HttpExchange) => safely(ex)(routeSubjects))
+  server.createContext("/search", (ex: HttpExchange) => safely(ex)(routeSearch))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
   def start(): Unit = server.start()
@@ -345,6 +347,50 @@ final class RestService(spark: SparkSession, store: TableStore,
             val rows = build(spark, dir).limit(limit)
               .toJSON.collect()
             replyJson(ex, 200, rows.mkString("[", ",", "]"))
+        }
+      case _ => reply(ex, 404, "Not Found")
+    }
+
+  // Parameterized retrieval over the stored corpus (r16 — the r15
+  // verdict's ask #3): the x94 / x133 BM25 scorers serve ARBITRARY
+  // q-terms instead of the benchmark's fixed three, turning the
+  // retrieval tier into a usable component. The terms bind into the
+  // occurrence filter of the SAME audited O(term-occurrences) plans
+  // (bm25ScoredFor / chunkBm25For — one definition with the declared
+  // queries, so the endpoint and the benchmark cannot drift); ranking
+  // is (score desc, id…), k is capped like /query's limit.
+  //   GET /search?q=<terms>&k=N             document-level BM25 (x94)
+  //   GET /search?q=<terms>&k=N&unit=chunk  chunk-granular BM25 (x133)
+  private def routeSearch(ex: HttpExchange): Unit =
+    (ex.getRequestMethod, segments(ex), analyticsDir) match {
+      case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
+      case ("GET", List("search"), Some(dir)) =>
+        // '+' and %XX both decode; duplicate terms are score no-ops
+        // (the scorer keys tf by token), dropped for a cleaner isin
+        val terms = qparam(ex, "q").toSeq
+          .flatMap(v => URLDecoder.decode(v, UTF_8).split("\\s+"))
+          .filter(_.nonEmpty).distinct
+        val k = qparam(ex, "k").flatMap(_.toIntOption)
+          .getOrElse(10).min(100).max(1)
+        if (terms.isEmpty) reply(ex, 400, "missing or empty q parameter")
+        else qparam(ex, "unit").getOrElse("doc") match {
+          case "doc" =>
+            val rows = graft.operators.TextQueries
+              .bm25ScoredFor(spark, dir, terms)
+              .orderBy(col("score").desc, col("doc_id"))
+              .limit(k).collect()
+              .map(r => Json.obj("doc_id" -> r.getLong(0),
+                "score" -> r.getDouble(1)))
+            replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+          case "chunk" =>
+            val rows = graft.operators.CurationQueries
+              .chunkBm25For(spark, dir, terms)
+              .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+              .limit(k).collect()
+              .map(r => Json.obj("doc_id" -> r.getLong(0),
+                "chunk_id" -> r.getLong(1), "score" -> r.getDouble(2)))
+            replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+          case other => reply(ex, 400, s"unknown unit: $other")
         }
       case _ => reply(ex, 404, "Not Found")
     }

@@ -41,6 +41,26 @@ object TextFns {
   def allShingles(ts: Column, n: Int = 3): Column =
     graft.functions.expressions.TextExpressions.shingles_all(ts, n)
 
+  /** Per-token blocklist flag array: 1 where the token is in `lex`,
+    * else 0 — the lexicon-based content detector (Dolma/C4's taggers;
+    * RefinedWeb §4.1's URL+word blocklists) as one codegen transform.
+    * Exact token membership, no substring matches: "class" never
+    * flags because it contains a blocked fragment. */
+  def flagged(ts: Column, lex: Seq[String]): Column =
+    transform(ts, t => when(t.isin(lex: _*), 1).otherwise(0))
+
+  /** Number of flagged tokens in a [[flagged]] array, as BIGINT. */
+  def flaggedCount(fl: Column): Column =
+    aggregate(fl, lit(0L), (a, x) => a + x)
+
+  /** Number of maximal flagged RUNS (spans) in a [[flagged]] array:
+    * count of 0→1 rises — "frak gorram ok frak" is 2 spans, 3 tokens.
+    * Array-local arithmetic, no explode. */
+  def flaggedSpans(fl: Column): Column =
+    size(filter(sequence(lit(0), size(fl) - 1),
+      i => element_at(fl, i + 1) === 1 &&
+        (i === 0 || element_at(fl, i) === 0))).cast("bigint")
+
   /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
   def hexDigit(hexStr: Column, i: Int): Column = {
     val a = ascii(substring(hexStr, i, 1))

@@ -243,6 +243,49 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_id"),
         least(lit(ChunkW), col("n") - col("chunk_id") * ChunkS).as("dl"))
 
+  /** (doc_id, chunk_id, score): x133's chunk-granular BM25 scorer for
+    * an ARBITRARY term list — the parameterized retrieval surface
+    * (`GET /search?unit=chunk`). Identical plan to the declared x133
+    * (position-arithmetic window membership, chunk stats from the
+    * count-only meta frame, broadcast df/N/avgdl); the q-terms bind
+    * into the occurrence filter, so a novel query costs
+    * O(its-term-occurrences), never a chunk re-index. */
+  private[graft] def chunkBm25For(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
+    val cm = chunkMeta(s, d)
+    val st = broadcast(cm.agg(
+      count(lit(1)).cast("double").as("nch"),
+      avg(col("dl")).as("avgdl")))
+    val oc = TextQueries.spreadScan(s, table(s, d, "documents"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "token")))
+      .filter(col("token").isin(terms: _*))
+    val lo = greatest(
+      (floor((col("p0") - ChunkW).cast("double") / ChunkS) + 1)
+        .cast("long"), lit(0L))
+    val hi = floor(col("p0").cast("double") / ChunkS).cast("long")
+    val tf = oc
+      .select(col("doc_id"), col("token"),
+        explode(sequence(lo, hi)).as("chunk_id"))
+      .join(cm, Seq("doc_id", "chunk_id"))
+      .groupBy("doc_id", "chunk_id", "token")
+      .agg(first("dl").as("dl"),
+        count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(st)
+      .groupBy("doc_id", "chunk_id")
+      .agg(sum(log((col("nch") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+        * col("tf") * 2.2 /
+        (col("tf") +
+          (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2))
+        .as("sco"))
+      .select(col("doc_id"), col("chunk_id"),
+        round(col("sco"), 6).as("score"))
+  }
+
   val all: Seq[Query] = Seq(
 
     Query("x128_hybrid_retrieval", x128Sql) {
@@ -343,38 +386,7 @@ object CurationQueries {
         "ORDER BY round(sco, 6) DESC, doc_id, chunk_id LIMIT 10"
     }) {
       (s, d) =>
-        val cm = chunkMeta(s, d)
-        val st = broadcast(cm.agg(
-          count(lit(1)).cast("double").as("nch"),
-          avg(col("dl")).as("avgdl")))
-        val oc = TextQueries.spreadScan(s, table(s, d, "documents"))
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "token")))
-          .filter(col("token").isin(TextQueries.Bm25Terms: _*))
-        val lo = greatest(
-          (floor((col("p0") - ChunkW).cast("double") / ChunkS) + 1)
-            .cast("long"), lit(0L))
-        val hi = floor(col("p0").cast("double") / ChunkS).cast("long")
-        val tf = oc
-          .select(col("doc_id"), col("token"),
-            explode(sequence(lo, hi)).as("chunk_id"))
-          .join(cm, Seq("doc_id", "chunk_id"))
-          .groupBy("doc_id", "chunk_id", "token")
-          .agg(first("dl").as("dl"),
-            count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy("token")
-          .agg(count(lit(1)).cast("double").as("df"))
-        tf.join(broadcast(df), Seq("token"))
-          .crossJoin(st)
-          .groupBy("doc_id", "chunk_id")
-          .agg(sum(log((col("nch") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-            * col("tf") * 2.2 /
-            (col("tf") +
-              (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2))
-            .as("sco"))
-          .select(col("doc_id"), col("chunk_id"),
-            round(col("sco"), 6).as("score"))
+        chunkBm25For(s, d, TextQueries.Bm25Terms)
           .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
           .limit(10)
     },

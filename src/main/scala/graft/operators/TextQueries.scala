@@ -315,11 +315,30 @@ object TextQueries {
   /** The fixed 3-term query both BM25 consumers score against. */
   private[operators] val Bm25Terms = Seq("hash", "join", "filter")
 
+  /** Blocklist lexicon for the toxicity surface (x135 + the ingest
+    * gate's spec fixtures). Fake obscenities — the fixture corpus is
+    * clean word soup, so the words can't occur except where planted.
+    * ONE definition: the declared query, its oracle and the gate specs
+    * all read it. */
+  val ToxicityLexicon: Seq[String] = Seq("frak", "gorram", "smeg")
+
+  /** x135's verdict threshold: flagged-token ratio above this fails. */
+  val ToxicityMaxRatio: Double = 0.02
+
   /** (doc_id, score): BM25 over [[Bm25Terms]], k1=1.2, b=0.75, Lucene
     * idf, score rounded to 6 before any ranking (tie-proof ordering
     * downstream). One O(term-occurrences) frame — never the corpus
     * vocabulary; N/avglen ride in from the stored 1-row stats table. */
-  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame =
+    bm25ScoredFor(s, d, Bm25Terms)
+
+  /** [[bm25Scored]] for an ARBITRARY term list — the parameterized
+    * retrieval surface (`GET /search`): the q-terms bind into the
+    * occurrence filter exactly where [[Bm25Terms]] did, so a novel
+    * query costs the same audited O(its-term-occurrences) plan, never
+    * a corpus re-index. */
+  private[graft] def bm25ScoredFor(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
     val st = broadcast(UnigramLM.forDir(s, d).load("stats")
       .select(
         (col("n_tokens").cast("double") / col("n_docs")).as("avglen"),
@@ -329,7 +348,7 @@ object TextQueries {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .select(col("doc_id"), size(col("ts")).as("dl"),
         explode(col("ts")).as("token"))
-      .filter(col("token").isin(Bm25Terms: _*))
+      .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token")
       .agg(first("dl").as("dl"),
         count(lit(1)).cast("double").as("tf"))
@@ -2170,6 +2189,63 @@ object TextQueries {
             sum(col("n_backoff")).as("n_backoff"),
             sum(col("n_oov")).as("n_oov"))
           .orderBy("split")
+      }
+    },
+
+    // Toxicity / blocklist content gate — the standard Dolma/FineWeb
+    // curation tap the quality family lacked (r15 verdict ask #5): a
+    // deterministic lexicon-based flagged-SPAN counter plus a
+    // threshold verdict. The fixture corpus is clean word soup, so
+    // (the x66/x59 pattern) each document first gets DETERMINISTIC
+    // synthetic flagged content derived from its doc_id appended —
+    // doc_id%4 repetitions of a two-flagged-token span — and the
+    // detector proves itself on text that genuinely contains what it
+    // claims to find; the oracle recomputes the same plant. The SAME
+    // detector columns ([[TextFns.flagged]]/flaggedCount/flaggedSpans)
+    // drive the ingest-time gate (IngestQuality.blocklist → reason
+    // `toxicity`), so the audit view and the door decision cannot
+    // drift. Scale: a pure narrow map — flag transform + two
+    // array-local folds per row, single scan stage, no shuffle beyond
+    // the declared output sort. The verdict ratio is an exact small-
+    // integer division, identical on both engines.
+    Query("x135_toxicity", {
+      val lexIn = ToxicityLexicon.map("'" + _ + "'").mkString(", ")
+      "WITH t AS (SELECT doc_id, text || " +
+        "repeat(' frak gorram ok', CAST(doc_id % 4 AS INT)) AS synth " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "s AS (SELECT doc_id, string_split(synth, ' ') AS ts FROM t), " +
+        "f AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, " +
+        s"list_transform(ts, x -> CASE WHEN x IN ($lexIn) " +
+        "THEN 1 ELSE 0 END) AS fl FROM s), " +
+        "r AS (SELECT doc_id, n_tok, " +
+        "CAST(list_sum(fl) AS BIGINT) AS n_flagged, " +
+        "CAST(len(list_filter(range(len(fl)), " +
+        "i -> fl[i+1] = 1 AND (i = 0 OR fl[i] = 0))) AS BIGINT) " +
+        "AS n_spans FROM f) " +
+        "SELECT doc_id, n_flagged, n_spans, n_tok, " +
+        "round(n_flagged / CAST(n_tok AS DOUBLE), 6) AS tox_ratio, " +
+        s"n_flagged / CAST(n_tok AS DOUBLE) > $ToxicityMaxRatio AS verdict " +
+        "FROM r ORDER BY doc_id"
+    }) {
+      (s, d) => {
+        val planted = concat(col("text"), concat_ws("",
+          array_repeat(lit(" frak gorram ok"),
+            (col("doc_id") % 4).cast("int"))))
+        spreadScan(s, table(s, d, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(planted).as("ts"))
+          .select(col("doc_id"),
+            size(col("ts")).cast("bigint").as("n_tok"),
+            TextFns.flagged(col("ts"), ToxicityLexicon).as("fl"))
+          .select(col("doc_id"),
+            TextFns.flaggedCount(col("fl")).as("n_flagged"),
+            TextFns.flaggedSpans(col("fl")).as("n_spans"),
+            col("n_tok"))
+          .withColumn("tox_ratio",
+            round(col("n_flagged") / col("n_tok").cast("double"), 6))
+          .withColumn("verdict",
+            col("n_flagged") / col("n_tok").cast("double") > ToxicityMaxRatio)
+          .orderBy("doc_id")
       }
     })
 }

@@ -67,6 +67,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * and re-sends of them are dropped. The default gate is permissive
  * (admit all) so dedup-only deployments are unchanged.
  *
+ * Toxicity gate (r16): with `blocklist`+`maxToxicity` set on
+ * [[IngestQuality]], a doc whose flagged-token ratio exceeds the
+ * threshold is rejected with its own reason `toxicity` — x135's
+ * lexicon detector ([[graft.functions.TextFns.flagged]]) applied at
+ * the door, same narrow codegen map as the quality rule, retryable
+ * the same way.
+ *
  * Decontamination gate (r13): with `contaminationDir` set, a
  * quality-passing doc sharing any exact 8-token shingle with that
  * benchmark corpus's val/test split is rejected at the door with
@@ -186,7 +193,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
         if (!store.exists("ingest_log")) batch0
         else batch0.join(store.load("ingest_log")
           .filter(col("reason").isNull ||
-            !col("reason").isin("quality", "contamination", "source_cap"))
+            !col("reason").isin("quality", "toxicity", "contamination",
+              "source_cap"))
           .select("doc_id"), Seq("doc_id"), "left_anti")
       // quality gate (x38's repetition rule + a token-count floor, one
       // codegen map) evaluated ONCE per row; then deterministic
@@ -924,10 +932,19 @@ object IngestionFlows {
 }
 
 final case class IngestQuality(minTokens: Int = 0,
-    maxRepetition: Double = 1.0) {
+    maxRepetition: Double = 1.0,
+    blocklist: Seq[String] = Nil,
+    maxToxicity: Double = 1.0) {
 
   /** Null when the text passes, the rejection reason otherwise —
-    * one codegen map over the batch, no shuffle. */
+    * one codegen map over the batch, no shuffle. Reasons are disjoint
+    * per doc (`quality` wins over `toxicity` when both trip); both are
+    * RETRYABLE — a corrected re-send re-enters every gate. The
+    * toxicity arm is x135's detector verbatim
+    * ([[graft.functions.TextFns.flagged]]/flaggedCount over the
+    * configured blocklist): flagged-token ratio above `maxToxicity`
+    * rejects, so the audit view and the door decision share one
+    * definition. */
   private[streaming] def failure(text: Column): Column = {
     val ts = graft.functions.TextFns.tokens(text)
     val nTok = size(ts)
@@ -940,6 +957,13 @@ final case class IngestQuality(minTokens: Int = 0,
     val repFail =
       if (maxRepetition < 1.0) text.isNotNull && rep > maxRepetition
       else lit(false)
-    when(tokFail || repFail, lit("quality"))
+    val toxFail =
+      if (blocklist.nonEmpty && maxToxicity < 1.0)
+        text.isNotNull &&
+          graft.functions.TextFns.flaggedCount(
+            graft.functions.TextFns.flagged(ts, blocklist)).cast("double") /
+            nTok > maxToxicity
+      else lit(false)
+    when(tokFail || repFail, lit("quality")).when(toxFail, lit("toxicity"))
   }
 }

@@ -254,6 +254,50 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("toxicity gate: blocklist-ratio docs rejected with their own reason; corrected re-send admitted") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingtox").toString
+    val store = new TableStore(spark, root)
+    // x135's lexicon + detector, as the door policy: >20% flagged
+    // tokens rejects with reason `toxicity` (disjoint from `quality`)
+    val flows = new IngestionFlows(spark, store, root,
+      quality = graft.streaming.IngestQuality(
+        minTokens = 3,
+        blocklist = graft.operators.TextQueries.ToxicityLexicon,
+        maxToxicity = 0.2))
+    val ms = MemoryStream[(Long, String)]
+    def df = ms.toDS().toDF("doc_id", "text")
+    ms.addData(
+      (1L, "a perfectly reasonable document about spark engines"),
+      (2L, "frak gorram frak this smeg garbage frak"),   // 5/7 flagged
+      (3L, "one gorram word in an otherwise long clean document"), // 1/9
+      (4L, "so short"))                                  // quality, not tox
+    run(flows.documentIngestFlow(df))
+    assert(store.load("documents").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L),
+      "sub-threshold flagged content passes; above-threshold rejects")
+    val log = store.load("ingest_log").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(log === Map(
+      1L -> ((true, None)),
+      2L -> ((false, Some("toxicity"))),
+      3L -> ((true, None)),
+      4L -> ((false, Some("quality")))),
+      "toxicity and quality are distinct, disjoint reasons")
+    // retryable: the corrected re-send re-enters the gate and wins;
+    // the stale toxicity verdict is superseded, not duplicated
+    ms.addData((2L, "a fully cleaned replacement document about engines"))
+    run(flows.documentIngestFlow(df))
+    val log2 = store.load("ingest_log").filter(col("doc_id") === 2L)
+      .collect()
+    assert(log2.length === 1 && log2.head.getBoolean(1) === true,
+      "corrected re-send is admitted and supersedes the toxicity row")
+    assert(store.load("documents").filter(col("doc_id") === 2L).count() === 1)
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("quality rejection is not final: a corrected re-send is admitted") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -306,4 +306,121 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cv2 === 200 && tv2.contains("\"erased\":false") &&
       tv2.contains("\"documents\":1"))
   }
+
+  // ------------------------------------------------------ GET /search
+  // The parameterized retrieval endpoint: a NOVEL query string (terms
+  // the benchmark queries never score) ranked against an independent
+  // driver-side BM25 recompute over the raw fixture text — doc level
+  // and the chunk-level variant riding x133's arithmetic frame.
+
+  /** Parse the endpoint's JSON rows into (ids..., score) tuples
+    * without a JSON library: rows are flat objects of numbers. */
+  private def jsonRows(text: String): Seq[Map[String, Double]] =
+    "\\{[^}]*\\}".r.findAllIn(text).map { obj =>
+      "\"(\\w+)\":([-0-9.eE]+)".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.toSeq
+
+  private lazy val fixtureDocs: Seq[(Long, Array[String])] =
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .toSeq.sortBy(_._1)
+
+  /** Spark round(col, 6) is HALF_UP over BigDecimal — mirror it. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent doc-level BM25 (k1=1.2, b=0.75, Lucene idf, round 6),
+    * restated from scratch over the collected fixture. */
+  private def refDocBm25(terms: Seq[String]): Seq[(Long, Double)] = {
+    val n = fixtureDocs.size.toDouble
+    val avglen = fixtureDocs.map(_._2.length.toLong).sum.toDouble / n
+    val df = terms.map(t =>
+      t -> fixtureDocs.count(_._2.contains(t)).toDouble).toMap
+    fixtureDocs.flatMap { case (id, ts) =>
+      val dl = ts.length.toDouble
+      val sco = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avglen))
+      }.sum
+      if (sco == 0.0) None
+      else Some((id, round6(sco)))
+    }
+  }
+
+  /** Independent chunk-level BM25: W=32/S=24 token windows (tail < 8
+    * dropped, chunk 0 always kept), chunk-level df/N/avgdl. */
+  private def refChunkBm25(terms: Seq[String])
+      : Seq[(Long, Long, Double)] = {
+    val chunks = fixtureDocs.flatMap { case (id, ts) =>
+      val n = ts.length
+      Iterator.from(0).map(_ * 24).takeWhile(_ < n)
+        .filter(st => st == 0 || n - st >= 8)
+        .map(st => (id, (st / 24).toLong, ts.slice(st, math.min(st + 32, n))))
+    }
+    val nch = chunks.size.toDouble
+    val avgdl = chunks.map(_._3.length.toLong).sum.toDouble / nch
+    val df = terms.map(t =>
+      t -> chunks.count(_._3.contains(t)).toDouble).toMap
+    chunks.flatMap { case (id, cid, ck) =>
+      val dl = ck.length.toDouble
+      val sco = terms.map { t =>
+        val tf = ck.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((nch - df(t) + 0.5) / (df(t) + 0.5) + 1) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      if (sco == 0.0) None
+      else Some((id, cid, round6(sco)))
+    }
+  }
+
+  test("GET /search ranks a novel query like an independent BM25 recompute") {
+    val (code, text) = http("GET", "/search?q=vector+slow+data&k=5")
+    assert(code === 200, text)
+    val got = jsonRows(text)
+      .map(m => (m("doc_id").toLong, m("score")))
+    val want = refDocBm25(Seq("vector", "slow", "data"))
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got === want, "endpoint ranking must equal the recompute")
+    // k binds: a different k returns a prefix of the same ranking
+    val (c2, t2) = http("GET", "/search?q=vector+slow+data&k=2")
+    assert(c2 === 200 && jsonRows(t2)
+      .map(m => (m("doc_id").toLong, m("score"))) === want.take(2))
+  }
+
+  test("GET /search?unit=chunk rides x133's arithmetic frame for novel terms") {
+    val (code, text) = http("GET", "/search?q=vector+slow&k=5&unit=chunk")
+    assert(code === 200, text)
+    val got = jsonRows(text)
+      .map(m => (m("doc_id").toLong, m("chunk_id").toLong, m("score")))
+    val want = refChunkBm25(Seq("vector", "slow"))
+      .sortBy { case (id, cid, s) => (-s, id, cid) }.take(5)
+    assert(got === want, "chunk ranking must equal the recompute")
+  }
+
+  test("GET /search with the benchmark terms equals the declared x94/x133 top-k") {
+    val (_, docText) = http("GET", "/search?q=hash+join+filter&k=10")
+    val gotDoc = jsonRows(docText).map(m => (m("doc_id").toLong, m("score")))
+    val x94 = SparkEntry.queries("x94_bm25")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotDoc === x94, "one scorer definition: endpoint == x94")
+    val (_, chText) = http("GET", "/search?q=hash+join+filter&k=10&unit=chunk")
+    val gotCh = jsonRows(chText)
+      .map(m => (m("doc_id").toLong, m("chunk_id").toLong, m("score")))
+    val x133 = SparkEntry.queries("x133_chunk_bm25")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotCh === x133, "one scorer definition: endpoint == x133")
+  }
+
+  test("GET /search validates its parameters") {
+    assert(http("GET", "/search")._1 === 400)
+    assert(http("GET", "/search?q=")._1 === 400)
+    assert(http("GET", "/search?q=hash&unit=para")._1 === 400)
+    assert(http("GET", "/search/extra?q=hash")._1 === 404)
+  }
 }
