@@ -61,6 +61,36 @@ object PackingQueries {
       .drop("chunk", "mx")
   }
 
+  /** tokens per training window — exposed for [[ShardExport]]. */
+  private[operators] val WindowW: Int = W
+
+  /** The span manifest (lang, window_id, doc_id, start_tok, end_tok) —
+    * x100's pipeline, factored so the shard materializer
+    * ([[ShardExport]]) consumes the SAME manifest definition the
+    * declared query hash-pins. Token range is [start_tok, end_tok),
+    * 0-based. */
+  private[operators] def manifestOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val t = table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val shard = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets are exact longs ≪ 2^52, so the floor-of-double
+    // divisions below are exact integer division on both engines
+    t.withColumn("off", coalesce(sum(col("n")).over(shard), lit(0L)))
+      .withColumn("window_id", explode(sequence(
+        floor(col("off") / W).cast("long"),
+        floor((col("off") + col("n") - 1) / W).cast("long"))))
+      .select(col("lang"), col("window_id"), col("doc_id"),
+        greatest(lit(0L), col("window_id") * W - col("off"))
+          .as("start_tok"),
+        least(col("n"), (col("window_id") + 1) * W - col("off"))
+          .as("end_tok"))
+  }
+
   val all: Seq[Query] = Seq(
     Query("x100_seq_packing",
       "WITH t AS (SELECT doc_id, lang, " +
@@ -77,27 +107,7 @@ object PackingQueries {
         s"CAST(greatest(0, window_id * $W - off) AS BIGINT) AS start_tok, " +
         s"CAST(least(n, (window_id + 1) * $W - off) AS BIGINT) AS end_tok " +
         "FROM e ORDER BY lang, window_id, doc_id") {
-      (s, d) => {
-        val t = table(s, d, "documents")
-          .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("lang"),
-            size(TextFns.tokens(col("text"))).cast("long").as("n"))
-          .filter(col("n") > 0)
-        val shard = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        // offsets are exact longs ≪ 2^52, so the floor-of-double
-        // divisions below are exact integer division on both engines
-        t.withColumn("off", coalesce(sum(col("n")).over(shard), lit(0L)))
-          .withColumn("window_id", explode(sequence(
-            floor(col("off") / W).cast("long"),
-            floor((col("off") + col("n") - 1) / W).cast("long"))))
-          .select(col("lang"), col("window_id"), col("doc_id"),
-            greatest(lit(0L), col("window_id") * W - col("off"))
-              .as("start_tok"),
-            least(col("n"), (col("window_id") + 1) * W - col("off"))
-              .as("end_tok"))
-          .orderBy("lang", "window_id", "doc_id")
-      }
+      (s, d) => manifestOf(s, d).orderBy("lang", "window_id", "doc_id")
     },
 
     // EPOCH SHUFFLE — the data-order randomization step a trainer runs
@@ -269,5 +279,45 @@ object PackingQueries {
           .select(col("lang"), col("pos"), col("doc_id"), col("stage"))
           .orderBy("lang", "pos")
       }
+    },
+
+    // SHARD EXPORT — the materialized training windows (see
+    // [[ShardExport]]): the declared query reads the STORED per-shard
+    // parquet back (never recomputes — the build cost sits in the
+    // bench `build` section like every stored index) and exposes each
+    // window's identity, length and md5 content key. The oracle
+    // replays manifest + slice + doc_id-ordered concatenation
+    // relationally, so the hash pins the exported BYTES end to end:
+    // a shard writer that dropped, reordered or mis-sliced one span
+    // changes some window's md5. Window length is exactly W except
+    // each shard's final window (token conservation is spec-pinned in
+    // ShardExportSpec).
+    Query("x136_shard_export", {
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "o AS (SELECT doc_id, lang, ts, len(ts) AS n, " +
+        "CAST(COALESCE(SUM(len(ts)) OVER (PARTITION BY lang " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS off " +
+        "FROM t WHERE len(ts) > 0), " +
+        s"e AS (SELECT lang, doc_id, ts, n, off, unnest(range(off // $W, " +
+        s"(off + n - 1) // $W + 1)) AS window_id FROM o), " +
+        "sg AS (SELECT lang, CAST(window_id AS BIGINT) AS window_id, " +
+        "doc_id, list_slice(ts, " +
+        s"CAST(greatest(0, window_id * $W - off) AS BIGINT) + 1, " +
+        s"CAST(least(n, (window_id + 1) * $W - off) AS BIGINT)) AS sg " +
+        "FROM e), " +
+        "w AS (SELECT lang, window_id, " +
+        "flatten(list(sg ORDER BY doc_id)) AS toks " +
+        "FROM sg GROUP BY lang, window_id) " +
+        "SELECT lang, window_id, CAST(len(toks) AS BIGINT) AS n_tok, " +
+        "md5(array_to_string(toks, ' ')) AS w_md5 " +
+        "FROM w ORDER BY lang, window_id"
+    }) {
+      (s, d) =>
+        ShardExport.forDir(s, d).load("shards")
+          .select(col("lang"), col("window_id"), col("n_tok"),
+            col("w_md5"))
+          .orderBy("lang", "window_id")
     })
 }
