@@ -98,13 +98,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * deterministic md5(doc_id) order until its allowance binds —
  * refusals log reason `source_cap` and are RETRYABLE (the doc never
  * entered the corpus; once OTHER sources grow the total, a re-send
- * can fit — the crawl-budget semantics). Documented bound: the cap
- * denominator counts cap-eligible batch mass BEFORE this batch's own
- * refusals (the admitted-only denominator is a fixpoint), so a
- * source can overshoot its true share by at most sourceCapPct% of
- * the batch's refused mass — vanishing at production
- * batch-to-corpus ratios, and never compounding (the next batch
- * re-evaluates against the real corpus). Crash window: the batch's
+ * can fit — the crawl-budget semantics). Documented bound
+ * (spec-MEASURED since r16: IngestionFlowSpec's bootstrap-overshoot
+ * case): the cap denominator counts cap-eligible batch mass BEFORE
+ * this batch's own refusals (the admitted-only denominator is a
+ * fixpoint), so a source can overshoot its true share by at most
+ * sourceCapPct% of the batch's refused mass. At a batch-to-corpus
+ * mass ratio r that is a share deviation ≤ pct·r/(1+r) — vanishing
+ * at production ratios — and it never compounds: an over-share
+ * source admits NOTHING until organic growth dilutes it back under
+ * the cap (the spec pins the convergence). Deployment rule where
+ * strict shares matter during bootstrap: keep batches ≤ ~10% of the
+ * standing corpus mass, or seed the corpus with per-source
+ * pre-capped loads. Crash window: the batch's
  * own already-appended mass is SUBTRACTED before evaluation, so a
  * replay after "corpus appended, verdict lost" cannot count a doc's
  * own mass against its re-evaluation (the media gate's self-match

@@ -173,6 +173,62 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("source-cap bootstrap overshoot: measured against the documented bound; self-correcting, never compounding") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingcapboot").toString
+    val store = new TableStore(spark, root)
+    val pct = 40
+    val flows = new IngestionFlows(spark, store, root,
+      sourceCapPct = Some(pct))
+    val ms = MemoryStream[(Long, String, String)]
+    def df = ms.toDS().toDF("doc_id", "text", "source")
+    def massOf(src: String): Long = store.load("documents")
+      .filter(col("source") === src)
+      .agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .collect()(0).getLong(0)
+    def totalMass: Long = store.load("documents")
+      .agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .collect()(0).getLong(0)
+    // WORST CASE: the whole corpus arrives as one bootstrap batch
+    // (prior mass 0). s1 floods 10×50, s2/s3 send 300/200 — cap is
+    // computed against the batch's PRE-refusal mass (0+1000)·40% =
+    // 400, so s1 lands 8×50 = 400 of an ADMITTED total of 900: share
+    // 44.4% — the documented overshoot, at its maximum
+    ms.addData(((100L to 109L).map(i => (i, capText(i, 50), "s1")) ++
+      Seq((200L, capText(200, 300), "s2"), (300L, capText(300, 200), "s3"))): _*)
+    run(flows.documentIngestFlow(df))
+    val refused1 = store.load("ingest_log").filter(!col("admitted"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(refused1.length === 2 && refused1.forall(_._2 === "source_cap"),
+      "exactly the flood's over-cap tail refuses")
+    val (s1m, tot) = (massOf("s1"), totalMass)
+    assert(s1m === 400L && tot === 900L)
+    val refusedMass = 2 * 50L
+    val overshoot = s1m - pct / 100.0 * tot
+    assert(overshoot > 0, "the bootstrap residue is real on a flood")
+    assert(overshoot <= pct / 100.0 * refusedMass + 1e-9,
+      "documented bound: overshoot ≤ pct% of the batch's refused mass")
+    // NON-COMPOUNDING: more flood on the same trigger shape adds no
+    // new overshoot — s1 already holds ≥ its denominator share, so
+    // every new s1 doc refuses and s1's admitted mass is unchanged
+    ms.addData((110L, capText(110, 45), "s1"), (111L, capText(111, 45), "s1"))
+    run(flows.documentIngestFlow(df))
+    assert(massOf("s1") === 400L && totalMass === 900L,
+      "an over-share source admits nothing more; overshoot never grows")
+    // SELF-CORRECTING: other sources grow the denominator, every
+    // retryable refusal re-enters (uncheckpointed MemoryStream
+    // replays all four refused s1 docs: 2×50 + 2×45 = 190), and s1
+    // converges back UNDER its cap: eligible batch 190 + 600 = 790,
+    // cap = 40%·(900 + 790) = 676 ≥ s1's 400 + 190
+    ms.addData((201L, capText(201, 300), "s2"), (301L, capText(301, 300), "s3"))
+    run(flows.documentIngestFlow(df))
+    assert(massOf("s1") === 590L && totalMass === 1690L)
+    assert(massOf("s1").toDouble / totalMass <= pct / 100.0,
+      "after organic growth the source sits back inside its share")
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("source-cap crash window: corpus appended but verdict lost — replay must not double-count the doc's own mass") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
