@@ -365,14 +365,24 @@ final class RestService(spark: SparkSession, store: TableStore,
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
       case ("GET", List("search"), Some(dir)) =>
-        // '+' and %XX both decode; duplicate terms are score no-ops
-        // (the scorer keys tf by token), dropped for a cleaner isin
+        // qparam already URL-decodes ('+' and %XX) — decoding again
+        // here would corrupt literal '+'/'%' terms (review-caught).
+        // Duplicate terms are score no-ops (the scorer keys tf by
+        // token), dropped for a cleaner isin.
         val terms = qparam(ex, "q").toSeq
-          .flatMap(v => URLDecoder.decode(v, UTF_8).split("\\s+"))
+          .flatMap(_.split("\\s+"))
           .filter(_.nonEmpty).distinct
         val k = qparam(ex, "k").flatMap(_.toIntOption)
           .getOrElse(10).min(100).max(1)
         if (terms.isEmpty) reply(ex, 400, "missing or empty q parameter")
+        // the term list binds into the plan as isin literals — bound
+        // user input like /query bounds limit (an unbounded q would
+        // build a pathological plan and, on the single-threaded JDK
+        // server, stall every other route while it runs)
+        else if (terms.size > RestService.SearchMaxTerms ||
+            terms.exists(_.length > RestService.SearchMaxTermLen))
+          reply(ex, 400, s"q is limited to ${RestService.SearchMaxTerms} " +
+            s"terms of at most ${RestService.SearchMaxTermLen} chars")
         else qparam(ex, "unit").getOrElse("doc") match {
           case "doc" =>
             val rows = graft.operators.TextQueries
@@ -401,8 +411,11 @@ final class RestService(spark: SparkSession, store: TableStore,
   // HISTORY / VERSION AS OF / table_changes) a downstream incremental
   // consumer drives through. Reads are limit-capped in-plan like
   // /query; the CDC fast path stays O(delta) end-to-end.
+  // decode from the RAW query: URI.getQuery already resolves %XX, so
+  // decoding it again turns an escaped literal '+' (%2B) into a space
+  // and throws on an escaped '%' — split the raw string, decode once
   private def qparam(ex: HttpExchange, name: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&")
       .collectFirst { case p if p.startsWith(name + "=") =>
         URLDecoder.decode(p.drop(name.length + 1), UTF_8) })
 
@@ -668,6 +681,13 @@ final class RestService(spark: SparkSession, store: TableStore,
 }
 
 object RestService {
+
+  /** /search input bounds: the q-terms become isin plan literals, so
+    * the request surface must cap them the way /query caps limit.
+    * 32 terms × 64 chars covers any human query; anything bigger is
+    * a malformed or abusive request → 400. */
+  val SearchMaxTerms = 32
+  val SearchMaxTermLen = 64
 
   /** How long a terminal purge-job status stays pollable before the
     * next submit may evict it. One hour comfortably covers any sane

@@ -55,11 +55,16 @@ object TextFns {
 
   /** Number of maximal flagged RUNS (spans) in a [[flagged]] array:
     * count of 0→1 rises — "frak gorram ok frak" is 2 spans, 3 tokens.
-    * Array-local arithmetic, no explode. */
+    * Array-local arithmetic, no explode. The empty-array guard
+    * matters (review-caught): sequence(0, -1) is DESCENDING in Spark,
+    * and its i = -1 leg would evaluate element_at(fl, 0) — an error
+    * index — so an empty input must short-circuit to 0, not rely on
+    * the filter lambda never running. */
   def flaggedSpans(fl: Column): Column =
-    size(filter(sequence(lit(0), size(fl) - 1),
-      i => element_at(fl, i + 1) === 1 &&
-        (i === 0 || element_at(fl, i) === 0))).cast("bigint")
+    when(size(fl) === 0, lit(0L)).otherwise(
+      size(filter(sequence(lit(0), size(fl) - 1),
+        i => element_at(fl, i + 1) === 1 &&
+          (i === 0 || element_at(fl, i) === 0))).cast("bigint"))
 
   /** Value of the i-th (1-based) hex digit of a lowercase hex string. */
   def hexDigit(hexStr: Column, i: Int): Column = {

@@ -61,8 +61,12 @@ object PackingQueries {
       .drop("chunk", "mx")
   }
 
-  /** tokens per training window — exposed for [[ShardExport]]. */
-  private[operators] val WindowW: Int = W
+  /** tokens per training window — the ONE width constant.
+    * ShardExportSpec reads it for its exact-W window assertion (a
+    * spec-local duplicate would drift exactly the way this val exists
+    * to prevent); [[ShardExport]] itself needs no width — it inherits
+    * the geometry entirely through [[manifestOf]]. */
+  private[graft] val WindowW: Int = W
 
   /** The span manifest (lang, window_id, doc_id, start_tok, end_tok) —
     * x100's pipeline, factored so the shard materializer

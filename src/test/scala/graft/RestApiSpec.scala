@@ -422,5 +422,15 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?q=")._1 === 400)
     assert(http("GET", "/search?q=hash&unit=para")._1 === 400)
     assert(http("GET", "/search/extra?q=hash")._1 === 404)
+    // q is bounded input (it binds into the plan as isin literals):
+    // too many terms or an oversized term is a 400, not a giant plan
+    val manyTerms = (1 to 33).map(i => s"t$i").mkString("+")
+    assert(http("GET", s"/search?q=$manyTerms")._1 === 400)
+    assert(http("GET", "/search?q=" + "z" * 65)._1 === 400)
+    // literal '+' in a %2B-escaped term must NOT be re-decoded into a
+    // space (the double-decode regression): one term, zero hits, 200
+    val (cp, tp) = http("GET", "/search?q=a%2Bb")
+    assert(cp === 200 && tp === "[]",
+      "a+b is one literal term (no corpus hit), not two split terms")
   }
 }

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * partitioned) files. */
 class ShardExportSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
-  private val W = 256
+  private val W = graft.operators.PackingQueries.WindowW
 
   private lazy val store = ShardExport.forDir(spark, TestSpark.sf)
 

@@ -13,6 +13,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextNullSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("flagged/flaggedCount/flaggedSpans: edge arrays (empty, all-flagged, boundary runs)") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val lex = Seq("bad", "worse")
+    val df = Seq(
+      (1L, Seq[String]()),                                   // empty: 0/0
+      (2L, Seq("bad", "worse", "ok", "bad")),                // 3 flagged, 2 runs
+      (3L, Seq("bad", "bad")),                               // all-flagged: 1 run
+      (4L, Seq("ok", "fine"))                                // clean: 0/0
+    ).toDF("id", "ts")
+    val rows = df.select(col("id"),
+        TextFns.flaggedCount(TextFns.flagged(col("ts"), lex)).as("n"),
+        TextFns.flaggedSpans(TextFns.flagged(col("ts"), lex)).as("sp"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the empty array is the review-caught case: sequence(0, -1) is
+    // DESCENDING and its i = -1 leg would hit element_at(fl, 0) — the
+    // guard must short-circuit to 0 spans, not error
+    assert(rows.toSeq === Seq((1L, 0L, 0L), (2L, 3L, 2L),
+      (3L, 2L, 1L), (4L, 0L, 0L)))
+  }
+
   test("rolling_fp and simhash16: null element → null result (fold poisoning)") {
     import spark.implicits._
     val df = Seq(
