@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
  *   GET /query/{name}?limit=            any declared query, limit-capped
  *   GET /query/{name}/plan              formatted physical plan (no exec)
  *   GET /search?q=&k=[&unit=chunk]      parameterized BM25 retrieval
+ *   GET /search?like=&k=                dense more-like-this (stored IVF)
  *   GET /metrics[/{flow}]               per-batch flow telemetry rows
  *   GET /tables/{t}/version             live version number
  *   GET /tables/{t}/at/{v}?limit=       time-travel snapshot read
@@ -361,9 +362,33 @@ final class RestService(spark: SparkSession, store: TableStore,
   // is (score desc, id…), k is capped like /query's limit.
   //   GET /search?q=<terms>&k=N             document-level BM25 (x94)
   //   GET /search?q=<terms>&k=N&unit=chunk  chunk-granular BM25 (x133)
+  //   GET /search?like=<vec_id>&k=N         dense more-like-this (x20's
+  //                                         stored-IVF probe; 404 on an
+  //                                         unknown vec_id)
   private def routeSearch(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
+      case ("GET", List("search"), Some(dir))
+          if qparam(ex, "like").isDefined =>
+        if (qparam(ex, "q").isDefined)
+          reply(ex, 400, "q and like are mutually exclusive")
+        else qparam(ex, "like").get.toLongOption match {
+          case None => reply(ex, 400, "like must be a vec_id (long)")
+          case Some(vid) =>
+            val k = qparam(ex, "k").flatMap(_.toIntOption)
+              .getOrElse(10).min(100).max(1)
+            try {
+              val rows = graft.operators.VectorQueries
+                .ivfKnn(spark, dir, vid)
+                .orderBy(col("cos").desc, col("vec_id"))
+                .limit(k).collect()
+                .map(r => Json.obj("vec_id" -> r.getLong(0),
+                  "cos" -> r.getDouble(1)))
+              replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+            } catch {
+              case e: NoSuchElementException => reply(ex, 404, e.getMessage)
+            }
+        }
       case ("GET", List("search"), Some(dir)) =>
         // qparam already URL-decodes ('+' and %XX) — decoding again
         // here would corrupt literal '+'/'%' terms (review-caught).

@@ -156,6 +156,34 @@ object VectorQueries {
   // a query-time knob
   private val Cells = VectorIndex.Cells
   private val NProbe = 3
+
+  /** (vec_id, cos): exact-cosine re-rank inside the NProbe nearest
+    * stored IVF cells for corpus vector `queryId` — x20's probe shape
+    * parameterized for the more-like-this retrieval surface
+    * (`GET /search?like=<vec_id>`). One driver-side query-vector row,
+    * centroid ranking against the in-memory routing table, then a
+    * scan of ONLY the probed cell PARTITIONS (PartitionFilters prune
+    * the rest) with one cosine per candidate — O(probed cells), not
+    * O(corpus), at any index size. Throws NoSuchElementException for
+    * an absent queryId (the endpoint maps it to 404). */
+  private[graft] def ivfKnn(s: SparkSession, d: String,
+      queryId: Long): DataFrame = {
+    val idx = VectorIndex.forDir(s, d)
+    // the query vector: one driver-side row (embedding for the
+    // exact re-rank, fixed-point projection for probe ranking)
+    val qRows = emb(s, d).filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect()
+    if (qRows.isEmpty)
+      throw new NoSuchElementException(s"no such vector: $queryId")
+    val qe = qRows.head.getSeq[Float](0)
+    val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), NProbe)
+    val q = emb(s, d).filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    idx.corpus.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
   private val Dim = VectorIndex.Dim
   private val Scale = VectorIndex.Scale
 
@@ -305,18 +333,7 @@ object VectorQueries {
     // relationally (x20Sql), so results hash-match end to end.
     Query("x20_ann_ivf", x20Sql) {
       (s, d) =>
-        val idx = VectorIndex.forDir(s, d)
-        // the query vector: one driver-side row (embedding for the
-        // exact re-rank, fixed-point projection for probe ranking)
-        val qe = emb(s, d).filter(col("vec_id") === 0)
-          .select(col("embedding")).collect().head.getSeq[Float](0)
-        val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), NProbe)
-        val q = emb(s, d).filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"))
-        idx.corpus.filter(col("cell").isin(probeCells: _*))
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        ivfKnn(s, d, 0L)
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
     },

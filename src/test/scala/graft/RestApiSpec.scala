@@ -417,6 +417,43 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotCh === x133, "one scorer definition: endpoint == x133")
   }
 
+  test("GET /search?like= serves dense more-like-this off the stored IVF index") {
+    // parity with the declared x20 (one ivfKnn definition): like=0 is
+    // exactly the benchmark probe
+    val (c0, t0) = http("GET", "/search?like=0&k=10")
+    assert(c0 === 200)
+    val got0 = jsonRows(t0).map(m => (m("vec_id").toLong, m("cos")))
+    val x20 = SparkEntry.queries("x20_ann_ivf")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got0 === x20, "one probe definition: endpoint == x20")
+    // a NOVEL query vector: the anchor ranks itself first (cos 1.0)
+    // and every returned cosine equals a driver-side exact recompute
+    val (c7, t7) = http("GET", "/search?like=7&k=5")
+    assert(c7 === 200)
+    val got7 = jsonRows(t7).map(m => (m("vec_id").toLong, m("cos")))
+    assert(got7.head._1 === 7L && got7.head._2 === 1.0,
+      "the query vector is its own nearest neighbor")
+    assert(got7.map(_._2) === got7.map(_._2).sorted.reverse, "cos desc")
+    val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got7.foreach { case (id, c) =>
+      assert(math.abs(c - cos(embs(7L), embs(id))) < 1e-6, s"cos of $id")
+    }
+    // unknown vector -> 404; malformed -> 400; q+like -> 400
+    assert(http("GET", "/search?like=99999999")._1 === 404)
+    assert(http("GET", "/search?like=nope")._1 === 400)
+    assert(http("GET", "/search?like=0&q=hash")._1 === 400)
+  }
+
   test("GET /search validates its parameters") {
     assert(http("GET", "/search")._1 === 400)
     assert(http("GET", "/search?q=")._1 === 400)
