@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
  *   GET /query/{name}/plan              formatted physical plan (no exec)
  *   GET /search?q=&k=[&unit=chunk]      parameterized BM25 retrieval
  *   GET /search?like=&k=                dense more-like-this (stored IVF)
+ *   GET /search?q=&like=&k=             hybrid RRF fusion of both arms
  *   GET /metrics[/{flow}]               per-batch flow telemetry rows
  *   GET /tables/{t}/version             live version number
  *   GET /tables/{t}/at/{v}?limit=       time-travel snapshot read
@@ -365,26 +366,52 @@ final class RestService(spark: SparkSession, store: TableStore,
   //   GET /search?like=<vec_id>&k=N         dense more-like-this (x20's
   //                                         stored-IVF probe; 404 on an
   //                                         unknown vec_id)
+  //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
+  //                                         arms (x128's combiner)
   private def routeSearch(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
       case ("GET", List("search"), Some(dir))
           if qparam(ex, "like").isDefined =>
-        if (qparam(ex, "q").isDefined)
-          reply(ex, 400, "q and like are mutually exclusive")
-        else qparam(ex, "like").get.toLongOption match {
+        qparam(ex, "like").get.toLongOption match {
           case None => reply(ex, 400, "like must be a vec_id (long)")
           case Some(vid) =>
             val k = qparam(ex, "k").flatMap(_.toIntOption)
               .getOrElse(10).min(100).max(1)
+            val terms = qparam(ex, "q").toSeq
+              .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
             try {
-              val rows = graft.operators.VectorQueries
-                .ivfKnn(spark, dir, vid)
-                .orderBy(col("cos").desc, col("vec_id"))
-                .limit(k).collect()
-                .map(r => Json.obj("vec_id" -> r.getLong(0),
-                  "cos" -> r.getDouble(1)))
-              replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+              if (terms.isEmpty) {
+                // dense-only more-like-this
+                val rows = graft.operators.VectorQueries
+                  .ivfKnn(spark, dir, vid)
+                  .orderBy(col("cos").desc, col("vec_id"))
+                  .limit(k).collect()
+                  .map(r => Json.obj("vec_id" -> r.getLong(0),
+                    "cos" -> r.getDouble(1)))
+                replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+              } else if (terms.size > RestService.SearchMaxTerms ||
+                  terms.exists(_.length > RestService.SearchMaxTermLen)) {
+                reply(ex, 400,
+                  s"q is limited to ${RestService.SearchMaxTerms} " +
+                    s"terms of at most ${RestService.SearchMaxTermLen} chars")
+              } else {
+                // HYBRID: x128's RRF combiner over the parameterized
+                // arms — terms-bound BM25 × vec_id-bound IVF cosine
+                val rows = graft.operators.CurationQueries.rrfFused(
+                    graft.operators.TextQueries
+                      .bm25ScoredFor(spark, dir, terms),
+                    graft.operators.VectorQueries.ivfKnn(spark, dir, vid)
+                      .select(col("vec_id").as("doc_id"), col("cos")))
+                  .limit(k).collect()
+                  .map(r => Json.obj("doc_id" -> r.getLong(0),
+                    "lex_rank" ->
+                      (if (r.isNullAt(1)) null else r.getLong(1)),
+                    "den_rank" ->
+                      (if (r.isNullAt(2)) null else r.getLong(2)),
+                    "rrf" -> r.getDouble(3)))
+                replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+              }
             } catch {
               case e: NoSuchElementException => reply(ex, 404, e.getMessage)
             }

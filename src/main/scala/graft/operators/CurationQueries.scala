@@ -62,20 +62,32 @@ object CurationQueries {
 
   /** The fused top-10 frame — exposed for CurationSpec's arm-consistency
     * pins. */
-  private[graft] def hybridFused(s: SparkSession, d: String): DataFrame = {
-    // each arm is TopK'd BEFORE ranking: the global row_number window
-    // runs over ≤ ArmK rows by construction (x89's bounded-window
-    // contract), never over a corpus-sized frame
-    val lex = TextQueries.bm25Scored(s, d)
+  private[graft] def hybridFused(s: SparkSession, d: String): DataFrame =
+    rrfFused(TextQueries.bm25Scored(s, d),
+      VectorQueries.annCosineFrame(s, d)
+        .select(col("vec_id").as("doc_id"), col("cos")))
+      .limit(10)
+
+  /** x128's RRF combiner factored over ANY two scored arms — the
+    * parameterized hybrid endpoint (`GET /search?q=&like=`) fuses the
+    * terms-bound BM25 arm with the vec_id-bound IVF arm through this
+    * SAME definition. `lex` is (doc_id, score), `den` is (doc_id,
+    * cos); each arm is TopK'd to ArmK BEFORE ranking, so the
+    * row_number windows and the full-outer fusion join run over
+    * ≤ ArmK rows at any corpus scale (x89's bounded-window contract).
+    * Returns the fused frame ordered by (rrf desc, doc_id); callers
+    * apply their own limit. */
+  private[graft] def rrfFused(lex0: DataFrame, den0: DataFrame): DataFrame = {
+    val lex = lex0
       .orderBy(col("score").desc, col("doc_id")).limit(ArmK)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    val den = VectorQueries.annCosineFrame(s, d)
-      .orderBy(col("cos").desc, col("vec_id")).limit(ArmK)
+    val den = den0
+      .orderBy(col("cos").desc, col("doc_id")).limit(ArmK)
       .withColumn("den_rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select(col("vec_id").as("doc_id"), col("den_rank"))
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("den_rank"))
     lex.join(den, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
@@ -83,7 +95,6 @@ object CurationQueries {
       .select(col("doc_id"), col("lex_rank"), col("den_rank"),
         round(col("rrf"), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(10)
   }
 
   // --------------------------------------------------- x129 DSIR selection

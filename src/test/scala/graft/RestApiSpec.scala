@@ -448,10 +448,34 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     got7.foreach { case (id, c) =>
       assert(math.abs(c - cos(embs(7L), embs(id))) < 1e-6, s"cos of $id")
     }
-    // unknown vector -> 404; malformed -> 400; q+like -> 400
+    // unknown vector -> 404; malformed -> 400
     assert(http("GET", "/search?like=99999999")._1 === 404)
     assert(http("GET", "/search?like=nope")._1 === 400)
-    assert(http("GET", "/search?like=0&q=hash")._1 === 400)
+  }
+
+  test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
+    // independent fusion recompute: fetch each arm's top-20 from the
+    // already-verified single-arm endpoints, fuse driver-side with
+    // rrf = sum 1/(60 + rank), compare against the hybrid endpoint
+    val lexArm = jsonRows(http("GET", "/search?q=vector+slow&k=20")._2)
+      .map(m => m("doc_id").toLong)
+    val denArm = jsonRows(http("GET", "/search?like=7&k=20")._2)
+      .map(m => m("vec_id").toLong)
+    val lexRank = lexArm.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val denRank = denArm.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val want = (lexRank.keySet ++ denRank.keySet).toSeq
+      .map { d =>
+        val rrf = lexRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          denRank.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (d, round6(rrf))
+      }
+      .sortBy { case (d, r) => (-r, d) }.take(5)
+    val (code, text) = http("GET", "/search?q=vector+slow&like=7&k=5")
+    assert(code === 200, text)
+    val got = jsonRows(text).map(m => (m("doc_id").toLong, m("rrf")))
+    assert(got === want, "hybrid fusion must equal the driver recompute")
+    // rank columns surface which arm(s) admitted each doc
+    assert(text.contains("\"lex_rank\":") && text.contains("\"den_rank\":"))
   }
 
   test("GET /search validates its parameters") {
