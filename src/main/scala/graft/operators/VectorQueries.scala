@@ -156,6 +156,54 @@ object VectorQueries {
   // a query-time knob
   private val Cells = VectorIndex.Cells
   private val NProbe = 3
+  /** x137's fixed query-vector slice [lo, hi) — deliberately NOT the
+    * IVF seed vectors (vec_id < Cells), so the audit measures probe
+    * quality on ordinary corpus vectors. */
+  private val RecallQLo = 100
+  private val RecallQHi = 108
+
+  /** (qid, n_hits, recall): x137's recall@10 audit at an arbitrary
+    * probe width — the engine body behind the declared query, exposed
+    * so VectorSpec can pin the completeness property (nProbe = Cells
+    * probes every cell, so the IVF arm IS exact search and recall must
+    * be 1.0 for every query) and probe-width monotonicity. */
+  private[graft] def annRecall(s: SparkSession, d: String,
+      nProbe: Int): DataFrame = {
+    import s.implicits._
+    val idx = VectorIndex.forDir(s, d)
+    val qRows = emb(s, d)
+      .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // 8 driver-side probes of the in-memory routing table — the
+    // same bounded work class as x20's single probe
+    val probes = qRows.flatMap { case (qid, e) =>
+      idx.probeCells(VectorIndex.fixedPoint(e), nProbe)
+        .map(c => (qid, c))
+    }.toSeq.toDF("qid", "cell")
+    val q = qRows.toSeq.toDF("qid", "qe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "vec_id")
+    val iv = top10(idx.corpus
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+          .as("cos")))
+    val ex = top10(emb(s, d).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+          .as("cos")))
+    ex.join(iv.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / 10.0, 4).as("recall"))
+      .orderBy("qid")
+  }
 
   /** (vec_id, cos): exact-cosine re-rank inside the NProbe nearest
     * stored IVF cells for corpus vector `queryId` — x20's probe shape
@@ -202,15 +250,21 @@ object VectorQueries {
       s"ORDER BY ${Sql.l2sq("b.pd", "c.m")}, c.cell) AS rn " +
       s"FROM base b, $cen c) WHERE rn = 1"
 
-  private lazy val x20Sql =
-    "WITH b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
+  /** The IVF build replay (fixed-point projection → seeds → two Lloyd
+    * rounds → final assignment `af`, centroids `c2`) — shared by the
+    * x20 probe oracle and the x137 recall-audit oracle. */
+  private lazy val ivfBuildSql =
+    "b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
       "base AS (SELECT vec_id, embedding, pfp, " +
       "list_transform(pfp, f -> CAST(f AS DOUBLE)) AS pd FROM b0), " +
       s"c0 AS (SELECT vec_id AS cell, pd AS m FROM base WHERE vec_id < $Cells), " +
       s"a1 AS (${assignSql("c0")}), c1 AS (${centSql("a1")}), " +
       s"a2 AS (${assignSql("c1")}), c2 AS (${centSql("a2")}), " +
-      s"af AS (${assignSql("c2")}), " +
+      s"af AS (${assignSql("c2")})"
+
+  private lazy val x20Sql =
+    s"WITH $ivfBuildSql, " +
       "qd AS (SELECT pd AS v FROM base WHERE vec_id = 0), " +
       "qe AS (SELECT embedding AS v FROM base WHERE vec_id = 0), " +
       "probe AS (SELECT cell FROM (SELECT c.cell, ROW_NUMBER() OVER " +
@@ -336,6 +390,47 @@ object VectorQueries {
         ivfKnn(s, d, 0L)
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
+    },
+
+    // ANN QUALITY AUDIT — recall@10 of the stored IVF index against
+    // exact kNN, THE standard ANN serving metric (every production
+    // vector store publishes recall-vs-latency; an index whose recall
+    // silently degrades — centroid drift after incremental ingests,
+    // too few probes for a grown corpus — is a data-quality incident
+    // retrieval consumers cannot see from their own results). Eight
+    // fixed query vectors (vec_id 100..107 — deliberately NOT the
+    // build's seed vectors); for each, the exact cosine top-10 and the
+    // NProbe-cell IVF top-10, both ranked (6-rounded cos DESC, vec_id)
+    // — tie-proof; recall = |intersection|/10. Scale shape: the exact
+    // arm is ONE corpus scan with 8 broadcast cosines and a rank ≤ 10
+    // per-qid window (compiles to WindowGroupLimit — map-local top-k,
+    // the x80 pattern; no corpus-sized per-key buffering), the IVF arm
+    // scans only the probed cell PARTITIONS through a 24-row broadcast
+    // (qid, cell) probe table. The oracle replays build + both arms
+    // relationally, so the audit itself is hash-pinned.
+    Query("x137_ann_recall", {
+      s"WITH $ivfBuildSql, " +
+        "q AS (SELECT vec_id AS qid, pd AS qd, embedding AS qe " +
+        s"FROM base WHERE vec_id >= $RecallQLo AND vec_id < $RecallQHi), " +
+        "probe AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+        s"${Sql.l2sq("q.qd", "c.m")}, c.cell) AS rn FROM c2 c, q) " +
+        s"WHERE rn <= $NProbe), " +
+        "iv AS (SELECT qid, vec_id FROM (SELECT p.qid, f.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY " +
+        s"round(${Sql.cosine("f.embedding", "q.qe")}, 6) DESC, f.vec_id) " +
+        "AS rn FROM af f JOIN probe p ON f.cell = p.cell " +
+        "JOIN q ON q.qid = p.qid) WHERE rn <= 10), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${Sql.cosine("b.embedding", "q.qe")}, 6) DESC, b.vec_id) " +
+        "AS rn FROM base b, q) WHERE rn <= 10) " +
+        "SELECT ex.qid, CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits, " +
+        "round(COUNT(iv.vec_id) / 10.0, 4) AS recall " +
+        "FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id " +
+        "GROUP BY ex.qid ORDER BY ex.qid"
+    }) {
+      (s, d) => annRecall(s, d, NProbe)
     },
 
     // SemDeDup-style semantic dedup decision view: assign every vector
