@@ -118,9 +118,14 @@ object VectorQueries {
     * exact-cosine stage shared by x11 (top-10) and x128's dense
     * hybrid-retrieval arm (top-20 rank): candidates share ≥1 of query
     * vector 0's L bucket ids, cosine rounded to 6. */
-  private[operators] lazy val annCosSql =
+  /** The SRP inverted-index CTE alone (`idx(vec_id, tb)`) — shared by
+    * [[annCosSql]] and x138's recall-audit oracle. */
+  private lazy val srpIdxSql =
     s"idx AS (SELECT vec_id, unnest([${(0 until L).map(tbSql).mkString(", ")}]) AS tb " +
-      "FROM embeddings), " +
+      "FROM embeddings)"
+
+  private[operators] lazy val annCosSql =
+    s"$srpIdxSql, " +
       "qt AS (SELECT tb AS qtb FROM idx WHERE vec_id = 0), " +
       "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "cand AS (SELECT DISTINCT i.vec_id FROM idx i JOIN qt ON i.tb = qt.qtb), " +
@@ -162,6 +167,42 @@ object VectorQueries {
   private val RecallQLo = 100
   private val RecallQHi = 108
 
+  /** The x137/x138 query-vector slice, collected once per call —
+    * 8 bounded driver rows (the x41 rate-table contract). */
+  private def recallQueries(s: SparkSession, d: String)
+      : Array[(Long, Seq[Float])] =
+    emb(s, d)
+      .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Per-qid top-10 by (6-rounded cos DESC, vec_id) — WindowGroupLimit
+    * map-local top-k, never a corpus-sized per-key buffer. */
+  private def recallTop10(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "vec_id")
+  }
+
+  /** recall@10 of an approximate (qid, vec_id) top-10 set against the
+    * exact-kNN arm — the audit frame x137 (IVF) and x138 (SRP) share.
+    * `q` is the 8-row (qid, qe) query frame. */
+  private def recallVsExact(s: SparkSession, d: String, q: DataFrame,
+      approxTop: DataFrame): DataFrame = {
+    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+          .as("cos")))
+    ex.join(approxTop.withColumn("hit", lit(1)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / 10.0, 4).as("recall"))
+      .orderBy("qid")
+  }
+
   /** (qid, n_hits, recall): x137's recall@10 audit at an arbitrary
     * probe width — the engine body behind the declared query, exposed
     * so VectorSpec can pin the completeness property (nProbe = Cells
@@ -171,10 +212,7 @@ object VectorQueries {
       nProbe: Int): DataFrame = {
     import s.implicits._
     val idx = VectorIndex.forDir(s, d)
-    val qRows = emb(s, d)
-      .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qRows = recallQueries(s, d)
     // 8 driver-side probes of the in-memory routing table — the
     // same bounded work class as x20's single probe
     val probes = qRows.flatMap { case (qid, e) =>
@@ -182,27 +220,38 @@ object VectorQueries {
         .map(c => (qid, c))
     }.toSeq.toDF("qid", "cell")
     val q = qRows.toSeq.toDF("qid", "qe")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    def top10(scored: DataFrame): DataFrame = scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10).select("qid", "vec_id")
-    val iv = top10(idx.corpus
+    val iv = recallTop10(idx.corpus
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6)
           .as("cos")))
-    val ex = top10(emb(s, d).crossJoin(broadcast(q))
+    recallVsExact(s, d, q, iv)
+  }
+
+  /** (qid, n_hits, recall): x138's SRP-LSH recall@10 audit — the same
+    * exact arm, with candidates = vectors sharing ≥1 of each query's
+    * L stored bucket ids (x11's probe shape, per query). */
+  private[graft] def srpRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idxStore = VectorIndex.srpForDir(s, d, srpIndexRows)
+    val qRows = recallQueries(s, d)
+    // 8 bounded rows × L buckets each → a 64-row broadcast probe table
+    val q = qRows.toSeq.toDF("qid", "qe")
+    val probes = emb(s, d)
+      .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
+      .select(col("vec_id").as("qid"),
+        explode(tbArray(col("embedding"))).as("tb"))
+    val cand = idxStore.load("srp_idx")
+      .join(broadcast(probes), Seq("tb"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val sr = recallTop10(cand
+      .join(emb(s, d), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6)
           .as("cos")))
-    ex.join(iv.withColumn("hit", lit(1)), Seq("qid", "vec_id"), "left")
-      .groupBy("qid")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-      .select(col("qid"), col("n_hits"),
-        round(col("n_hits") / 10.0, 4).as("recall"))
-      .orderBy("qid")
+    recallVsExact(s, d, q, sr)
   }
 
   /** (vec_id, cos): exact-cosine re-rank inside the NProbe nearest
@@ -431,6 +480,38 @@ object VectorQueries {
         "GROUP BY ex.qid ORDER BY ex.qid"
     }) {
       (s, d) => annRecall(s, d, NProbe)
+    },
+
+    // x137's sibling for the OTHER ANN path: recall@10 of the SRP-LSH
+    // bucketed index (x11's probe shape) against the same exact arm —
+    // together the two audits tell an operator which index to serve a
+    // workload from (SRP recall reflects bucket collision luck; IVF
+    // recall reflects centroid/probe-width fit). Same 8 fixed query
+    // vectors, same tie-proof rankings; candidates = vectors sharing
+    // ≥1 of the query's L stored bucket ids through a 64-row broadcast
+    // (qid, tb) probe table — never a corpus×corpus pass.
+    Query("x138_srp_recall", {
+      s"WITH $srpIdxSql, " +
+        "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +
+        s"WHERE vec_id >= $RecallQLo AND vec_id < $RecallQHi), " +
+        "qt AS (SELECT q.qid, i.tb FROM idx i JOIN q ON i.vec_id = q.qid), " +
+        "cand AS (SELECT DISTINCT qt.qid, i.vec_id FROM idx i " +
+        "JOIN qt ON i.tb = qt.tb), " +
+        "sr AS (SELECT qid, vec_id FROM (SELECT c.qid, c.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY " +
+        s"round(${Sql.cosine("e.embedding", "q.qe")}, 6) DESC, c.vec_id) " +
+        "AS rn FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id " +
+        "JOIN q ON q.qid = c.qid) WHERE rn <= 10), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${Sql.cosine("e.embedding", "q.qe")}, 6) DESC, e.vec_id) " +
+        "AS rn FROM embeddings e, q) WHERE rn <= 10) " +
+        "SELECT ex.qid, CAST(COUNT(sr.vec_id) AS BIGINT) AS n_hits, " +
+        "round(COUNT(sr.vec_id) / 10.0, 4) AS recall " +
+        "FROM ex LEFT JOIN sr ON ex.qid = sr.qid AND ex.vec_id = sr.vec_id " +
+        "GROUP BY ex.qid ORDER BY ex.qid"
+    }) {
+      (s, d) => srpRecall(s, d)
     },
 
     // SemDeDup-style semantic dedup decision view: assign every vector
