@@ -502,14 +502,33 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val verifiedSql =
+  /** CTE form of the exact-Jaccard verify (`ver(doc_a, doc_b,
+    * jaccard)` over `cand` and `sh`) — shared by the x7 literal and
+    * x139's audit oracle. */
+  private val verifiedCteSql =
     "sz AS (SELECT doc_id, s, len(s) AS n FROM sh), " +
       "j AS (SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS inter, " +
       "sa.n AS na, sb.n AS nb FROM cand JOIN sz sa ON sa.doc_id = doc_a " +
-      "JOIN sz sb ON sb.doc_id = doc_b) " +
-      "SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
-      s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold " +
-      "ORDER BY doc_a, doc_b"
+      "JOIN sz sb ON sb.doc_id = doc_b), " +
+      "ver AS (SELECT doc_a, doc_b, " +
+      "round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard " +
+      s"FROM j WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $Threshold)"
+
+  private val verifiedSql =
+    verifiedCteSql + " SELECT doc_a, doc_b, jaccard FROM ver ORDER BY doc_a, doc_b"
+
+  /** The x7 prefix-filtered candidate chain (`ex → dfreq → rk → pfx →
+    * cand`) — factored so x139's audit oracle replays the IDENTICAL
+    * ground-truth pair generation. */
+  private val jaccCandSql =
+    "ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), " +
+      "dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g), " +
+      "rk AS (SELECT doc_id, n, ex.g, ROW_NUMBER() OVER " +
+      "(PARTITION BY doc_id ORDER BY dfreq.df, ex.g) AS r " +
+      "FROM ex JOIN dfreq ON ex.g = dfreq.g), " +
+      "pfx AS (SELECT doc_id, g FROM rk WHERE r <= n // 5 + 1), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM pfx a JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id)"
 
   /** DuckDB CTEs `bands(doc_id, bv)` + `cand(doc_a, doc_b)` — x8's
     * MinHash-LSH band candidates (4 bands of 2 md5-chunk-min
@@ -612,16 +631,7 @@ object DedupQueries {
     // only add hash-collision candidates or drop length-incompatible
     // ones — both settled by the exact verify, so results hash-match.
     Query("x7_ngram_jaccard",
-      s"WITH $shingledSql, " +
-        "ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh), " +
-        "dfreq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g), " +
-        "rk AS (SELECT doc_id, n, ex.g, ROW_NUMBER() OVER " +
-        "(PARTITION BY doc_id ORDER BY dfreq.df, ex.g) AS r " +
-        "FROM ex JOIN dfreq ON ex.g = dfreq.g), " +
-        "pfx AS (SELECT doc_id, g FROM rk WHERE r <= n // 5 + 1), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM pfx a JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id), " +
-        verifiedSql) {
+      s"WITH $shingledSql, $jaccCandSql, " + verifiedSql) {
       (s, d) =>
         // candidates from the STORED prefix index (built once per
         // corpus version, shared machinery with x8/x36): the
@@ -655,6 +665,59 @@ object DedupQueries {
       s"WITH $simhash64PairsSql " +
         "SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b") {
       (s, d) => simhash64Pairs(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // DEDUP QUALITY AUDIT — how the two text near-dup detectors
+    // DISAGREE, the question a curator asks before trusting either:
+    // ground truth = x7's exact-verified 3-gram Jaccard ≥ 0.8 pairs,
+    // detector = x25's SimHash Hamming-≤2 pairs; one full-outer join
+    // of the two (bounded) pair sets and ONE aggregate emit the
+    // confusion counts plus precision/recall of SimHash against the
+    // Jaccard standard. The same audit doctrine as x137/x138 for the
+    // vector indexes: an approximate detector's quality is corpus
+    // state an operator must be able to MEASURE, not assume — SimHash
+    // trades per-token granularity for O(1) fingerprints, and this
+    // row quantifies exactly what that trade costs on THIS corpus.
+    // Both inputs ride their stored indexes (pfx3 prefix index, fp64
+    // fingerprints); the audit adds two bounded-pair-set joins on top.
+    Query("x139_dedup_audit", {
+      s"WITH $shingledSql, $jaccCandSql, $verifiedCteSql, " +
+        simhash64PairsSql + ", " +
+        "f AS (SELECT COALESCE(v.doc_a, p.doc_a) AS doc_a, " +
+        "COALESCE(v.doc_b, p.doc_b) AS doc_b, " +
+        "CASE WHEN v.doc_a IS NULL THEN 0 ELSE 1 END AS in_j, " +
+        "CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS in_s " +
+        "FROM ver v FULL OUTER JOIN pairs p " +
+        "ON v.doc_a = p.doc_a AND v.doc_b = p.doc_b), " +
+        "agg AS (SELECT CAST(SUM(in_j) AS BIGINT) AS n_jaccard, " +
+        "CAST(SUM(in_s) AS BIGINT) AS n_simhash, " +
+        "CAST(SUM(in_j * in_s) AS BIGINT) AS n_both FROM f) " +
+        "SELECT n_jaccard, n_simhash, n_both, " +
+        "CASE WHEN n_simhash > 0 THEN round(CAST(n_both AS DOUBLE) / n_simhash, 4) END AS precision, " +
+        "CASE WHEN n_jaccard > 0 THEN round(CAST(n_both AS DOUBLE) / n_jaccard, 4) END AS recall " +
+        "FROM agg"
+    }) {
+      (s, d) =>
+        val jp = verified(
+            candidatePairs(ShingleIndex.forDir(s, d).load("pfx3")),
+            shingledFrom(table(s, d, "documents")),
+            spread = true, prune = true)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_j"))
+        val sp = simhash64Pairs(s, d)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_s"))
+        jp.join(sp, Seq("doc_a", "doc_b"), "full_outer")
+          .select(coalesce(col("in_j"), lit(0)).as("in_j"),
+            coalesce(col("in_s"), lit(0)).as("in_s"))
+          .agg(sum(col("in_j")).cast("bigint").as("n_jaccard"),
+            sum(col("in_s")).cast("bigint").as("n_simhash"),
+            sum(col("in_j") * col("in_s")).cast("bigint").as("n_both"))
+          .select(col("n_jaccard"), col("n_simhash"), col("n_both"),
+            when(col("n_simhash") > 0,
+              round(col("n_both").cast("double") / col("n_simhash"), 4))
+              .as("precision"),
+            when(col("n_jaccard") > 0,
+              round(col("n_both").cast("double") / col("n_jaccard"), 4))
+              .as("recall"))
     },
 
     // near-dup CLUSTERING — the step that turns pairwise near-dup
