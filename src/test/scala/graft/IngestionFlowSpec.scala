@@ -465,6 +465,48 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("x137's recall audit measures the incrementally grown IVF index (frozen-centroid drift)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ingaudit").toString
+    val emb = Tables.table(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // seed corpus must contain the audit's fixed query slice (100..107)
+    emb.filter(col("vec_id") < 120).write.parquet(s"$dir/embeddings.parquet")
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-ingaudit-store").toString)
+    val flows = new IngestionFlows(spark, store, dir)
+    val ivf0 = VectorIndex.forDir(spark, dir)
+    def recalls(nProbe: Int): Map[Long, Double] =
+      graft.operators.VectorQueries.annRecall(spark, dir, nProbe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val before3 = recalls(3)
+    assert(recalls(VectorIndex.Cells).values.forall(_ === 1.0),
+      "full probe exact on the seed corpus")
+    // grow the corpus through the flow: frozen centroids absorb the
+    // delta (no rebuild), which is exactly the serving state whose
+    // recall an operator must be able to audit
+    val rows = emb.filter(col("vec_id") >= 120 && col("vec_id") < 160)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val ms = MemoryStream[(Long, Seq[Float])]
+    def df = ms.toDS().toDF("vec_id", "embedding")
+    ms.addData(rows: _*)
+    run(flows.embeddingIngestFlow(df))
+    assert(VectorIndex.forDir(spark, dir) eq ivf0,
+      "audit must run against the SAME (not rebuilt) index")
+    // the audit still holds its invariants on the grown index: full
+    // probe stays EXACT (drift can only affect partial probes — every
+    // vector is in some cell, and probing all cells is exact search),
+    // and partial-probe recall remains a valid, possibly-shifted
+    // measurement over the same 8 queries
+    assert(recalls(VectorIndex.Cells).values.forall(_ === 1.0),
+      "full probe must remain exact after incremental growth")
+    val after3 = recalls(3)
+    assert(after3.keySet === before3.keySet && after3.size === 8)
+    after3.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("embedding ingest: stored indexes absorb batches without rebuild; replay is a no-op") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

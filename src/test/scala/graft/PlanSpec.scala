@@ -116,7 +116,9 @@ class PlanSpec extends AnyFunSuite {
       "x125_source_scorecard", // same 1-row cap broadcast via sourceCapScores
       "x126_retention_funnel", // same 1-row cap broadcast via sourceCapScores
       "x128_hybrid_retrieval", // x94's 1-row stats broadcast in the lexical arm
-      "x133_chunk_bm25") // 1-row chunk-stats (nch, avgdl) broadcast
+      "x133_chunk_bm25", // 1-row chunk-stats (nch, avgdl) broadcast
+      "x137_ann_recall", // 8-row query-vector broadcast in the exact arm
+      "x138_srp_recall") // same 8-row bounded query-vector broadcast
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>
