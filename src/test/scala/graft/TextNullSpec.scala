@@ -35,6 +35,38 @@ class TextNullSpec extends AnyFunSuite {
       (3L, 2L, 1L), (4L, 0L, 0L)))
   }
 
+  test("flaggedSpans property: engine equals a naive run counter on 500 seeded random arrays") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val lex = Seq("x")
+    // seeded RNG keeps runs reproducible without a resolver-side
+    // scalacheck (the InvariantSpec doctrine); lengths 0..24 cover
+    // the empty array, the all-flagged array and every boundary shape
+    val rng = new scala.util.Random(1616L)
+    val cases: Seq[(Int, Seq[String])] = (0 until 500).map { i =>
+      val n = rng.nextInt(25)
+      (i, Seq.fill(n)(if (rng.nextBoolean()) "x" else "o"))
+    }
+    def refSpans(ts: Seq[String]): Long = {
+      var spans = 0L; var in = false
+      ts.foreach { t =>
+        val f = t == "x"
+        if (f && !in) spans += 1
+        in = f
+      }
+      spans
+    }
+    val got = cases.toDF("id", "ts")
+      .select(col("id"),
+        TextFns.flaggedCount(TextFns.flagged(col("ts"), lex)).as("n"),
+        TextFns.flaggedSpans(TextFns.flagged(col("ts"), lex)).as("sp"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    cases.foreach { case (i, ts) =>
+      assert(got(i) === ((ts.count(_ == "x").toLong, refSpans(ts))),
+        s"case $i: ${ts.mkString(" ")}")
+    }
+  }
+
   test("rolling_fp and simhash16: null element → null result (fold poisoning)") {
     import spark.implicits._
     val df = Seq(
