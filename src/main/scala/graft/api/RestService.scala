@@ -375,6 +375,16 @@ final class RestService(spark: SparkSession, store: TableStore,
           if qparam(ex, "like").isDefined =>
         qparam(ex, "like").get.toLongOption match {
           case None => reply(ex, 400, "like must be a vec_id (long)")
+          // unit selects a LEXICAL granularity; the dense/hybrid arms
+          // are doc-level only — reject rather than silently downgrade
+          case Some(_) if qparam(ex, "unit").exists(_ != "doc") =>
+            reply(ex, 400, "unit is not supported with like")
+          // a PRESENT-but-empty q is a client error (the lone-q route
+          // 400s it) — not a silent dense-only downgrade in a
+          // different response schema
+          case Some(_) if qparam(ex, "q").exists(
+              _.split("\\s+").forall(_.isEmpty)) =>
+            reply(ex, 400, "missing or empty q parameter")
           case Some(vid) =>
             val k = qparam(ex, "k").flatMap(_.toIntOption)
               .getOrElse(10).min(100).max(1)

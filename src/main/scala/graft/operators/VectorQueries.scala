@@ -236,12 +236,12 @@ object VectorQueries {
     import s.implicits._
     val idxStore = VectorIndex.srpForDir(s, d, srpIndexRows)
     val qRows = recallQueries(s, d)
-    // 8 bounded rows × L buckets each → a 64-row broadcast probe table
+    // 8 bounded rows × L buckets each → a 64-row broadcast probe
+    // table, derived from the ALREADY-collected query frame (a third
+    // corpus scan for the same 8 rows was review-caught)
     val q = qRows.toSeq.toDF("qid", "qe")
-    val probes = emb(s, d)
-      .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
-      .select(col("vec_id").as("qid"),
-        explode(tbArray(col("embedding"))).as("tb"))
+    val probes = q.select(col("qid"),
+      explode(tbArray(col("qe"))).as("tb"))
     val cand = idxStore.load("srp_idx")
       .join(broadcast(probes), Seq("tb"))
       .select(col("qid"), col("vec_id")).distinct()
@@ -274,8 +274,12 @@ object VectorQueries {
       throw new NoSuchElementException(s"no such vector: $queryId")
     val qe = qRows.head.getSeq[Float](0)
     val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), NProbe)
-    val q = emb(s, d).filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
+    // the query frame comes from the row ALREADY collected — a second
+    // emb() filter-scan per request would double the serving path's
+    // corpus reads (review-caught when x20's once-per-bench body
+    // became the /search?like= hot path)
+    import s.implicits._
+    val q = Seq(Tuple1(qe)).toDF("qe")
     idx.corpus.filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),

@@ -451,6 +451,12 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown vector -> 404; malformed -> 400
     assert(http("GET", "/search?like=99999999")._1 === 404)
     assert(http("GET", "/search?like=nope")._1 === 400)
+    // chunk granularity is lexical-only: no silent doc-level downgrade
+    assert(http("GET", "/search?like=0&unit=chunk")._1 === 400)
+    assert(http("GET", "/search?q=hash&like=0&unit=chunk")._1 === 400)
+    // a present-but-empty q is the same client error the lone-q route
+    // rejects — not a silent dense-only fallback in another schema
+    assert(http("GET", "/search?q=&like=0")._1 === 400)
   }
 
   test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
