@@ -456,6 +456,14 @@ object DedupQueries {
     * not corpus size. Without the prune, AQE happily builds a
     * broadcast hash relation out of the WHOLE corpus's arrays when
     * the candidate side looks small (measured: doubled x7's probe). */
+  /** x8's exact-verified MinHash-LSH pair frame — band candidates
+    * from the STORED bands3 signatures (one MinHashBands pass at
+    * index build, never per query), exact verify over one codegen
+    * re-shingle scan. ONE definition: the declared x8 AND x140's
+    * audit both call it. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    verified(bandCandidates(s, d), shingled(s, d))
+
   /** x7's exact-verified Jaccard-≥0.8 pair frame — candidates from
     * the STORED prefix index (built once per corpus version, shared
     * machinery with x8/x36; the double-window df ranking never runs
@@ -755,11 +763,59 @@ object DedupQueries {
     // signatures + 4 band strings in one codegen pass per document.
     Query("x8_minhash_lsh",
       s"WITH $shingledSql, $bandCandSql, " + verifiedSql) {
+      (s, d) => minhashPairs(s, d)
+    },
+
+    // MinHash-LSH BAND-RECALL audit — x139's sibling for the OTHER
+    // text detector, completing the dedup audit matrix: x8's exact
+    // verify makes its output a SUBSET of x7's ground truth by
+    // construction (same shingles, same threshold), so the only
+    // quality question is which true pairs the 4×2 banding never
+    // CANDIDATED — the classic LSH miss probability (1-(1-s^r)^b),
+    // here measured instead of assumed. precision therefore must be
+    // exactly 1.0 (the audit PINS the subset property — a drift
+    // between the two paths' thresholds or shingle widths would
+    // surface as precision < 1 long before any downstream symptom);
+    // recall is the banding's true catch rate on THIS corpus. One
+    // full-outer join of two bounded pair sets + one aggregate, both
+    // inputs riding their stored indexes (pfx3, bands3).
+    Query("x140_minhash_audit", {
+      val bcand = bandCandSql.replace(
+        "cand AS (SELECT DISTINCT a.doc_id", "bcand AS (SELECT DISTINCT a.doc_id")
+      s"WITH $shingledSql, $jaccCandSql, $verifiedCteSql, $bcand, " +
+        "mh AS (SELECT v.doc_a, v.doc_b FROM ver v " +
+        "JOIN bcand b ON v.doc_a = b.doc_a AND v.doc_b = b.doc_b), " +
+        "f AS (SELECT COALESCE(v.doc_a, m.doc_a) AS doc_a, " +
+        "CASE WHEN v.doc_a IS NULL THEN 0 ELSE 1 END AS in_j, " +
+        "CASE WHEN m.doc_a IS NULL THEN 0 ELSE 1 END AS in_m " +
+        "FROM ver v FULL OUTER JOIN mh m " +
+        "ON v.doc_a = m.doc_a AND v.doc_b = m.doc_b), " +
+        "agg AS (SELECT CAST(SUM(in_j) AS BIGINT) AS n_jaccard, " +
+        "CAST(SUM(in_m) AS BIGINT) AS n_minhash, " +
+        "CAST(SUM(in_j * in_m) AS BIGINT) AS n_both FROM f) " +
+        "SELECT n_jaccard, n_minhash, n_both, " +
+        "CASE WHEN n_minhash > 0 THEN round(CAST(n_both AS DOUBLE) / n_minhash, 4) END AS precision, " +
+        "CASE WHEN n_jaccard > 0 THEN round(CAST(n_both AS DOUBLE) / n_jaccard, 4) END AS recall " +
+        "FROM agg"
+    }) {
       (s, d) =>
-        // candidate buckets from the STORED band signatures (one
-        // MinHashBands pass at index build, not per query); the exact
-        // verify recomputes the shingle arrays in one codegen scan
-        verified(bandCandidates(s, d), shingled(s, d))
+        val jp = jaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_j"))
+        val mh = minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_m"))
+        jp.join(mh, Seq("doc_a", "doc_b"), "full_outer")
+          .select(coalesce(col("in_j"), lit(0)).as("in_j"),
+            coalesce(col("in_m"), lit(0)).as("in_m"))
+          .agg(sum(col("in_j")).cast("bigint").as("n_jaccard"),
+            sum(col("in_m")).cast("bigint").as("n_minhash"),
+            sum(col("in_j") * col("in_m")).cast("bigint").as("n_both"))
+          .select(col("n_jaccard"), col("n_minhash"), col("n_both"),
+            when(col("n_minhash") > 0,
+              round(col("n_both").cast("double") / col("n_minhash"), 4))
+              .as("precision"),
+            when(col("n_jaccard") > 0,
+              round(col("n_both").cast("double") / col("n_jaccard"), 4))
+              .as("recall"))
     },
 
     // SPAN CONTAINMENT — the subset-duplication detector Jaccard
