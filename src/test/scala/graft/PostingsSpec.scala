@@ -1,0 +1,185 @@
+package graft
+
+import graft.operators.{CurationQueries, PostingsIndex, TextQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r17 stored inverted postings index — the serving structure
+  * behind x94/x133/x128 and `GET /search?q=`.
+  *
+  * Three layers of pins:
+  *  1. CONTENT: every stored postings row (doc and chunk granularity)
+  *     and both 1-row stats tables recomputed DRIVER-SIDE from raw
+  *     fixture text with plain Scala loops — independent of every
+  *     Spark expression the build uses (the CurationSpec stored-DSIR
+  *     doctrine). The sf-corpus content pin is the driver gate itself
+  *     (x141 + x94/x133/x128 hash-match DuckDB's recompute-from-raw).
+  *  2. PLAN: the BM25 probes scan ONLY index tables — no `documents`
+  *     scan anywhere in the serving plan (the r16 verdict's weak) —
+  *     and the term filter is PUSHED into the token-clustered parquet
+  *     scan.
+  *  3. LIFECYCLE: append-only ingest extends the index O(batch) and
+  *     lands byte-equal to a full rebuild; foreign appends and
+  *     in-place rewrites are detected and rebuild (VectorIndex's
+  *     checked contract).
+  */
+class PostingsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 32
+  private val S = 24
+  private val MinTail = 8
+
+  /** Driver-side truth: (docPostings, chunkPostings, stats, cstats)
+    * from raw (doc_id, text) pairs — plain Scala, no Spark
+    * expressions. Tokenizer mirror: split(" ", -1), Spark's split
+    * semantics (trailing empties kept). */
+  private def truth(docs: Seq[(Long, String)]) = {
+    val nonNull = docs.filter(_._2 != null)
+    val toks = nonNull.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val docPost = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (tok, occ) =>
+        (tok, id, ts.length, occ.size.toDouble)
+      }
+    }.toSet
+    def maxCid(n: Int): Long =
+      math.max(math.floor((n - MinTail).toDouble / S).toLong, 0L)
+    val chunkPost = toks.flatMap { case (id, ts) =>
+      val n = ts.length
+      ts.zipWithIndex.flatMap { case (tok, p) =>
+        val lo = math.max(math.floor((p - W).toDouble / S).toLong + 1, 0L)
+        val hi = (p / S).toLong
+        (lo to math.min(hi, maxCid(n)))
+          .map(c => ((tok, id, c), math.min(W.toLong, n - c * S)))
+      }
+    }.groupBy(_._1).map { case ((tok, id, c), occ) =>
+      (tok, id, c, occ.head._2, occ.size.toDouble)
+    }.toSet
+    val nTokens = toks.map(_._2.length.toLong).sum
+    val chunks = toks.flatMap { case (_, ts) =>
+      val n = ts.length
+      (0L to math.max(math.floor((n - MinTail).toDouble / S).toLong, 0L))
+        .map(c => math.min(W.toLong, n - c * S))
+    }
+    (docPost, chunkPost, (nTokens, nonNull.size.toLong, docs.size.toLong),
+      (chunks.size.toLong, chunks.sum))
+  }
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+  // word soup long enough to cross several 24-stride chunk windows,
+  // with repeated terms (tf > 1) and a null-text row
+  private val fixture: Seq[(Long, String)] =
+    (0L until 20L).map { i =>
+      val words = (0 until (10 + (i * 7 % 60)).toInt).map { j =>
+        Seq("alpha", "beta", "gamma", "delta", s"w${(i + j) % 13}")(
+          ((i + j) % 5).toInt)
+      }
+      i -> words.mkString(" ")
+    } :+ (20L -> null.asInstanceOf[String])
+
+  test("stored postings/cpostings/stats recompute from raw text driver-side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-post").toString
+    writeDocs(dir, fixture)
+    val ps = PostingsIndex.forDir(spark, dir)
+    val (dp, cp, st, cst) = truth(fixture)
+    val gotDp = ps.load("postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(gotDp === dp)
+    val gotCp = ps.load("cpostings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(gotCp === cp)
+    val gotSt = ps.load("stats").head
+    assert((gotSt.getLong(0), gotSt.getLong(1), gotSt.getLong(2)) === st)
+    val gotCst = ps.load("cstats").head
+    assert((gotCst.getLong(0), gotCst.getLong(1)) === cst)
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("BM25 probes scan only the index: no documents scan, pushed term filter") {
+    val d = TestSpark.sf
+    PostingsIndex.forDir(spark, d) // build outside the probe plan
+    val doc = TextQueries.bm25ScoredFor(spark, d, Seq("hash", "join"))
+    doc.collect()
+    val pd = doc.queryExecution.executedPlan.toString
+    assert(!pd.contains("documents.parquet"),
+      s"doc-level serving probe still scans the corpus:\n$pd")
+    assert(pd.contains("PushedFilters") && pd.contains("token"),
+      s"term filter not pushed into the postings scan:\n$pd")
+    val ch = CurationQueries.chunkBm25For(spark, d, Seq("hash", "join"))
+    ch.collect()
+    val pc = ch.queryExecution.executedPlan.toString
+    assert(!pc.contains("documents.parquet"),
+      s"chunk-level serving probe still scans the corpus:\n$pc")
+    assert(pc.contains("PushedFilters") && pc.contains("token"),
+      s"term filter not pushed into the cpostings scan:\n$pc")
+  }
+
+  test("ingest: append-only batch folds in O(batch) and equals a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ping").toString
+    val base = fixture.take(15)
+    val delta = fixture.drop(15)
+    writeDocs(dir, base)
+    val ps0 = PostingsIndex.forDir(spark, dir)
+    delta.toDF("doc_id", "text").write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    val ps1 = PostingsIndex.ingest(spark, dir,
+      delta.toDF("doc_id", "text"))
+    assert(ps1 eq ps0, "append-only ingest must not rebuild")
+    // grown index == full-corpus truth, stats folded exactly
+    val (dp, cp, st, cst) = truth(fixture)
+    assert(ps1.load("postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet === dp)
+    assert(ps1.load("cpostings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet === cp)
+    val s1 = ps1.load("stats").head
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2)) === st)
+    val c1 = ps1.load("cstats").head
+    assert((c1.getLong(0), c1.getLong(1)) === cst)
+    // and forDir serves the grown entry without rebuilding
+    assert(PostingsIndex.forDir(spark, dir) eq ps0)
+    // foreign append (corpus grew by more than the handed delta):
+    // the covered-rows check forces a rebuild, never a partial index
+    val extra = Seq((21L, "alpha beta"), (22L, "gamma delta"))
+    val handed = Seq((21L, "alpha beta"))
+    extra.toDF("doc_id", "text").write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    val ps2 = PostingsIndex.ingest(spark, dir, handed.toDF("doc_id", "text"))
+    assert(!(ps2 eq ps1), "foreign append must rebuild")
+    assert(ps2.load("stats").head.getLong(2) === fixture.size + 2L)
+    // in-place rewrite with the SAME row count (an upsert): the
+    // listing check detects it and rebuilds — a zero-row delta keeps
+    // counts equal, content must still win
+    writeDocs(dir, fixture ++ extra)
+    val ps3 = PostingsIndex.ingest(spark, dir,
+      handed.toDF("doc_id", "text").limit(0))
+    assert(!(ps3 eq ps2), "same-count in-place rewrite must rebuild")
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("empty and null-text batches fold as zeros, not nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pnul").toString
+    writeDocs(dir, fixture.take(5))
+    val ps0 = PostingsIndex.forDir(spark, dir)
+    val st0 = ps0.load("stats").head
+    val nullBatch = Seq((30L, null.asInstanceOf[String]))
+    nullBatch.toDF("doc_id", "text").write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    val ps1 = PostingsIndex.ingest(spark, dir,
+      nullBatch.toDF("doc_id", "text"))
+    assert(ps1 eq ps0)
+    val st1 = ps1.load("stats").head
+    assert(st1.getLong(0) === st0.getLong(0)) // token total unchanged
+    assert(st1.getLong(1) === st0.getLong(1)) // doc count unchanged
+    assert(st1.getLong(2) === st0.getLong(2) + 1) // rows grew
+    graft.tables.TempDirs.delete(dir)
+  }
+}

@@ -88,13 +88,16 @@ class SkewWindowSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"))
   }
 
-  test("x94: df attach is a broadcast join back, no window, one tf derivation") {
+  test("x94: df attach is a broadcast join back, no window, stored-postings probe") {
     val df = SparkEntry.queries("x94_bm25")(spark, TestSpark.sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"x94 still plans the df window:\n$p")
-    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
-      s"tf referenced twice without exchange reuse:\n$p")
+    // r17: tf comes from the stored postings index — a filtered
+    // index-table scan (referenced twice, both bare scans), never a
+    // corpus tokenize pass; the no-documents-scan pin itself lives in
+    // PostingsSpec next to the index
+    assert(p.contains("postings"), s"x94 lost its stored-postings probe:\n$p")
   }
 
   test("SpanDedup hot attach partition is AQE-skew-splittable — the bound windows cannot give") {
