@@ -365,7 +365,11 @@ final class RestService(spark: SparkSession, store: TableStore,
   //   GET /search?q=<terms>&k=N&unit=chunk  chunk-granular BM25 (x133)
   //   GET /search?like=<vec_id>&k=N         dense more-like-this (x20's
   //                                         stored-IVF probe; 404 on an
-  //                                         unknown vec_id)
+  //                                         unknown vec_id). &nprobe=N
+  //                                         overrides the probe width
+  //                                         (clamped to the cell count);
+  //                                         default = the retuneIvf
+  //                                         policy's measured-recall pick
   //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
   //                                         arms (x128's combiner)
   private def routeSearch(ex: HttpExchange): Unit =
@@ -385,16 +389,27 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "q").exists(
               _.split("\\s+").forall(_.isEmpty)) =>
             reply(ex, 400, "missing or empty q parameter")
+          // a malformed width is a client error, like a malformed
+          // like= — never a silent fall-through to the default
+          case Some(_) if qparam(ex, "nprobe").exists(
+              _.toIntOption.forall(_ < 1)) =>
+            reply(ex, 400, "nprobe must be a positive integer")
           case Some(vid) =>
             val k = qparam(ex, "k").flatMap(_.toIntOption)
               .getOrElse(10).min(100).max(1)
+            // probe-width override (r16 verdict ask #2): bounded like
+            // k; absent = the measured-recall serving policy
+            // (VectorQueries.servingProbeWidth — retuneIvf sets it
+            // from the x142 curve); ivfKnn clamps to the cell count
+            val nprobe = qparam(ex, "nprobe").flatMap(_.toIntOption)
+              .getOrElse(-1).min(1024)
             val terms = qparam(ex, "q").toSeq
               .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
             try {
               if (terms.isEmpty) {
                 // dense-only more-like-this
                 val rows = graft.operators.VectorQueries
-                  .ivfKnn(spark, dir, vid)
+                  .ivfKnn(spark, dir, vid, nprobe)
                   .orderBy(col("cos").desc, col("vec_id"))
                   .limit(k).collect()
                   .map(r => Json.obj("vec_id" -> r.getLong(0),
@@ -411,7 +426,8 @@ final class RestService(spark: SparkSession, store: TableStore,
                 val rows = graft.operators.CurationQueries.rrfFused(
                     graft.operators.TextQueries
                       .bm25ScoredFor(spark, dir, terms),
-                    graft.operators.VectorQueries.ivfKnn(spark, dir, vid)
+                    graft.operators.VectorQueries
+                      .ivfKnn(spark, dir, vid, nprobe)
                       .select(col("vec_id").as("doc_id"), col("cos")))
                   .limit(k).collect()
                   .map(r => Json.obj("doc_id" -> r.getLong(0),

@@ -43,6 +43,13 @@ object VectorIndex {
   val Dim = 64
   val Scale = 65536 // 2^16: x·Scale is exact in double
 
+  /** Hive-partition fanout of the `fwd` forward (vec_id → embedding)
+    * lookup table: a point fetch prunes to 1/FwdBuckets of the corpus
+    * at PLANNING time, then parquet row-group min/max stats on the
+    * within-partition vec_id sort skip everything but the one group
+    * holding the id. */
+  val FwdBuckets = 64
+
   /** IVF build knobs. The defaults are ORACLE-PINNED (x20Sql replays
     * exactly this build relationally), so x20 hash-matches DuckDB;
     * production tunes them per corpus — cells ∝ √n is the usual IVF
@@ -79,6 +86,21 @@ object VectorIndex {
     def probeCells(qd: Array[Double], nProbe: Int): Seq[Long] =
       centroids.map { case (c, m) => (l2(qd, m), c) }
         .sorted.take(nProbe).map(_._2).toSeq
+
+    /** Point-fetch a corpus vector's embedding from the stored `fwd`
+      * forward table: the bkt literal partition-prunes to one of the
+      * [[FwdBuckets]] directories at planning, the vec_id predicate
+      * row-group-skips inside it (the table is vec_id-sorted within
+      * partitions) — a bounded lookup at any corpus size, never a
+      * corpus scan (r16 ADVICE: the serving endpoint used to fetch
+      * the query row with a full embeddings.parquet filter-scan per
+      * request). */
+    def lookup(vecId: Long): Option[Seq[Float]] =
+      store.load("fwd")
+        .filter(col("bkt") === (vecId % FwdBuckets).toInt &&
+          col("vec_id") === vecId)
+        .select(col("embedding")).collect()
+        .headOption.map(_.getSeq[Float](0))
   }
 
   // One index per (corpus dir, corpus version) per JVM: Verify/Bench
@@ -159,10 +181,31 @@ object VectorIndex {
               col("cell").cast("int").as("cell"))
           prev.index.store.append("ivf_corpus",
             assigned.repartition(col("cell")))
+          prev.index.store.append("fwd",
+            fwdRows(rows.select(col("vec_id"), col("embedding"))))
           StoredIndexes.Cached(fp, prev.root, prev.index, listing,
             covered + deltaN)
         }
       }
+    }).index
+
+  /** Force a fresh default-params build for the CURRENT corpus
+    * version — the retune policy's rebuild arm
+    * ([[VectorQueries.retuneIvf]]): unconditionally re-trains
+    * centroids and replaces the cache entry even when the corpus
+    * fingerprint is unchanged, because the entry may be an
+    * ingest-maintained index whose FROZEN centroids have drifted from
+    * the grown corpus — exactly the state `forDir`'s fingerprint hit
+    * would keep serving. Same build-first/retire-after discipline as
+    * the cache rebuild path. */
+  def rebuild(spark: SparkSession, dir: String): Ivf =
+    cache.compute(ivfKey(dir, IvfParams()), (_, prev) => {
+      val listing = StoredIndexes.dataListing(dir, "embeddings.parquet")
+      val fp = StoredIndexes.fingerprint(dir, "embeddings.parquet")
+      val e = StoredIndexes.rebuildEntry(fp, "graft-ivf-index", listing)(
+        root => build(spark, dir, root, IvfParams()))
+      if (prev != null) StoredIndexes.retireRoot(prev.root)
+      e
     }).index
 
   private val srpCache = new java.util.concurrent.ConcurrentHashMap[
@@ -333,6 +376,17 @@ object VectorIndex {
     import spark.implicits._
     store.replace("ivf_centroids",
       cents.map { case (c, m) => (c, m.toSeq) }.toSeq.toDF("cell", "m"))
+    store.replace("fwd", fwdRows(base), partitionBy = Seq("bkt"))
     Ivf(cents, store)
   }
+
+  /** The `fwd` forward-lookup rows of ANY (vec_id, embedding) frame:
+    * bucket-partitioned, vec_id-sorted within partitions so a point
+    * fetch is partition-pruned + row-group-skipped ([[Ivf.lookup]]).
+    * Shared by the build and the ingest append (appended segments
+    * keep the same layout, so lookups stay bounded after growth). */
+  private def fwdRows(rows: DataFrame): DataFrame =
+    rows.select(pmod(col("vec_id"), lit(FwdBuckets)).cast("int").as("bkt"),
+        col("vec_id"), col("embedding"))
+      .repartition(col("bkt")).sortWithinPartitions("vec_id")
 }

@@ -168,13 +168,21 @@ object VectorQueries {
   private val RecallQHi = 108
 
   /** The x137/x138 query-vector slice, collected once per call —
-    * 8 bounded driver rows (the x41 rate-table contract). */
+    * 8 bounded driver rows (the x41 rate-table contract). FAILS
+    * LOUDLY on a corpus too small to carry the slice (r16 ADVICE: an
+    * empty query frame would make every recall audit emit zero rows,
+    * which an operator can misread as a passing audit rather than
+    * "not measurable"). */
   private def recallQueries(s: SparkSession, d: String)
-      : Array[(Long, Seq[Float])] =
-    emb(s, d)
+      : Array[(Long, Seq[Float])] = {
+    val q = emb(s, d)
       .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(q.nonEmpty, s"recall audit not measurable: corpus at $d " +
+      s"has no vectors in the query slice [$RecallQLo, $RecallQHi)")
+    q
+  }
 
   /** Per-qid top-10 by (6-rounded cos DESC, vec_id) — WindowGroupLimit
     * map-local top-k, never a corpus-sized per-key buffer. */
@@ -254,36 +262,133 @@ object VectorQueries {
     recallVsExact(s, d, q, sr)
   }
 
-  /** (vec_id, cos): exact-cosine re-rank inside the NProbe nearest
+  // ------------------------------------------------ IVF serving policy
+  // Per-corpus-dir serving probe width, default NProbe until a
+  // [[retuneIvf]] run picks one from the MEASURED recall curve — the
+  // r16 verdict's ask #2: x137 measured recall@10 at the fixed
+  // serving width and nothing consumed the number. The declared x20
+  // stays pinned at the oracle-replayed NProbe; the SERVING endpoint
+  // reads this policy.
+  private val servingWidth =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The probe width `/search?like=` serves `dir` at (policy-set by
+    * [[retuneIvf]], NProbe until then). */
+  private[graft] def servingProbeWidth(d: String): Int =
+    Option(servingWidth.get(d)).map(_.toInt).getOrElse(NProbe)
+
+  /** (vec_id, cos): exact-cosine re-rank inside the `nProbe` nearest
     * stored IVF cells for corpus vector `queryId` — x20's probe shape
     * parameterized for the more-like-this retrieval surface
-    * (`GET /search?like=<vec_id>`). One driver-side query-vector row,
-    * centroid ranking against the in-memory routing table, then a
-    * scan of ONLY the probed cell PARTITIONS (PartitionFilters prune
-    * the rest) with one cosine per candidate — O(probed cells), not
-    * O(corpus), at any index size. Throws NoSuchElementException for
-    * an absent queryId (the endpoint maps it to 404). */
+    * (`GET /search?like=<vec_id>[&nprobe=N]`). The query vector is a
+    * point fetch from the stored `fwd` forward table
+    * ([[VectorIndex.Ivf.lookup]] — partition-pruned +
+    * row-group-skipped, r16 ADVICE closed: the previous
+    * emb()-filter fetch was a full embeddings scan per request), then
+    * centroid ranking against the in-memory routing table and a scan
+    * of ONLY the probed cell PARTITIONS (PartitionFilters prune the
+    * rest) with one cosine per candidate — O(probed cells) at any
+    * index size. `nProbe` ≤ 0 means "the serving policy's width"
+    * ([[servingProbeWidth]]). Throws NoSuchElementException for an
+    * absent queryId (the endpoint maps it to 404). */
   private[graft] def ivfKnn(s: SparkSession, d: String,
-      queryId: Long): DataFrame = {
+      queryId: Long, nProbe: Int = -1): DataFrame = {
     val idx = VectorIndex.forDir(s, d)
-    // the query vector: one driver-side row (embedding for the
-    // exact re-rank, fixed-point projection for probe ranking)
-    val qRows = emb(s, d).filter(col("vec_id") === queryId)
-      .select(col("embedding")).collect()
-    if (qRows.isEmpty)
-      throw new NoSuchElementException(s"no such vector: $queryId")
-    val qe = qRows.head.getSeq[Float](0)
-    val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), NProbe)
-    // the query frame comes from the row ALREADY collected — a second
-    // emb() filter-scan per request would double the serving path's
-    // corpus reads (review-caught when x20's once-per-bench body
-    // became the /search?like= hot path)
+    val qe = idx.lookup(queryId).getOrElse(
+      throw new NoSuchElementException(s"no such vector: $queryId"))
+    val w = (if (nProbe > 0) nProbe else servingProbeWidth(d))
+      .min(idx.centroids.length)
+    val probeCells = idx.probeCells(VectorIndex.fixedPoint(qe), w)
     import s.implicits._
     val q = Seq(Tuple1(qe)).toDF("qe")
     idx.corpus.filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
+
+  /** (nprobe, n_hits, avg_recall): the measured recall@10 CURVE of
+    * the stored IVF index over probe widths 1..`maxW` — x142's engine
+    * body and [[retuneIvf]]'s decision input. One exact arm (the x137
+    * corpus scan with 8 broadcast cosines + WindowGroupLimit) and ONE
+    * candidate pass shared by every width: each candidate carries its
+    * cell's per-query probe RANK (driver-ranked, ≤ Cells×8 broadcast
+    * rows), a width qualifies the candidate iff rank ≤ w, top-10 per
+    * (width, qid) via the same map-local window. avg_recall derives
+    * from the exact-integer hit sum with ONE double division
+    * (Σhits/(10·nq)), so both engines round identically. Cost is
+    * bounded by maxW × the single x137 audit — a batch-boundary
+    * audit, never a per-request path. */
+  private[graft] def recallCurve(s: SparkSession, d: String,
+      maxW: Int = Cells): DataFrame = {
+    import s.implicits._
+    val idx = VectorIndex.forDir(s, d)
+    val qRows = recallQueries(s, d)
+    val cranks = qRows.flatMap { case (qid, e) =>
+      val qd = VectorIndex.fixedPoint(e)
+      idx.centroids.map { case (c, m) => (VectorIndex.l2(qd, m), c) }
+        .sorted.zipWithIndex.map { case ((_, c), i) => (qid, c, i + 1) }
+    }.toSeq.toDF("qid", "cell", "crank")
+    val q = qRows.toSeq.toDF("qid", "qe")
+    val widths = (1 to maxW).map(Tuple1(_)).toDF("w")
+    val iv = idx.corpus
+      .join(broadcast(cranks), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("crank"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .join(broadcast(widths), col("crank") <= col("w"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("w", "qid").orderBy(col("cos").desc, col("vec_id"))
+    val ivTop = iv.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 10)
+      .select(col("w"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+          .as("cos")))
+    ex.crossJoin(broadcast(widths))
+      .join(ivTop, Seq("w", "qid", "vec_id"), "left")
+      .groupBy("w")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+        count(lit(1)).as("n"))
+      .select(col("w").cast("bigint").as("nprobe"), col("n_hits"),
+        round(col("n_hits") / col("n").cast("double"), 4)
+          .as("avg_recall"))
+      .orderBy("nprobe")
+  }
+
+  /** Audit-driven IVF retune — the refreshTopics doctrine applied to
+    * the recall audit (r16 verdict ask #2): an explicit
+    * batch-boundary op an operator (or the ingest pipeline) runs
+    * after incremental ingests, because [[VectorIndex.ingest]]
+    * deliberately FREEZES centroids (drift is tolerated until someone
+    * decides otherwise) and x137's measured recall is the number that
+    * says when. Re-measures the recall curve on the CURRENT index and
+    * picks the smallest probe width whose mean recall@10 ≥ `floor`;
+    * if no width ≤ `maxProbe` reaches the floor (drifted centroids
+    * forcing the probe budget past its latency envelope), REBUILDS
+    * the index — re-training centroids on the grown corpus
+    * ([[VectorIndex.rebuild]]) — and re-picks from the fresh curve
+    * (clamped to maxProbe if even the fresh index misses the floor
+    * inside the budget: serve the best width the budget buys, the
+    * honest fallback). The chosen width becomes the serving default
+    * ([[servingProbeWidth]]) for `d`. Not atomic against a
+    * concurrently-triggering ingest — slot it between triggers, like
+    * refreshTopics. Returns (width, rebuilt?). */
+  private[graft] def retuneIvf(s: SparkSession, d: String,
+      floor: Double = 0.9, maxProbe: Int = Cells): (Int, Boolean) = {
+    def pick(): Option[Int] = recallCurve(s, d, maxProbe).collect()
+      .collectFirst {
+        case r if r.getDouble(2) >= floor => r.getLong(0).toInt
+      }
+    val (w, rebuilt) = pick() match {
+      case Some(w0) => (w0, false)
+      case None =>
+        VectorIndex.rebuild(s, d)
+        (pick().getOrElse(maxProbe), true)
+    }
+    servingWidth.put(d, w)
+    (w, rebuilt)
   }
   private val Dim = VectorIndex.Dim
   private val Scale = VectorIndex.Scale
@@ -439,8 +544,11 @@ object VectorQueries {
     // oracle replays the identical deterministic build + probe
     // relationally (x20Sql), so results hash-match end to end.
     Query("x20_ann_ivf", x20Sql) {
+      // width pinned to the oracle-replayed NProbe explicitly: the
+      // declared query must stay hash-stable regardless of what the
+      // retune policy has set the SERVING width to
       (s, d) =>
-        ivfKnn(s, d, 0L)
+        ivfKnn(s, d, 0L, NProbe)
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
     },
@@ -484,6 +592,46 @@ object VectorQueries {
         "GROUP BY ex.qid ORDER BY ex.qid"
     }) {
       (s, d) => annRecall(s, d, NProbe)
+    },
+
+    // The recall CURVE x137 is one point of — recall@10 at EVERY probe
+    // width 1..Cells, the measured trade-off an operator prices
+    // latency against and the exact frame retuneIvf picks the serving
+    // width from (r16 verdict ask #2: the audit existed, nothing
+    // consumed it; now the /search serving default is policy-derived
+    // from THIS curve). One shared exact arm and one shared candidate
+    // pass for all widths (each candidate carries its cell's per-query
+    // probe rank; width membership is rank ≤ w), so the audit costs
+    // ≤ Cells× the single-width x137, at batch boundaries only.
+    // avg_recall is an exact-integer hit sum with one double division
+    // — bit-stable across engines.
+    Query("x142_ivf_recall_curve", {
+      s"WITH $ivfBuildSql, " +
+        "q AS (SELECT vec_id AS qid, pd AS qd, embedding AS qe " +
+        s"FROM base WHERE vec_id >= $RecallQLo AND vec_id < $RecallQHi), " +
+        s"ws AS (SELECT unnest(range(1, $Cells + 1)) AS w), " +
+        "crank AS (SELECT qid, cell, rn FROM (SELECT q.qid, c.cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+        s"${Sql.l2sq("q.qd", "c.m")}, c.cell) AS rn FROM c2 c, q)), " +
+        "iv AS (SELECT w, qid, vec_id FROM (SELECT ws.w, cr.qid, " +
+        "f.vec_id, ROW_NUMBER() OVER (PARTITION BY ws.w, cr.qid " +
+        s"ORDER BY round(${Sql.cosine("f.embedding", "q.qe")}, 6) DESC, " +
+        "f.vec_id) AS rn FROM af f JOIN crank cr ON f.cell = cr.cell " +
+        "JOIN ws ON cr.rn <= ws.w JOIN q ON q.qid = cr.qid) " +
+        "WHERE rn <= 10), " +
+        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+        s"round(${Sql.cosine("b.embedding", "q.qe")}, 6) DESC, b.vec_id) " +
+        "AS rn FROM base b, q) WHERE rn <= 10), " +
+        "exw AS (SELECT ws.w, ex.qid, ex.vec_id FROM ex, ws) " +
+        "SELECT CAST(exw.w AS BIGINT) AS nprobe, " +
+        "CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits, " +
+        "round(COUNT(iv.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) " +
+        "AS avg_recall FROM exw LEFT JOIN iv ON iv.w = exw.w " +
+        "AND iv.qid = exw.qid AND iv.vec_id = exw.vec_id " +
+        "GROUP BY exw.w ORDER BY nprobe"
+    }) {
+      (s, d) => recallCurve(s, d)
     },
 
     // x137's sibling for the OTHER ANN path: recall@10 of the SRP-LSH

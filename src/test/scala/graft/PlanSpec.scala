@@ -118,7 +118,9 @@ class PlanSpec extends AnyFunSuite {
       "x128_hybrid_retrieval", // x94's 1-row stats broadcast in the lexical arm
       "x133_chunk_bm25", // 1-row chunk-stats (nch, avgdl) broadcast
       "x137_ann_recall", // 8-row query-vector broadcast in the exact arm
-      "x138_srp_recall") // same 8-row bounded query-vector broadcast
+      "x138_srp_recall", // same 8-row bounded query-vector broadcast
+      "x142_ivf_recall_curve") // same 8-row query broadcast + the ≤Cells-row
+                               // widths broadcast (rank ≤ w is a range join)
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>

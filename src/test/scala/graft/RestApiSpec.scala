@@ -459,6 +459,47 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?q=&like=0")._1 === 400)
   }
 
+  test("GET /search?like=&nprobe= overrides the probe width; full probe is exact") {
+    // nprobe = Cells probes every cell, so the endpoint result IS
+    // brute-force top-k — recomputed here driver-side from the raw
+    // parquet, independent of every engine expression
+    val (c, t) = http("GET", "/search?like=7&k=10&nprobe=8")
+    assert(c === 200)
+    val got = jsonRows(t).map(m => (m("vec_id").toLong, m("cos").toDouble))
+    val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = embs.find(_._1 == 7L).get._2
+    val exact = embs.map { case (id, v) => (id, cos6(v, q)) }
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
+    assert(got === exact, "full-probe endpoint != driver-side exact top-10")
+    // a narrow width is honored: endpoint == the engine's ivfKnn at
+    // the same width (one probe definition), and its candidate pool
+    // is the single probed cell's
+    val (c1, t1) = http("GET", "/search?like=7&k=10&nprobe=1")
+    assert(c1 === 200)
+    val got1 = jsonRows(t1).map(m => (m("vec_id").toLong, m("cos").toDouble))
+    val eng1 = graft.operators.VectorQueries.ivfKnn(spark, TestSpark.sf, 7L, 1)
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got1 === eng1, "one probe definition: endpoint == ivfKnn(w=1)")
+    // malformed / non-positive widths are client errors, not silent
+    // fall-throughs to the serving default
+    assert(http("GET", "/search?like=7&nprobe=nope")._1 === 400)
+    assert(http("GET", "/search?like=7&nprobe=0")._1 === 400)
+    assert(http("GET", "/search?like=7&nprobe=-3")._1 === 400)
+  }
+
   test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
     // independent fusion recompute: fetch each arm's top-20 from the
     // already-verified single-arm endpoints, fuse driver-side with
