@@ -230,4 +230,55 @@ class DedupHotPathSpec extends AnyFunSuite {
     assert(quotient === brute, "quotient path diverged from brute force")
     assert(banded === brute, "banded path diverged from brute force")
   }
+
+  test("x140 miss branch: a true near-dup the 4×2 banding never candidates") {
+    // r16 verdict ask #3: the sf corpora's near-dups are s≈1, so x140
+    // had only ever MEASURED band recall 1.0 — the audit's headline
+    // statistic had never been observed ≠ 1. This fixture constructs
+    // the miss: two pairs, each Jaccard = 45/51 ≈ 0.882 (A/B = 50
+    // unique tokens vs the same 47 + a fresh 3-token tail → 45 shared
+    // of 48+48 shingles), one of which (seed "m280", found by offline
+    // search over the real md5 band space: P[all 4 bands miss at
+    // s=0.882] = (1−s²)⁴ ≈ 0.2%, the 1−(1−sʳ)ᵇ curve the query cites)
+    // collides on NO band while the other (seed "m0") shares 3. The
+    // audit must report the miss — recall 0.5 — with precision still
+    // structurally 1.0.
+    import spark.implicits._
+    def pair(seed: String, ids: (Long, Long)): Seq[(Long, String)] = {
+      val a = (0 until 50).map(i => s"${seed}w$i")
+      val b = a.take(47) ++ Seq(s"${seed}x", s"${seed}y", s"${seed}z")
+      Seq(ids._1 -> a.mkString(" "), ids._2 -> b.mkString(" "))
+    }
+    val docs = pair("m280", (0L, 1L)) ++ pair("m0", (2L, 3L))
+    // the fixture is SELF-VERIFYING, not a magic constant: recompute
+    // the 8 md5-chunk-min signatures and 4 band strings driver-side
+    // (bandCandSql's formula) and pin which pair collides where
+    def bandsOf(text: String): Seq[String] = {
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ts = text.split(" ", -1)
+      val sh = (0 until ts.length - 2)
+        .map(i => ts.slice(i, i + 3).mkString(" ")).distinct
+      val sigs = (0 until 8).map { k =>
+        if (k < 4) sh.map(g => md5hex(g).substring(8 * k, 8 * k + 8)).min
+        else sh.map(g =>
+          md5hex("~" + g).substring(8 * (k - 4), 8 * (k - 4) + 8)).min
+      }
+      (0 until 4).map(i => s"$i|${sigs(2 * i)}${sigs(2 * i + 1)}")
+    }
+    val m = docs.toMap
+    assert(bandsOf(m(0L)).zip(bandsOf(m(1L))).count(p => p._1 == p._2) === 0,
+      "the planted pair must share NO band (the LSH miss)")
+    assert(bandsOf(m(2L)).zip(bandsOf(m(3L))).count(p => p._1 == p._2) > 0,
+      "the control pair must share a band (the LSH hit)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x140m").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // hand-computed confusion row: 2 true pairs, 1 candidated+verified
+    val row = SparkEntry.queries("x140_minhash_audit")(spark, dir).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3), row.getDouble(4)) === ((2L, 1L, 1L, 1.0, 0.5)),
+      s"confusion row: $row")
+    graft.tables.TempDirs.delete(dir)
+  }
 }
