@@ -74,8 +74,21 @@ object PackingQueries {
     * declared query hash-pins. Token range is [start_tok, end_tok),
     * 0-based. */
   private[operators] def manifestOf(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val t = table(s, d, "documents")
+      d: String): org.apache.spark.sql.DataFrame =
+    manifestOfDocs(table(s, d, "documents"))
+
+  /** [[manifestOf]] over ANY (doc_id, lang, text) frame, with an
+    * optional per-lang BASE token offset frame (lang, base) — the
+    * seam the incremental shard maintainer rides: a batch of docs
+    * appended to an already-packed shard manifests exactly as the
+    * full corpus would place it when its offsets start where the
+    * stored stream ended (packing is a per-lang greedy concat in
+    * doc_id order, so higher-id docs never move earlier windows). */
+  private[operators] def manifestOfDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      baseOff: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val t0 = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(TextFns.tokens(col("text"))).cast("long").as("n"))
@@ -84,8 +97,16 @@ object PackingQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     // offsets are exact longs ≪ 2^52, so the floor-of-double
     // divisions below are exact integer division on both engines
-    t.withColumn("off", coalesce(sum(col("n")).over(shard), lit(0L)))
-      .withColumn("window_id", explode(sequence(
+    val t1 = t0.withColumn("off",
+      coalesce(sum(col("n")).over(shard), lit(0L)))
+    val t = baseOff match {
+      case None => t1
+      case Some(b) =>
+        t1.join(broadcast(b), Seq("lang"), "left")
+          .withColumn("off", col("off") + coalesce(col("base"), lit(0L)))
+          .drop("base")
+    }
+    t.withColumn("window_id", explode(sequence(
         floor(col("off") / W).cast("long"),
         floor((col("off") + col("n") - 1) / W).cast("long"))))
       .select(col("lang"), col("window_id"), col("doc_id"),
@@ -94,6 +115,7 @@ object PackingQueries {
         least(col("n"), (col("window_id") + 1) * W - col("off"))
           .as("end_tok"))
   }
+
 
   val all: Seq[Query] = Seq(
     Query("x100_seq_packing",

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
  * matching x100's shard-local packing contract) is its own directory
  * of files, which is exactly the per-shard file layout a loader
  * schedule addresses. Every window carries its md5 content key so
- * shard integrity is checkable without re-reading the corpus.
+ * shard integrity is checkable without re-reading the corpus. The
+ * ingest flow keeps a TableStore-resident twin current PER BATCH via
+ * [[maintain]] (r17 — see the store-maintenance section below).
  *
  * Shape: ONE manifest-driven join. The manifest is recomputed from
  * [[PackingQueries.manifestOf]] (the SAME definition x100 hash-pins —
@@ -61,15 +63,29 @@ object ShardExport {
 
   /** The materialized windows (lang, window_id, n_tok, tokens, w_md5)
     * — the BUILD plan; probes read the stored table. */
-  private[operators] def windowRows(s: SparkSession, d: String): DataFrame = {
-    val docs = table(s, d, "documents")
+  private[operators] def windowRows(s: SparkSession, d: String): DataFrame =
+    windowRowsOf(table(s, d, "documents"))
+
+  /** [[windowRows]] over ANY (doc_id, lang, text) frame — the full
+    * rebuild the store maintainer shares with the dir build. */
+  private[graft] def windowRowsOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-    val seg = PackingQueries.manifestOf(s, d)
+    val seg = PackingQueries.manifestOfDocs(docsIn)
       .join(docs, Seq("doc_id"))
       .select(col("lang"), col("window_id"), col("doc_id"),
         slice(col("ts"), col("start_tok") + 1,
           (col("end_tok") - col("start_tok")).cast("int")).as("sg"))
+    windowAgg(seg)
+  }
+
+  /** The (lang, window_id) window assembly over a span-segment frame
+    * (lang, window_id, doc_id, sg) — doc_id-ordered concat, token
+    * count, md5 content key. ONE definition for the full rebuild and
+    * the incremental tail extension (the tail's stored tokens enter
+    * as a doc_id = −1 segment, sorting ahead of every real doc). */
+  private def windowAgg(seg: DataFrame): DataFrame =
     seg.groupBy("lang", "window_id")
       .agg(flatten(transform(sort_array(collect_list(
         struct(col("doc_id"), col("sg")))),
@@ -78,5 +94,157 @@ object ShardExport {
         size(col("tokens")).cast("long").as("n_tok"),
         col("tokens"),
         md5(concat_ws(" ", col("tokens"))).as("w_md5"))
+
+  // ------------------------------------------------- store maintenance
+  // The S19 handoff's missing half (r16 verdict ask #4): x136 rebuilds
+  // all shards per corpus VERSION, but packed windows are
+  // append-stable by construction (x100/x117: packing is a per-lang
+  // greedy concat in doc_id order, so new higher-id docs never move
+  // packed windows) — per-batch maintenance is therefore
+  //   append every newly-complete window + rewrite only each
+  //   lang-shard's trailing PARTIAL window,
+  // O(batch) compute: the batch manifests against per-lang base
+  // offsets carried in a ≤|langs|-row state table (no stored-side
+  // scan), the only stored rows read back are the ≤|langs| partial
+  // tails, and the only rewritten rows are those same tails
+  // (TableStore.upsert is a snapshot rewrite in this store — the
+  // documented production swap is a key-pruned Delta/Iceberg MERGE;
+  // the newly-complete windows ride a pure appendUnique either way).
+  //
+  // Checked contract (the VectorIndex/PostingsIndex class, adapted to
+  // a replaying stream): `shard_cover` tracks how many CORPUS ROWS the
+  // shards absorb; a batch's docs split per-lang into FRESH
+  // (doc_id > the lang's absorbed max — never seen) and STALE
+  // (≤ max — crash-window replays). Absorbed rows + fresh rows must
+  // equal the corpus row count, else FULL REBUILD: an out-of-order
+  // new doc (belongs mid-stream — incremental append would misplace
+  // it), a foreign append, or a GDPR purge (rows shrank) all land
+  // here and rebuild instead of silently corrupting shards. A pure
+  // replay has zero fresh rows and is a NO-OP (the spec pins it).
+  // Crash windows inside maintain self-heal: shards write first,
+  // state after — a replay re-derives the same windows from the OLD
+  // state and the upsert/appendUnique keys make the rewrite
+  // idempotent; a crash between state and cover fails the next
+  // cover check into a rebuild (safe, never wrong).
+
+  private val W = PackingQueries.WindowW
+
+  /** Incrementally absorb `batch` (doc_id, lang, text — the rows the
+    * ingest flow just appended to the store's `documents` corpus)
+    * into the stored `shards` table. Contract and fallback above;
+    * first contact (or any contract violation) builds from the full
+    * corpus. `lang` must be non-null — it IS the shard key (the
+    * x100/x136 contract; at real scale it widens to (lang,
+    * file-group), still never null). All batch-sized work is
+    * distributed; the only driver-side rows are the ≤|langs| state
+    * and tail keys. */
+  /** Full rebuild of the store-resident shard tables from the CURRENT
+    * `documents` corpus — maintain's contract-violation fallback, and
+    * the GDPR purge path: window token arrays are not doc-keyed, so a
+    * row prune cannot erase a purged document's tokens; re-packing
+    * the remaining corpus is the erasure. */
+  private[graft] def rebuildStore(spark: SparkSession,
+      store: TableStore): Unit = {
+    import spark.implicits._
+    val corpus = store.load("documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    store.replace("shards", windowRowsOf(corpus)
+      .repartition(col("lang")), partitionBy = Seq("lang"))
+    // max_doc_id covers EVERY corpus row (null-text docs too), else
+    // their replay misclassifies as fresh and fails the cover check
+    store.replace("shard_state", corpus
+      .select(col("doc_id"), col("lang"),
+        when(col("text").isNotNull,
+          size(TextFns.tokens(col("text"))).cast("long"))
+          .otherwise(lit(0L)).as("n"))
+      .groupBy("lang")
+      .agg(max(col("doc_id")).as("max_doc_id"),
+        sum(col("n")).as("total_toks")))
+    store.replace("shard_cover",
+      Seq(store.load("documents").count()).toDF("n_rows"))
+  }
+
+  def maintain(spark: SparkSession, store: TableStore,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    require(batch.filter(col("lang").isNull).limit(1).isEmpty,
+      "shard maintenance requires a non-null lang (the shard key)")
+    def fullRebuild(): Unit = rebuildStore(spark, store)
+    if (!store.exists("shards") || !store.exists("shard_state") ||
+        !store.exists("shard_cover")) { fullRebuild(); return }
+    val corpusRows = store.load("documents").count()
+    val cover = store.load("shard_cover").head.getLong(0)
+    // bounded state read: one row per lang shard
+    val state = store.load("shard_state").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stateDf = state.toSeq.map { case (l, (mx, t)) => (l, mx, t) }
+      .toDF("lang", "max_doc_id", "base")
+    // fresh = never absorbed (beyond the lang's high-water mark);
+    // stale = crash-window replays, dropped here — the no-op
+    val fresh = batch.select(col("doc_id"), col("lang"), col("text"))
+      .join(broadcast(stateDf.select("lang", "max_doc_id")),
+        Seq("lang"), "left")
+      .filter(col("max_doc_id").isNull ||
+        col("doc_id") > col("max_doc_id"))
+      .drop("max_doc_id")
+      .persist()
+    try {
+      val freshN = fresh.count()
+      if (cover + freshN != corpusRows) { fullRebuild(); return }
+      if (freshN == 0) return // pure replay
+      // per-lang base offsets = where each stored stream ended
+      val man = PackingQueries.manifestOfDocs(fresh,
+        Some(stateDf.select("lang", "base")))
+      val toks = fresh.filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      val batchSeg = man.join(toks, Seq("doc_id"))
+        .select(col("lang"), col("window_id"), col("doc_id"),
+          slice(col("ts"), col("start_tok") + 1,
+            (col("end_tok") - col("start_tok")).cast("int")).as("sg"))
+      // the ≤|langs| partial tails re-enter as doc_id = −1 segments
+      // (sorting ahead of every real doc — the stream they prefix);
+      // only langs the batch actually extends — an untouched shard's
+      // tail must not be pointlessly rewritten
+      val batchLangs = fresh.select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      val tails: Seq[(String, Long)] = state.toSeq.collect {
+        case (l, (_, t)) if t % W != 0 && batchLangs(l) =>
+          (l, (t - 1) / W)
+      }
+      val tailsDf = tails.toDF("lang", "window_id")
+      val tailSeg = store.load("shards")
+        .join(broadcast(tailsDf), Seq("lang", "window_id"))
+        .select(col("lang"), col("window_id"), lit(-1L).as("doc_id"),
+          col("tokens").as("sg"))
+      val newRows = windowAgg(batchSeg.unionByName(tailSeg)).persist()
+      try {
+        // tail windows REWRITE (≤|langs| keys), complete windows
+        // APPEND; both keyed — idempotent across crash replays
+        val tailRows = newRows
+          .join(broadcast(tailsDf), Seq("lang", "window_id"), "left_semi")
+        val freshRows = newRows
+          .join(broadcast(tailsDf), Seq("lang", "window_id"), "left_anti")
+        if (!tailRows.isEmpty) // skip the snapshot rewrite entirely
+          store.upsert("shards", tailRows, Seq("lang", "window_id"))
+        store.appendUnique("shards", freshRows, Seq("lang", "window_id"))
+      } finally { newRows.unpersist(); () }
+      // state advances LAST (see the crash-window note above)
+      val freshStats = fresh
+        .select(col("doc_id"), col("lang"),
+          when(col("text").isNotNull,
+            size(TextFns.tokens(col("text"))).cast("long"))
+            .otherwise(lit(0L)).as("n"))
+        .groupBy("lang")
+        .agg(max(col("doc_id")).as("mx"), sum(col("n")).as("nt"))
+        .join(broadcast(stateDf), Seq("lang"), "left")
+        .select(col("lang"),
+          greatest(col("mx"), coalesce(col("max_doc_id"),
+            lit(Long.MinValue))).as("max_doc_id"),
+          (col("nt") + coalesce(col("base"), lit(0L)))
+            .as("total_toks"))
+      store.upsert("shard_state", freshStats, Seq("lang"))
+      store.replace("shard_cover",
+        Seq(cover + freshN).toDF("n_rows"))
+    } finally { fresh.unpersist(); () }
   }
 }

@@ -133,7 +133,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
     spanCleanN: Option[Int] = None,
     contaminationDir: Option[String] = None,
     sourceCapPct: Option[Int] = None,
-    chunkStore: Boolean = false) {
+    chunkStore: Boolean = false,
+    shardStore: Boolean = false) {
   import spark.implicits._
 
   private def start(df: DataFrame, name: String)(
@@ -150,6 +151,8 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
   def documentIngestFlow(newDocs: DataFrame): StreamingQuery = {
     require(sourceCapPct.isEmpty || newDocs.columns.contains("source"),
       "sourceCapPct requires a `source` column on the ingest input")
+    require(!shardStore || newDocs.columns.contains("lang"),
+      "shardStore requires a `lang` column (the shard key) on the input")
     val hasSource = newDocs.columns.contains("source")
     start(newDocs, "document_ingest") { batch0 =>
       // one-time migration for a store that predates the r15 sidecar
@@ -217,9 +220,14 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
           coalesce(length(col("text")), lit(-1)).desc,
           col("text").asc_nulls_last)).persist()
       try {
-        val docCols = if (hasSource)
-          Seq(col("doc_id"), col("text"), col("source"))
-        else Seq(col("doc_id"), col("text"))
+        // source and lang are PRESERVED whenever the input carries
+        // them (schema-evolving append), independent of whether their
+        // gates/stores are on — enabling the cap or the shard store
+        // later over a corpus that always had the column must not hit
+        // the rebuild-or-backfill wall
+        val docCols = Seq(col("doc_id"), col("text")) ++
+          (if (hasSource) Seq(col("source")) else Nil) ++
+          (if (newDocs.columns.contains("lang")) Seq(col("lang")) else Nil)
         val clean = batch.filter(col("_fail").isNull)
           .select(docCols: _*)
         val rejected = batch.filter(col("_fail").isNotNull)
@@ -467,6 +475,21 @@ final class IngestionFlows(spark: SparkSession, store: TableStore,
               graft.operators.CurationQueries.chunkRowsOf(
                 corpusTruth.select(col("doc_id"), col("text"))),
               Seq("doc_id", "chunk_id"), evolveSchema = true)
+          // training-shard maintenance (r17, the S19 handoff's other
+          // half): the stored x136 shards kept current per batch.
+          // Packed windows are append-stable (x100/x117: per-lang
+          // greedy concat in doc_id order — new higher-id docs never
+          // move packed windows), so maintenance appends the batch's
+          // newly-complete windows and rewrites only each touched
+          // shard's trailing partial window — O(batch) compute under
+          // ShardExport.maintain's checked cover contract (replays
+          // are no-ops; out-of-order ids, foreign appends and purges
+          // fall back to a full rebuild). Parity with the batch
+          // engine (stored shards == windowRowsOf(documents) at every
+          // batch boundary) is spec-pinned in IngestionFlowSpec.
+          if (shardStore)
+            graft.operators.ShardExport.maintain(spark, store,
+              corpusTruth.select(col("doc_id"), col("lang"), col("text")))
           // the new docs' verdicts: since r15 the retention policy is
           // x120's QUALITY election (SemDeDup-style), not min-id — a
           // newcomer that beats its admitted twin on the exact-integer

@@ -134,6 +134,17 @@ object Gdpr {
         if (store.exists(t))
           store.deleteWhere(t, col("doc_id").isin(docIds: _*))
       }
+    // (r17) the training-shard store packs doc TOKENS into window
+    // arrays — NOT doc-keyed, so a row prune cannot erase a purged
+    // document's content; erasure = re-packing the remaining corpus
+    // (window ids after the purged doc's position legitimately move).
+    // Gated on an actual corpus change like the decision recompute; a
+    // race-window re-add by a concurrent flow batch falls to the
+    // purge → quiesce → verify loop, whose maintain-side cover check
+    // rebuilds from the already-purged corpus on the next trigger.
+    if (n > 0L && store.exists("shards") && store.exists("documents"))
+      graft.operators.ShardExport.rebuildStore(
+        store.load("documents").sparkSession, store)
     n
   }
 

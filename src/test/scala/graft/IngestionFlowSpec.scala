@@ -1127,6 +1127,88 @@ class IngestionFlowSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(root)
   }
 
+  test("shard store: incremental export == x136 rebuild at every batch boundary; replay no-op") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ingshard").toString
+    val store = new TableStore(spark, root)
+    val flows = new IngestionFlows(spark, store, root, shardStore = true)
+    val ms = MemoryStream[(Long, String, String)]
+    def df = ms.toDS().toDF("doc_id", "lang", "text")
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"s${seed}_$i").mkString(" ")
+    // name-based projection: the hive-partitioned read appends `lang`
+    // after the data columns, the rebuild frame leads with it
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("lang", "window_id", "n_tok", "w_md5").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    def stored() = rows(store.load("shards"))
+    def rebuilt() = rows(graft.operators.ShardExport
+      .windowRowsOf(store.load("documents")
+        .select("doc_id", "lang", "text")))
+    // batch 1: en stream 300 tokens (W=256 → window 0 full, window 1
+    // a 44-token partial tail); de stream one 60-token partial window
+    ms.addData((1L, "en", words(1, 100)), (2L, "en", words(2, 200)),
+      (3L, "de", words(3, 60)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "batch 1 parity")
+    val tail0 = stored().find(w => w._1 == "en" && w._2 == 1L).get
+    val full0 = stored().find(w => w._1 == "en" && w._2 == 0L).get
+    assert(full0._3 === 256L && tail0._3 === 44L)
+    // batch 2 extends en by 300 tokens: the PACKED window 0 must not
+    // move (append-stability — byte-identical md5), the partial tail
+    // rewrites full, a new partial appears; de is untouched
+    ms.addData((4L, "en", words(4, 300)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "batch 2 parity")
+    assert(stored().find(w => w._1 == "en" && w._2 == 0L).get === full0,
+      "a packed window moved — append-stability broken")
+    val tail1 = stored().find(w => w._1 == "en" && w._2 == 1L).get
+    assert(tail1._3 === 256L && tail1._4 != tail0._4,
+      "the trailing partial window must extend to full")
+    assert(stored().find(w => w._1 == "en" && w._2 == 2L).get._3 === 88L)
+    assert(stored().count(_._1 == "de") === 1)
+    // replay of batch 2: shard store, state and cover all unchanged
+    val v0 = (stored(), store.load("shard_state").collect().toSet,
+      store.load("shard_cover").head.getLong(0))
+    ms.addData((4L, "en", words(4, 300)))
+    run(flows.documentIngestFlow(df))
+    assert((stored(), store.load("shard_state").collect().toSet,
+      store.load("shard_cover").head.getLong(0)) === v0,
+      "replay must be a shard-store no-op")
+    // crash window: corpus appended, shard write lost — the replayed
+    // batch heals the store incrementally (doc 9 is unsettled)
+    store.appendUnique("documents",
+      Seq((9L, "de", words(9, 30))).toDF("doc_id", "lang", "text"),
+      Seq("doc_id"))
+    ms.addData((9L, "de", words(9, 30)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "crash-window replay heals")
+    assert(stored().find(w => w._1 == "de" && w._2 == 0L).get._3 === 90L)
+    // an OUT-OF-ORDER id (0 < every absorbed en doc) belongs
+    // mid-stream — incremental append would misplace it, so the cover
+    // check must fall back to a full rebuild, which re-packs it in
+    // doc_id order (earlier windows legitimately move here)
+    ms.addData((0L, "en", words(0, 50)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "out-of-order doc must trigger rebuild")
+    assert(stored().find(w => w._1 == "en" && w._2 == 0L).get._4 != full0._4,
+      "the rebuilt stream must start with doc 0's tokens")
+    // GDPR purge: window arrays are not doc-keyed, so the purge
+    // itself re-packs the remaining corpus — no purged token survives
+    // the call, and the maintenance state resets with it
+    graft.tables.Gdpr.purgeDocuments(store, Seq(1L))
+    assert(stored() === rebuilt(), "purge must re-pack the shards")
+    assert(!stored().exists(w => w._1 == "en" && w._4 == full0._4),
+      "a window still carrying the purged doc's token stream survived")
+    // and ingest keeps extending incrementally off the reset state
+    ms.addData((20L, "de", words(20, 10)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "post-purge incremental parity")
+    graft.tables.TempDirs.delete(root)
+  }
+
   test("schema upgrades cannot poison replays: new batch column, new chunk column") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
