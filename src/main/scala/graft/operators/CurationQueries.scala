@@ -110,21 +110,47 @@ object CurationQueries {
   // (the x93/x97 log-family contract), ranking ties broken by doc_id.
   private val DsirB = 64
 
-  /** DuckDB CTE chain ending in `w(doc_id, wt)` — x129's weight
-    * pipeline, shared with x134's resample. */
-  private val x129CoreSql =
+  /** The DSIR TARGET distribution — a build knob on [[DsirIndex]]
+    * (r16 verdict ask #5: x129 hardcoded target = the corpus's 'en'
+    * docs; data selection toward an ARBITRARY target domain is the
+    * actual operator DSIR describes). `key` names the variant's
+    * per-(corpus version, target) cache entry and stored tables (the
+    * IvfParams pattern — tuning experiments never evict the serving
+    * build); `pred` marks which corpus rows define the target
+    * distribution, evaluated over (doc_id, lang). */
+  final case class DsirTarget(key: String,
+      pred: org.apache.spark.sql.Column)
+  object DsirTarget {
+    /** Target = the corpus's docs in language `l` (x129's shape). */
+    def lang(l: String): DsirTarget =
+      DsirTarget(s"lang=$l", col("lang") === l)
+    /** Target = an explicit seed doc-id set — "select raw docs like
+      * THESE", the curated-seed workflow of the DSIR paper. */
+    def docIds(ids: Seq[Long]): DsirTarget =
+      DsirTarget(s"docs=${ids.sorted.mkString(",")}",
+        col("doc_id").isin(ids: _*))
+    val Default: DsirTarget = lang("en")
+  }
+
+  /** DuckDB CTE chain ending in `w(doc_id, wt)` — the weight pipeline
+    * for an arbitrary SQL target predicate (over `doc_id`/`lang`),
+    * shared by x129/x134 (the default 'en' target) and x143 (a
+    * non-default target). */
+  private def x129CoreSqlFor(targetPred: String) =
     "WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk " +
       "FROM documents WHERE text IS NOT NULL), " +
       "h AS (SELECT doc_id, lang, md5(tk) AS m FROM t), " +
       s"b AS (SELECT doc_id, lang, ${Sql.md5Bits16("m")} % $DsirB AS bk FROM h), " +
       "dc AS (SELECT doc_id, lang, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3), " +
-      "bc AS (SELECT bk, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct, " +
+      s"bc AS (SELECT bk, SUM(CASE WHEN $targetPred THEN c ELSE 0 END) AS ct, " +
       "SUM(c) AS cr FROM dc GROUP BY 1), " +
       "tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc), " +
       s"lr AS (SELECT bk, ln((CAST(ct + 1 AS DOUBLE) / (tt + $DsirB)) / " +
       s"(CAST(cr + 1 AS DOUBLE) / (tr + $DsirB))) AS lr FROM bc, tot), " +
       "w AS (SELECT dc.doc_id, SUM(dc.c * lr.lr) AS wt FROM dc " +
       "JOIN lr ON dc.bk = lr.bk GROUP BY 1)"
+
+  private val x129CoreSql = x129CoreSqlFor("lang = 'en'")
 
   private val x129Sql =
     x129CoreSql +
@@ -148,14 +174,17 @@ object CurationQueries {
     * exposed for CurationSpec's independent-recompute pin, which
     * recomputes every weight driver-side from raw text and therefore
     * verifies the stored table, not just the build plan. */
-  private[graft] def dsirWeights(s: SparkSession, d: String): DataFrame =
-    DsirIndex.forDir(s, d).load("weights")
+  private[graft] def dsirWeights(s: SparkSession, d: String,
+      target: DsirTarget = DsirTarget.Default): DataFrame =
+    DsirIndex.forDir(s, d, target).load("weights")
       .select(col("doc_id"), round(col("wt"), 4).as("dsir_weight"))
 
   /** (doc_id, wt): the unrounded weight frame — the [[DsirIndex]]
     * BUILD plan (one tokenize scan, 64-row ratio table broadcast
-    * back), run once per corpus version, never inside a probe. */
-  private[graft] def dsirWeightsRaw(s: SparkSession, d: String): DataFrame = {
+    * back), run once per (corpus version, target), never inside a
+    * probe. */
+  private[graft] def dsirWeightsRaw(s: SparkSession, d: String,
+      target: DsirTarget = DsirTarget.Default): DataFrame = {
     val dc = dsirDocBuckets(s, d)
     // bucket table: ≤ DsirB rows by construction, derived from dc's
     // OWN aggregate (ReuseExchange dedupes the exchange — x94's
@@ -163,7 +192,7 @@ object CurationQueries {
     // bounded bucket frame
     val wAll = Window.partitionBy()
     val lr = dc.groupBy("bk")
-      .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"),
+      .agg(sum(when(target.pred, col("c")).otherwise(0L)).as("ct"),
         sum(col("c")).as("cr"))
       .withColumn("tt", sum(col("ct")).over(wAll))
       .withColumn("tr", sum(col("cr")).over(wAll))
@@ -377,6 +406,23 @@ object CurationQueries {
             round(col("wt") + col("gum"), 6).as("sample_key"))
           .orderBy(col("sample_key").desc, col("doc_id"))
           .limit(50)
+    },
+
+    // DSIR toward a NON-DEFAULT target (r16 verdict ask #5): the same
+    // importance-weight pipeline with the target distribution a build
+    // knob — here 'de' instead of x129's 'en', i.e. "select raw docs
+    // that look like the German sub-corpus". Same stored build-once
+    // lifecycle, keyed per (corpus version, target) so this build and
+    // x129's coexist; probe = one narrow stored-table scan +
+    // TakeOrdered, like x129.
+    Query("x143_dsir_target",
+      x129CoreSqlFor("lang = 'de'") +
+        " SELECT doc_id, round(wt, 4) AS dsir_weight FROM w " +
+        "ORDER BY round(wt, 4) DESC, doc_id LIMIT 25") {
+      (s, d) =>
+        dsirWeights(s, d, DsirTarget.lang("de"))
+          .orderBy(col("dsir_weight").desc, col("doc_id"))
+          .limit(25)
     },
 
     Query("x131_chunk_windows", x131Sql) {

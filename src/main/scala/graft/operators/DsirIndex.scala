@@ -45,12 +45,22 @@ object DsirIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
-  def forDir(spark: SparkSession, dir: String): TableStore =
+  /** The stored weights for (corpus version, `target`). The target is
+    * a BUILD KNOB on the IvfParams pattern (r16 verdict ask #5): each
+    * target distribution — a language, a curated seed doc-id set —
+    * gets its own cache entry and stored table keyed on
+    * (dir, target.key), so selection toward a new domain never evicts
+    * the serving build, and an unchanged (corpus, target) pair is a
+    * fingerprint hit. */
+  def forDir(spark: SparkSession, dir: String,
+      target: CurationQueries.DsirTarget =
+        CurationQueries.DsirTarget.Default): TableStore =
     StoredIndexes.versioned(cache, dir, "documents.parquet",
-      "graft-dsir-weights") { root =>
+      "graft-dsir-weights",
+      cacheKey = s"$dir|dsir|${target.key}") { root =>
       val store = new TableStore(spark, root)
       store.replace("weights",
-        CurationQueries.dsirWeightsRaw(spark, dir)
+        CurationQueries.dsirWeightsRaw(spark, dir, target)
           .repartition(spark.sessionState.conf.numShufflePartitions,
             org.apache.spark.sql.functions.col("doc_id")))
       store

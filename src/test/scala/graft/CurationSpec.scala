@@ -38,7 +38,10 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------- x129
-  test("x129: weights equal an independent driver-side recompute") {
+  /** Driver-side DSIR weight recompute from raw text for an arbitrary
+    * target language — verifies the STORED per-(corpus, target) table,
+    * not just the build plan. */
+  private def dsirRecomputeFor(targetLang: String): Unit = {
     val docs = Tables.table(spark, sf, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), col("text")).collect()
@@ -57,7 +60,7 @@ class CurationSpec extends AnyFunSuite {
     val ct = Array.fill(B)(0L); val cr = Array.fill(B)(0L)
     docBk.foreach { case (_, lang, m) =>
       m.foreach { case (bk, c) =>
-        cr(bk) += c; if (lang == "en") ct(bk) += c
+        cr(bk) += c; if (lang == targetLang) ct(bk) += c
       }
     }
     val tt = ct.sum; val tr = cr.sum
@@ -66,12 +69,39 @@ class CurationSpec extends AnyFunSuite {
     val want = docBk.map { case (id, _, m) =>
       id -> m.map { case (bk, c) => c * lr(bk) }.sum
     }.toMap
-    val got = CurationQueries.dsirWeights(spark, sf).collect()
+    val got = CurationQueries.dsirWeights(spark, sf,
+        CurationQueries.DsirTarget.lang(targetLang)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got.keySet == want.keySet)
     got.foreach { case (id, w) =>
       assert(math.abs(w - want(id)) < 1e-3, s"doc $id: $w vs ${want(id)}")
     }
+  }
+
+  test("x129: weights equal an independent driver-side recompute") {
+    dsirRecomputeFor("en")
+  }
+
+  test("x143: a NON-default target's stored weights recompute from raw text") {
+    // the parameterized-target build (r17): same pipeline, 'de' as the
+    // target distribution, its own stored table
+    dsirRecomputeFor("de")
+    // per-(corpus, target) cache entries coexist — the default build
+    // is not evicted by the variant, and both serve from cache
+    val en = graft.operators.DsirIndex.forDir(spark, sf)
+    val de = graft.operators.DsirIndex.forDir(spark, sf,
+      CurationQueries.DsirTarget.lang("de"))
+    assert(!(en eq de), "distinct targets must be distinct builds")
+    assert(graft.operators.DsirIndex.forDir(spark, sf) eq en)
+    assert(graft.operators.DsirIndex.forDir(spark, sf,
+      CurationQueries.DsirTarget.lang("de")) eq de)
+    // a doc-id-set target is a usable knob too (the curated-seed
+    // workflow): weights exist for every scored doc and the target
+    // docs rank high against themselves
+    val seed = graft.operators.CurationQueries.DsirTarget.docIds(Seq(1L, 2L, 3L))
+    val w = CurationQueries.dsirWeights(spark, sf, seed)
+    assert(w.count() === Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull).count())
   }
 
   test("x129 build: the corpus scan+explode stage is reused, not recomputed") {
