@@ -120,7 +120,32 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/search", (ex: HttpExchange) => safely(ex)(routeSearch))
   server.setExecutor(null) // single-threaded: writes serialize anyway
 
-  def start(): Unit = server.start()
+  def start(): Unit = {
+    server.start()
+    // Pre-warm the search tier's stored indexes OFF the request
+    // thread (r16 ADVICE: /search executes full Spark jobs on the
+    // single-threaded HTTP executor, so a COLD first search — which
+    // would otherwise pay the postings/IVF build — stalls every other
+    // route until it finishes; the daemon build runs during startup
+    // slack instead). Warm-path requests racing the build converge on
+    // the same StoredIndexes cache entry (compute() serializes per
+    // key), so no double build. Serving requests still serialize with
+    // each other by design — writes require it, and the production
+    // seam for read concurrency is a pooled executor over the READ
+    // routes only, documented here rather than taken (the JDK-server
+    // API surface is the reference's single Connect-node shape).
+    analyticsDir.foreach { dir =>
+      val t = new Thread(() => {
+        try {
+          graft.operators.PostingsIndex.forDir(spark, dir)
+          graft.operators.VectorIndex.forDir(spark, dir)
+          ()
+        } catch { case _: Throwable => () } // cold build retries on demand
+      }, "graft-search-prewarm")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
 
   /** Stop accepting requests FIRST, then drain the purge worker: a
     * 202-accepted purge whose job is still queued must run before the

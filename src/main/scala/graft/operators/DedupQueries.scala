@@ -554,7 +554,13 @@ object DedupQueries {
     * MinHash-LSH band candidates (4 bands of 2 md5-chunk-min
     * signatures over `sh`), factored out of the query literal so the
     * SQL and the Spark twin below sit side by side. */
-  private val bandCandSql: String = {
+  /** The candidate CTE is NAME-PARAMETERIZED because x140 composes
+    * this chain with [[jaccCandSql]], which also defines `cand` — the
+    * r16 form renamed it with a post-hoc string .replace, which any
+    * rewording here would have turned into a silent no-op (duplicate
+    * `cand` CTEs, a runtime SQL error instead of a compile-time one —
+    * r16 ADVICE). */
+  private def bandCandSqlAs(candName: String): String = {
     val sigs = Seq.tabulate(8) { k =>
       val (src, off) = if (k < 4) ("md5(g)", 8 * k + 1) else ("md5('~' || g)", 8 * (k - 4) + 1)
       s"list_aggregate(list_transform(s, g -> substr($src, $off, 8)), 'min')"
@@ -563,9 +569,11 @@ object DedupQueries {
       s"'$i|' || $s1 || $s2"
     }.mkString(", ")
     s"bands AS (SELECT doc_id, unnest([$bandVals]) AS bv FROM sh), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"$candName AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id)"
   }
+
+  private val bandCandSql: String = bandCandSqlAs("cand")
 
   /** Spark twin of [[bandCandSql]]: candidate pairs from the STORED
     * band signatures (ShingleIndex `bands3`, one MinHashBands pass at
@@ -780,8 +788,7 @@ object DedupQueries {
     // full-outer join of two bounded pair sets + one aggregate, both
     // inputs riding their stored indexes (pfx3, bands3).
     Query("x140_minhash_audit", {
-      val bcand = bandCandSql.replace(
-        "cand AS (SELECT DISTINCT a.doc_id", "bcand AS (SELECT DISTINCT a.doc_id")
+      val bcand = bandCandSqlAs("bcand")
       s"WITH $shingledSql, $jaccCandSql, $verifiedCteSql, $bcand, " +
         "mh AS (SELECT v.doc_a, v.doc_b FROM ver v " +
         "JOIN bcand b ON v.doc_a = b.doc_a AND v.doc_b = b.doc_b), " +
