@@ -87,12 +87,20 @@ object PackingQueries {
   private[operators] def manifestOfDocs(
       docs: org.apache.spark.sql.DataFrame,
       baseOff: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame = {
-    val t0 = docs
+      : org.apache.spark.sql.DataFrame =
+    manifestOfCounts(docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(TextFns.tokens(col("text"))).cast("long").as("n"))
-      .filter(col("n") > 0)
+      .filter(col("n") > 0), baseOff)
+
+  /** [[manifestOfDocs]] over a pre-tokenized (doc_id, lang, n) count
+    * frame — the shard maintainer hands its single cached tokenize
+    * pass here instead of paying a second one. */
+  private[operators] def manifestOfCounts(
+      t0: org.apache.spark.sql.DataFrame,
+      baseOff: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     val shard = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     // offsets are exact longs ≪ 2^52, so the floor-of-double

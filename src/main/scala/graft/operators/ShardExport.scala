@@ -122,22 +122,17 @@ object ShardExport {
   // here and rebuild instead of silently corrupting shards. A pure
   // replay has zero fresh rows and is a NO-OP (the spec pins it).
   // Crash windows inside maintain self-heal: shards write first,
-  // state after — a replay re-derives the same windows from the OLD
-  // state and the upsert/appendUnique keys make the rewrite
-  // idempotent; a crash between state and cover fails the next
-  // cover check into a rebuild (safe, never wrong).
+  // state after — and the tail segment is SLICED to the length the
+  // state says it had (a crashed run may have already extended the
+  // stored tail row; re-reading it verbatim would duplicate the
+  // batch's tokens on replay — review-caught), so a replay re-derives
+  // byte-identical windows from the OLD state and the keyed
+  // upsert/appendUnique writes land idempotently; a crash between
+  // state and cover fails the next cover check into a rebuild (safe,
+  // never wrong).
 
   private val W = PackingQueries.WindowW
 
-  /** Incrementally absorb `batch` (doc_id, lang, text — the rows the
-    * ingest flow just appended to the store's `documents` corpus)
-    * into the stored `shards` table. Contract and fallback above;
-    * first contact (or any contract violation) builds from the full
-    * corpus. `lang` must be non-null — it IS the shard key (the
-    * x100/x136 contract; at real scale it widens to (lang,
-    * file-group), still never null). All batch-sized work is
-    * distributed; the only driver-side rows are the ≤|langs| state
-    * and tail keys. */
   /** Full rebuild of the store-resident shard tables from the CURRENT
     * `documents` corpus — maintain's contract-violation fallback, and
     * the GDPR purge path: window token arrays are not doc-keyed, so a
@@ -148,8 +143,14 @@ object ShardExport {
     import spark.implicits._
     val corpus = store.load("documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    store.replace("shards", windowRowsOf(corpus)
-      .repartition(col("lang")), partitionBy = Seq("lang"))
+    val rows = windowRowsOf(corpus)
+    // a fully-purged/empty corpus packs no windows, and a zero-row
+    // PARTITIONED write emits no parquet files (TableStore documents
+    // the hazard on append — every later load would fail schema
+    // inference); a flat empty write carries its schema
+    if (rows.isEmpty) store.replace("shards", rows)
+    else store.replace("shards", rows.repartition(col("lang")),
+      partitionBy = Seq("lang"))
     // max_doc_id covers EVERY corpus row (null-text docs too), else
     // their replay misclassifies as fresh and fails the cover check
     store.replace("shard_state", corpus
@@ -164,11 +165,24 @@ object ShardExport {
       Seq(store.load("documents").count()).toDF("n_rows"))
   }
 
+  /** Incrementally absorb `batch` (doc_id, lang, text — the rows the
+    * ingest flow just appended to the store's `documents` corpus)
+    * into the stored `shards` table. Contract and fallback above;
+    * first contact (or any contract violation) builds from the full
+    * corpus. `lang` is the shard key (the x100/x136 contract; at real
+    * scale it widens to (lang, file-group)) — a batch carrying a
+    * NULL lang falls back to the full rebuild rather than poisoning
+    * the stream: the incremental path's per-lang joins cannot address
+    * a null key, the rebuild's hive default partition can, and a
+    * replaying batch must never hit an unconditional throw
+    * (review-caught — the first cut require()d here, which a single
+    * null value would have turned into an unrecoverable poison pill).
+    * All batch-sized work is distributed and the batch tokenizes
+    * exactly ONCE (the persisted projection carries the arrays); the
+    * only driver-side rows are the ≤|langs| state and tail keys. */
   def maintain(spark: SparkSession, store: TableStore,
       batch: DataFrame): Unit = {
     import spark.implicits._
-    require(batch.filter(col("lang").isNull).limit(1).isEmpty,
-      "shard maintenance requires a non-null lang (the shard key)")
     def fullRebuild(): Unit = rebuildStore(spark, store)
     if (!store.exists("shards") || !store.exists("shard_state") ||
         !store.exists("shard_cover")) { fullRebuild(); return }
@@ -177,63 +191,73 @@ object ShardExport {
     // bounded state read: one row per lang shard
     val state = store.load("shard_state").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // empty state ⟺ the last rebuild saw an EMPTY corpus, whose
+    // zero-row shards table was necessarily written FLAT (see
+    // rebuildStore); the first real batch rebuilds instead of
+    // appending, restoring the lang-partitioned layout for good
+    if (state.isEmpty) { fullRebuild(); return }
     val stateDf = state.toSeq.map { case (l, (mx, t)) => (l, mx, t) }
       .toDF("lang", "max_doc_id", "base")
-    // fresh = never absorbed (beyond the lang's high-water mark);
-    // stale = crash-window replays, dropped here — the no-op
+    // ONE tokenize pass for the whole maintainer: the persisted
+    // projection carries the token arrays, and the manifest, segment
+    // slice and state fold all read them (the UnigramLM build rule)
     val fresh = batch.select(col("doc_id"), col("lang"), col("text"))
       .join(broadcast(stateDf.select("lang", "max_doc_id")),
         Seq("lang"), "left")
       .filter(col("max_doc_id").isNull ||
         col("doc_id") > col("max_doc_id"))
       .drop("max_doc_id")
+      .withColumn("ts",
+        when(col("text").isNotNull, TextFns.tokens(col("text"))))
+      .withColumn("n", coalesce(size(col("ts")), lit(0L)).cast("long"))
       .persist()
     try {
+      if (!batch.filter(col("lang").isNull).limit(1).isEmpty) {
+        fullRebuild(); return
+      }
       val freshN = fresh.count()
       if (cover + freshN != corpusRows) { fullRebuild(); return }
       if (freshN == 0) return // pure replay
       // per-lang base offsets = where each stored stream ended
-      val man = PackingQueries.manifestOfDocs(fresh,
+      val man = PackingQueries.manifestOfCounts(
+        fresh.filter(col("n") > 0).select("doc_id", "lang", "n"),
         Some(stateDf.select("lang", "base")))
-      val toks = fresh.filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      val batchSeg = man.join(toks, Seq("doc_id"))
+      val batchSeg = man
+        .join(fresh.select(col("doc_id"), col("ts")), Seq("doc_id"))
         .select(col("lang"), col("window_id"), col("doc_id"),
           slice(col("ts"), col("start_tok") + 1,
             (col("end_tok") - col("start_tok")).cast("int")).as("sg"))
       // the ≤|langs| partial tails re-enter as doc_id = −1 segments
       // (sorting ahead of every real doc — the stream they prefix);
-      // only langs the batch actually extends — an untouched shard's
-      // tail must not be pointlessly rewritten
+      // only langs the batch actually extends, and SLICED to the
+      // state's recorded length (`keep`), so a crashed run's
+      // already-extended tail row replays to the identical bytes
       val batchLangs = fresh.select("lang").distinct()
         .collect().map(_.getString(0)).toSet
-      val tails: Seq[(String, Long)] = state.toSeq.collect {
+      val tails: Seq[(String, Long, Long)] = state.toSeq.collect {
         case (l, (_, t)) if t % W != 0 && batchLangs(l) =>
-          (l, (t - 1) / W)
+          (l, (t - 1) / W, t % W)
       }
-      val tailsDf = tails.toDF("lang", "window_id")
+      val tailsDf = tails.toDF("lang", "window_id", "keep")
       val tailSeg = store.load("shards")
         .join(broadcast(tailsDf), Seq("lang", "window_id"))
         .select(col("lang"), col("window_id"), lit(-1L).as("doc_id"),
-          col("tokens").as("sg"))
+          slice(col("tokens"), lit(1), col("keep").cast("int")).as("sg"))
       val newRows = windowAgg(batchSeg.unionByName(tailSeg)).persist()
       try {
         // tail windows REWRITE (≤|langs| keys), complete windows
         // APPEND; both keyed — idempotent across crash replays
+        val tailKeys = broadcast(tailsDf.select("lang", "window_id"))
         val tailRows = newRows
-          .join(broadcast(tailsDf), Seq("lang", "window_id"), "left_semi")
+          .join(tailKeys, Seq("lang", "window_id"), "left_semi")
         val freshRows = newRows
-          .join(broadcast(tailsDf), Seq("lang", "window_id"), "left_anti")
-        if (!tailRows.isEmpty) // skip the snapshot rewrite entirely
+          .join(tailKeys, Seq("lang", "window_id"), "left_anti")
+        if (tails.nonEmpty) // skip the snapshot rewrite entirely
           store.upsert("shards", tailRows, Seq("lang", "window_id"))
         store.appendUnique("shards", freshRows, Seq("lang", "window_id"))
       } finally { newRows.unpersist(); () }
       // state advances LAST (see the crash-window note above)
       val freshStats = fresh
-        .select(col("doc_id"), col("lang"),
-          when(col("text").isNotNull,
-            size(TextFns.tokens(col("text"))).cast("long"))
-            .otherwise(lit(0L)).as("n"))
         .groupBy("lang")
         .agg(max(col("doc_id")).as("mx"), sum(col("n")).as("nt"))
         .join(broadcast(stateDf), Seq("lang"), "left")

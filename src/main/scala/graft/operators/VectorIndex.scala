@@ -97,7 +97,11 @@ object VectorIndex {
       * request). */
     def lookup(vecId: Long): Option[Seq[Float]] =
       store.load("fwd")
-        .filter(col("bkt") === (vecId % FwdBuckets).toInt &&
+        // floorMod, matching the writer's pmod — Scala's sign-
+        // preserving % would probe a nonexistent negative bucket for
+        // a negative vec_id (review-caught)
+        .filter(col("bkt") ===
+            java.lang.Math.floorMod(vecId, FwdBuckets.toLong).toInt &&
           col("vec_id") === vecId)
         .select(col("embedding")).collect()
         .headOption.map(_.getSeq[Float](0))

@@ -270,12 +270,23 @@ object VectorQueries {
   // stays pinned at the oracle-replayed NProbe; the SERVING endpoint
   // reads this policy.
   private val servingWidth =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
   /** The probe width `/search?like=` serves `dir` at (policy-set by
-    * [[retuneIvf]], NProbe until then). */
+    * [[retuneIvf]], NProbe until then). The pick is PINNED to the
+    * corpus version it was measured on: any corpus change — rewrite
+    * OR append-only ingest — reverts to the default until the next
+    * retune, because a width tuned on one geometry says nothing about
+    * another (the StoredIndexes stale-derived-state doctrine;
+    * review-caught — the first cut kept serving the old pick across a
+    * silent fingerprint rebuild). The check is a file-metadata walk,
+    * the same cost class every stored-index probe already pays. */
   private[graft] def servingProbeWidth(d: String): Int =
-    Option(servingWidth.get(d)).map(_.toInt).getOrElse(NProbe)
+    Option(servingWidth.get(d)) match {
+      case Some((fp, w))
+        if fp == StoredIndexes.fingerprint(d, "embeddings.parquet") => w
+      case _ => NProbe
+    }
 
   /** (vec_id, cos): exact-cosine re-rank inside the `nProbe` nearest
     * stored IVF cells for corpus vector `queryId` — x20's probe shape
@@ -387,7 +398,9 @@ object VectorQueries {
         VectorIndex.rebuild(s, d)
         (pick().getOrElse(maxProbe), true)
     }
-    servingWidth.put(d, w)
+    // pin the pick to the corpus version the curve was measured on
+    servingWidth.put(d,
+      (StoredIndexes.fingerprint(d, "embeddings.parquet"), w))
     (w, rebuilt)
   }
   private val Dim = VectorIndex.Dim

@@ -1206,6 +1206,61 @@ class IngestionFlowSpec extends AnyFunSuite {
     ms.addData((20L, "de", words(20, 10)))
     run(flows.documentIngestFlow(df))
     assert(stored() === rebuilt(), "post-purge incremental parity")
+    // crash INSIDE maintain: shards written, state/cover lost — the
+    // replay must re-derive byte-identical windows (the tail segment
+    // slices back to the state's recorded length, so an
+    // already-extended tail row cannot double-absorb the batch —
+    // review-caught). Simulate by reverting state+cover to their
+    // pre-batch snapshot and re-running maintain with the same batch.
+    val stateSnap = store.load("shard_state")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val coverSnap = store.load("shard_cover").head.getLong(0)
+    val tailBatch = Seq((30L, "de", words(30, 40)))
+    store.appendUnique("documents",
+      tailBatch.toDF("doc_id", "lang", "text"), Seq("doc_id"))
+    graft.operators.ShardExport.maintain(spark, store,
+      tailBatch.toDF("doc_id", "lang", "text"))
+    val afterFirst = stored()
+    assert(afterFirst === rebuilt(), "first maintain parity")
+    // crash: shards kept, state+cover roll back
+    store.replace("shard_state",
+      stateSnap.toSeq.toDF("lang", "max_doc_id", "total_toks"))
+    store.replace("shard_cover", Seq(coverSnap).toDF("n_rows"))
+    graft.operators.ShardExport.maintain(spark, store,
+      tailBatch.toDF("doc_id", "lang", "text"))
+    assert(stored() === afterFirst,
+      "crash-window replay must not double-absorb the batch's tokens")
+    assert(stored() === rebuilt(), "post-crash-replay parity")
+    // a NULL shard key cannot be addressed incrementally — the batch
+    // falls back to a full rebuild (never an unrecoverable throw on a
+    // replaying stream) and the hive default partition carries it
+    val nullBatch = Seq((40L, null.asInstanceOf[String], words(40, 20)))
+    store.appendUnique("documents",
+      nullBatch.toDF("doc_id", "lang", "text"), Seq("doc_id"))
+    graft.operators.ShardExport.maintain(spark, store,
+      nullBatch.toDF("doc_id", "lang", "text"))
+    assert(rows(store.load("shards").filter(col("lang").isNull))
+      .nonEmpty, "null-lang docs must still pack (default partition)")
+    assert(stored() === rebuilt(), "null-lang fallback parity")
+    // purging EVERYTHING leaves an empty but READABLE shard table
+    // (a zero-row partitioned write would emit no parquet files and
+    // wedge every later load — review-caught), and ingest resumes
+    val allIds = store.load("documents").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    graft.tables.Gdpr.purgeDocuments(store, allIds)
+    assert(store.load("shards").count() === 0,
+      "fully-purged corpus must read back as an empty shard table")
+    ms.addData((50L, "en", words(50, 30)))
+    run(flows.documentIngestFlow(df))
+    assert(stored() === rebuilt(), "ingest resumes after a full purge")
+    assert(stored().nonEmpty)
+    // and the resume restored the lang-partitioned layout (the empty
+    // table was necessarily flat; the first real batch rebuilds)
+    val probe = store.load("shards").filter(col("lang") === "en")
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"),
+      "resumed shard table lost its partitioned layout")
     graft.tables.TempDirs.delete(root)
   }
 

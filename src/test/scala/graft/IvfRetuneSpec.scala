@@ -102,6 +102,41 @@ class IvfRetuneSpec extends AnyFunSuite {
     assert(!(idx2 eq idx1), "rebuild must replace the served entry")
     assert(idx2.corpus.count() === 120,
       "rebuilt index must cover the grown corpus")
+    // the serving pick is pinned to the corpus VERSION it was
+    // measured on: any corpus change reverts to the default until the
+    // next retune (a width tuned on one geometry says nothing about
+    // another — review-caught)
+    val (w3, _) = VectorQueries.retuneIvf(spark, dir, floor = 0.95)
+    assert(VectorQueries.servingProbeWidth(dir) === w3)
+    (120L until 122L).map(i => (i, vec(Map(2 -> 5.0), 4, 0.001 * i)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    assert(VectorQueries.servingProbeWidth(dir) === 3,
+      "a mutated corpus must revert the serving width to the default")
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("fwd lookup: point fetch finds any vec_id, including negative ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fwd").toString
+    // a negative id exercises the floorMod bucket (the writer's pmod
+    // puts it in a non-negative partition; a sign-preserving % on the
+    // read side would probe a nonexistent negative one)
+    val ids = Seq(-5L, 0L, 1L, 2L, 3L, 63L, 64L, 129L)
+    ids.zipWithIndex.map { case (i, k) =>
+      (i, vec(Map(k % 8 -> 2.0), 8 + k, 0.0)) }
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val idx = VectorIndex.forDir(spark, dir)
+    ids.foreach { i =>
+      assert(idx.lookup(i).isDefined, s"fwd lookup missed vec_id $i")
+    }
+    assert(idx.lookup(7777L).isEmpty, "absent id must report absent")
+    // the fetch plan partition-prunes to the id's bucket
+    val one = idx.store.load("fwd")
+      .filter(col("bkt") === 1 && col("vec_id") === 1L)
+    one.collect()
+    assert(one.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "fwd fetch lost partition pruning")
     graft.tables.TempDirs.delete(dir)
   }
 }
