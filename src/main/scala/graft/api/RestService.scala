@@ -118,7 +118,24 @@ final class RestService(spark: SparkSession, store: TableStore,
   server.createContext("/tables", (ex: HttpExchange) => safely(ex)(routeTables))
   server.createContext("/subjects", (ex: HttpExchange) => safely(ex)(routeSubjects))
   server.createContext("/search", (ex: HttpExchange) => safely(ex)(routeSearch))
-  server.setExecutor(null) // single-threaded: writes serialize anyway
+  // READ CONCURRENCY (r17): handlers run on a small fixed pool
+  // instead of the dispatcher thread. Writes still serialize — every
+  // mutation takes the single writer `lock` (the reference leans on
+  // Mongo's per-document findAndModify for the same guarantee), so
+  // pooling changes nothing about write semantics — while reads
+  // (point lookups, /search probes, /metrics) no longer queue behind
+  // an in-flight write or behind each other. Reads were ALWAYS
+  // concurrent with the streaming flows' writes (the versioned store
+  // serves committed snapshots), so a read racing an HTTP write is
+  // not a new consistency class; RestConcurrencySpec pins both
+  // properties with a latch-held writer lock. Pool is small and
+  // bounded: this is the interactive seam — bulk traffic belongs on
+  // the flows.
+  private val httpPool = java.util.concurrent.Executors
+    .newFixedThreadPool(RestService.HttpPoolThreads, r => {
+      val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+    })
+  server.setExecutor(httpPool)
 
   def start(): Unit = {
     server.start()
@@ -156,6 +173,7 @@ final class RestService(spark: SparkSession, store: TableStore,
     * so the re-submit is always safe. */
   def stop(): Unit = {
     server.stop(0)
+    httpPool.shutdown()
     purgeExec.shutdown()
     purgeExec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
     ()
@@ -397,6 +415,14 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         policy's measured-recall pick
   //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
   //                                         arms (x128's combiner)
+  //   GET /search?phrase=<terms>&k=N        exact-adjacency phrase match
+  //                                         over the positional postings
+  //                                         (x144's probe; order kept,
+  //                                         duplicates meaningful).
+  //                                         &snippet=1 adds each hit's
+  //                                         densest 32-token window
+  //   GET /search?q=<terms>&snippet=1       doc-level BM25 + best-window
+  //                                         offsets (x145's probe)
   private def routeSearch(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
@@ -414,6 +440,10 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "q").exists(
               _.split("\\s+").forall(_.isEmpty)) =>
             reply(ex, 400, "missing or empty q parameter")
+          // phrase is a lexical-only arm: adjacency has no dense rank
+          // to fuse with — reject rather than silently ignore it
+          case Some(_) if qparam(ex, "phrase").isDefined =>
+            reply(ex, 400, "phrase cannot combine with like")
           // a malformed width is a client error, like a malformed
           // like= — never a silent fall-through to the default
           case Some(_) if qparam(ex, "nprobe").exists(
@@ -467,6 +497,51 @@ final class RestService(spark: SparkSession, store: TableStore,
               case e: NoSuchElementException => reply(ex, 404, e.getMessage)
             }
         }
+      case ("GET", List("search"), Some(dir))
+          if qparam(ex, "phrase").isDefined =>
+        // ORDER PRESERVED and duplicates KEPT — "a b a" and "a a b"
+        // are different phrases; x144's probe aligns positions by
+        // in-phrase index, so the raw token sequence is the input
+        val toks = qparam(ex, "phrase").toSeq
+          .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        val k = qparam(ex, "k").flatMap(_.toIntOption)
+          .getOrElse(10).min(100).max(1)
+        if (toks.isEmpty) reply(ex, 400, "missing or empty phrase parameter")
+        else if (qparam(ex, "q").isDefined ||
+            qparam(ex, "unit").exists(_ != "doc"))
+          reply(ex, 400, "phrase cannot combine with q or a non-doc unit")
+        else if (toks.size > RestService.SearchMaxTerms ||
+            toks.exists(_.length > RestService.SearchMaxTermLen))
+          reply(ex, 400, s"phrase is limited to ${RestService.SearchMaxTerms} " +
+            s"tokens of at most ${RestService.SearchMaxTermLen} chars")
+        else {
+          val ranked = graft.operators.TextQueries
+            .phraseMatchesFor(spark, dir, toks)
+            .orderBy(col("phrase_tf").desc, col("doc_id"))
+            .limit(k)
+          if (qparam(ex, "snippet").contains("1")) {
+            // best window of the phrase's distinct terms per hit doc;
+            // the k-row ranked side joins against the O(matching docs)
+            // window frame — inner by construction (a phrase hit is a
+            // term hit), left for schema honesty
+            val rows = ranked
+              .join(graft.operators.TextQueries
+                .bestWindowFor(spark, dir, toks.distinct),
+                Seq("doc_id"), "left")
+              .orderBy(col("phrase_tf").desc, col("doc_id"))
+              .collect()
+              .map(r => Json.obj("doc_id" -> r.getLong(0),
+                "phrase_tf" -> r.getLong(1),
+                "win_start" -> (if (r.isNullAt(2)) null else r.getLong(2)),
+                "win_hits" -> (if (r.isNullAt(3)) null else r.getLong(3))))
+            replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+          } else {
+            val rows = ranked.collect()
+              .map(r => Json.obj("doc_id" -> r.getLong(0),
+                "phrase_tf" -> r.getLong(1)))
+            replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+          }
+        }
       case ("GET", List("search"), Some(dir)) =>
         // qparam already URL-decodes ('+' and %XX) — decoding again
         // here would corrupt literal '+'/'%' terms (review-caught).
@@ -488,13 +563,32 @@ final class RestService(spark: SparkSession, store: TableStore,
             s"terms of at most ${RestService.SearchMaxTermLen} chars")
         else qparam(ex, "unit").getOrElse("doc") match {
           case "doc" =>
-            val rows = graft.operators.TextQueries
+            val ranked = graft.operators.TextQueries
               .bm25ScoredFor(spark, dir, terms)
               .orderBy(col("score").desc, col("doc_id"))
-              .limit(k).collect()
-              .map(r => Json.obj("doc_id" -> r.getLong(0),
-                "score" -> r.getDouble(1)))
-            replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+              .limit(k)
+            if (qparam(ex, "snippet").contains("1")) {
+              // x145's probe: the densest 32-token window per result
+              // doc — a second positional-postings probe joined to
+              // the k ranked rows (inner by construction: a scored
+              // doc has ≥1 term hit; left for schema honesty)
+              val rows = ranked
+                .join(graft.operators.TextQueries
+                  .bestWindowFor(spark, dir, terms),
+                  Seq("doc_id"), "left")
+                .orderBy(col("score").desc, col("doc_id"))
+                .collect()
+                .map(r => Json.obj("doc_id" -> r.getLong(0),
+                  "score" -> r.getDouble(1),
+                  "win_start" -> (if (r.isNullAt(2)) null else r.getLong(2)),
+                  "win_hits" -> (if (r.isNullAt(3)) null else r.getLong(3))))
+              replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+            } else {
+              val rows = ranked.collect()
+                .map(r => Json.obj("doc_id" -> r.getLong(0),
+                  "score" -> r.getDouble(1)))
+              replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+            }
           case "chunk" =>
             val rows = graft.operators.CurationQueries
               .chunkBm25For(spark, dir, terms)
@@ -791,6 +885,12 @@ object RestService {
     * a malformed or abusive request → 400. */
   val SearchMaxTerms = 32
   val SearchMaxTermLen = 64
+
+  /** Request-handler pool size: enough that interactive reads never
+    * queue behind one slow request, small enough that concurrent
+    * Spark jobs can't starve the executors (local scheduling is FAIR
+    * within a JVM; on a cluster these are driver-side threads). */
+  val HttpPoolThreads = 4
 
   /** How long a terminal purge-job status stays pollable before the
     * next submit may evict it. One hour comfortably covers any sane

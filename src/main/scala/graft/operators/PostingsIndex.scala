@@ -32,13 +32,15 @@ import org.apache.spark.sql.functions._
  * handful of groups that can hold the query terms; probe I/O is
  * O(matching postings + footers), never O(corpus)):
  *
- *  - `postings` (token, doc_id, dl, tf): one row per (doc, term) with
- *    the doc's token length and the term's in-doc frequency — exactly
- *    the per-(doc,term) frame x94's scorer aggregated from its
- *    corpus explode, materialized once per corpus version. Σtf =
- *    corpus tokens, so the table is the size class of the corpus's
- *    distinct (doc,term) pairs — smaller than the text it derives
- *    from.
+ *  - `postings` (token, doc_id, dl, tf, pos): one row per (doc, term)
+ *    with the doc's token length, the term's in-doc frequency and its
+ *    sorted in-doc positions — exactly the per-(doc,term) frame x94's
+ *    scorer aggregated from its corpus explode, materialized once per
+ *    corpus version, plus the positional payload phrase/snippet
+ *    probes need (see [[docPostingsOf]] for the size trade). Without
+ *    pos the table is the size class of the corpus's distinct
+ *    (doc,term) pairs; pos adds Σtf ints, but only probes that SELECT
+ *    it pay for it (parquet column chunks).
  *  - `cpostings` (token, doc_id, chunk_id, dl, tf): the chunk-granular
  *    twin — per (doc, chunk, term) frequency with the chunk's token
  *    length, chunk membership by x133's position arithmetic (a token
@@ -80,14 +82,23 @@ object PostingsIndex {
     * scan, one (token, doc_id) aggregate. The per-(doc,term) values
     * are EXACTLY the tf/dl frame the x94 scorer used to aggregate
     * from its per-query corpus explode (same expressions), so moving
-    * them to the stored build cannot change a score. */
+    * them to the stored build cannot change a score.
+    *
+    * `pos` makes the index POSITIONAL (the Lucene trade): the sorted
+    * in-doc positions of each term, so phrase adjacency (x144) and
+    * best-window extraction (x145) are index probes instead of text
+    * rescans. Invariant tf == size(pos) (spec-pinned). Cost: Σ|pos| =
+    * corpus token count — the column is the size class of the text it
+    * replaces — but parquet column chunks mean a probe that doesn't
+    * SELECT pos (all the BM25 scorers) never reads those bytes. */
   private[operators] def docPostingsOf(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
       .select(col("doc_id"), size(col("ts")).as("dl"),
-        explode(col("ts")).as("token"))
+        posexplode(col("ts")).as(Seq("p", "token")))
       .groupBy("token", "doc_id")
-      .agg(first("dl").as("dl"), count(lit(1)).cast("double").as("tf"))
+      .agg(first("dl").as("dl"), count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
 
   /** 1-row doc-level stats of ANY (doc_id, text) frame: token total
     * and doc count over non-null-text rows (UnigramLM's `stats`

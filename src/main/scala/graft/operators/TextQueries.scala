@@ -387,6 +387,117 @@ object TextQueries {
       "* tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / st.avglen))) AS sco " +
       "FROM wdf CROSS JOIN st GROUP BY doc_id)"
 
+  // ------------------------------------------------- positional probes
+  // Phrase adjacency and best-window (snippet) extraction over the
+  // stored positional postings ([[PostingsIndex]] `pos` column) — the
+  // two retrieval features BM25 can't express because they need WHERE
+  // a term occurs, not just how often. Both are index probes: the
+  // term filter pushes into the token-clustered parquet scan, the
+  // position payload is read only for the ≤|terms| matching groups,
+  // and all downstream work is O(term occurrences) — never a corpus
+  // or text scan. The declared twins (x144/x145) hash-match DuckDB
+  // recomputes from raw text, so the stored positions themselves are
+  // oracle-audited the same way x141 audits tf/df.
+
+  /** The fixed 3-token phrase x144 declares (occurs at every test SF;
+    * 'join'/'filter' overlap [[Bm25Terms]] so the retrieval surface
+    * stays one thematic query family). */
+  private[operators] val PhraseTerms = Seq("join", "part", "filter")
+
+  /** Exact-adjacency phrase match: (doc_id, phrase_tf) for every doc
+    * containing `phrase` as CONSECUTIVE tokens, phrase_tf = occurrence
+    * count. Engine: one postings probe for the distinct terms, one
+    * per-doc map of term → positions (a doc is a candidate only if
+    * ALL distinct terms appear — `size(m) === |distinct|`), then the
+    * k position arrays align by shifting term i's positions left by i
+    * and intersecting: a start position p survives iff term i sits at
+    * p+i for every i. Positions are distinct ints within a doc, so
+    * array_intersect is exact set intersection; a REPEATED phrase
+    * token intersects its own array at two shifts, which is precisely
+    * the self-adjacency condition. */
+  private[graft] def phraseMatchesFor(s: SparkSession, d: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val ps = PostingsIndex.forDir(s, d)
+    val terms = phrase.distinct
+    val cand = ps.load("postings")
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("token"), col("pos"))))
+        .as("m"))
+      .filter(size(col("m")) === terms.size)
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      transform(element_at(col("m"), t), x => x - i)
+    }.reduce(array_intersect)
+    cand.select(col("doc_id"), size(aligned).cast("bigint").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+  }
+
+  /** x144's oracle for an arbitrary phrase: slide a |phrase|-token
+    * window over the raw token array and count exact matches. */
+  private[operators] def phraseMatchSql(phrase: Seq[String]): String = {
+    val conds = phrase.zipWithIndex
+      .map { case (t, i) => s"ts[i + ${i + 1}] = '$t'" }.mkString(" AND ")
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      s"g AS (SELECT doc_id, unnest(list_transform(" +
+      s"range(len(ts) - ${phrase.size - 1}), " +
+      s"i -> CASE WHEN $conds THEN 1 ELSE 0 END)) AS m FROM t) " +
+      "SELECT doc_id, CAST(SUM(m) AS BIGINT) AS phrase_tf FROM g " +
+      "GROUP BY doc_id HAVING SUM(m) > 0 ORDER BY doc_id"
+  }
+
+  /** Snippet window width (tokens) for x145 / the `/search` snippet
+    * field. */
+  private[operators] val SnippetW = 32
+
+  /** Best-passage extraction: for every doc with ≥1 query-term hit,
+    * the start position of the [[SnippetW]]-token window containing
+    * the MOST query-term occurrences (ties → smallest start — every
+    * optimal window is anchored at a hit, so anchoring candidates at
+    * hit positions loses nothing). Engine: explode the matching
+    * groups' positions (O(term occurrences) rows — position order
+    * within a doc is globally unique, one token per position), count
+    * hits per anchored window with a RANGE frame over the per-doc
+    * position order, then one arg-max struct agg. The per-doc sort
+    * the window needs is over that doc's HIT positions only, never
+    * its tokens. */
+  private[graft] def bestWindowFor(s: SparkSession, d: String,
+      terms: Seq[String], w: Int = SnippetW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = PostingsIndex.forDir(s, d)
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rangeBetween(Window.currentRow, w - 1)
+    ps.load("postings")
+      .filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), explode(col("pos")).as("p"))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt"), (-col("p")).as("np"))).as("b"))
+      .select(col("doc_id"),
+        (-col("b.np")).cast("bigint").as("win_start"),
+        col("b.cnt").cast("bigint").as("win_hits"))
+  }
+
+  /** x145's oracle: same construction from raw text — hit positions
+    * via the occurrence explode, anchored-window counts via the same
+    * RANGE frame, arg-max via ROW_NUMBER (cnt DESC, p ASC). */
+  private[operators] def bestWindowSql(terms: Seq[String], w: Int): String =
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "o AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+      "i -> {'p': i, 'tok': ts[i + 1]})) AS o FROM t), " +
+      "h AS (SELECT doc_id, o.p AS p FROM o WHERE o.tok IN " +
+      s"(${terms.map("'" + _ + "'").mkString(", ")})), " +
+      "c AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY doc_id " +
+      s"ORDER BY p RANGE BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) " +
+      "AS cnt FROM h), " +
+      "r AS (SELECT doc_id, p, cnt, ROW_NUMBER() OVER (PARTITION BY " +
+      "doc_id ORDER BY cnt DESC, p ASC) AS rn FROM c) " +
+      "SELECT doc_id, CAST(p AS BIGINT) AS win_start, " +
+      "CAST(cnt AS BIGINT) AS win_hits FROM r WHERE rn = 1 " +
+      "ORDER BY doc_id"
+
   val all: Seq[Query] = Seq(
 
     // corpus stats per language (survey Q22)
@@ -1967,6 +2078,28 @@ object TextQueries {
         bm25Scored(s, d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
+    },
+
+    // Exact phrase search over the stored POSITIONAL postings — the
+    // declared twin of `GET /search?phrase=`. The oracle slides a
+    // 3-token window over the raw token arrays, so the stored `pos`
+    // payload itself is hash-audited end to end (a shifted, dropped
+    // or unsorted position changes an adjacency count). Probe plan:
+    // one term-pushed postings scan, one per-candidate-doc map agg,
+    // the shift-and-intersect — O(term occurrences), no corpus scan.
+    Query("x144_phrase_search", phraseMatchSql(PhraseTerms)) {
+      (s, d) => phraseMatchesFor(s, d, PhraseTerms).orderBy("doc_id")
+    },
+
+    // Best-passage (snippet) extraction for the BM25 query terms —
+    // where in each matching doc the densest 32-token window sits.
+    // Same positional-postings probe; the RANGE-frame window runs
+    // over each doc's HIT positions only (every optimal window is
+    // anchored at a hit), so the heavy O(doc tokens) work never
+    // happens. The oracle recomputes anchored-window counts and the
+    // (cnt DESC, p ASC) arg-max from raw text.
+    Query("x145_best_window", bestWindowSql(Bm25Terms, SnippetW)) {
+      (s, d) => bestWindowFor(s, d, Bm25Terms).orderBy("doc_id")
     },
 
     // Temperature-based corpus mixing — the multilingual sampling

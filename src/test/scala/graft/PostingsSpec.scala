@@ -40,8 +40,9 @@ class PostingsSpec extends AnyFunSuite {
     val nonNull = docs.filter(_._2 != null)
     val toks = nonNull.map { case (id, t) => id -> t.split(" ", -1).toSeq }
     val docPost = toks.flatMap { case (id, ts) =>
-      ts.groupBy(identity).map { case (tok, occ) =>
-        (tok, id, ts.length, occ.size.toDouble)
+      ts.zipWithIndex.groupBy(_._1).map { case (tok, occ) =>
+        (tok, id, ts.length, occ.size.toDouble,
+          occ.map(_._2).sorted.toSeq)
       }
     }.toSet
     def maxCid(n: Int): Long =
@@ -89,8 +90,10 @@ class PostingsSpec extends AnyFunSuite {
     val (dp, cp, st, cst) = truth(fixture)
     val gotDp = ps.load("postings").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
-        r.getDouble(3))).toSet
+        r.getDouble(3), r.getSeq[Int](4).toSeq)).toSet
     assert(gotDp === dp)
+    // positional invariant: tf == |pos| on every stored row
+    assert(gotDp.forall { case (_, _, _, tf, pos) => tf == pos.size })
     val gotCp = ps.load("cpostings").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
@@ -121,6 +124,60 @@ class PostingsSpec extends AnyFunSuite {
       s"term filter not pushed into the cpostings scan:\n$pc")
   }
 
+  test("phrase probe: adjacency, self-overlap, absent-term cases vs driver truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phr").toString
+    writeDocs(dir, Seq(
+      (1L, "a b c x a b c"), // two exact occurrences
+      (2L, "a b x c"),       // all terms, no 3-adjacency
+      (3L, "a a a"),         // self-overlap fixture for "a a"
+      (4L, "b c a"),         // all terms, wrong order
+      (5L, "a b"),           // missing term → candidate filter drops it
+      (6L, null)))
+    def run(ph: Seq[String]) =
+      TextQueries.phraseMatchesFor(spark, dir, ph).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq("a", "b", "c")) === Map(1L -> 2L))
+    // repeated-token phrase: intersecting pos("a") with itself
+    // shifted by 1 is exactly the self-adjacency condition
+    assert(run(Seq("a", "a")) === Map(3L -> 2L))
+    // probe plan: index-only, term filter pushed
+    val q = TextQueries.phraseMatchesFor(spark, dir, Seq("a", "b", "c"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"phrase probe still scans the corpus:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("token"),
+      s"term filter not pushed into the phrase probe:\n$p")
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("best-window probe matches brute force incl. tie → smallest start") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-win").toString
+    val docs = Seq(
+      (1L, "q x x q q x x x x x q"), // tie between anchors 0 and 3
+      (2L, "x q r"),                 // two terms, one window
+      (3L, "x x x"),                 // no hits → absent from output
+      (4L, null))
+    writeDocs(dir, docs)
+    val terms = Set("q", "r")
+    val w = 4
+    val expect = docs.collect { case (id, t) if t != null =>
+      val hits = t.split(" ", -1).zipWithIndex
+        .collect { case (tok, p) if terms(tok) => p }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.map(p => (hits.count(h => h >= p && h < p + w), p))
+          .sortBy { case (c, p) => (-c, p) }.head
+        Some((id, best._2.toLong, best._1.toLong))
+      }
+    }.flatten.toSet
+    val got = TextQueries.bestWindowFor(spark, dir, terms.toSeq.sorted, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.contains((1L, 0L, 2L))) // the tie really broke to 0, not 3
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("ingest: append-only batch folds in O(batch) and equals a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ping").toString
     val base = fixture.take(15)
@@ -136,7 +193,7 @@ class PostingsSpec extends AnyFunSuite {
     val (dp, cp, st, cst) = truth(fixture)
     assert(ps1.load("postings").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
-        r.getDouble(3))).toSet === dp)
+        r.getDouble(3), r.getSeq[Int](4).toSeq)).toSet === dp)
     assert(ps1.load("cpostings").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet === cp)

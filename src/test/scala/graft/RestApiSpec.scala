@@ -379,6 +379,86 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Independent phrase recompute: sliding-window equality over the
+    * collected fixture tokens. */
+  private def refPhrase(ph: Seq[String]): Seq[(Long, Long)] =
+    fixtureDocs.map { case (id, ts) =>
+      id -> ts.sliding(ph.size).count(_.sameElements(ph)).toLong
+    }.filter(_._2 > 0)
+
+  /** Independent best-window recompute (x145's semantics): densest
+    * w-token window anchored at a hit, ties to the smallest start. */
+  private def refBestWindow(terms: Set[String], w: Int)
+      : Map[Long, (Long, Long)] =
+    fixtureDocs.flatMap { case (id, ts) =>
+      val hits = ts.zipWithIndex.collect { case (t, p) if terms(t) => p }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.map(p => (hits.count(h => h >= p && h < p + w), p))
+          .sortBy { case (c, p) => (-c, p) }.head
+        Some(id -> (best._2.toLong, best._1.toLong))
+      }
+    }.toMap
+
+  test("GET /search?phrase= matches a sliding-window recompute over raw text") {
+    // the fixture's most frequent trigram — guaranteed hits, chosen
+    // from the data so the test never goes vacuously green
+    val ph = fixtureDocs.flatMap(_._2.sliding(3).map(_.toSeq))
+      .groupBy(identity)
+      .maxBy { case (p, occ) => (occ.size, p.mkString(" ")) }._1
+    val (code, text) = http("GET", s"/search?phrase=${ph.mkString("+")}&k=100")
+    assert(code === 200, text)
+    val got = jsonRows(text)
+      .map(m => (m("doc_id").toLong, m("phrase_tf").toLong))
+    val want = refPhrase(ph).sortBy { case (id, tf) => (-tf, id) }.take(100)
+    assert(got === want, "phrase ranking must equal the recompute")
+    assert(got.nonEmpty)
+  }
+
+  test("GET /search snippet=1 adds x145's best-window offsets to both arms") {
+    val terms = Seq("vector", "slow")
+    val bw = refBestWindow(terms.toSet, 32)
+    val (code, text) = http("GET", "/search?q=vector+slow&k=5&snippet=1")
+    assert(code === 200, text)
+    val rows = jsonRows(text)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val id = m("doc_id").toLong
+      assert((m("win_start").toLong, m("win_hits").toLong) === bw(id),
+        s"snippet window drifted from the recompute for doc $id")
+    }
+    // ranking itself is unchanged by the snippet join
+    val bare = jsonRows(http("GET", "/search?q=vector+slow&k=5")._2)
+      .map(m => (m("doc_id").toLong, m("score")))
+    assert(rows.map(m => (m("doc_id").toLong, m("score"))) === bare)
+    // phrase arm: the window covers the phrase's distinct terms
+    val ph = fixtureDocs.flatMap(_._2.sliding(2).map(_.toSeq))
+      .groupBy(identity)
+      .maxBy { case (p, occ) => (occ.size, p.mkString(" ")) }._1
+    val pbw = refBestWindow(ph.toSet, 32)
+    val (c2, t2) = http("GET",
+      s"/search?phrase=${ph.mkString("+")}&k=5&snippet=1")
+    assert(c2 === 200, t2)
+    val prows = jsonRows(t2)
+    assert(prows.nonEmpty)
+    prows.foreach { m =>
+      val id = m("doc_id").toLong
+      assert((m("win_start").toLong, m("win_hits").toLong) === pbw(id))
+    }
+  }
+
+  test("GET /search?phrase= validates its parameters") {
+    assert(http("GET", "/search?phrase=")._1 === 400)
+    assert(http("GET", "/search?phrase=a&q=b")._1 === 400)
+    assert(http("GET", "/search?phrase=a&like=0")._1 === 400)
+    assert(http("GET", "/search?phrase=a&unit=chunk")._1 === 400)
+    val many = (1 to 33).map(i => s"t$i").mkString("+")
+    assert(http("GET", s"/search?phrase=$many")._1 === 400)
+    assert(http("GET", "/search?phrase=" + "z" * 65)._1 === 400)
+    // a phrase with no corpus hit is an empty result, not an error
+    assert(http("GET", "/search?phrase=zz+yy+xx") === ((200, "[]")))
+  }
+
   test("GET /search ranks a novel query like an independent BM25 recompute") {
     val (code, text) = http("GET", "/search?q=vector+slow+data&k=5")
     assert(code === 200, text)
