@@ -140,17 +140,13 @@ final class RestService(spark: SparkSession, store: TableStore,
   def start(): Unit = {
     server.start()
     // Pre-warm the search tier's stored indexes OFF the request
-    // thread (r16 ADVICE: /search executes full Spark jobs on the
-    // single-threaded HTTP executor, so a COLD first search — which
-    // would otherwise pay the postings/IVF build — stalls every other
-    // route until it finishes; the daemon build runs during startup
-    // slack instead). Warm-path requests racing the build converge on
-    // the same StoredIndexes cache entry (compute() serializes per
-    // key), so no double build. Serving requests still serialize with
-    // each other by design — writes require it, and the production
-    // seam for read concurrency is a pooled executor over the READ
-    // routes only, documented here rather than taken (the JDK-server
-    // API surface is the reference's single Connect-node shape).
+    // path (r16 ADVICE): a COLD first search would otherwise pay the
+    // postings/IVF build inside its request — occupying one of the
+    // HttpPoolThreads pool slots for the whole build and adding
+    // seconds to that caller's latency — so the daemon build runs
+    // during startup slack instead. Warm-path requests racing the
+    // build converge on the same StoredIndexes cache entry
+    // (compute() serializes per key), so no double build.
     analyticsDir.foreach { dir =>
       val t = new Thread(() => {
         try {
@@ -444,6 +440,11 @@ final class RestService(spark: SparkSession, store: TableStore,
           // to fuse with — reject rather than silently ignore it
           case Some(_) if qparam(ex, "phrase").isDefined =>
             reply(ex, 400, "phrase cannot combine with like")
+          // snippets are positional-postings features of the lexical
+          // arms; silently dropping the flag would tell the client a
+          // lie about its response (the loud-validation rule)
+          case Some(_) if qparam(ex, "snippet").isDefined =>
+            reply(ex, 400, "snippet is not supported with like")
           // a malformed width is a client error, like a malformed
           // like= — never a silent fall-through to the default
           case Some(_) if qparam(ex, "nprobe").exists(
@@ -510,6 +511,8 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (qparam(ex, "q").isDefined ||
             qparam(ex, "unit").exists(_ != "doc"))
           reply(ex, 400, "phrase cannot combine with q or a non-doc unit")
+        else if (qparam(ex, "nprobe").isDefined)
+          reply(ex, 400, "nprobe requires like")
         else if (toks.size > RestService.SearchMaxTerms ||
             toks.exists(_.length > RestService.SearchMaxTermLen))
           reply(ex, 400, s"phrase is limited to ${RestService.SearchMaxTerms} " +
@@ -561,6 +564,14 @@ final class RestService(spark: SparkSession, store: TableStore,
             terms.exists(_.length > RestService.SearchMaxTermLen))
           reply(ex, 400, s"q is limited to ${RestService.SearchMaxTerms} " +
             s"terms of at most ${RestService.SearchMaxTermLen} chars")
+        // a malformed or inapplicable parameter is a 400, never a
+        // silent fall-through (the nprobe/phrase rule): a lexical-only
+        // search has no probe width, and the chunk arm has no snippet
+        else if (qparam(ex, "nprobe").isDefined)
+          reply(ex, 400, "nprobe requires like")
+        else if (qparam(ex, "snippet").isDefined &&
+            qparam(ex, "unit").exists(_ == "chunk"))
+          reply(ex, 400, "snippet is not supported with unit=chunk")
         else qparam(ex, "unit").getOrElse("doc") match {
           case "doc" =>
             val ranked = graft.operators.TextQueries

@@ -276,10 +276,14 @@ object CurationQueries {
   /** [[chunkMeta]] over ANY (doc_id, text) frame — the
     * [[PostingsIndex]] build and ingest fold both derive from it. */
   private[graft] def chunkMetaOf(docs: DataFrame): DataFrame =
-    docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        size(TextFns.tokens(col("text"))).as("n"))
+    chunkMetaFromTokens(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts")))
+
+  /** [[chunkMetaOf]] over an already-tokenized (doc_id, ts)
+    * projection — so a caller holding one persisted tokenize pass
+    * (the PostingsIndex ingest rule) never pays a second. */
+  private[graft] def chunkMetaFromTokens(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("ts")).as("n"))
       .select(col("doc_id"), col("n"), explode(sequence(lit(0L),
         greatest(floor((col("n") - ChunkMinTail).cast("double") / ChunkS)
           .cast("long"), lit(0L)))).as("chunk_id"))
@@ -296,7 +300,14 @@ object CurationQueries {
     * chunkMeta's formula. Aggregated to per-(doc, chunk, term)
     * frequency — exactly the tf frame x133's scorer used to derive
     * from its per-query corpus explode + chunkMeta join. */
-  private[graft] def chunkPostingsOf(docs: DataFrame): DataFrame = {
+  private[graft] def chunkPostingsOf(docs: DataFrame): DataFrame =
+    chunkPostingsFromTokens(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts")))
+
+  /** [[chunkPostingsOf]] over an already-tokenized (doc_id, ts)
+    * projection (one shared tokenize pass — see
+    * [[chunkMetaFromTokens]]). */
+  private[graft] def chunkPostingsFromTokens(tk: DataFrame): DataFrame = {
     val lo = greatest(
       (floor((col("p0") - ChunkW).cast("double") / ChunkS) + 1)
         .cast("long"), lit(0L))
@@ -304,9 +315,7 @@ object CurationQueries {
     val maxCid = greatest(
       floor((col("n") - ChunkMinTail).cast("double") / ChunkS)
         .cast("long"), lit(0L))
-    docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("n"),
+    tk.select(col("doc_id"), size(col("ts")).as("n"),
         posexplode(col("ts")).as(Seq("p0", "token")))
       .select(col("doc_id"), col("n"), col("token"),
         explode(sequence(lo, hi)).as("chunk_id"))
@@ -325,6 +334,12 @@ object CurationQueries {
     * batch folds as zeros. */
   private[graft] def chunkStatsOf(docs: DataFrame): DataFrame =
     chunkMetaOf(docs).agg(count(lit(1)).as("nch"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** [[chunkStatsOf]] over an already-tokenized (doc_id, ts)
+    * projection. */
+  private[graft] def chunkStatsFromTokens(tk: DataFrame): DataFrame =
+    chunkMetaFromTokens(tk).agg(count(lit(1)).as("nch"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
   /** (doc_id, chunk_id, score): x133's chunk-granular BM25 scorer for

@@ -50,10 +50,11 @@ import org.apache.spark.sql.functions._
  *    stats — BM25's N and avgdl numerator/denominator, plus the
  *    TOTAL corpus row count (incl. null-text rows) that the ingest
  *    coverage check reads instead of rescanning anything.
- *  - `cstats` (nch, sum_dl): 1-row chunk-level stats (chunk count,
- *    summed chunk lengths) — avgdl derives as sum_dl/nch, kept as the
- *    exact-integer pair so ingest can FOLD it (an avg doesn't fold; a
- *    (sum, count) pair does).
+ *  - `cstats` (nch, sum_dl, n_rows): 1-row chunk-level stats (chunk
+ *    count, summed chunk lengths) — avgdl derives as sum_dl/nch, kept
+ *    as the exact-integer pair so ingest can FOLD it (an avg doesn't
+ *    fold; a (sum, count) pair does). n_rows stamps the corpus row
+ *    count the fold reflects — the ingest replay guard.
  *
  * df is deliberately NOT stored: the scorers derive it per query from
  * the ≤|terms| filtered postings groups (count of rows per token —
@@ -62,7 +63,8 @@ import org.apache.spark.sql.functions._
  *
  * Incremental ingest ([[ingest]]): postings rows are PER-DOCUMENT
  * (token, tf, dl are doc-local), so an append-only corpus batch
- * appends exactly its own docs' postings — O(batch), the chunk-store
+ * appends exactly its own docs' postings — O(batch) compute plus one
+ * anti-join probe against the stored key columns, the chunk-store
  * maintenance class — and the 1-row stats tables fold by addition.
  * Same two-level checked contract as [[VectorIndex.ingest]]: the
  * corpus data-file listing must EXTEND the covered listing and
@@ -72,6 +74,18 @@ import org.apache.spark.sql.functions._
  * (the caller owns the corpus writer). Unlike DSIR weights (NOT
  * incrementally foldable — every batch shifts the global ratio
  * table), postings and (sum, count) stats fold exactly.
+ *
+ * Crash/replay discipline (the four writes are not atomic): the
+ * doc-level `stats` table is the absorption's COMMIT RECORD —
+ * written LAST, and the coverage check reads `covered` from it
+ * (durable), never from the cache entry. An attempt that dies
+ * anywhere mid-way leaves stats at the pre-batch value, so the retry
+ * re-runs the whole absorption: the keyed anti-join appends no-op on
+ * whatever already landed, the cstats fold skips itself via its
+ * n_rows stamp, and stats folds off its unchanged pre-batch values.
+ * A process death after the stats commit loses only the in-memory
+ * cache — the next forDir rebuilds from the corpus fingerprint
+ * (correct, merely not incremental).
  */
 object PostingsIndex {
 
@@ -91,47 +105,72 @@ object PostingsIndex {
     * corpus token count — the column is the size class of the text it
     * replaces — but parquet column chunks mean a probe that doesn't
     * SELECT pos (all the BM25 scorers) never reads those bytes. */
-  private[operators] def docPostingsOf(docs: DataFrame): DataFrame =
+  /** The (doc_id, ts) tokenized projection every index table derives
+    * from — factored so build and ingest each pay exactly ONE
+    * tokenize pass (the ShardExport.maintain rule). */
+  private def tokensOf(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("dl"),
+
+  private[graft] def docPostingsOf(docs: DataFrame): DataFrame =
+    docPostingsFromTokens(tokensOf(docs))
+
+  private def docPostingsFromTokens(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("ts")).as("dl"),
         posexplode(col("ts")).as(Seq("p", "token")))
       .groupBy("token", "doc_id")
       .agg(first("dl").as("dl"), count(lit(1)).cast("double").as("tf"),
         sort_array(collect_list(col("p"))).as("pos"))
 
-  /** 1-row doc-level stats of ANY (doc_id, text) frame: token total
-    * and doc count over non-null-text rows (UnigramLM's `stats`
-    * definition — x94's N/avglen inputs), plus the raw row count the
-    * ingest coverage check consumes. coalesce: an empty batch/corpus
-    * folds as zeros, not nulls. */
-  private[operators] def docStatsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        when(col("text").isNotNull,
-          size(TextFns.tokens(col("text")))).as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n_tokens"),
-        count(col("n")).as("n_docs"),
-        count(lit(1)).as("n_rows"))
+  /** 1-row (n_tokens, n_docs) over a tokenized projection —
+    * UnigramLM's `stats` definition, x94's N/avglen inputs. The
+    * stored `stats` table adds `n_rows` (the RAW corpus row count
+    * incl. null-text rows) as the ingest coverage counter; callers
+    * supply it from a parquet-metadata count. coalesce: an empty
+    * batch/corpus folds as zeros, not nulls. */
+  private def docStatsFromTokens(tk: DataFrame): DataFrame =
+    tk.agg(coalesce(sum(size(col("ts"))), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_docs"))
 
   def forDir(spark: SparkSession, dir: String): TableStore =
     StoredIndexes.versioned(cache, dir, "documents.parquet",
       "graft-postings-index") { root =>
-      buildInto(spark, new TableStore(spark, root),
-        table(spark, dir, "documents"))
+      val docs = table(spark, dir, "documents")
+      buildInto(spark, new TableStore(spark, root), docs, docs.count())
     }
 
   /** The build body, shared by [[forDir]] and [[ingest]]'s full-
-    * rebuild fallback: all four tables derive from one corpus
-    * projection. */
+    * rebuild fallback. TWO corpus tokenize passes (one per postings
+    * granularity), not four: the 1-row stats tables derive from the
+    * just-written NARROW index tables instead of re-scanning the
+    * corpus — exact because every non-null doc emits ≥ 1 posting row
+    * (Spark's split("") is [""], a 1-token doc) and every surviving
+    * chunk ≥ 1 cpostings row (dl ≥ 1), both spec-pinned by
+    * PostingsSpec's driver-side stats recompute. A persisted
+    * full-corpus token projection would collapse the two passes to
+    * one at the price of caching a corpus-sized intermediate —
+    * the wrong trade at 100 TB, where a re-scan is cheaper than
+    * spilling the cache (the ingest path DOES persist: batches are
+    * bounded). `cstats.n_rows` stamps the corpus row count the fold
+    * reflects — [[ingest]]'s replay guard. */
   private def buildInto(spark: SparkSession, store: TableStore,
-      docs: DataFrame): TableStore = {
+      docs: DataFrame, nCorpus: Long): TableStore = {
+    import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
     store.replace("postings", docPostingsOf(docs)
       .repartition(n, col("token")).sortWithinPartitions("token"))
     store.replace("cpostings", CurationQueries.chunkPostingsOf(docs)
       .repartition(n, col("token")).sortWithinPartitions("token"))
-    store.replace("stats", docStatsOf(docs))
-    store.replace("cstats", CurationQueries.chunkStatsOf(docs))
+    val p = store.load("postings")
+      .agg(coalesce(sum(col("tf")), lit(0.0)).cast("long"),
+        countDistinct(col("doc_id"))).head
+    store.replace("stats", Seq((p.getLong(0), p.getLong(1), nCorpus))
+      .toDF("n_tokens", "n_docs", "n_rows"))
+    val c = store.load("cpostings")
+      .select("doc_id", "chunk_id", "dl").distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    store.replace("cstats", Seq((c.getLong(0), c.getLong(1), nCorpus))
+      .toDF("nch", "sum_dl", "n_rows"))
     store
   }
 
@@ -152,7 +191,7 @@ object PostingsIndex {
         val e = StoredIndexes.rebuildEntry(fp, "graft-postings-index",
           listing, nCorpus)(root =>
           buildInto(spark, new TableStore(spark, root),
-            table(spark, dir, "documents")))
+            table(spark, dir, "documents"), nCorpus))
         if (prev != null) StoredIndexes.retireRoot(prev.root)
         e
       }
@@ -160,36 +199,62 @@ object PostingsIndex {
         full()
       else {
         val deltaN = rows.count()
-        // backfill for entries built before any ingest (forDir): the
-        // covered row count is the stats table's n_rows — a 1-row
-        // stored read, never an index rescan
-        val covered =
-          if (prev.rows >= 0) prev.rows
-          else prev.index.load("stats").head.getLong(2)
+        // covered from the DURABLE stored stats (a 1-row read), never
+        // the cache entry: the stats table is this absorption's
+        // COMMIT RECORD (written last, see below), so a previous
+        // attempt that died mid-way leaves it at the pre-batch value
+        // and the whole absorption re-runs — review-caught: a cached
+        // counter would pass the contract while the store already
+        // held the failed attempt's appended rows
+        val covered = prev.index.load("stats").head.getLong(2)
         if (covered + deltaN != nCorpus) full()
         else {
           val st = prev.index
           val nPart = spark.sessionState.conf.numShufflePartitions
-          st.append("postings", docPostingsOf(rows)
-            .repartition(nPart, col("token"))
-            .sortWithinPartitions("token"))
-          st.append("cpostings", CurationQueries.chunkPostingsOf(rows)
-            .repartition(nPart, col("token"))
-            .sortWithinPartitions("token"))
-          // 1-row folds: old + batch, written as literal rows (two
-          // bounded reads + two 1-row writes — no corpus-side work)
-          import spark.implicits._
-          val o = st.load("stats").head
-          val b = docStatsOf(rows).head
-          st.replace("stats", Seq((o.getLong(0) + b.getLong(0),
-            o.getLong(1) + b.getLong(1), o.getLong(2) + b.getLong(2)))
-            .toDF("n_tokens", "n_docs", "n_rows"))
-          val oc = st.load("cstats").head
-          val bc = CurationQueries.chunkStatsOf(rows).head
-          st.replace("cstats", Seq((oc.getLong(0) + bc.getLong(0),
-            oc.getLong(1) + bc.getLong(1))).toDF("nch", "sum_dl"))
-          StoredIndexes.Cached(fp, prev.root, st, listing,
-            covered + deltaN)
+          // ONE tokenize pass for the whole absorption (the
+          // ShardExport.maintain rule): the persisted projection
+          // feeds both postings tables and both stats folds
+          val tk = tokensOf(rows).persist()
+          try {
+            // REPLAY-SAFE absorption (review-caught: plain appends
+            // would double tf/df on a retried batch): each postings
+            // table anti-joins the batch against its own stored keys
+            // — O(batch) probe rows vs the narrow stored key columns
+            // (the chunk store's appendUnique class) — and re-sorts
+            // the surviving rows into the token-clustered layout the
+            // pushdown probes rely on. The cstats fold carries the
+            // corpus row count it reflects, so a replay skips it;
+            // stats commits LAST.
+            def absorb(tbl: String, batch: DataFrame,
+                keys: Seq[String]): Unit = {
+              val fresh = batch
+                .join(st.load(tbl).select(keys.map(col): _*),
+                  keys, "left_anti")
+                .repartition(nPart, col("token"))
+                .sortWithinPartitions("token").persist()
+              try { if (fresh.head(1).nonEmpty) st.append(tbl, fresh) }
+              finally { fresh.unpersist(); () }
+            }
+            absorb("postings", docPostingsFromTokens(tk),
+              Seq("token", "doc_id"))
+            absorb("cpostings",
+              CurationQueries.chunkPostingsFromTokens(tk),
+              Seq("token", "doc_id", "chunk_id"))
+            import spark.implicits._
+            val oc = st.load("cstats").head
+            if (oc.getLong(2) != nCorpus) {
+              val bc = CurationQueries.chunkStatsFromTokens(tk).head
+              st.replace("cstats", Seq((oc.getLong(0) + bc.getLong(0),
+                oc.getLong(1) + bc.getLong(1), nCorpus))
+                .toDF("nch", "sum_dl", "n_rows"))
+            }
+            val o = st.load("stats").head
+            val b = docStatsFromTokens(tk).head
+            st.replace("stats", Seq((o.getLong(0) + b.getLong(0),
+              o.getLong(1) + b.getLong(1), nCorpus))
+              .toDF("n_tokens", "n_docs", "n_rows"))
+          } finally { tk.unpersist(); () }
+          StoredIndexes.Cached(fp, prev.root, st, listing, nCorpus)
         }
       }
     }).index

@@ -183,10 +183,31 @@ object VectorIndex {
           val assigned = assignCells(base, prev.index.centroids)
             .select(col("vec_id"), col("embedding"),
               col("cell").cast("int").as("cell"))
-          prev.index.store.append("ivf_corpus",
-            assigned.repartition(col("cell")))
-          prev.index.store.append("fwd",
-            fwdRows(rows.select(col("vec_id"), col("embedding"))))
+          // REPLAY-SAFE appends (review-caught: two tables made the
+          // absorption non-atomic — an attempt that died between them
+          // would re-append its ivf_corpus rows on retry, and
+          // duplicate vec_ids would occupy top-k slots): each table
+          // anti-joins the batch against its own stored vec_ids, so a
+          // retry no-ops what already landed and heals what didn't.
+          // The probe reads one narrow key column; appended segments
+          // keep each table's recorded layout (cell dirs / bkt dirs +
+          // vec_id sort).
+          val st = prev.index.store
+          val freshCorpus = assigned
+            .join(st.load("ivf_corpus").select("vec_id"),
+              Seq("vec_id"), "left_anti")
+            .repartition(col("cell")).persist()
+          try {
+            if (freshCorpus.head(1).nonEmpty)
+              st.append("ivf_corpus", freshCorpus)
+          } finally { freshCorpus.unpersist(); () }
+          val freshFwd = fwdRows(rows
+            .select(col("vec_id"), col("embedding"))
+            .join(st.load("fwd").select("vec_id"),
+              Seq("vec_id"), "left_anti")).persist()
+          try {
+            if (freshFwd.head(1).nonEmpty) st.append("fwd", freshFwd)
+          } finally { freshFwd.unpersist(); () }
           StoredIndexes.Cached(fp, prev.root, prev.index, listing,
             covered + deltaN)
         }

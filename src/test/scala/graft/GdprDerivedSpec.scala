@@ -184,6 +184,11 @@ class GdprDerivedSpec extends AnyFunSuite {
     assert(x20(spark, dir).filter(col("vec_id") === 42L).count() === 1)
     assert(ShingleIndex.forDir(spark, dir).load("pfx3")
       .filter(col("doc_id") === 42L).count() > 0)
+    // the lexical serving tier (r17 postings index) sees 42's content
+    assert(graft.operators.TextQueries.bm25ScoredFor(spark, dir, Seq(uniq))
+      .filter(col("doc_id") === 42L).count() === 1)
+    assert(graft.operators.PostingsIndex.forDir(spark, dir)
+      .load("postings").filter(col("doc_id") === 42L).count() > 0)
 
     // erase doc/vec 42 (copy-on-write corpus rewrite — in the
     // TableStore path this is deleteWhere; here the corpus dir is the
@@ -204,6 +209,19 @@ class GdprDerivedSpec extends AnyFunSuite {
     assert(shingle.load("ex8h").filter(col("doc_id") === 42L).isEmpty)
     assert(VectorIndex.forDir(spark, dir).corpus
       .filter(col("vec_id") === 42L).isEmpty)
+    // postings rebuild: 42's rows gone from the stored index AND from
+    // the serving probes (BM25 + phrase both ride it) — doc 43 still
+    // carries the token, so the probes themselves stay exercised
+    val ps = graft.operators.PostingsIndex.forDir(spark, dir)
+    assert(ps.load("postings").filter(col("doc_id") === 42L).isEmpty)
+    assert(ps.load("cpostings").filter(col("doc_id") === 42L).isEmpty)
+    val bm = graft.operators.TextQueries.bm25ScoredFor(spark, dir, Seq(uniq))
+    assert(bm.filter(col("doc_id") === 42L).isEmpty)
+    assert(bm.filter(col("doc_id") === 43L).count() === 1)
+    val ph = graft.operators.TextQueries.phraseMatchesFor(spark, dir,
+      Seq("epsilon", uniq, "theta"))
+    assert(ph.filter(col("doc_id") === 42L).isEmpty)
+    assert(ph.filter(col("doc_id") === 43L).count() === 1)
   }
 
   test("purge sweeps the r14 doc-keyed stores: media corpus/fps/log + packing spans; re-send re-enters the gate") {

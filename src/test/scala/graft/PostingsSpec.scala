@@ -102,6 +102,43 @@ class PostingsSpec extends AnyFunSuite {
     assert((gotSt.getLong(0), gotSt.getLong(1), gotSt.getLong(2)) === st)
     val gotCst = ps.load("cstats").head
     assert((gotCst.getLong(0), gotCst.getLong(1)) === cst)
+    // both 1-row tables stamp the corpus row count they reflect
+    assert(gotCst.getLong(2) === fixture.size.toLong)
+    assert(gotSt.getLong(2) === fixture.size.toLong)
+    graft.tables.TempDirs.delete(dir)
+  }
+
+  test("ingest retry after a partial failure heals instead of duplicating") {
+    // simulate an absorption that died after its FIRST write: the
+    // corpus grew, the batch's doc-postings landed, nothing else did
+    // (no cpostings, no stats commit). The retry must anti-join away
+    // the landed rows, append the missing ones, and fold stats ONCE.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pheal").toString
+    val base = fixture.take(15)
+    val delta = fixture.drop(15)
+    writeDocs(dir, base)
+    val ps0 = PostingsIndex.forDir(spark, dir)
+    delta.toDF("doc_id", "text").write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    ps0.append("postings",
+      PostingsIndex.docPostingsOf(delta.toDF("doc_id", "text")))
+    // retry = a plain ingest call over the same handed delta
+    val ps1 = PostingsIndex.ingest(spark, dir, delta.toDF("doc_id", "text"))
+    assert(ps1 eq ps0, "heal must ride the incremental path, not rebuild")
+    val (dp, cp, st, cst) = truth(fixture)
+    val gotDp = ps1.load("postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getSeq[Int](4).toSeq))
+    assert(gotDp.length === gotDp.toSet.size, "duplicate postings rows")
+    assert(gotDp.toSet === dp)
+    assert(ps1.load("cpostings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet === cp)
+    val s1 = ps1.load("stats").head
+    assert((s1.getLong(0), s1.getLong(1), s1.getLong(2)) === st)
+    val c1 = ps1.load("cstats").head
+    assert((c1.getLong(0), c1.getLong(1)) === cst)
+    assert(c1.getLong(2) === fixture.size.toLong)
     graft.tables.TempDirs.delete(dir)
   }
 

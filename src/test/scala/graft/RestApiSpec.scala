@@ -457,6 +457,15 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?phrase=" + "z" * 65)._1 === 400)
     // a phrase with no corpus hit is an empty result, not an error
     assert(http("GET", "/search?phrase=zz+yy+xx") === ((200, "[]")))
+    // inapplicable parameters are 400s, never silent fall-throughs
+    // (review-caught: some arms rejected loudly, others dropped the
+    // flag): nprobe belongs to the dense arm, snippet to the lexical
+    // doc-level arms
+    assert(http("GET", "/search?phrase=a&nprobe=2")._1 === 400)
+    assert(http("GET", "/search?q=hash&nprobe=2")._1 === 400)
+    assert(http("GET", "/search?q=hash&unit=chunk&snippet=1")._1 === 400)
+    assert(http("GET", "/search?like=0&snippet=1")._1 === 400)
+    assert(http("GET", "/search?q=hash&like=0&snippet=1")._1 === 400)
   }
 
   test("GET /search ranks a novel query like an independent BM25 recompute") {
