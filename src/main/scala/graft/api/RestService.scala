@@ -419,6 +419,9 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         densest 32-token window
   //   GET /search?q=<terms>&snippet=1       doc-level BM25 + best-window
   //                                         offsets (x145's probe)
+  //   GET /search?prefix=<p>&k=N            vocabulary listing for a
+  //                                         token prefix (x146's probe;
+  //                                         df desc, token asc)
   private def routeSearch(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
@@ -440,6 +443,8 @@ final class RestService(spark: SparkSession, store: TableStore,
           // to fuse with — reject rather than silently ignore it
           case Some(_) if qparam(ex, "phrase").isDefined =>
             reply(ex, 400, "phrase cannot combine with like")
+          case Some(_) if qparam(ex, "prefix").isDefined =>
+            reply(ex, 400, "prefix cannot combine with like")
           // snippets are positional-postings features of the lexical
           // arms; silently dropping the flag would tell the client a
           // lie about its response (the loud-validation rule)
@@ -497,6 +502,30 @@ final class RestService(spark: SparkSession, store: TableStore,
             } catch {
               case e: NoSuchElementException => reply(ex, 404, e.getMessage)
             }
+        }
+      case ("GET", List("search"), Some(dir))
+          if qparam(ex, "prefix").isDefined =>
+        val p = qparam(ex, "prefix").get
+        val k = qparam(ex, "k").flatMap(_.toIntOption)
+          .getOrElse(10).min(100).max(1)
+        if (p.isEmpty) reply(ex, 400, "missing or empty prefix parameter")
+        // prefix is its own arm — combining it with any retrieval
+        // parameter is a client error, never a silent drop
+        else if (Seq("q", "phrase", "like", "unit", "snippet", "nprobe")
+            .exists(qparam(ex, _).isDefined))
+          reply(ex, 400, "prefix cannot combine with other search parameters")
+        else if (p.length > RestService.SearchMaxTermLen ||
+            p.exists(_.isWhitespace))
+          reply(ex, 400, s"prefix is one token fragment of at most " +
+            s"${RestService.SearchMaxTermLen} chars")
+        else {
+          val rows = graft.operators.TextQueries
+            .prefixVocabFor(spark, dir, p)
+            .orderBy(col("df").desc, col("token"))
+            .limit(k).collect()
+            .map(r => Json.obj("token" -> r.getString(0),
+              "df" -> r.getLong(1), "n_occ" -> r.getLong(2)))
+          replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
         }
       case ("GET", List("search"), Some(dir))
           if qparam(ex, "phrase").isDefined =>

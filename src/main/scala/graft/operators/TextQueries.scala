@@ -447,6 +447,21 @@ object TextQueries {
       "GROUP BY doc_id HAVING SUM(m) > 0 ORDER BY doc_id"
   }
 
+  /** Vocabulary listing for a token PREFIX: (token, df, n_occ) —
+    * x146's probe and `GET /search?prefix=`. The startsWith pushes
+    * into the token-sorted postings scan as a range (plan-pinned in
+    * PostingsSpec); df counts the table's one-row-per-(token,doc)
+    * rows, occurrences fold Σtf. */
+  private[graft] def prefixVocabFor(s: SparkSession, d: String,
+      prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix")
+    PostingsIndex.forDir(s, d).load("postings")
+      .filter(col("token").startsWith(prefix))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast("bigint").as("n_occ"))
+  }
+
   /** Snippet window width (tokens) for x145 / the `/search` snippet
     * field. */
   private[operators] val SnippetW = 32
@@ -2100,6 +2115,23 @@ object TextQueries {
     // (cnt DESC, p ASC) arg-max from raw text.
     Query("x145_best_window", bestWindowSql(Bm25Terms, SnippetW)) {
       (s, d) => bestWindowFor(s, d, Bm25Terms).orderBy("doc_id")
+    },
+
+    // Prefix vocabulary probe — the autocomplete/vocabulary-
+    // exploration primitive, and the query that exercises the THIRD
+    // pushdown class on the token-sorted postings layout: x94/x144
+    // push IN-lists, this pushes a PREFIX RANGE (StringStartsWith →
+    // row-group min/max skipping on the sorted token column, the
+    // B-tree-range analogue). One filtered index scan + one agg:
+    // df = rows per token (the table holds one row per (token, doc)),
+    // occurrences = Σtf. No corpus scan, no explode, at any size.
+    Query("x146_prefix_vocab",
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT tk AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_occ FROM t " +
+        "WHERE tk LIKE 's%' GROUP BY tk ORDER BY tk") {
+      (s, d) => prefixVocabFor(s, d, "s").orderBy("token")
     },
 
     // Temperature-based corpus mixing — the multilingual sampling

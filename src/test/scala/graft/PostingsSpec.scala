@@ -188,6 +188,31 @@ class PostingsSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("prefix-vocab probe: range pushdown, values vs driver truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pfx").toString
+    writeDocs(dir, fixture)
+    val q = TextQueries.prefixVocabFor(spark, dir, "w")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = fixture.filter(_._2 != null)
+      .flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+      .filter(_._2.startsWith("w"))
+      .groupBy(_._2)
+      .map { case (tok, occ) =>
+        (tok, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+      }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the prefix pushes into the token-sorted scan as a range — the
+    // third pushdown class after IN (x94/x144) and point lookups
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"),
+      s"prefix probe still scans the corpus:\n$p")
+    assert(p.contains("StringStartsWith"),
+      s"prefix not pushed into the postings scan:\n$p")
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("best-window probe matches brute force incl. tie → smallest start") {
     val dir = java.nio.file.Files.createTempDirectory("graft-win").toString
     val docs = Seq(

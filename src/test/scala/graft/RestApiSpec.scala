@@ -468,6 +468,36 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?q=hash&like=0&snippet=1")._1 === 400)
   }
 
+  test("GET /search?prefix= lists the vocabulary like a raw-text recompute") {
+    val (code, text) = http("GET", "/search?prefix=s&k=100")
+    assert(code === 200, text)
+    val got = "\\{[^}]*\\}".r.findAllIn(text).map { obj =>
+      val tok = "\"token\":\"(\\w+)\"".r.findFirstMatchIn(obj).get.group(1)
+      val df = "\"df\":(\\d+)".r.findFirstMatchIn(obj).get.group(1).toLong
+      val n = "\"n_occ\":(\\d+)".r.findFirstMatchIn(obj).get.group(1).toLong
+      (tok, df, n)
+    }.toSeq
+    val want = fixtureDocs
+      .flatMap { case (id, ts) => ts.map(id -> _) }
+      .filter(_._2.startsWith("s"))
+      .groupBy(_._2)
+      .map { case (tok, occ) =>
+        (tok, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+      }.toSeq.sortBy { case (tok, df, _) => (-df, tok) }.take(100)
+    assert(got === want)
+    assert(got.nonEmpty)
+    // validations: its own arm, loudly
+    assert(http("GET", "/search?prefix=")._1 === 400)
+    assert(http("GET", "/search?prefix=s&q=hash")._1 === 400)
+    assert(http("GET", "/search?prefix=s&phrase=a")._1 === 400)
+    assert(http("GET", "/search?prefix=s&like=0")._1 === 400)
+    assert(http("GET", "/search?prefix=s&snippet=1")._1 === 400)
+    assert(http("GET", "/search?prefix=" + "z" * 65)._1 === 400)
+    assert(http("GET", "/search?prefix=a+b")._1 === 400)
+    // no matching vocabulary is an empty result, not an error
+    assert(http("GET", "/search?prefix=zzz") === ((200, "[]")))
+  }
+
   test("GET /search ranks a novel query like an independent BM25 recompute") {
     val (code, text) = http("GET", "/search?q=vector+slow+data&k=5")
     assert(code === 200, text)
