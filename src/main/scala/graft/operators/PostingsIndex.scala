@@ -64,8 +64,8 @@ import org.apache.spark.sql.functions._
  * Incremental ingest ([[ingest]]): postings rows are PER-DOCUMENT
  * (token, tf, dl are doc-local), so an append-only corpus batch
  * appends exactly its own docs' postings — O(batch) compute plus one
- * anti-join probe against the stored key columns, the chunk-store
- * maintenance class — and the 1-row stats tables fold by addition.
+ * limit-1 replay probe per table — and the 1-row stats tables fold
+ * by addition.
  * Same two-level checked contract as [[VectorIndex.ingest]]: the
  * corpus data-file listing must EXTEND the covered listing and
  * covered + delta rows must equal the corpus row count; any violation
@@ -80,9 +80,10 @@ import org.apache.spark.sql.functions._
  * written LAST, and the coverage check reads `covered` from it
  * (durable), never from the cache entry. An attempt that dies
  * anywhere mid-way leaves stats at the pre-batch value, so the retry
- * re-runs the whole absorption: the keyed anti-join appends no-op on
- * whatever already landed, the cstats fold skips itself via its
- * n_rows stamp, and stats folds off its unchanged pre-batch values.
+ * re-runs the whole absorption: the per-table marker probes skip
+ * whatever already landed (appends are manifest-atomic — all or
+ * nothing per table), the cstats fold skips itself via its n_rows
+ * stamp, and stats folds off its unchanged pre-batch values.
  * A process death after the stats commit loses only the in-memory
  * cache — the next forDir rebuilds from the corpus fingerprint
  * (correct, merely not incremental).
@@ -217,29 +218,31 @@ object PostingsIndex {
           val tk = tokensOf(rows).persist()
           try {
             // REPLAY-SAFE absorption (review-caught: plain appends
-            // would double tf/df on a retried batch): each postings
-            // table anti-joins the batch against its own stored keys
-            // — O(batch) probe rows vs the narrow stored key columns
-            // (the chunk store's appendUnique class) — and re-sorts
-            // the surviving rows into the token-clustered layout the
-            // pushdown probes rely on. The cstats fold carries the
-            // corpus row count it reflects, so a replay skips it;
-            // stats commits LAST.
-            def absorb(tbl: String, batch: DataFrame,
-                keys: Seq[String]): Unit = {
-              val fresh = batch
-                .join(st.load(tbl).select(keys.map(col): _*),
-                  keys, "left_anti")
-                .repartition(nPart, col("token"))
-                .sortWithinPartitions("token").persist()
-              try { if (fresh.head(1).nonEmpty) st.append(tbl, fresh) }
-              finally { fresh.unpersist(); () }
-            }
-            absorb("postings", docPostingsFromTokens(tk),
-              Seq("token", "doc_id"))
+            // would double tf/df on a retried batch). TableStore
+            // appends are ATOMIC per table (segment files first, then
+            // the manifest pointer via ATOMIC_MOVE), so a dead
+            // attempt left each postings table either the WHOLE batch
+            // segment or nothing — replay detection is therefore a
+            // single-doc presence probe (one column-pruned limit-1
+            // read), never a per-batch anti-join of the stored keys
+            // (which would shuffle the whole index every trigger at
+            // scale). Any non-null-text doc has ≥ 1 row in BOTH
+            // tables (split("") = [""]; chunk 0 always survives), so
+            // the batch's min doc_id is a valid marker for each. The
+            // cstats fold carries the corpus row count it reflects,
+            // so a replay skips it; stats commits LAST.
+            val marker = tk.agg(min(col("doc_id"))).head
+            def absorb(tbl: String, batch: DataFrame): Unit =
+              if (!marker.isNullAt(0) &&
+                  st.load(tbl)
+                    .filter(col("doc_id") === marker.getLong(0))
+                    .limit(1).isEmpty)
+                st.append(tbl, batch
+                  .repartition(nPart, col("token"))
+                  .sortWithinPartitions("token"))
+            absorb("postings", docPostingsFromTokens(tk))
             absorb("cpostings",
-              CurationQueries.chunkPostingsFromTokens(tk),
-              Seq("token", "doc_id", "chunk_id"))
+              CurationQueries.chunkPostingsFromTokens(tk))
             import spark.implicits._
             val oc = st.load("cstats").head
             if (oc.getLong(2) != nCorpus) {

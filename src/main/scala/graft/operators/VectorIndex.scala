@@ -186,28 +186,26 @@ object VectorIndex {
           // REPLAY-SAFE appends (review-caught: two tables made the
           // absorption non-atomic — an attempt that died between them
           // would re-append its ivf_corpus rows on retry, and
-          // duplicate vec_ids would occupy top-k slots): each table
-          // anti-joins the batch against its own stored vec_ids, so a
-          // retry no-ops what already landed and heals what didn't.
-          // The probe reads one narrow key column; appended segments
-          // keep each table's recorded layout (cell dirs / bkt dirs +
-          // vec_id sort).
+          // duplicate vec_ids would occupy top-k slots). TableStore
+          // appends are ATOMIC per table (segment files, then the
+          // manifest pointer via ATOMIC_MOVE), so a dead attempt left
+          // each table either the WHOLE batch segment or nothing —
+          // replay detection is a single-vec_id presence probe
+          // (limit-1; the fwd side is even partition-pruned), never a
+          // per-batch anti-join that would shuffle the stored corpus
+          // every trigger. Appended segments keep each table's
+          // recorded layout (cell dirs / bkt dirs + vec_id sort).
           val st = prev.index.store
-          val freshCorpus = assigned
-            .join(st.load("ivf_corpus").select("vec_id"),
-              Seq("vec_id"), "left_anti")
-            .repartition(col("cell")).persist()
-          try {
-            if (freshCorpus.head(1).nonEmpty)
-              st.append("ivf_corpus", freshCorpus)
-          } finally { freshCorpus.unpersist(); () }
-          val freshFwd = fwdRows(rows
-            .select(col("vec_id"), col("embedding"))
-            .join(st.load("fwd").select("vec_id"),
-              Seq("vec_id"), "left_anti")).persist()
-          try {
-            if (freshFwd.head(1).nonEmpty) st.append("fwd", freshFwd)
-          } finally { freshFwd.unpersist(); () }
+          val marker = rows.agg(min(col("vec_id"))).head
+          def absorbed(tbl: String): Boolean =
+            marker.isNullAt(0) || !st.load(tbl)
+              .filter(col("vec_id") === marker.getLong(0))
+              .limit(1).isEmpty
+          if (!absorbed("ivf_corpus"))
+            st.append("ivf_corpus", assigned.repartition(col("cell")))
+          if (!absorbed("fwd"))
+            st.append("fwd",
+              fwdRows(rows.select(col("vec_id"), col("embedding"))))
           StoredIndexes.Cached(fp, prev.root, prev.index, listing,
             covered + deltaN)
         }
