@@ -217,7 +217,7 @@ object StreamBench {
     // fingerprints + affected-cluster re-election, replacing the r14
     // full-corpus recompute per trigger).
     def runIngest(metric: String, nRounds: Int,
-        chunkStore: Boolean = false): Unit = {
+        chunkStore: Boolean = false, shardStore: Boolean = false): Unit = {
       val root = Files.createTempDirectory("graft-streambench-ingest").toString
       val store = new TableStore(spark, root)
       val flows = new graft.streaming.IngestionFlows(spark, store, root,
@@ -227,17 +227,18 @@ object StreamBench {
         // gate genuinely bite, so the measurement covers the refusal
         // path (log upserts), not just the pass-through
         sourceCapPct = Some(3),
-        chunkStore = chunkStore)
+        chunkStore = chunkStore,
+        shardStore = shardStore)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text"),
-          col("source").cast("string"))
-        .as[(Long, String, String)].collect()
+          col("source").cast("string"), col("lang").cast("string"))
+        .as[(Long, String, String, String)].collect()
       val nd = docs.length
-      val ms = MemoryStream[(Long, String, String)](spark, cpus.toInt)
+      val ms = MemoryStream[(Long, String, String, String)](spark, cpus.toInt)
       val chunk = (nd + nRounds - 1) / nRounds
       val t0 = System.nanoTime()
       val q = flows.documentIngestFlow(
-        ms.toDS().toDF("doc_id", "text", "source"))
+        ms.toDS().toDF("doc_id", "text", "source", "lang"))
       docs.grouped(chunk).foreach { c =>
         ms.addData(c.toSeq)
         q.processAllAvailable()
@@ -250,8 +251,11 @@ object StreamBench {
       val chunks =
         if (!chunkStore || !store.exists("chunks")) ""
         else s""""chunks":${store.load("chunks").count()},"""
+      val shards =
+        if (!shardStore || !store.exists("shards")) ""
+        else s""""windows":${store.load("shards").count()},"""
       println(s"""{"metric":"$metric","docs":$nd,"admitted":$admitted,""" +
-        s""""source_capped":$capped,$chunks"batches":$nRounds,"sec":$secs,""" +
+        s""""source_capped":$capped,$chunks$shards"batches":$nRounds,"sec":$secs,""" +
         s""""docs_per_sec":${(nd / secs).toLong},"sf":"$sfDir"}""")
     }
 
@@ -291,6 +295,9 @@ object StreamBench {
       // the S23 chunk tier's marginal cost on the same gated flow
       runIngest("ingest_throughput_chunks_multibatch", rounds,
         chunkStore = true)
+      // the r17 incremental training-shard tier on the same gated flow
+      runIngest("ingest_throughput_shards_multibatch", rounds,
+        shardStore = true)
     }
     spark.stop()
   }
