@@ -87,6 +87,17 @@ import org.apache.spark.sql.functions._
  * A process death after the stats commit loses only the in-memory
  * cache — the next forDir rebuilds from the corpus fingerprint
  * (correct, merely not incremental).
+ *
+ * Production caller: whoever grows the dir-resident corpus calls
+ * [[ingest]] with the delta right after the corpus append — the
+ * exact lifecycle [[graft.streaming.IngestionFlows.embeddingIngestFlow]]
+ * drives for the dir-resident embeddings corpus and its
+ * [[VectorIndex.ingest]]/srpIngest indexes (corpus first, indexes
+ * second, per the covered+delta contract). The document ingest FLOW
+ * maintains the TableStore-resident corpus instead, whose derived
+ * stores have their own maintainers; the dir corpus the declared
+ * queries and `/search` serve is batch-grown, so this is its
+ * batch-boundary maintenance op.
  */
 object PostingsIndex {
 
