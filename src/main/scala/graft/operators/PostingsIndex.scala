@@ -194,6 +194,30 @@ object PostingsIndex {
     * documented on the object; with no index built yet this is a
     * plain build. Call AFTER the corpus dir has grown append-only by
     * exactly `rows`. */
+  /** OPTIMIZE for the postings tables — the Lucene segment-merge
+    * analogue. Ingest absorption appends ONE token-sorted segment per
+    * batch: each is individually row-group-skippable, but a probe
+    * still opens every segment's footers, so at streaming cadence the
+    * per-query footer cost grows with batch count. Compaction
+    * rewrites each postings table as one token-clustered sorted
+    * segment. [[graft.tables.TableStore.compact]] is deliberately NOT
+    * used: it restores file sizes but is sort-agnostic, and here the
+    * within-partition token sort IS the index (it's what lets the
+    * pushed term filter skip row groups). Content is byte-identical
+    * (same rows, fresh layout — spec-pinned); the version flip is
+    * atomic per table and superseded versions age out on the vacuum
+    * horizon. Batch-boundary op, the retuneIvf scheduling class —
+    * run it after every K ingest batches, off the serving path. */
+  def compact(spark: SparkSession, dir: String): TableStore = {
+    val st = forDir(spark, dir)
+    val n = spark.sessionState.conf.numShufflePartitions
+    Seq("postings", "cpostings").foreach { t =>
+      st.replace(t, st.load(t)
+        .repartition(n, col("token")).sortWithinPartitions("token"))
+    }
+    st
+  }
+
   def ingest(spark: SparkSession, dir: String, rows: DataFrame): TableStore =
     cache.compute(dir, (_, prev) => {
       val listing = StoredIndexes.dataListing(dir, "documents.parquet")

@@ -284,6 +284,39 @@ class PostingsSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("compact merges ingest segments, preserves content AND the sort/pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcmp").toString
+    // three ingest batches → three appended segments per table
+    writeDocs(dir, fixture.take(8))
+    PostingsIndex.forDir(spark, dir)
+    Seq(fixture.slice(8, 14), fixture.slice(14, 21)).foreach { delta =>
+      delta.toDF("doc_id", "text").write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      PostingsIndex.ingest(spark, dir, delta.toDF("doc_id", "text"))
+    }
+    val st = PostingsIndex.forDir(spark, dir)
+    val before = st.load("postings").inputFiles.length
+    val (dp, cp, _, _) = truth(fixture)
+    PostingsIndex.compact(spark, dir)
+    // fewer files (three segments merged into one sorted segment)
+    assert(st.load("postings").inputFiles.length < before,
+      s"compact did not reduce the file count (was $before)")
+    // content byte-identical
+    assert(st.load("postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getSeq[Int](4).toSeq)).toSet === dp)
+    assert(st.load("cpostings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet === cp)
+    // the sort survived: probes still push and skip
+    val q = TextQueries.bm25ScoredFor(spark, dir, Seq("alpha", "beta"))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("token"))
+    assert(!p.contains("documents.parquet"))
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("empty and null-text batches fold as zeros, not nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pnul").toString
     writeDocs(dir, fixture.take(5))
