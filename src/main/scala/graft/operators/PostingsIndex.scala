@@ -186,14 +186,6 @@ object PostingsIndex {
     store
   }
 
-  /** Incrementally absorb an append-only corpus batch WITHOUT a
-    * rebuild: append the batch's own doc/chunk postings (token-
-    * clustered like the build's, so pushdown keeps working on the
-    * appended segments) and FOLD the 1-row stats by addition —
-    * O(batch) compute, no stored-side scan. Contract and fallback as
-    * documented on the object; with no index built yet this is a
-    * plain build. Call AFTER the corpus dir has grown append-only by
-    * exactly `rows`. */
   /** OPTIMIZE for the postings tables — the Lucene segment-merge
     * analogue. Ingest absorption appends ONE token-sorted segment per
     * batch: each is individually row-group-skippable, but a probe
@@ -218,6 +210,14 @@ object PostingsIndex {
     st
   }
 
+  /** Incrementally absorb an append-only corpus batch WITHOUT a
+    * rebuild: append the batch's own doc/chunk postings (token-
+    * clustered like the build's, so pushdown keeps working on the
+    * appended segments) and FOLD the 1-row stats by addition —
+    * O(batch) compute, no stored-side scan. Contract and fallback as
+    * documented on the object; with no index built yet this is a
+    * plain build. Call AFTER the corpus dir has grown append-only by
+    * exactly `rows`. */
   def ingest(spark: SparkSession, dir: String, rows: DataFrame): TableStore =
     cache.compute(dir, (_, prev) => {
       val listing = StoredIndexes.dataListing(dir, "documents.parquet")

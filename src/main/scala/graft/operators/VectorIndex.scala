@@ -198,9 +198,21 @@ object VectorIndex {
           val st = prev.index.store
           val marker = rows.agg(min(col("vec_id"))).head
           def absorbed(tbl: String): Boolean =
-            marker.isNullAt(0) || !st.load(tbl)
-              .filter(col("vec_id") === marker.getLong(0))
-              .limit(1).isEmpty
+            marker.isNullAt(0) || {
+              val m = marker.getLong(0)
+              // the fwd probe must carry the SAME bkt predicate the
+              // point-fetch path uses, or the "pruned" probe opens
+              // every bucket directory per trigger (review-caught);
+              // ivf_corpus is cell-partitioned, where vec_id gives no
+              // pruning — that probe is an (unavoidable) narrow scan
+              val base = st.load(tbl)
+              val probe =
+                if (tbl == "fwd") base.filter(col("bkt") ===
+                  java.lang.Math.floorMod(m, FwdBuckets.toLong).toInt &&
+                  col("vec_id") === m)
+                else base.filter(col("vec_id") === m)
+              !probe.limit(1).isEmpty
+            }
           if (!absorbed("ivf_corpus"))
             st.append("ivf_corpus", assigned.repartition(col("cell")))
           if (!absorbed("fwd"))
