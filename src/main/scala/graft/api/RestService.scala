@@ -422,6 +422,10 @@ final class RestService(spark: SparkSession, store: TableStore,
   //   GET /search?prefix=<p>&k=N            vocabulary listing for a
   //                                         token prefix (x146's probe;
   //                                         df desc, token asc)
+  //   GET /search?near=<terms>&span=S&k=N   ordered proximity (x147's
+  //                                         probe; terms in order, whole
+  //                                         match within span+1 tokens,
+  //                                         span default 8, max 256)
   private def routeSearch(ex: HttpExchange): Unit =
     (ex.getRequestMethod, segments(ex), analyticsDir) match {
       case (_, _, None) => reply(ex, 404, "analytics surface not enabled")
@@ -445,6 +449,8 @@ final class RestService(spark: SparkSession, store: TableStore,
             reply(ex, 400, "phrase cannot combine with like")
           case Some(_) if qparam(ex, "prefix").isDefined =>
             reply(ex, 400, "prefix cannot combine with like")
+          case Some(_) if qparam(ex, "near").isDefined =>
+            reply(ex, 400, "near cannot combine with like")
           // snippets are positional-postings features of the lexical
           // arms; silently dropping the flag would tell the client a
           // lie about its response (the loud-validation rule)
@@ -504,6 +510,40 @@ final class RestService(spark: SparkSession, store: TableStore,
             }
         }
       case ("GET", List("search"), Some(dir))
+          if qparam(ex, "near").isDefined =>
+        // ORDER PRESERVED, duplicates kept — "a b a" is a chain of
+        // three; x147's probe walks positions by in-query index
+        val toks = qparam(ex, "near").toSeq
+          .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        val k = qparam(ex, "k").flatMap(_.toIntOption)
+          .getOrElse(10).min(100).max(1)
+        // a malformed span is a client error like a malformed nprobe —
+        // never a silent fall-through to the default
+        val spanRaw = qparam(ex, "span")
+        val span = spanRaw.flatMap(_.toIntOption).getOrElse(8)
+        if (toks.isEmpty) reply(ex, 400, "missing or empty near parameter")
+        else if (toks.size < 2)
+          reply(ex, 400, "near requires at least two terms")
+        else if (Seq("q", "phrase", "like", "prefix", "unit", "snippet",
+            "nprobe").exists(qparam(ex, _).isDefined))
+          reply(ex, 400, "near cannot combine with other search parameters")
+        else if (spanRaw.exists(s =>
+            s.toIntOption.forall(v => v < 1 || v > 256)))
+          reply(ex, 400, "span must be an integer in [1, 256]")
+        else if (toks.size > RestService.SearchMaxTerms ||
+            toks.exists(_.length > RestService.SearchMaxTermLen))
+          reply(ex, 400, s"near is limited to ${RestService.SearchMaxTerms} " +
+            s"tokens of at most ${RestService.SearchMaxTermLen} chars")
+        else {
+          val rows = graft.operators.TextQueries
+            .proximityMatchesFor(spark, dir, toks, span)
+            .orderBy(col("prox_tf").desc, col("doc_id"))
+            .limit(k).collect()
+            .map(r => Json.obj("doc_id" -> r.getLong(0),
+              "prox_tf" -> r.getLong(1)))
+          replyJson(ex, 200, Json.arr(rows.toIndexedSeq))
+        }
+      case ("GET", List("search"), Some(dir))
           if qparam(ex, "prefix").isDefined =>
         val p = qparam(ex, "prefix").get
         val k = qparam(ex, "k").flatMap(_.toIntOption)
@@ -511,8 +551,8 @@ final class RestService(spark: SparkSession, store: TableStore,
         if (p.isEmpty) reply(ex, 400, "missing or empty prefix parameter")
         // prefix is its own arm — combining it with any retrieval
         // parameter is a client error, never a silent drop
-        else if (Seq("q", "phrase", "like", "unit", "snippet", "nprobe")
-            .exists(qparam(ex, _).isDefined))
+        else if (Seq("q", "phrase", "like", "near", "span", "unit",
+            "snippet", "nprobe").exists(qparam(ex, _).isDefined))
           reply(ex, 400, "prefix cannot combine with other search parameters")
         else if (p.length > RestService.SearchMaxTermLen ||
             p.exists(_.isWhitespace))
@@ -542,6 +582,8 @@ final class RestService(spark: SparkSession, store: TableStore,
           reply(ex, 400, "phrase cannot combine with q or a non-doc unit")
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
+        else if (qparam(ex, "span").isDefined)
+          reply(ex, 400, "span requires near")
         else if (toks.size > RestService.SearchMaxTerms ||
             toks.exists(_.length > RestService.SearchMaxTermLen))
           reply(ex, 400, s"phrase is limited to ${RestService.SearchMaxTerms} " +
@@ -598,6 +640,8 @@ final class RestService(spark: SparkSession, store: TableStore,
         // search has no probe width, and the chunk arm has no snippet
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
+        else if (qparam(ex, "span").isDefined)
+          reply(ex, 400, "span requires near")
         else if (qparam(ex, "snippet").isDefined &&
             qparam(ex, "unit").exists(_ == "chunk"))
           reply(ex, 400, "snippet is not supported with unit=chunk")

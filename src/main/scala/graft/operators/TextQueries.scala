@@ -447,6 +447,71 @@ object TextQueries {
       "GROUP BY doc_id HAVING SUM(m) > 0 ORDER BY doc_id"
   }
 
+  /** x147's slop: the whole ordered match must span ≤ ProxSpan+1
+    * tokens (p_last ≤ p_first + ProxSpan). */
+  private[operators] val ProxSpan = 8
+
+  /** Ordered-proximity match (the Lucene sloppy-phrase class, ordered
+    * form): the query terms appear in ORDER with the whole match
+    * spanning at most `span`+1 tokens; prox_tf counts the first-term
+    * anchors that open such a chain. Same positional-postings probe
+    * as x144 (term filter pushed, all distinct terms required per
+    * doc); the per-doc work is a nested array `exists` over the
+    * ≤|terms| position arrays — worst-case O(Π per-term occurrences)
+    * per doc, tiny for non-stopword terms, and it never shuffles
+    * anything beyond the one per-doc aggregate. */
+  private[graft] def proximityMatchesFor(s: SparkSession, d: String,
+      terms: Seq[String], span: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    require(span >= 1, "span must be positive")
+    val ps = PostingsIndex.forDir(s, d)
+    val distinctTerms = terms.distinct
+    val cand = ps.load("postings")
+      .filter(col("token").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("token"), col("pos"))))
+        .as("m"))
+      .filter(size(col("m")) === distinctTerms.size)
+    def chain(i: Int, first: org.apache.spark.sql.Column,
+        prev: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (i == terms.size) lit(true)
+      else exists(element_at(col("m"), terms(i)), p =>
+        p > prev && p <= first + span && chain(i + 1, first, p))
+    val anchors = org.apache.spark.sql.functions.filter(
+      element_at(col("m"), terms.head), p1 => chain(1, p1, p1))
+    cand.select(col("doc_id"), size(anchors).cast("bigint").as("prox_tf"))
+      .filter(col("prox_tf") > 0)
+  }
+
+  /** x147's oracle for DISTINCT ordered terms: per-term sorted
+    * position lists from the occurrence explode, then the same nested
+    * list_filter existence chain. */
+  private[operators] def proximitySql(terms: Seq[String],
+      span: Int): String = {
+    require(terms == terms.distinct,
+      "the SQL generator assumes distinct terms")
+    val k = terms.size
+    val lists = terms.zipWithIndex.map { case (t, i) =>
+      s"p$i AS (SELECT doc_id, list(o.p ORDER BY o.p) AS ps FROM o " +
+        s"WHERE o.tok = '$t' GROUP BY doc_id)"
+    }.mkString(", ")
+    def nest(i: Int): String =
+      if (i == k) "TRUE"
+      else s"len(list_filter(p$i.ps, q$i -> q$i > q${i - 1} AND " +
+        s"q$i <= q0 + $span AND ${nest(i + 1)})) > 0"
+    val joins = (1 until k)
+      .map(i => s"JOIN p$i ON p0.doc_id = p$i.doc_id").mkString(" ")
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "o AS (SELECT doc_id, unnest(list_transform(range(len(ts)), " +
+      "i -> {'p': i, 'tok': ts[i + 1]})) AS o FROM t), " +
+      s"$lists, " +
+      s"j AS (SELECT p0.doc_id, len(list_filter(p0.ps, " +
+      s"q0 -> ${nest(1)})) AS m FROM p0 $joins) " +
+      "SELECT doc_id, CAST(m AS BIGINT) AS prox_tf FROM j " +
+      "WHERE m > 0 ORDER BY doc_id"
+  }
+
   /** Vocabulary listing for a token PREFIX: (token, df, n_occ) —
     * x146's probe and `GET /search?prefix=`. The startsWith pushes
     * into the token-sorted postings scan as a range (plan-pinned in
@@ -2115,6 +2180,20 @@ object TextQueries {
     // (cnt DESC, p ASC) arg-max from raw text.
     Query("x145_best_window", bestWindowSql(Bm25Terms, SnippetW)) {
       (s, d) => bestWindowFor(s, d, Bm25Terms).orderBy("doc_id")
+    },
+
+    // Ordered-proximity search — the Lucene sloppy-phrase (ordered)
+    // class, completing the positional family next to x144's exact
+    // adjacency: the three benchmark terms in order within a 9-token
+    // span. Same stored-postings probe; per-doc work is a nested
+    // array-exists chain over the position arrays. The oracle
+    // replays the chain with nested DuckDB list_filter lambdas over
+    // per-term sorted position lists, so the stored positions are
+    // audited under a SECOND access pattern (ordering + bounded gaps,
+    // not just adjacency).
+    Query("x147_proximity", proximitySql(Bm25Terms, ProxSpan)) {
+      (s, d) =>
+        proximityMatchesFor(s, d, Bm25Terms, ProxSpan).orderBy("doc_id")
     },
 
     // Prefix vocabulary probe — the autocomplete/vocabulary-

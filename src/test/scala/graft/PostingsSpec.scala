@@ -188,6 +188,44 @@ class PostingsSpec extends AnyFunSuite {
     graft.tables.TempDirs.delete(dir)
   }
 
+  test("proximity probe: order, span bound, anchor count vs driver truth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prox").toString
+    writeDocs(dir, Seq(
+      (1L, "a x b x x c"),        // ordered, span 5 → within span=6, not 4
+      (2L, "c b a"),              // all terms, wrong order → no match
+      (3L, "a b c x x x a x b c"), // two anchors at span≥3
+      (4L, "a x x x x x x b c"),  // span 8 → outside span=6
+      (5L, "a b"),                // missing term → candidate filter drops
+      (6L, null)))
+    def run(span: Int) =
+      TextQueries.proximityMatchesFor(spark, dir, Seq("a", "b", "c"), span)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(6) === Map(1L -> 1L, 3L -> 2L))
+    assert(run(4) === Map(3L -> 2L))
+    assert(run(8) === Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
+    // driver brute force across every doc and both spans, independent
+    // of the array algebra: all (p1<p2<p3) triples in order within span
+    val docs = Seq(1L -> "a x b x x c", 2L -> "c b a",
+      3L -> "a b c x x x a x b c", 4L -> "a x x x x x x b c", 5L -> "a b")
+    for (span <- Seq(4, 6, 8)) {
+      val want = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        def pos(w: String) = ts.zipWithIndex.collect { case (x, p) if x == w => p }
+        val n = pos("a").count(p1 => pos("b").exists(p2 => p2 > p1 &&
+          p2 <= p1 + span && pos("c").exists(p3 => p3 > p2 && p3 <= p1 + span)))
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      assert(run(span) === want, s"span=$span")
+    }
+    // plan: index-only, term filter pushed
+    val q = TextQueries.proximityMatchesFor(spark, dir, Seq("a", "b", "c"), 6)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"))
+    assert(p.contains("PushedFilters") && p.contains("token"))
+    graft.tables.TempDirs.delete(dir)
+  }
+
   test("prefix-vocab probe: range pushdown, values vs driver truth") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pfx").toString
     writeDocs(dir, fixture)

@@ -468,6 +468,42 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?q=hash&like=0&snippet=1")._1 === 400)
   }
 
+  test("GET /search?near= matches an ordered-proximity recompute") {
+    val terms = Seq("vector", "slow")
+    def ref(span: Int): Seq[(Long, Long)] = fixtureDocs.flatMap {
+      case (id, ts) =>
+        def pos(w: String) =
+          ts.zipWithIndex.collect { case (x, p) if x == w => p }
+        val n = pos(terms.head).count(p1 => pos(terms(1)).exists(p2 =>
+          p2 > p1 && p2 <= p1 + span))
+        if (n > 0) Some(id -> n.toLong) else None
+    }
+    val (code, text) = http("GET", "/search?near=vector+slow&span=16&k=100")
+    assert(code === 200, text)
+    val got = jsonRows(text)
+      .map(m => (m("doc_id").toLong, m("prox_tf").toLong))
+    val want = ref(16).sortBy { case (id, tf) => (-tf, id) }.take(100)
+    assert(got === want)
+    assert(got.nonEmpty)
+    // default span is 8
+    val d8 = jsonRows(http("GET", "/search?near=vector+slow&k=100")._2)
+      .map(m => (m("doc_id").toLong, m("prox_tf").toLong))
+    assert(d8 === ref(8).sortBy { case (id, tf) => (-tf, id) }.take(100))
+    // validations
+    assert(http("GET", "/search?near=")._1 === 400)
+    assert(http("GET", "/search?near=a")._1 === 400)
+    assert(http("GET", "/search?near=a+b&q=c")._1 === 400)
+    assert(http("GET", "/search?near=a+b&like=0")._1 === 400)
+    assert(http("GET", "/search?near=a+b&prefix=s")._1 === 400)
+    assert(http("GET", "/search?near=a+b&span=0")._1 === 400)
+    assert(http("GET", "/search?near=a+b&span=257")._1 === 400)
+    assert(http("GET", "/search?near=a+b&span=nope")._1 === 400)
+    assert(http("GET", "/search?q=a&span=3")._1 === 400)
+    assert(http("GET", "/search?phrase=a+b&span=3")._1 === 400)
+    // no hit is an empty result, not an error
+    assert(http("GET", "/search?near=zz+yy") === ((200, "[]")))
+  }
+
   test("GET /search?prefix= lists the vocabulary like a raw-text recompute") {
     val (code, text) = http("GET", "/search?prefix=s&k=100")
     assert(code === 200, text)
