@@ -1331,14 +1331,22 @@ object TextQueries {
 
     // TF-IDF top terms per document — the keyword/salience view next
     // to x47's corpus-global collocation lift: term frequency × inverse
-    // document frequency, top-3 per doc. Scale shape: ONE corpus
-    // explode → (doc_id, token) hash agg with map-side combine (tf);
-    // df folds tf by token (vocabulary-bounded, broadcast back into
-    // the probe join); the per-doc top-3 window rides a doc_id
-    // shuffle of the tf table — never of the corpus text. Floats:
-    // score is rounded to 6 places BEFORE ranking and output on BOTH
-    // engines, with a token tie-break, so libm-ln last-ulp differences
-    // can neither reorder nor reach the hash.
+    // document frequency, top-3 per doc. r17: rides the STORED
+    // postings index ([[PostingsIndex]]) like the rest of the lexical
+    // family — the stored (token, doc_id, tf) rows ARE the tf frame
+    // the old plan re-aggregated from a per-invocation corpus explode
+    // (same expressions, so the hash-matched recompute-from-raw
+    // oracle is unchanged), and N rides in from the 1-row stats
+    // table. This probe is the full-vocabulary one (no term filter —
+    // salience needs every term), so it reads the whole postings
+    // table, but that is the corpus's distinct (doc,term) PAIRS with
+    // the positional payload column-pruned away, never the corpus
+    // text: df folds postings by token (vocabulary-bounded, broadcast
+    // back into the probe join) and the per-doc top-3 window rides a
+    // doc_id shuffle of the same pair-sized table. Floats: score is
+    // rounded to 6 places BEFORE ranking and output on BOTH engines,
+    // with a token tie-break, so libm-ln last-ulp differences can
+    // neither reorder nor reach the hash.
     Query("x61_tfidf",
       "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
         "FROM documents), " +
@@ -1354,17 +1362,14 @@ object TextQueries {
         "ORDER BY doc_id, rnk") {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = table(s, d, "documents")
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-        val tf = docs.select(col("doc_id"), explode(col("ts")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val ps = PostingsIndex.forDir(s, d)
+        val tf = ps.load("postings").select("doc_id", "token", "tf")
         val dfTab = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        // N stays IN the plan (1-row broadcast) rather than a driver
-        // count() at build time — constructing the DataFrame must not
-        // run a Spark job (the /query/{name}/plan surface builds
-        // without executing), and the scan count is the same
-        val nRow = table(s, d, "documents")
-          .agg(count(lit(1)).cast("double").as("__n_total"))
+        // N = the TOTAL corpus row count (the oracle counts documents
+        // rows, null text included) — the stored stats' n_rows, a
+        // 1-row broadcast instead of a corpus scan
+        val nRow = ps.load("stats")
+          .select(col("n_rows").cast("double").as("__n_total"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token"))
         tf.join(broadcast(dfTab), "token")

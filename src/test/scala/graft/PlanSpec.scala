@@ -264,16 +264,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"sessionization grew a join:\n$p")
   }
 
-  test("x61: df broadcast into the probe join; top-3 pushed below the shuffle") {
+  test("x61: stored-postings probe, df broadcast; top-3 pushed below the shuffle") {
     val p = plan("x61_tfidf")
     assert(p.contains("BroadcastHashJoin"),
       s"vocabulary df join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"df join shuffled both sides:\n$p")
-    // two corpus passes by design: the df pass map-side-combines down
-    // to vocabulary cardinality before its exchange (cheaper at scale
-    // than shuffling the corpus-sized tf table by token), so both
-    // explodes must be followed by partial aggregation
-    assert(p.linesIterator.count(_.contains("explode")) == 2, s"plan shape:\n$p")
+    // r17: the tf frame comes from the STORED postings index — the
+    // plan must carry NO documents scan and NO tokenize explode (the
+    // stored rows are the corpus's distinct (doc,term) pairs); the
+    // positional payload must be column-pruned away
+    assert(!p.contains("documents.parquet"), s"corpus scan crept back:\n$p")
+    assert(!p.linesIterator.exists(_.contains("explode")), s"plan shape:\n$p")
+    assert(!p.contains("pos#"), s"positional payload not pruned:\n$p")
     assert(p.contains("partial_count"), s"counts lack map-side combine:\n$p")
     // rank<=3 must become a WindowGroupLimit evaluated partially
     // BEFORE the doc_id exchange — only ≤3 rows per (doc, partition)
