@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofQueries, BloomJoin, BoletiaQueries, BpeMiner, BucketedQueries, CoreQueries, CurationQueries, DedupQueries, GraphQueries, KMeansQueries, LinkQueries, MediaQueries, PackingQueries, QualityOps, StatefulQueries, TextQueries, TpchQueries, VectorQueries, ZOrderQueries}
+import graft.operators.{AsofQueries, BloomJoin, BoletiaQueries, BpeMiner, BucketedQueries, CoreQueries, CurationQueries, DedupQueries, GraphQueries, KMeansQueries, LinkQueries, MediaQueries, PackingQueries, PqQueries, QualityOps, StatefulQueries, TextQueries, TpchQueries, VectorQueries, ZOrderQueries}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,7 +16,7 @@ object SparkEntry {
       GraphQueries.all ++ BloomJoin.all ++ ZOrderQueries.all ++
       QualityOps.all ++ TpchQueries.all ++ LinkQueries.all ++
       BpeMiner.all ++ PackingQueries.all ++ KMeansQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ PqQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast-join enrichment + aggregation (survey Q16). */
