@@ -409,8 +409,18 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         (clamped to the cell count);
   //                                         default = the retuneIvf
   //                                         policy's measured-recall pick
+  //   GET /search?like=<vec_id>&index=srp   dense more-like-this off the
+  //                                         SRP index instead (x11's
+  //                                         bucket-pruned probe, multi-
+  //                                         probe widened). &radius=R
+  //                                         overrides the Hamming probe
+  //                                         radius (clamped to the bit
+  //                                         width); default = the
+  //                                         retuneSrp policy's
+  //                                         measured-recall pick (x150)
   //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
-  //                                         arms (x128's combiner)
+  //                                         arms (x128's combiner; IVF
+  //                                         dense arm only)
   //   GET /search?phrase=<terms>&k=N        exact-adjacency phrase match
   //                                         over the positional postings
   //                                         (x144's probe; order kept,
@@ -461,6 +471,28 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "nprobe").exists(
               _.toIntOption.forall(_ < 1)) =>
             reply(ex, 400, "nprobe must be a positive integer")
+          // index picks the dense family; anything but the two stored
+          // indexes is a client error, not a silent IVF fallback
+          case Some(_) if qparam(ex, "index").exists(
+              i => i != "ivf" && i != "srp") =>
+            reply(ex, 400, "index must be ivf or srp")
+          // each family's probe knob is its own: radius widens SRP's
+          // Hamming probe, nprobe widens IVF's cell probe — a knob on
+          // the wrong family would be silently meaningless
+          case Some(_) if qparam(ex, "radius").isDefined &&
+              !qparam(ex, "index").contains("srp") =>
+            reply(ex, 400, "radius requires index=srp")
+          case Some(_) if qparam(ex, "nprobe").isDefined &&
+              qparam(ex, "index").contains("srp") =>
+            reply(ex, 400, "nprobe is an ivf knob; use radius with srp")
+          case Some(_) if qparam(ex, "radius").exists(
+              _.toIntOption.forall(_ < 0)) =>
+            reply(ex, 400, "radius must be a non-negative integer")
+          // the hybrid combiner fuses the IVF dense arm (x128's
+          // definition) — reject rather than silently swap the arm
+          case Some(_) if qparam(ex, "index").contains("srp") &&
+              qparam(ex, "q").isDefined =>
+            reply(ex, 400, "hybrid fusion serves the ivf arm; drop index=srp")
           case Some(vid) =>
             val k = qparam(ex, "k").flatMap(_.toIntOption)
               .getOrElse(10).min(100).max(1)
@@ -474,9 +506,17 @@ final class RestService(spark: SparkSession, store: TableStore,
               .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
             try {
               if (terms.isEmpty) {
-                // dense-only more-like-this
-                val rows = graft.operators.VectorQueries
-                  .ivfKnn(spark, dir, vid, nprobe)
+                // dense-only more-like-this: the stored-IVF probe, or
+                // the SRP multi-probe at the measured serving radius
+                // (retuneSrp's x150 pick) when index=srp
+                val knn =
+                  if (qparam(ex, "index").contains("srp"))
+                    graft.operators.VectorQueries.srpKnn(spark, dir, vid,
+                      qparam(ex, "radius").flatMap(_.toIntOption)
+                        .getOrElse(-1))
+                  else graft.operators.VectorQueries
+                    .ivfKnn(spark, dir, vid, nprobe)
+                val rows = knn
                   .orderBy(col("cos").desc, col("vec_id"))
                   .limit(k).collect()
                   .map(r => Json.obj("vec_id" -> r.getLong(0),
@@ -525,7 +565,7 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (toks.size < 2)
           reply(ex, 400, "near requires at least two terms")
         else if (Seq("q", "phrase", "like", "prefix", "unit", "snippet",
-            "nprobe").exists(qparam(ex, _).isDefined))
+            "nprobe", "index", "radius").exists(qparam(ex, _).isDefined))
           reply(ex, 400, "near cannot combine with other search parameters")
         else if (spanRaw.exists(s =>
             s.toIntOption.forall(v => v < 1 || v > 256)))
@@ -552,7 +592,7 @@ final class RestService(spark: SparkSession, store: TableStore,
         // prefix is its own arm — combining it with any retrieval
         // parameter is a client error, never a silent drop
         else if (Seq("q", "phrase", "like", "near", "span", "unit",
-            "snippet", "nprobe").exists(qparam(ex, _).isDefined))
+            "snippet", "nprobe", "index", "radius").exists(qparam(ex, _).isDefined))
           reply(ex, 400, "prefix cannot combine with other search parameters")
         else if (p.length > RestService.SearchMaxTermLen ||
             p.exists(_.isWhitespace))
@@ -582,6 +622,9 @@ final class RestService(spark: SparkSession, store: TableStore,
           reply(ex, 400, "phrase cannot combine with q or a non-doc unit")
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
+        else if (qparam(ex, "index").isDefined ||
+            qparam(ex, "radius").isDefined)
+          reply(ex, 400, "index/radius require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (toks.size > RestService.SearchMaxTerms ||
@@ -640,6 +683,9 @@ final class RestService(spark: SparkSession, store: TableStore,
         // search has no probe width, and the chunk arm has no snippet
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
+        else if (qparam(ex, "index").isDefined ||
+            qparam(ex, "radius").isDefined)
+          reply(ex, 400, "index/radius require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (qparam(ex, "snippet").isDefined &&

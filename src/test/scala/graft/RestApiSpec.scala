@@ -655,6 +655,61 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?like=7&nprobe=-3")._1 === 400)
   }
 
+  test("GET /search?like=&index=srp serves the SRP multi-probe arm") {
+    // full radius probes every bucket → the endpoint result IS the
+    // brute-force top-10, recomputed driver-side from raw parquet
+    val (c4, t4) = http("GET", "/search?like=7&k=10&index=srp&radius=4")
+    assert(c4 === 200)
+    val got4 = jsonRows(t4).map(m => (m("vec_id").toLong, m("cos")))
+    val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q7 = embs.find(_._1 == 7L).get._2
+    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
+    assert(got4 === exact, "full-radius endpoint != driver-side exact")
+    // one probe definition: endpoint == srpKnn at the same radius
+    val (c0, t0) = http("GET", "/search?like=7&k=10&index=srp&radius=0")
+    assert(c0 === 200)
+    val got0 = jsonRows(t0).map(m => (m("vec_id").toLong, m("cos")))
+    val eng0 = graft.operators.VectorQueries
+      .srpKnn(spark, TestSpark.sf, 7L, 0)
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got0 === eng0, "one probe definition: endpoint == srpKnn(r=0)")
+    // index=ivf is the explicit spelling of the default family
+    val (ci, ti) = http("GET", "/search?like=0&k=10&index=ivf")
+    assert(ci === 200)
+    assert(jsonRows(ti) === jsonRows(http("GET", "/search?like=0&k=10")._2))
+    // unknown vector under the srp arm is still a 404
+    assert(http("GET", "/search?like=99999999&index=srp")._1 === 404)
+    // knob/arm mismatches are 400s, never silent fall-throughs: an
+    // unknown index, radius off srp, nprobe on srp, a hybrid q with
+    // the srp arm, and index/radius on the lexical arms
+    assert(http("GET", "/search?like=7&index=bogus")._1 === 400)
+    assert(http("GET", "/search?like=7&radius=2")._1 === 400)
+    assert(http("GET", "/search?like=7&index=ivf&radius=2")._1 === 400)
+    assert(http("GET", "/search?like=7&index=srp&nprobe=2")._1 === 400)
+    assert(http("GET", "/search?like=7&index=srp&radius=-1")._1 === 400)
+    assert(http("GET", "/search?like=7&index=srp&radius=nope")._1 === 400)
+    assert(http("GET", "/search?q=hash&like=7&index=srp")._1 === 400)
+    assert(http("GET", "/search?q=hash&index=ivf")._1 === 400)
+    assert(http("GET", "/search?q=hash&radius=1")._1 === 400)
+    assert(http("GET", "/search?phrase=a&index=srp")._1 === 400)
+    assert(http("GET", "/search?prefix=s&index=srp")._1 === 400)
+    assert(http("GET", "/search?near=a+b&radius=1")._1 === 400)
+  }
+
   test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
     // independent fusion recompute: fetch each arm's top-20 from the
     // already-verified single-arm endpoints, fuse driver-side with
