@@ -418,6 +418,21 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         width); default = the
   //                                         retuneSrp policy's
   //                                         measured-recall pick (x150)
+  //   GET /search?like=<vec_id>&index=pq    dense more-like-this off the
+  //                                         stored PQ code table: ADC
+  //                                         top-R candidates re-ranked
+  //                                         by exact cosine. &rerank=R
+  //                                         overrides the re-rank depth
+  //                                         (capped 1024); default = the
+  //                                         retunePq policy's
+  //                                         measured-recall pick (x151)
+  //   GET /search?like=<vec_id>&index=ivfadc  the composed billion-scale
+  //                                         pipeline (x152): probe nProbe
+  //                                         cells, ADC-scan only their
+  //                                         stored codes, re-rank top R
+  //                                         exactly. Takes BOTH &nprobe=
+  //                                         and &rerank=; defaults = the
+  //                                         two measured policies
   //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
   //                                         arms (x128's combiner; IVF
   //                                         dense arm only)
@@ -471,28 +486,42 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "nprobe").exists(
               _.toIntOption.forall(_ < 1)) =>
             reply(ex, 400, "nprobe must be a positive integer")
-          // index picks the dense family; anything but the two stored
-          // indexes is a client error, not a silent IVF fallback
+          // index picks the dense family; anything but the three
+          // stored indexes is a client error, not a silent IVF fallback
           case Some(_) if qparam(ex, "index").exists(
-              i => i != "ivf" && i != "srp") =>
-            reply(ex, 400, "index must be ivf or srp")
+              i => i != "ivf" && i != "srp" && i != "pq" &&
+                i != "ivfadc") =>
+            reply(ex, 400, "index must be ivf, srp, pq or ivfadc")
           // each family's probe knob is its own: radius widens SRP's
-          // Hamming probe, nprobe widens IVF's cell probe — a knob on
-          // the wrong family would be silently meaningless
+          // Hamming probe, rerank deepens PQ's exact re-rank, nprobe
+          // widens IVF's cell probe — a knob on the wrong family
+          // would be silently meaningless
           case Some(_) if qparam(ex, "radius").isDefined &&
               !qparam(ex, "index").contains("srp") =>
             reply(ex, 400, "radius requires index=srp")
+          case Some(_) if qparam(ex, "rerank").isDefined &&
+              !qparam(ex, "index").exists(
+                i => i == "pq" || i == "ivfadc") =>
+            reply(ex, 400, "rerank requires index=pq or index=ivfadc")
           case Some(_) if qparam(ex, "nprobe").isDefined &&
-              qparam(ex, "index").contains("srp") =>
-            reply(ex, 400, "nprobe is an ivf knob; use radius with srp")
+              qparam(ex, "index").exists(
+                i => i == "srp" || i == "pq") =>
+            reply(ex, 400,
+              "nprobe is an ivf/ivfadc knob; use radius with srp, " +
+                "rerank with pq")
           case Some(_) if qparam(ex, "radius").exists(
               _.toIntOption.forall(_ < 0)) =>
             reply(ex, 400, "radius must be a non-negative integer")
+          case Some(_) if qparam(ex, "rerank").exists(
+              _.toIntOption.forall(_ < 1)) =>
+            reply(ex, 400, "rerank must be a positive integer")
           // the hybrid combiner fuses the IVF dense arm (x128's
           // definition) — reject rather than silently swap the arm
-          case Some(_) if qparam(ex, "index").contains("srp") &&
+          case Some(_) if qparam(ex, "index").exists(_ != "ivf") &&
               qparam(ex, "q").isDefined =>
-            reply(ex, 400, "hybrid fusion serves the ivf arm; drop index=srp")
+            reply(ex, 400,
+              "hybrid fusion serves the ivf arm; drop index=" +
+                qparam(ex, "index").get)
           case Some(vid) =>
             val k = qparam(ex, "k").flatMap(_.toIntOption)
               .getOrElse(10).min(100).max(1)
@@ -506,16 +535,26 @@ final class RestService(spark: SparkSession, store: TableStore,
               .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
             try {
               if (terms.isEmpty) {
-                // dense-only more-like-this: the stored-IVF probe, or
-                // the SRP multi-probe at the measured serving radius
-                // (retuneSrp's x150 pick) when index=srp
-                val knn =
-                  if (qparam(ex, "index").contains("srp"))
+                // dense-only more-like-this: the stored-IVF probe, the
+                // SRP multi-probe at the measured serving radius
+                // (retuneSrp's x150 pick), or the PQ code scan + exact
+                // re-rank at the measured depth (retunePq's x151 pick)
+                val rerank = qparam(ex, "rerank")
+                  .flatMap(_.toIntOption).getOrElse(-1).min(1024)
+                val knn = qparam(ex, "index") match {
+                  case Some("srp") =>
                     graft.operators.VectorQueries.srpKnn(spark, dir, vid,
                       qparam(ex, "radius").flatMap(_.toIntOption)
                         .getOrElse(-1))
-                  else graft.operators.VectorQueries
+                  case Some("pq") =>
+                    graft.operators.PqQueries.pqKnn(spark, dir, vid,
+                      rerank)
+                  case Some("ivfadc") =>
+                    graft.operators.PqQueries.ivfadcKnn(spark, dir, vid,
+                      nprobe, rerank)
+                  case _ => graft.operators.VectorQueries
                     .ivfKnn(spark, dir, vid, nprobe)
+                }
                 val rows = knn
                   .orderBy(col("cos").desc, col("vec_id"))
                   .limit(k).collect()
@@ -565,7 +604,8 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (toks.size < 2)
           reply(ex, 400, "near requires at least two terms")
         else if (Seq("q", "phrase", "like", "prefix", "unit", "snippet",
-            "nprobe", "index", "radius").exists(qparam(ex, _).isDefined))
+            "nprobe", "index", "radius", "rerank")
+            .exists(qparam(ex, _).isDefined))
           reply(ex, 400, "near cannot combine with other search parameters")
         else if (spanRaw.exists(s =>
             s.toIntOption.forall(v => v < 1 || v > 256)))
@@ -592,7 +632,8 @@ final class RestService(spark: SparkSession, store: TableStore,
         // prefix is its own arm — combining it with any retrieval
         // parameter is a client error, never a silent drop
         else if (Seq("q", "phrase", "like", "near", "span", "unit",
-            "snippet", "nprobe", "index", "radius").exists(qparam(ex, _).isDefined))
+            "snippet", "nprobe", "index", "radius", "rerank")
+            .exists(qparam(ex, _).isDefined))
           reply(ex, 400, "prefix cannot combine with other search parameters")
         else if (p.length > RestService.SearchMaxTermLen ||
             p.exists(_.isWhitespace))
@@ -623,8 +664,9 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
         else if (qparam(ex, "index").isDefined ||
-            qparam(ex, "radius").isDefined)
-          reply(ex, 400, "index/radius require like")
+            qparam(ex, "radius").isDefined ||
+            qparam(ex, "rerank").isDefined)
+          reply(ex, 400, "index/radius/rerank require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (toks.size > RestService.SearchMaxTerms ||
@@ -684,8 +726,9 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (qparam(ex, "nprobe").isDefined)
           reply(ex, 400, "nprobe requires like")
         else if (qparam(ex, "index").isDefined ||
-            qparam(ex, "radius").isDefined)
-          reply(ex, 400, "index/radius require like")
+            qparam(ex, "radius").isDefined ||
+            qparam(ex, "rerank").isDefined)
+          reply(ex, 400, "index/radius/rerank require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (qparam(ex, "snippet").isDefined &&

@@ -1,6 +1,9 @@
 package graft.operators
 
 import graft.Query
+import graft.functions.VectorFns
+import graft.sources.Tables
+import graft.tables.TableStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,8 +18,8 @@ import org.apache.spark.sql.functions._
  * no vector search at all; this completes the engine's quantized-ANN
  * family (x63/x64 scalar-quant ADC, x20 IVF, x11 SRP).
  *
- * At the fixture's dim=64 with M=4, K=16: 256 bytes of floats become
- * M log₂K = 16 BITS per vector — codes are what a 100 TB ANN store
+ * At the fixture's dim=64 with M=8, K=16: 256 bytes of floats become
+ * M log₂K = 32 BITS per vector — codes are what a 100 TB ANN store
  * actually scans (the FAISS IVFADC layout: codes live inside x20's
  * cell partitions; a query probes cells and reads codes, never
  * floats). Search is asymmetric distance (ADC): the query stays
@@ -147,6 +150,288 @@ object PqQueries {
       cbs
     }
 
+  // ------------------------------------------------------ stored codes
+  // Codes are what a PQ store SCANS — re-deriving them per probe with
+  // the M·K argmin (as the first-cut x149 did) re-pays the encode on
+  // every search, exactly the per-request recompute class the stored
+  // postings index closed for BM25. One encode pass per corpus version
+  // writes the M-byte-per-vector code table; every ADC probe then does
+  // M literal-array lookups per stored CODE row, touching no floats
+  // and no per-dimension arithmetic — the FAISS memory layout the
+  // module doc describes, now actually stored.
+
+  private val codesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
+
+  /** The M-wide PQ code array for a quantized-vector column, given
+    * trained codebooks — ONE projection, each subspace's cid decoded
+    * from its argmin key. */
+  private def codeExpr(cbs: Array[Array[Array[Long]]], v: Column): Column = {
+    val subDim = cbs(0)(0).length
+    array((0 until M).map(ss =>
+      pmod(subKey(cbs(ss), subCol(v, ss, subDim)), lit(K)).cast("int")): _*)
+  }
+
+  /** Build-once stored `pq_codes` (vec_id, code array<int> of M sub-
+    * centroid ids) on the fingerprint-versioned lifecycle — the
+    * DsirIndex tiny-sidecar class (M·4 bytes/vector here; M·log₂K
+    * bits in a bit-packed production layout). Incremental ingest
+    * maintenance is deliberately NOT provided (the SimhashIndex scope
+    * rule): new vectors CAN be encoded with frozen codebooks — the
+    * standard serving practice — but the corpus fingerprint also
+    * versions the codebooks themselves, and serving codes from one
+    * codebook version while training another is a consistency seam
+    * this engine resolves the same way as IVF centroid drift: rebuild
+    * per corpus version, with the x151 audit measuring whether the
+    * codebooks still rank well. */
+  private[graft] def codesFor(s: SparkSession, d: String): TableStore =
+    StoredIndexes.versioned(codesCache, d, "embeddings.parquet",
+      "graft-pq-codes") { root =>
+      val store = new TableStore(s, root)
+      val cbs = train(s, d)
+      store.replace("pq_codes",
+        KMeansQueries.quantized(s, d)
+          .select(col("vec_id"), codeExpr(cbs, col("v")).as("code"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("vec_id")))
+      store
+    }
+
+  /** The ADC distance of a stored `code` column to a quantized query
+    * vector: M lookups into the query's per-subspace literal LUTs +
+    * (M−1) adds — no floats, no per-dimension work. */
+  private def adcExpr(luts: Array[Array[Long]], code: Column): Column =
+    (0 until M).map(ss =>
+      element_at(array(luts(ss).map(lit).toIndexedSeq: _*),
+        element_at(code, ss + 1) + 1)).reduce(_ + _)
+
+  /** Per-subspace K-entry LUT of exact integer distances from a
+    * quantized query vector to the trained codebooks — M·K bounded
+    * driver longs, computed once per query. */
+  private def queryLuts(cbs: Array[Array[Array[Long]]],
+      qv: Array[Long]): Array[Array[Long]] = {
+    val subDim = cbs(0)(0).length
+    Array.tabulate(M, K)((ss, c) =>
+      sqDist(qv.slice(ss * subDim, ss * subDim + subDim), cbs(ss)(c)))
+  }
+
+  /** The shared fixed-point grid, driver-side — bit-identical to
+    * [[KMeansQueries.quantExpr]] (float→double is exact; ·1000, floor
+    * and +2048 are the same IEEE/integer ops in the same order). */
+  private def quantize(e: Seq[Float]): Array[Long] =
+    e.map(x => math.floor(x.toDouble * 1000).toLong + 2048).toArray
+
+  // ------------------------------------------------ IVFADC composition
+  // The layout the module doc promises: codes INSIDE the IVF cell
+  // partitions (Jégou et al. §V — the FAISS IVFADC memory layout, the
+  // standard billion-scale serving shape). A query probes nProbe
+  // cells (partition-pruned at PLANNING time, the x20 contract),
+  // ADC-scans only those cells' M-int code rows, and exact-re-ranks
+  // the top R — at 100 TB the scan touches nProbe/cells of the code
+  // sidecar and R full vectors, never the corpus. Both knobs are the
+  // already-audited ones: nProbe from the x142 curve, R from x151's.
+
+  private val ivfadcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, StoredIndexes.Cached[TableStore]]()
+
+  /** Build-once stored `ivfadc_codes` (cell, vec_id, code),
+    * cell-partitioned: ONE scan of the already-built IVF corpus
+    * (which carries the cell assignment) through the PQ encoder — no
+    * join, the cell rides along. Rebuild-per-corpus-version like its
+    * two parents (their fingerprints both key on the same corpus). */
+  private[graft] def ivfadcFor(s: SparkSession, d: String): TableStore =
+    StoredIndexes.versioned(ivfadcCache, d, "embeddings.parquet",
+      "graft-ivfadc-codes") { root =>
+      val store = new TableStore(s, root)
+      val cbs = train(s, d)
+      store.replace("ivfadc_codes",
+        VectorIndex.forDir(s, d).corpus
+          .select(col("cell"), col("vec_id"),
+            codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
+              .as("code"))
+          .repartition(col("cell")),
+        partitionBy = Seq("cell"))
+      store
+    }
+
+  /** (vec_id, cos): the full IVFADC serving pipeline for corpus
+    * vector `queryId` — probe `nprobe` cells off the in-memory
+    * routing table, ADC-scan ONLY those cells' stored codes
+    * (partition-pruned), exact-cosine re-rank the top `rerank`.
+    * Negative knobs mean "the measured serving policy" (retuneIvf's
+    * width, retunePq's depth). Throws NoSuchElementException for an
+    * absent queryId (→ 404). */
+  private[graft] def ivfadcKnn(s: SparkSession, d: String, queryId: Long,
+      nprobe: Int = -1, rerank: Int = -1): DataFrame = {
+    val ivf = VectorIndex.forDir(s, d)
+    val qe = ivf.lookup(queryId).getOrElse(
+      throw new NoSuchElementException(s"no such vector: $queryId"))
+    val w =
+      if (nprobe >= 1) nprobe else VectorQueries.servingProbeWidth(d)
+    val cells = ivf.probeCells(VectorIndex.fixedPoint(qe), w)
+    val luts = queryLuts(train(s, d), quantize(qe))
+    val r = if (rerank >= 1) rerank else pqServingRerank(d)
+    val cand = ivfadcFor(s, d).load("ivfadc_codes")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), adcExpr(luts, col("code"))
+        .cast("bigint").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(r)
+    import s.implicits._
+    val q = Seq(Tuple1(qe)).toDF("qe")
+    Tables.table(s, d, "embeddings")
+      .join(broadcast(cand.select("vec_id")), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
+
+  /** x152's declared re-rank depth (the declared query pins fixed
+    * knobs so the oracle can replay them; serving reads both knobs
+    * from the measured policies instead). */
+  private[graft] val IvfadcRerank = 50
+
+  // ------------------------------------------- re-rank depth policy
+  // ADC ranks by codebook-quantized distance, so its top-10 is an
+  // approximation twice over (quantization + L2-vs-cosine); the
+  // standard repair is re-ranking: take ADC's top-R candidates, score
+  // those R exactly, return the exact top-10 (Jégou et al. §V.D —
+  // IVFADC's verification step). R is the PQ family's probe-width
+  // knob, exactly as nProbe is IVF's and Hamming radius is SRP's.
+  // x151 measures recall@10 at every grid depth (anchored at R =
+  // corpus size, where the re-rank IS exact search — structural 1.0),
+  // retunePq picks the smallest depth clearing the floor, and
+  // `/search?like=&index=pq` serves at that policy.
+
+  /** The measured re-rank depth grid; the corpus-size anchor is
+    * appended at audit time. */
+  private[graft] val RerankGrid = Seq(10, 20, 50, 100, 200)
+
+  /** (rerank_depth, n_hits, avg_recall): the measured recall@10 curve
+    * of ADC-then-exact-re-rank over the stored code table, x151's
+    * engine body and [[retunePq]]'s decision input. ONE ADC pass over
+    * stored codes scores all 8 audit queries (the per-query LUTs ride
+    * as literals — no join for the scoring), each (query, candidate)
+    * pair carries its ADC rank, a depth qualifies the pair iff rank ≤
+    * depth, and the exact-cosine re-rank + per-(depth, qid) top-10
+    * ride the shared audit frame (x142/x150's technique). The final
+    * grid entry is the corpus size: re-ranking everything is exact
+    * search, so its recall is structurally 1.0 — the anchor proving
+    * the frame sound (spec-pinned). Batch-boundary audit cost. */
+  private[graft] def pqRerankCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cbs = train(s, d)
+    val qRows = VectorQueries.recallQueries(s, d)
+    val n = Tables.table(s, d, "embeddings").count()
+    val depths = RerankGrid.map(_.toLong).filter(_ < n) :+ n
+    val codes = codesFor(s, d).load("pq_codes")
+    val scoredAll = codes.select(col("vec_id"),
+      explode(array(qRows.map { case (qid, e) =>
+        struct(lit(qid).as("qid"),
+          adcExpr(queryLuts(cbs, quantize(e)), col("code"))
+            .cast("bigint").as("adc"))
+      }.toIndexedSeq: _*)).as("x"))
+      .select(col("x.qid").as("qid"), col("vec_id"), col("x.adc"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val ranked = scoredAll.withColumn("rn", row_number().over(wAdc))
+    val q = qRows.toSeq.toDF("qid", "qe")
+    // exact cosine once per (query, candidate) pair; depths then
+    // qualify pairs by ADC rank — no re-scoring per depth
+    val cand = ranked
+      .join(Tables.table(s, d, "embeddings"), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("rn"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+    val depthsDf = depths.map(Tuple1(_)).toDF("depth")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("depth", "qid").orderBy(col("cos").desc, col("vec_id"))
+    val top = cand.join(broadcast(depthsDf), col("rn") <= col("depth"))
+      .withColumn("rr", row_number().over(wTop))
+      .filter(col("rr") <= 10)
+      .select(col("depth"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    val ex = VectorQueries.recallTop10(
+      Tables.table(s, d, "embeddings").crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+            .as("cos")))
+    ex.crossJoin(broadcast(depthsDf))
+      .join(top, Seq("depth", "qid", "vec_id"), "left")
+      .groupBy("depth")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+        count(lit(1)).as("n"))
+      .select(col("depth").as("rerank_depth"), col("n_hits"),
+        round(col("n_hits") / col("n").cast("double"), 4)
+          .as("avg_recall"))
+      .orderBy("rerank_depth")
+  }
+
+  // Per-corpus-dir serving re-rank depth, default 10 (pure ADC
+  // ranking — the depth at which re-ranking top-k cannot reorder
+  // beyond it) until a [[retunePq]] run picks one from the measured
+  // curve. Same fingerprint-pinning rule as servingProbeWidth /
+  // servingRadius.
+  private val servingRerank =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The re-rank depth `/search?like=&index=pq` serves `d` at —
+    * pinned to the corpus version it was measured on; any corpus
+    * change reverts to the default until the next retune. */
+  private[graft] def pqServingRerank(d: String): Int =
+    Option(servingRerank.get(d)) match {
+      case Some((fp, r))
+        if fp == StoredIndexes.fingerprint(d, "embeddings.parquet") =>
+        r.toInt
+      case _ => 10
+    }
+
+  /** Audit-driven PQ retune — retuneIvf/retuneSrp's sibling for the
+    * third ANN family: re-measures the re-rank curve on the CURRENT
+    * codes and picks the smallest depth whose mean recall@10 ≥
+    * `floor`. The corpus-size anchor re-ranks everything (exact
+    * search at full-scan cost), so an unreachable floor degrades to
+    * honest exactness, never a silent miss. Batch-boundary
+    * scheduling, like refreshTopics. */
+  private[graft] def retunePq(s: SparkSession, d: String,
+      floor: Double = 0.9): Long = {
+    val curve = pqRerankCurve(s, d).collect()
+    val r = curve
+      .collectFirst { case row if row.getDouble(2) >= floor =>
+        row.getLong(0) }
+      .getOrElse(curve.last.getLong(0))
+    servingRerank.put(d,
+      (StoredIndexes.fingerprint(d, "embeddings.parquet"), r))
+    r
+  }
+
+  /** (vec_id, cos): ADC top-`rerank` candidates off the STORED code
+    * table, re-ranked by exact cosine — the `/search?like=&index=pq`
+    * serving arm, ivfKnn/srpKnn's shape over the PQ index: query
+    * vector from the stored fwd forward table (bounded point fetch),
+    * LUTs driver-side (M·K longs), candidate generation = one narrow
+    * scan of M-int code rows into a map-local TakeOrdered(R), exact
+    * scoring touches only the R re-rank rows. `rerank` < 1 means
+    * "the serving policy's depth" ([[pqServingRerank]]). Throws
+    * NoSuchElementException for an absent queryId (→ 404). */
+  private[graft] def pqKnn(s: SparkSession, d: String,
+      queryId: Long, rerank: Int = -1): DataFrame = {
+    val qe = VectorIndex.forDir(s, d).lookup(queryId).getOrElse(
+      throw new NoSuchElementException(s"no such vector: $queryId"))
+    val cbs = train(s, d)
+    val luts = queryLuts(cbs, quantize(qe))
+    val r = if (rerank >= 1) rerank else pqServingRerank(d)
+    val cand = codesFor(s, d).load("pq_codes")
+      .select(col("vec_id"), adcExpr(luts, col("code"))
+        .cast("bigint").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(r)
+    import s.implicits._
+    val q = Seq(Tuple1(qe)).toDF("qe")
+    Tables.table(s, d, "embeddings")
+      .join(broadcast(cand.select("vec_id")), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
+
   // ------------------------------------------------------- oracle SQL
 
   /** Exact integer squared-L2 between two sliced-subvector SQL
@@ -228,6 +513,87 @@ FROM ${finalA(0)} JOIN l0 ON ${finalA(0)}.cid = l0.cid $joins
 ORDER BY adc_dist, vec_id LIMIT 10"""
   }
 
+  private lazy val x151Sql: String = {
+    val qLo = VectorQueries.RecallQLo
+    val qHi = VectorQueries.RecallQHi
+    // per-query, per-subspace LUTs straight off the sliced-subvector
+    // CTEs (the audit queries are corpus vectors, so their quantized
+    // slices already exist in sub{ss})
+    val luts = (0 until M).map { ss =>
+      s"lq$ss AS MATERIALIZED (SELECT s.vec_id AS qid, c.cid, " +
+        s"${sdist("s.v", "c.c")} AS dd FROM sub$ss s " +
+        s"CROSS JOIN ${finalC(ss)} c " +
+        s"WHERE s.vec_id >= $qLo AND s.vec_id < $qHi)"
+    }.mkString(",\n")
+    val joins = (1 until M).map { ss =>
+      s"JOIN ${finalA(ss)} ON ${finalA(ss)}.vec_id = ${finalA(0)}.vec_id " +
+        s"JOIN lq$ss ON lq$ss.cid = ${finalA(ss)}.cid " +
+        s"AND lq$ss.qid = lq0.qid"
+    }.mkString(" ")
+    s"""WITH $pqCtes,
+$luts,
+aq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id >= $qLo AND vec_id < $qHi),
+adc AS MATERIALIZED (SELECT lq0.qid, ${finalA(0)}.vec_id,
+  CAST(${(0 until M).map(ss => s"lq$ss.dd").mkString(" + ")} AS BIGINT) AS adc
+  FROM ${finalA(0)} JOIN lq0 ON lq0.cid = ${finalA(0)}.cid $joins),
+rk AS MATERIALIZED (SELECT qid, vec_id,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM adc),
+cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+dep AS (SELECT CAST(unnest(list_append(
+  list_filter([${RerankGrid.mkString(", ")}], x -> x < n), n))
+  AS BIGINT) AS depth FROM cnt),
+sc AS (SELECT dep.depth, rk.qid, rk.vec_id,
+  round(${VectorFns.Sql.cosine("e.embedding", "aq.qe")}, 6) AS cos
+  FROM rk JOIN dep ON rk.rn <= dep.depth
+  JOIN embeddings e ON e.vec_id = rk.vec_id JOIN aq ON aq.qid = rk.qid),
+top AS (SELECT depth, qid, vec_id FROM (SELECT depth, qid, vec_id,
+  ROW_NUMBER() OVER (PARTITION BY depth, qid
+  ORDER BY cos DESC, vec_id) AS rr FROM sc) WHERE rr <= 10),
+ex AS (SELECT qid, vec_id FROM (SELECT aq.qid, e.vec_id,
+  ROW_NUMBER() OVER (PARTITION BY aq.qid ORDER BY
+  round(${VectorFns.Sql.cosine("e.embedding", "aq.qe")}, 6) DESC, e.vec_id)
+  AS rn FROM embeddings e, aq) WHERE rn <= 10),
+exr AS (SELECT dep.depth, ex.qid, ex.vec_id FROM ex CROSS JOIN dep)
+SELECT exr.depth AS rerank_depth,
+  CAST(COUNT(top.vec_id) AS BIGINT) AS n_hits,
+  round(COUNT(top.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_recall
+FROM exr LEFT JOIN top ON top.depth = exr.depth AND top.qid = exr.qid
+  AND top.vec_id = exr.vec_id
+GROUP BY exr.depth ORDER BY rerank_depth"""
+  }
+
+  private lazy val x152Sql: String = {
+    val luts = (0 until M).map { ss =>
+      s"l$ss AS MATERIALIZED (SELECT c.cid, ${sdist("qq.v", "c.c")} AS dd " +
+        s"FROM ${finalC(ss)} c, (SELECT v FROM sub$ss WHERE vec_id = 0) qq)"
+    }.mkString(",\n")
+    val joins = (1 until M).map { ss =>
+      s"JOIN ${finalA(ss)} ON ${finalA(ss)}.vec_id = cnd.vec_id " +
+        s"JOIN l$ss ON ${finalA(ss)}.cid = l$ss.cid"
+    }.mkString(" ")
+    s"""WITH ${VectorQueries.ivfBuildSql},
+$pqCtes,
+$luts,
+qd AS (SELECT pd AS v FROM base WHERE vec_id = 0),
+qv0 AS (SELECT embedding AS v FROM base WHERE vec_id = 0),
+probe AS (SELECT cell FROM (SELECT c.cell, ROW_NUMBER() OVER
+  (ORDER BY ${VectorFns.Sql.l2sq("qd.v", "c.m")}, c.cell) AS rn
+  FROM c2 c, qd) WHERE rn <= ${VectorQueries.NProbe}),
+cnd AS MATERIALIZED (SELECT f.vec_id FROM af f
+  JOIN probe p ON f.cell = p.cell),
+adc AS MATERIALIZED (SELECT cnd.vec_id,
+  CAST(${(0 until M).map(ss => s"l$ss.dd").mkString(" + ")} AS BIGINT) AS adc
+  FROM cnd JOIN ${finalA(0)} ON ${finalA(0)}.vec_id = cnd.vec_id
+  JOIN l0 ON ${finalA(0)}.cid = l0.cid $joins),
+rrk AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER
+  (ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= $IvfadcRerank)
+SELECT e.vec_id, round(${VectorFns.Sql.cosine("e.embedding", "qv0.v")}, 6)
+  AS cos
+FROM embeddings e JOIN rrk ON rrk.vec_id = e.vec_id, qv0
+ORDER BY cos DESC, e.vec_id LIMIT 10"""
+  }
+
   val all: Seq[Query] = Seq(
 
     // PQ codebook report: per (subspace, centroid) cluster size, exact
@@ -285,15 +651,41 @@ ORDER BY adc_dist, vec_id LIMIT 10"""
         val luts: Array[Array[Long]] = Array.tabulate(M, K) { (ss, c) =>
           sqDist(qv.slice(ss * subDim, ss * subDim + subDim), cbs(ss)(c))
         }
-        val adc = (0 until M).map { ss =>
-          element_at(array(luts(ss).map(lit).toIndexedSeq: _*),
-            pmod(subKey(cbs(ss), subCol(col("v"), ss, subDim)), lit(K))
-              .cast("int") + 1)
-        }.reduce(_ + _)
-        KMeansQueries.quantized(s, d)
-          .select(col("vec_id"), adc.cast("bigint").as("adc_dist"))
+        // the STORED code table, not a per-probe re-encode: the scan
+        // reads M ints per vector and does M LUT lookups — the plan a
+        // PQ store actually runs (the encode amortizes in the
+        // `graft-pq-codes` build; PqSpec pins stored == re-derived)
+        codesFor(s, d).load("pq_codes")
+          .select(col("vec_id"), adcExpr(luts, col("code"))
+            .cast("bigint").as("adc_dist"))
           .orderBy(col("adc_dist"), col("vec_id")).limit(10)
       }
+    },
+
+    // The re-rank depth curve: recall@10 of ADC-top-R-then-exact-
+    // re-rank at every grid depth, anchored at R = corpus size (re-
+    // ranking everything IS exact search — structural 1.0, the frame-
+    // soundness anchor). retunePq picks the `/search?like=&index=pq`
+    // serving depth from this curve — the same audit-drives-serving
+    // doctrine as x142→nProbe (IVF) and x150→radius (SRP), closing
+    // the probe-width loop for all three ANN families. The oracle
+    // replays the full pipeline relationally: the training chains,
+    // per-query LUTs off the sliced subvector CTEs, ADC rank, and the
+    // cosine re-rank.
+    Query("x151_pq_rerank_curve", x151Sql) {
+      (s, d) => pqRerankCurve(s, d)
+    },
+
+    // The full IVFADC pipeline at the declared knobs (nProbe=3 cells,
+    // R=50 re-rank): probe → partition-pruned ADC code scan → exact
+    // re-rank → top-10. The oracle replays BOTH stored structures'
+    // builds (the IVF Lloyd chain and all M PQ subspace chains) plus
+    // the probe, the ADC rank and the re-rank — the hash pins the
+    // entire composed pipeline, training included, across engines.
+    Query("x152_ivfadc", x152Sql) {
+      (s, d) =>
+        ivfadcKnn(s, d, 0L, VectorQueries.NProbe, IvfadcRerank)
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
     }
   )
 }

@@ -166,12 +166,12 @@ object VectorQueries {
   // build parameters live on the stored index (VectorIndex); NProbe is
   // a query-time knob
   private val Cells = VectorIndex.Cells
-  private val NProbe = 3
+  private[operators] val NProbe = 3
   /** x137's fixed query-vector slice [lo, hi) — deliberately NOT the
     * IVF seed vectors (vec_id < Cells), so the audit measures probe
     * quality on ordinary corpus vectors. */
-  private val RecallQLo = 100
-  private val RecallQHi = 108
+  private[graft] val RecallQLo = 100
+  private[graft] val RecallQHi = 108
 
   /** The x137/x138 query-vector slice, collected once per call —
     * 8 bounded driver rows (the x41 rate-table contract). FAILS
@@ -179,7 +179,7 @@ object VectorQueries {
     * empty query frame would make every recall audit emit zero rows,
     * which an operator can misread as a passing audit rather than
     * "not measurable"). */
-  private def recallQueries(s: SparkSession, d: String)
+  private[graft] def recallQueries(s: SparkSession, d: String)
       : Array[(Long, Seq[Float])] = {
     val q = emb(s, d)
       .filter(col("vec_id") >= RecallQLo && col("vec_id") < RecallQHi)
@@ -192,7 +192,7 @@ object VectorQueries {
 
   /** Per-qid top-10 by (6-rounded cos DESC, vec_id) — WindowGroupLimit
     * map-local top-k, never a corpus-sized per-key buffer. */
-  private def recallTop10(scored: DataFrame): DataFrame = {
+  private[graft] def recallTop10(scored: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -202,7 +202,7 @@ object VectorQueries {
   /** recall@10 of an approximate (qid, vec_id) top-10 set against the
     * exact-kNN arm — the audit frame x137 (IVF) and x138 (SRP) share.
     * `q` is the 8-row (qid, qe) query frame. */
-  private def recallVsExact(s: SparkSession, d: String, q: DataFrame,
+  private[graft] def recallVsExact(s: SparkSession, d: String, q: DataFrame,
       approxTop: DataFrame): DataFrame = {
     val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
@@ -584,7 +584,7 @@ object VectorQueries {
   /** The IVF build replay (fixed-point projection → seeds → two Lloyd
     * rounds → final assignment `af`, centroids `c2`) — shared by the
     * x20 probe oracle and the x137 recall-audit oracle. */
-  private lazy val ivfBuildSql =
+  private[operators] lazy val ivfBuildSql =
     "b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
       "base AS (SELECT vec_id, embedding, pfp, " +

@@ -119,8 +119,13 @@ class PlanSpec extends AnyFunSuite {
       "x133_chunk_bm25", // 1-row chunk-stats (nch, avgdl) broadcast
       "x137_ann_recall", // 8-row query-vector broadcast in the exact arm
       "x138_srp_recall", // same 8-row bounded query-vector broadcast
-      "x142_ivf_recall_curve") // same 8-row query broadcast + the ≤Cells-row
+      "x142_ivf_recall_curve", // same 8-row query broadcast + the ≤Cells-row
                                // widths broadcast (rank ≤ w is a range join)
+      "x150_srp_radius_curve", // same 8-row query broadcast + the K+1-row
+                               // radii broadcast (crad ≤ r is a range join)
+      "x151_pq_rerank_curve", // same 8-row query broadcast + the ≤6-row
+                              // depth-grid broadcast (rn ≤ depth range join)
+      "x152_ivfadc") // 1-row query-vector broadcast in the re-rank arm
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>

@@ -710,6 +710,103 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(http("GET", "/search?near=a+b&radius=1")._1 === 400)
   }
 
+  test("GET /search?like=&index=pq serves the ADC-then-re-rank arm") {
+    // a re-rank depth covering the whole corpus re-ranks every vector
+    // → the endpoint result IS the brute-force top-10, recomputed
+    // driver-side from raw parquet
+    val (cf, tf) = http("GET", "/search?like=7&k=10&index=pq&rerank=1000")
+    assert(cf === 200)
+    val gotf = jsonRows(tf).map(m => (m("vec_id").toLong, m("cos")))
+    val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q7 = embs.find(_._1 == 7L).get._2
+    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
+    assert(gotf === exact, "full-depth endpoint != driver-side exact")
+    // one probe definition: endpoint == pqKnn at the same depth
+    val (c10, t10) = http("GET", "/search?like=7&k=10&index=pq&rerank=10")
+    assert(c10 === 200)
+    val got10 = jsonRows(t10).map(m => (m("vec_id").toLong, m("cos")))
+    val eng10 = graft.operators.PqQueries
+      .pqKnn(spark, TestSpark.sf, 7L, 10)
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got10 === eng10, "one probe definition: endpoint == pqKnn(R=10)")
+    // unknown vector under the pq arm is still a 404
+    assert(http("GET", "/search?like=99999999&index=pq")._1 === 404)
+    // knob/arm mismatches are 400s, never silent fall-throughs:
+    // rerank off pq, the wrong knobs on pq, a hybrid q with the pq
+    // arm, and rerank on the lexical arms
+    assert(http("GET", "/search?like=7&rerank=20")._1 === 400)
+    assert(http("GET", "/search?like=7&index=ivf&rerank=20")._1 === 400)
+    assert(http("GET", "/search?like=7&index=srp&rerank=20")._1 === 400)
+    assert(http("GET", "/search?like=7&index=pq&nprobe=2")._1 === 400)
+    assert(http("GET", "/search?like=7&index=pq&radius=2")._1 === 400)
+    assert(http("GET", "/search?like=7&index=pq&rerank=0")._1 === 400)
+    assert(http("GET", "/search?like=7&index=pq&rerank=nope")._1 === 400)
+    assert(http("GET", "/search?q=hash&like=7&index=pq")._1 === 400)
+    assert(http("GET", "/search?q=hash&rerank=5")._1 === 400)
+    assert(http("GET", "/search?phrase=a&rerank=5")._1 === 400)
+    assert(http("GET", "/search?prefix=s&rerank=5")._1 === 400)
+    assert(http("GET", "/search?near=a+b&rerank=5")._1 === 400)
+  }
+
+  test("GET /search?like=&index=ivfadc serves the composed probe+ADC+re-rank pipeline") {
+    // probing every cell and re-ranking the whole corpus → exact
+    val (cf, tf) = http("GET",
+      "/search?like=7&k=10&index=ivfadc&nprobe=8&rerank=1000")
+    assert(cf === 200)
+    val gotf = jsonRows(tf).map(m => (m("vec_id").toLong, m("cos")))
+    val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q7 = embs.find(_._1 == 7L).get._2
+    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
+    assert(gotf === exact, "full-knob ivfadc endpoint != driver-side exact")
+    // one probe definition: endpoint == ivfadcKnn at the same knobs
+    val (cn, tn) = http("GET",
+      "/search?like=7&k=10&index=ivfadc&nprobe=2&rerank=20")
+    assert(cn === 200)
+    val gotn = jsonRows(tn).map(m => (m("vec_id").toLong, m("cos")))
+    val engn = graft.operators.PqQueries
+      .ivfadcKnn(spark, TestSpark.sf, 7L, 2, 20)
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotn === engn,
+      "one probe definition: endpoint == ivfadcKnn(w=2, R=20)")
+    // BOTH knobs are legal on this arm (it composes the two indexes)
+    assert(http("GET", "/search?like=7&index=ivfadc&nprobe=2")._1 === 200)
+    assert(http("GET", "/search?like=7&index=ivfadc&rerank=20")._1 === 200)
+    // unknown vector is still a 404; wrong knobs and hybrid are 400s
+    assert(http("GET", "/search?like=99999999&index=ivfadc")._1 === 404)
+    assert(http("GET", "/search?like=7&index=ivfadc&radius=1")._1 === 400)
+    assert(http("GET", "/search?like=7&index=ivfadc&rerank=0")._1 === 400)
+    assert(http("GET", "/search?like=7&index=ivfadc&nprobe=0")._1 === 400)
+    assert(http("GET", "/search?q=hash&like=7&index=ivfadc")._1 === 400)
+  }
+
   test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
     // independent fusion recompute: fetch each arm's top-20 from the
     // already-verified single-arm endpoints, fuse driver-side with
