@@ -74,6 +74,23 @@ object PqQueries {
     * the seed vectors; only the SQL pins the fixture's 64-dim). */
   private val OracleSubDim = KMeansQueries.Dim / M
 
+  /** PQ build knobs. The defaults are ORACLE-PINNED (x148-x152's SQL
+    * replays exactly this build), so the declared queries hash-match
+    * DuckDB; production tunes them per corpus — x151's measured curve
+    * is the tuning signal (on the fixture the K=16 default is COARSE:
+    * pure-ADC recall@10 ~0.24-0.34, so a production corpus would
+    * raise k and/or m until the curve clears its floor at a
+    * serveable depth; PqProbeSpec pins that a k=32 build strictly
+    * lowers quantization distortion). Non-default builds get their
+    * own cache entries + stored code tables (keyed by (dir, params),
+    * the IvfParams doctrine), so tuning experiments never evict the
+    * serving index. `m` must divide the embedding dim; seeding needs
+    * contiguous vec_ids 0..k-1. */
+  final case class PqParams(m: Int = M, k: Int = K, iters: Int = Iters)
+
+  private def pqKey(dir: String, p: PqParams): String =
+    s"$dir|pq|${p.m}|${p.k}|${p.iters}"
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[Array[Array[Array[Long]]]]]()
 
@@ -94,7 +111,7 @@ object PqQueries {
       aggregate(
         zip_with(sv, array(c.map(lit).toIndexedSeq: _*),
           (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x) * K + i
+        lit(0L), (acc, x) => acc + x) * cents.length + i
     }.toIndexedSeq: _*))
 
   /** The quantized subvector for subspace `ss` (1-based slice). */
@@ -103,34 +120,36 @@ object PqQueries {
 
   /** Train the M per-subspace codebooks once per corpus version.
     * Returns cbs(sub)(cid)(component) — M·K·subDim bounded longs. */
-  private[graft] def train(s: SparkSession, d: String)
-      : Array[Array[Array[Long]]] =
+  private[graft] def train(s: SparkSession, d: String,
+      p: PqParams = PqParams()): Array[Array[Array[Long]]] =
     StoredIndexes.versionedValue(cache, d, "embeddings.parquet",
-      "graft-pq-codebooks", d) {
+      "graft-pq-codebooks", pqKey(d, p)) {
       val q = KMeansQueries.quantized(s, d)
-      val seedRows = q.filter(col("vec_id") < K)
+      val seedRows = q.filter(col("vec_id") < p.k)
         .orderBy("vec_id")
         .select(col("vec_id").cast("long"), col("v")).collect()
-      require(seedRows.length == K &&
+      require(seedRows.length == p.k &&
         seedRows.zipWithIndex.forall { case (r, i) => r.getLong(0) == i },
-        s"PQ seeding needs contiguous vec_ids 0..${K - 1} " +
+        s"PQ seeding needs contiguous vec_ids 0..${p.k - 1} " +
           s"(got ${seedRows.length} rows)")
       val dim = seedRows.head.getSeq[Long](1).length
-      require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
-      val subDim = dim / M
-      var cbs: Array[Array[Array[Long]]] = Array.tabulate(M, K) { (ss, c) =>
-        seedRows(c).getSeq[Long](1)
-          .slice(ss * subDim, ss * subDim + subDim).toArray
-      }
+      require(dim % p.m == 0,
+        s"dim $dim not divisible into ${p.m} subspaces")
+      val subDim = dim / p.m
+      var cbs: Array[Array[Array[Long]]] =
+        Array.tabulate(p.m, p.k) { (ss, c) =>
+          seedRows(c).getSeq[Long](1)
+            .slice(ss * subDim, ss * subDim + subDim).toArray
+        }
       var it = 0
-      while (it < Iters) {
+      while (it < p.iters) {
         // argmin select and the generators MUST be separate steps (the
         // x111 lesson: a generator's sibling expressions re-evaluate
         // once per exploded row if they share its Project)
         val rows = q
-          .select(array((0 until M).map(ss =>
+          .select(array((0 until p.m).map(ss =>
             struct(lit(ss).as("s"),
-              (subKey(cbs(ss), subCol(col("v"), ss, subDim)) % K)
+              (subKey(cbs(ss), subCol(col("v"), ss, subDim)) % p.k)
                 .cast("int").as("cid"),
               subCol(col("v"), ss, subDim).as("sv"))): _*).as("a"))
           .select(explode(col("a")).as("e"))
@@ -168,8 +187,9 @@ object PqQueries {
     * from its argmin key. */
   private def codeExpr(cbs: Array[Array[Array[Long]]], v: Column): Column = {
     val subDim = cbs(0)(0).length
-    array((0 until M).map(ss =>
-      pmod(subKey(cbs(ss), subCol(v, ss, subDim)), lit(K)).cast("int")): _*)
+    array(cbs.indices.map(ss =>
+      pmod(subKey(cbs(ss), subCol(v, ss, subDim)),
+        lit(cbs(ss).length)).cast("int")): _*)
   }
 
   /** Build-once stored `pq_codes` (vec_id, code array<int> of M sub-
@@ -184,11 +204,12 @@ object PqQueries {
     * this engine resolves the same way as IVF centroid drift: rebuild
     * per corpus version, with the x151 audit measuring whether the
     * codebooks still rank well. */
-  private[graft] def codesFor(s: SparkSession, d: String): TableStore =
+  private[graft] def codesFor(s: SparkSession, d: String,
+      p: PqParams = PqParams()): TableStore =
     StoredIndexes.versioned(codesCache, d, "embeddings.parquet",
-      "graft-pq-codes") { root =>
+      "graft-pq-codes", cacheKey = pqKey(d, p) + "|codes") { root =>
       val store = new TableStore(s, root)
-      val cbs = train(s, d)
+      val cbs = train(s, d, p)
       store.replace("pq_codes",
         KMeansQueries.quantized(s, d)
           .select(col("vec_id"), codeExpr(cbs, col("v")).as("code"))
@@ -201,7 +222,7 @@ object PqQueries {
     * vector: M lookups into the query's per-subspace literal LUTs +
     * (M−1) adds — no floats, no per-dimension work. */
   private def adcExpr(luts: Array[Array[Long]], code: Column): Column =
-    (0 until M).map(ss =>
+    luts.indices.map(ss =>
       element_at(array(luts(ss).map(lit).toIndexedSeq: _*),
         element_at(code, ss + 1) + 1)).reduce(_ + _)
 
@@ -211,7 +232,7 @@ object PqQueries {
   private def queryLuts(cbs: Array[Array[Array[Long]]],
       qv: Array[Long]): Array[Array[Long]] = {
     val subDim = cbs(0)(0).length
-    Array.tabulate(M, K)((ss, c) =>
+    Array.tabulate(cbs.length, cbs(0).length)((ss, c) =>
       sqDist(qv.slice(ss * subDim, ss * subDim + subDim), cbs(ss)(c)))
   }
 

@@ -132,6 +132,43 @@ class PqProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("PqParams: a finer k=32 build coexists with the serving default and strictly lowers distortion") {
+    // x151's measured finding is that the oracle-pinned K=16 default
+    // is coarse; the actionable response is the params knob — prove a
+    // finer codebook trains, does not evict the default, and lowers
+    // exactly the distortion x148 reports
+    val cb16 = PqQueries.train(spark, sf)
+    val cb32 = PqQueries.train(spark, sf, PqQueries.PqParams(k = 32))
+    assert(cb32.length === PqQueries.M && cb32(0).length === 32)
+    assert(PqQueries.train(spark, sf) eq cb16,
+      "k=32 experiment evicted the serving codebooks")
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(_.getSeq[Float](1).toArray)
+    def sse(cbs: Array[Array[Array[Long]]]): Long = {
+      val subDim = cbs(0)(0).length
+      raw.map { e =>
+        val qv = e.map(x => math.floor(x.toDouble * 1000).toLong + 2048)
+        cbs.indices.map { ss =>
+          val sv = qv.slice(ss * subDim, ss * subDim + subDim)
+          cbs(ss).map { c =>
+            var s = 0L; var j = 0
+            while (j < subDim) { val d = sv(j) - c(j); s += d * d; j += 1 }
+            s
+          }.min
+        }.sum
+      }.sum
+    }
+    val (s16, s32) = (sse(cb16), sse(cb32))
+    assert(s32 < s16, s"k=32 SSE $s32 not below k=16 SSE $s16")
+    // a coarser split also trains (the slicing is dim-agnostic)
+    val cb4 = PqQueries.train(spark, sf, PqQueries.PqParams(m = 4))
+    assert(cb4.length === 4 && cb4(0)(0).length === 16)
+    // a split that cannot slice the dim fails loudly, never silently
+    intercept[IllegalArgumentException] {
+      PqQueries.train(spark, sf, PqQueries.PqParams(m = 7))
+    }
+  }
+
   test("ivfadc: full knobs are exact; narrow probe stays inside its cells; code scan partition-prunes") {
     import graft.operators.VectorIndex
     // nProbe = every cell + re-rank = whole corpus → brute-force exact
