@@ -425,7 +425,10 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         overrides the re-rank depth
   //                                         (capped 1024); default = the
   //                                         retunePq policy's
-  //                                         measured-recall pick (x151)
+  //                                         measured-recall pick (x151).
+  //                                         The effective depth never
+  //                                         drops below k — a depth < k
+  //                                         cannot fill the response
   //   GET /search?like=<vec_id>&index=ivfadc  the composed billion-scale
   //                                         pipeline (x152): probe nProbe
   //                                         cells, ADC-scan only their
@@ -539,8 +542,16 @@ final class RestService(spark: SparkSession, store: TableStore,
                 // SRP multi-probe at the measured serving radius
                 // (retuneSrp's x150 pick), or the PQ code scan + exact
                 // re-rank at the measured depth (retunePq's x151 pick)
-                val rerank = qparam(ex, "rerank")
-                  .flatMap(_.toIntOption).getOrElse(-1).min(1024)
+                // the effective re-rank depth floors at k: a depth
+                // below k deterministically truncates the response
+                // (the candidate set IS capped at depth rows), which
+                // would be a silent drop — the clamp is the same
+                // doctrine as nprobe-to-cell-count and radius-to-K
+                val rerank = (qparam(ex, "rerank")
+                  .flatMap(_.toIntOption)
+                  .getOrElse(graft.operators.PqQueries
+                    .pqServingRerank(dir))
+                  .min(1024)).max(k)
                 val knn = qparam(ex, "index") match {
                   case Some("srp") =>
                     graft.operators.VectorQueries.srpKnn(spark, dir, vid,

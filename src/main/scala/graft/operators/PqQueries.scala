@@ -86,7 +86,10 @@ object PqQueries {
     * the IvfParams doctrine), so tuning experiments never evict the
     * serving index. `m` must divide the embedding dim; seeding needs
     * contiguous vec_ids 0..k-1. */
-  final case class PqParams(m: Int = M, k: Int = K, iters: Int = Iters)
+  final case class PqParams(m: Int = M, k: Int = K, iters: Int = Iters) {
+    require(m > 0 && k > 0 && iters >= 0,
+      s"PqParams needs m > 0, k > 0, iters >= 0 (got m=$m k=$k iters=$iters)")
+  }
 
   private def pqKey(dir: String, p: PqParams): String =
     s"$dir|pq|${p.m}|${p.k}|${p.iters}"
@@ -236,6 +239,23 @@ object PqQueries {
       sqDist(qv.slice(ss * subDim, ss * subDim + subDim), cbs(ss)(c)))
   }
 
+  /** The shared exact-re-rank tail of every PQ serving arm:
+    * broadcast-semi-join the bounded candidate frame against the
+    * corpus, score exactly one cosine per candidate against the
+    * full-precision query, 6-rounded — ONE definition so the pq and
+    * ivfadc arms cannot diverge on rounding, tie-breaks or join
+    * strategy. */
+  private def rerankExact(s: SparkSession, d: String, qe: Seq[Float],
+      cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val q = Seq(Tuple1(qe)).toDF("qe")
+    Tables.table(s, d, "embeddings")
+      .join(broadcast(cand.select("vec_id")), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+  }
+
   /** The shared fixed-point grid, driver-side — bit-identical to
     * [[KMeansQueries.quantExpr]] (float→double is exact; ·1000, floor
     * and +2048 are the same IEEE/integer ops in the same order). */
@@ -297,13 +317,7 @@ object PqQueries {
       .select(col("vec_id"), adcExpr(luts, col("code"))
         .cast("bigint").as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id")).limit(r)
-    import s.implicits._
-    val q = Seq(Tuple1(qe)).toDF("qe")
-    Tables.table(s, d, "embeddings")
-      .join(broadcast(cand.select("vec_id")), Seq("vec_id"), "left_semi")
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+    rerankExact(s, d, qe, cand)
   }
 
   /** x152's declared re-rank depth (the declared query pins fixed
@@ -357,33 +371,14 @@ object PqQueries {
     val ranked = scoredAll.withColumn("rn", row_number().over(wAdc))
     val q = qRows.toSeq.toDF("qid", "qe")
     // exact cosine once per (query, candidate) pair; depths then
-    // qualify pairs by ADC rank — no re-scoring per depth
-    val cand = ranked
+    // qualify pairs by ADC rank — no re-scoring per depth (the
+    // shared x137-frame tail lives in VectorQueries.gridRecallFrame)
+    val scored = ranked
       .join(Tables.table(s, d, "embeddings"), Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("vec_id"), col("rn"),
+      .select(col("qid"), col("vec_id"), col("rn").as("pv"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
-    val depthsDf = depths.map(Tuple1(_)).toDF("depth")
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy("depth", "qid").orderBy(col("cos").desc, col("vec_id"))
-    val top = cand.join(broadcast(depthsDf), col("rn") <= col("depth"))
-      .withColumn("rr", row_number().over(wTop))
-      .filter(col("rr") <= 10)
-      .select(col("depth"), col("qid"), col("vec_id"), lit(1).as("hit"))
-    val ex = VectorQueries.recallTop10(
-      Tables.table(s, d, "embeddings").crossJoin(broadcast(q))
-        .select(col("qid"), col("vec_id"),
-          round(VectorFns.cosine(col("embedding"), col("qe")), 6)
-            .as("cos")))
-    ex.crossJoin(broadcast(depthsDf))
-      .join(top, Seq("depth", "qid", "vec_id"), "left")
-      .groupBy("depth")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
-        count(lit(1)).as("n"))
-      .select(col("depth").as("rerank_depth"), col("n_hits"),
-        round(col("n_hits") / col("n").cast("double"), 4)
-          .as("avg_recall"))
-      .orderBy("rerank_depth")
+    VectorQueries.gridRecallFrame(s, d, q, scored, depths, "rerank_depth")
   }
 
   // Per-corpus-dir serving re-rank depth, default 10 (pure ADC
@@ -444,13 +439,7 @@ object PqQueries {
       .select(col("vec_id"), adcExpr(luts, col("code"))
         .cast("bigint").as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id")).limit(r)
-    import s.implicits._
-    val q = Seq(Tuple1(qe)).toDF("qe")
-    Tables.table(s, d, "embeddings")
-      .join(broadcast(cand.select("vec_id")), Seq("vec_id"), "left_semi")
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+    rerankExact(s, d, qe, cand)
   }
 
   // ------------------------------------------------------- oracle SQL
@@ -663,15 +652,12 @@ ORDER BY cos DESC, e.vec_id LIMIT 10"""
     Query("x149_pq_adc", x149Sql) {
       (s, d) => {
         val cbs = train(s, d)
-        val subDim = cbs(0)(0).length
         val qRow = KMeansQueries.quantized(s, d)
           .filter(col("vec_id") === 0).select(col("v"))
           .collect()
         require(qRow.nonEmpty, "query vector 0 missing")
         val qv = qRow.head.getSeq[Long](0).toArray
-        val luts: Array[Array[Long]] = Array.tabulate(M, K) { (ss, c) =>
-          sqDist(qv.slice(ss * subDim, ss * subDim + subDim), cbs(ss)(c))
-        }
+        val luts = queryLuts(cbs, qv)
         // the STORED code table, not a per-probe re-encode: the scan
         // reads M ints per vector and does M LUT lookups — the plan a
         // PQ store actually runs (the encode amortizes in the

@@ -217,6 +217,41 @@ object VectorQueries {
       .orderBy("qid")
   }
 
+  /** The shared tail of every probe-width recall CURVE (x142 IVF,
+    * x150 SRP, x151 PQ): `scored` carries one row per (qid, vec_id)
+    * candidate pair with its 6-rounded exact cosine and a
+    * param-comparable value `pv` (centroid rank, min Hamming
+    * distance, ADC rank); a grid entry `gp` qualifies the pair iff
+    * pv ≤ gp; per-(gp, qid) top-10 rides the map-local window; the
+    * exact arm and the left-join/agg are the x137 frame. ONE
+    * definition so a fix to the denominator, the rounding or the
+    * tie-break reaches all three ANN families' audits at once. */
+  private[operators] def gridRecallFrame(s: SparkSession, d: String,
+      q: DataFrame, scored: DataFrame, grid: Seq[Long],
+      outName: String): DataFrame = {
+    import s.implicits._
+    val gridDf = grid.map(Tuple1(_)).toDF("gp")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("gp", "qid").orderBy(col("cos").desc, col("vec_id"))
+    val top = scored.join(broadcast(gridDf), col("pv") <= col("gp"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 10)
+      .select(col("gp"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
+          .as("cos")))
+    ex.crossJoin(broadcast(gridDf))
+      .join(top, Seq("gp", "qid", "vec_id"), "left")
+      .groupBy("gp")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+        count(lit(1)).as("n"))
+      .select(col("gp").cast("bigint").as(outName), col("n_hits"),
+        round(col("n_hits") / col("n").cast("double"), 4)
+          .as("avg_recall"))
+      .orderBy(outName)
+  }
+
   /** (qid, n_hits, recall): x137's recall@10 audit at an arbitrary
     * probe width — the engine body behind the declared query, exposed
     * so VectorSpec can pin the completeness property (nProbe = Cells
@@ -312,30 +347,12 @@ object VectorQueries {
       .groupBy("qid", "vec_id")
       .agg(min(bit_count(col("bits").bitwiseXOR(col("qbits"))))
         .as("crad"))
-    val radii = (0 to maxR).map(Tuple1(_)).toDF("r")
-    val sc = crad.join(broadcast(radii), col("crad") <= col("r"))
+    val scored = crad
       .join(emb(s, d), Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
-      .select(col("r"), col("qid"), col("vec_id"),
+      .select(col("qid"), col("vec_id"), col("crad").as("pv"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy("r", "qid").orderBy(col("cos").desc, col("vec_id"))
-    val top = sc.withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 10)
-      .select(col("r"), col("qid"), col("vec_id"), lit(1).as("hit"))
-    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id"),
-        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
-          .as("cos")))
-    ex.crossJoin(broadcast(radii))
-      .join(top, Seq("r", "qid", "vec_id"), "left")
-      .groupBy("r")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
-        count(lit(1)).as("n"))
-      .select(col("r").cast("bigint").as("radius"), col("n_hits"),
-        round(col("n_hits") / col("n").cast("double"), 4)
-          .as("avg_recall"))
-      .orderBy("radius")
+    gridRecallFrame(s, d, q, scored, (0L to maxR.toLong), "radius")
   }
 
   // Per-corpus-dir SRP serving radius, default 0 (x11's single-bucket
@@ -501,31 +518,12 @@ object VectorQueries {
         .sorted.zipWithIndex.map { case ((_, c), i) => (qid, c, i + 1) }
     }.toSeq.toDF("qid", "cell", "crank")
     val q = qRows.toSeq.toDF("qid", "qe")
-    val widths = (1 to maxW).map(Tuple1(_)).toDF("w")
-    val iv = idx.corpus
+    val scored = idx.corpus
       .join(broadcast(cranks), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("crank"), col("vec_id"),
+      .select(col("qid"), col("vec_id"), col("crank").as("pv"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
-      .join(broadcast(widths), col("crank") <= col("w"))
-    val wnd = org.apache.spark.sql.expressions.Window
-      .partitionBy("w", "qid").orderBy(col("cos").desc, col("vec_id"))
-    val ivTop = iv.withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 10)
-      .select(col("w"), col("qid"), col("vec_id"), lit(1).as("hit"))
-    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id"),
-        round(VectorFns.cosine(col("embedding"), col("qe")), 6)
-          .as("cos")))
-    ex.crossJoin(broadcast(widths))
-      .join(ivTop, Seq("w", "qid", "vec_id"), "left")
-      .groupBy("w")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
-        count(lit(1)).as("n"))
-      .select(col("w").cast("bigint").as("nprobe"), col("n_hits"),
-        round(col("n_hits") / col("n").cast("double"), 4)
-          .as("avg_recall"))
-      .orderBy("nprobe")
+    gridRecallFrame(s, d, q, scored, (1L to maxW.toLong), "nprobe")
   }
 
   /** Audit-driven IVF retune — the refreshTopics doctrine applied to
@@ -850,9 +848,10 @@ object VectorQueries {
     // bits, XOR/bit_count Hamming, min over tables) relationally.
     Query("x150_srp_radius_curve", {
       val idxb = "idxb AS MATERIALIZED (SELECT vec_id, " +
-        "CAST(u // 16 AS INT) AS t, CAST(u % 16 AS INT) AS bits FROM (" +
+        s"CAST(u // ${1 << K} AS INT) AS t, " +
+        s"CAST(u % ${1 << K} AS INT) AS bits FROM (" +
         "SELECT vec_id, unnest([" +
-        (0 until L).map(t => s"(${t * 16} + ${tbBitsSql(t)})")
+        (0 until L).map(t => s"(${t * (1 << K)} + ${tbBitsSql(t)})")
           .mkString(", ") + "]) AS u FROM embeddings))"
       s"WITH $idxb, " +
         "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings " +

@@ -106,17 +106,7 @@ class PqProbeSpec extends AnyFunSuite {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val q0 = embs.find(_._1 == 0L).get._2
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val exact = embs.map { case (id, v) => (id, cos6(v, q0)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q0)) }
       .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
     assert(top === exact, "full-depth pqKnn != driver-side exact")
     // depth 10: the candidate SET is x149's ADC top-10 (same codes,
@@ -179,17 +169,7 @@ class PqProbeSpec extends AnyFunSuite {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val q0 = embs.find(_._1 == 0L).get._2
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val exact = embs.map { case (id, v) => (id, cos6(v, q0)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q0)) }
       .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
     assert(full === exact, "full-knob ivfadc != driver-side exact")
     // a 1-cell probe returns only vectors assigned to that cell —

@@ -623,18 +623,8 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = jsonRows(t).map(m => (m("vec_id").toLong, m("cos").toDouble))
     val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val q = embs.find(_._1 == 7L).get._2
-    val exact = embs.map { case (id, v) => (id, cos6(v, q)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q)) }
       .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
     assert(got === exact, "full-probe endpoint != driver-side exact top-10")
     // a narrow width is honored: endpoint == the engine's ivfKnn at
@@ -663,18 +653,8 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got4 = jsonRows(t4).map(m => (m("vec_id").toLong, m("cos")))
     val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val q7 = embs.find(_._1 == 7L).get._2
-    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q7)) }
       .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
     assert(got4 === exact, "full-radius endpoint != driver-side exact")
     // one probe definition: endpoint == srpKnn at the same radius
@@ -719,18 +699,8 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotf = jsonRows(tf).map(m => (m("vec_id").toLong, m("cos")))
     val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val q7 = embs.find(_._1 == 7L).get._2
-    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q7)) }
       .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
     assert(gotf === exact, "full-depth endpoint != driver-side exact")
     // one probe definition: endpoint == pqKnn at the same depth
@@ -743,6 +713,15 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.functions.col("vec_id"))
       .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got10 === eng10, "one probe definition: endpoint == pqKnn(R=10)")
+    // the effective re-rank depth floors at k: a depth below k would
+    // deterministically truncate the response (the candidate set is
+    // capped at depth rows) — k=20 yields 20 rows whatever the
+    // serving default, and an explicit rerank=5 with k=10 still
+    // fills all 10 (the nprobe-clamp doctrine, not a silent drop)
+    assert(jsonRows(http("GET",
+      "/search?like=7&k=20&index=pq")._2).size === 20)
+    assert(jsonRows(http("GET",
+      "/search?like=7&k=10&index=pq&rerank=5")._2).size === 10)
     // unknown vector under the pq arm is still a 404
     assert(http("GET", "/search?like=99999999&index=pq")._1 === 404)
     // knob/arm mismatches are 400s, never silent fall-throughs:
@@ -770,18 +749,8 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotf = jsonRows(tf).map(m => (m("vec_id").toLong, m("cos")))
     val embs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def cos6(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i).toDouble * b(i).toDouble
-        na += a(i).toDouble * a(i).toDouble
-        nb += b(i).toDouble * b(i).toDouble; i += 1
-      }
-      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
     val q7 = embs.find(_._1 == 7L).get._2
-    val exact = embs.map { case (id, v) => (id, cos6(v, q7)) }
+    val exact = embs.map { case (id, v) => (id, TestSpark.cos6(v, q7)) }
       .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
     assert(gotf === exact, "full-knob ivfadc endpoint != driver-side exact")
     // one probe definition: endpoint == ivfadcKnn at the same knobs

@@ -19,6 +19,21 @@ object TestSpark {
   }
   val sf: String = "/root/testdata/sf0.001"
 
+  /** The specs' reference cosine: double-widened sequential fold,
+    * 6-decimal HALF_UP — the driver-side twin of the engine's
+    * round(VectorFns.cosine, 6). ONE definition so every suite
+    * agrees on what "exact" means. */
+  def cos6(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble; i += 1
+    }
+    BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Exact listener-bus drain for metric-collecting listeners: blocks
     * until every queued event is delivered (LiveListenerBus
     * .waitUntilEmpty, reached via reflection because the member is
