@@ -435,7 +435,11 @@ final class RestService(spark: SparkSession, store: TableStore,
   //                                         stored codes, re-rank top R
   //                                         exactly. Takes BOTH &nprobe=
   //                                         and &rerank=; defaults = the
-  //                                         two measured policies
+  //                                         two measured policies.
+  //                                         &label=L restricts to one
+  //                                         metadata label (x153) — a
+  //                                         PRE-filter pushed into the
+  //                                         same pruned code scan
   //   GET /search?q=<terms>&like=<vec_id>   HYBRID: RRF fusion of the two
   //                                         arms (x128's combiner; IVF
   //                                         dense arm only)
@@ -518,6 +522,14 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "rerank").exists(
               _.toIntOption.forall(_ < 1)) =>
             reply(ex, 400, "rerank must be a positive integer")
+          // the metadata filter lives inline in the IVFADC code
+          // sidecar — the only arm that can push it into its scan
+          case Some(_) if qparam(ex, "label").isDefined &&
+              !qparam(ex, "index").contains("ivfadc") =>
+            reply(ex, 400, "label requires index=ivfadc")
+          case Some(_) if qparam(ex, "label").exists(
+              _.toIntOption.isEmpty) =>
+            reply(ex, 400, "label must be an integer")
           // the hybrid combiner fuses the IVF dense arm (x128's
           // definition) — reject rather than silently swap the arm
           case Some(_) if qparam(ex, "index").exists(_ != "ivf") &&
@@ -562,7 +574,8 @@ final class RestService(spark: SparkSession, store: TableStore,
                       rerank)
                   case Some("ivfadc") =>
                     graft.operators.PqQueries.ivfadcKnn(spark, dir, vid,
-                      nprobe, rerank)
+                      nprobe, rerank,
+                      qparam(ex, "label").flatMap(_.toIntOption))
                   case _ => graft.operators.VectorQueries
                     .ivfKnn(spark, dir, vid, nprobe)
                 }
@@ -615,7 +628,7 @@ final class RestService(spark: SparkSession, store: TableStore,
         else if (toks.size < 2)
           reply(ex, 400, "near requires at least two terms")
         else if (Seq("q", "phrase", "like", "prefix", "unit", "snippet",
-            "nprobe", "index", "radius", "rerank")
+            "nprobe", "index", "radius", "rerank", "label")
             .exists(qparam(ex, _).isDefined))
           reply(ex, 400, "near cannot combine with other search parameters")
         else if (spanRaw.exists(s =>
@@ -643,7 +656,7 @@ final class RestService(spark: SparkSession, store: TableStore,
         // prefix is its own arm — combining it with any retrieval
         // parameter is a client error, never a silent drop
         else if (Seq("q", "phrase", "like", "near", "span", "unit",
-            "snippet", "nprobe", "index", "radius", "rerank")
+            "snippet", "nprobe", "index", "radius", "rerank", "label")
             .exists(qparam(ex, _).isDefined))
           reply(ex, 400, "prefix cannot combine with other search parameters")
         else if (p.length > RestService.SearchMaxTermLen ||
@@ -676,8 +689,9 @@ final class RestService(spark: SparkSession, store: TableStore,
           reply(ex, 400, "nprobe requires like")
         else if (qparam(ex, "index").isDefined ||
             qparam(ex, "radius").isDefined ||
-            qparam(ex, "rerank").isDefined)
-          reply(ex, 400, "index/radius/rerank require like")
+            qparam(ex, "rerank").isDefined ||
+            qparam(ex, "label").isDefined)
+          reply(ex, 400, "index/radius/rerank/label require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (toks.size > RestService.SearchMaxTerms ||
@@ -738,8 +752,9 @@ final class RestService(spark: SparkSession, store: TableStore,
           reply(ex, 400, "nprobe requires like")
         else if (qparam(ex, "index").isDefined ||
             qparam(ex, "radius").isDefined ||
-            qparam(ex, "rerank").isDefined)
-          reply(ex, 400, "index/radius/rerank require like")
+            qparam(ex, "rerank").isDefined ||
+            qparam(ex, "label").isDefined)
+          reply(ex, 400, "index/radius/rerank/label require like")
         else if (qparam(ex, "span").isDefined)
           reply(ex, 400, "span requires near")
         else if (qparam(ex, "snippet").isDefined &&

@@ -285,9 +285,16 @@ object PqQueries {
       "graft-ivfadc-codes") { root =>
       val store = new TableStore(s, root)
       val cbs = train(s, d)
+      // label rides INLINE in the code sidecar (the FAISS
+      // metadata-alongside-codes layout): a filtered search pushes
+      // the predicate into the SAME pruned scan — partition pruning
+      // by cell AND row-group skipping by label on one narrow table,
+      // no id-set join at any corpus size. One build-time join.
       store.replace("ivfadc_codes",
         VectorIndex.forDir(s, d).corpus
-          .select(col("cell"), col("vec_id"),
+          .join(Tables.table(s, d, "embeddings")
+            .select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("label"),
             codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
               .as("code"))
           .repartition(col("cell")),
@@ -303,7 +310,8 @@ object PqQueries {
     * width, retunePq's depth). Throws NoSuchElementException for an
     * absent queryId (→ 404). */
   private[graft] def ivfadcKnn(s: SparkSession, d: String, queryId: Long,
-      nprobe: Int = -1, rerank: Int = -1): DataFrame = {
+      nprobe: Int = -1, rerank: Int = -1,
+      label: Option[Int] = None): DataFrame = {
     val ivf = VectorIndex.forDir(s, d)
     val qe = ivf.lookup(queryId).getOrElse(
       throw new NoSuchElementException(s"no such vector: $queryId"))
@@ -312,8 +320,16 @@ object PqQueries {
     val cells = ivf.probeCells(VectorIndex.fixedPoint(qe), w)
     val luts = queryLuts(train(s, d), quantize(qe))
     val r = if (rerank >= 1) rerank else pqServingRerank(d)
-    val cand = ivfadcFor(s, d).load("ivfadc_codes")
+    val base = ivfadcFor(s, d).load("ivfadc_codes")
       .filter(col("cell").isin(cells: _*))
+    // pre-filter, not post-filter: the predicate lands in the SAME
+    // pruned code scan (PushedFilters next to the PartitionFilters),
+    // so ADC ranks only label-matching candidates and the top-R
+    // budget is spent entirely inside the filtered set — the
+    // filtered-ANN failure mode (over-fetch starvation after a
+    // post-filter) cannot occur at the candidate stage; what remains
+    // is the nProbe coverage question, which the x142 curve measures
+    val cand = label.foldLeft(base)((b, l) => b.filter(col("label") === l))
       .select(col("vec_id"), adcExpr(luts, col("code"))
         .cast("bigint").as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id")).limit(r)
@@ -573,7 +589,10 @@ FROM exr LEFT JOIN top ON top.depth = exr.depth AND top.qid = exr.qid
 GROUP BY exr.depth ORDER BY rerank_depth"""
   }
 
-  private lazy val x152Sql: String = {
+  /** The composed IVFADC replay (x152), optionally restricted to one
+    * metadata label (x153) — ONE generator so the filtered query is
+    * provably the same pipeline plus a predicate. */
+  private def ivfadcSql(label: Option[Int]): String = {
     val luts = (0 until M).map { ss =>
       s"l$ss AS MATERIALIZED (SELECT c.cid, ${sdist("qq.v", "c.c")} AS dd " +
         s"FROM ${finalC(ss)} c, (SELECT v FROM sub$ss WHERE vec_id = 0) qq)"
@@ -591,7 +610,9 @@ probe AS (SELECT cell FROM (SELECT c.cell, ROW_NUMBER() OVER
   (ORDER BY ${VectorFns.Sql.l2sq("qd.v", "c.m")}, c.cell) AS rn
   FROM c2 c, qd) WHERE rn <= ${VectorQueries.NProbe}),
 cnd AS MATERIALIZED (SELECT f.vec_id FROM af f
-  JOIN probe p ON f.cell = p.cell),
+  JOIN probe p ON f.cell = p.cell
+  JOIN embeddings lf ON lf.vec_id = f.vec_id${
+    label.fold("")(l => s" WHERE lf.label = $l")}),
 adc AS MATERIALIZED (SELECT cnd.vec_id,
   CAST(${(0 until M).map(ss => s"l$ss.dd").mkString(" + ")} AS BIGINT) AS adc
   FROM cnd JOIN ${finalA(0)} ON ${finalA(0)}.vec_id = cnd.vec_id
@@ -603,6 +624,13 @@ SELECT e.vec_id, round(${VectorFns.Sql.cosine("e.embedding", "qv0.v")}, 6)
 FROM embeddings e JOIN rrk ON rrk.vec_id = e.vec_id, qv0
 ORDER BY cos DESC, e.vec_id LIMIT 10"""
   }
+
+  private lazy val x152Sql: String = ivfadcSql(None)
+
+  /** x153's declared label — mid-distribution, ~10% selectivity. */
+  private[graft] val FilterLabel = 7
+
+  private lazy val x153Sql: String = ivfadcSql(Some(FilterLabel))
 
   val all: Seq[Query] = Seq(
 
@@ -692,6 +720,21 @@ ORDER BY cos DESC, e.vec_id LIMIT 10"""
     Query("x152_ivfadc", x152Sql) {
       (s, d) =>
         ivfadcKnn(s, d, 0L, VectorQueries.NProbe, IvfadcRerank)
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
+    // Metadata-FILTERED vector search (the pgvector-WHERE / FAISS
+    // IDSelector / Vespa filtered-ANN case): top-10 among vectors
+    // with label = 7 only, through the same IVFADC pipeline. The
+    // label lives INLINE in the code sidecar, so the predicate is a
+    // PRE-filter in the pruned code scan (PushedFilters next to
+    // PartitionFilters — no id-set join, no post-filter starvation
+    // at the candidate stage); the oracle is the x152 replay plus
+    // the predicate, generated by the same function.
+    Query("x153_filtered_ivfadc", x153Sql) {
+      (s, d) =>
+        ivfadcKnn(s, d, 0L, VectorQueries.NProbe, IvfadcRerank,
+            Some(FilterLabel))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
     }
   )

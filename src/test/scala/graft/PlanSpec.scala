@@ -125,7 +125,8 @@ class PlanSpec extends AnyFunSuite {
                                // radii broadcast (crad ≤ r is a range join)
       "x151_pq_rerank_curve", // same 8-row query broadcast + the ≤6-row
                               // depth-grid broadcast (rn ≤ depth range join)
-      "x152_ivfadc") // 1-row query-vector broadcast in the re-rank arm
+      "x152_ivfadc", // 1-row query-vector broadcast in the re-rank arm
+      "x153_filtered_ivfadc") // same 1-row re-rank broadcast
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>

@@ -194,4 +194,35 @@ class PqProbeSpec extends AnyFunSuite {
       PqQueries.ivfadcKnn(spark, sf, 99999999L, 1, 10)
     }
   }
+
+  test("filtered ivfadc: full knobs equal the filtered exact search; the predicate is a pushed pre-filter") {
+    import graft.operators.VectorIndex
+    val lbl = PqQueries.FilterLabel
+    // full probe + full re-rank restricted to one label == brute
+    // force over exactly that label's vectors
+    val got = PqQueries.ivfadcKnn(spark, sf, 0L,
+        VectorIndex.Cells, n.toInt, Some(lbl))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val q0 = rows.find(_._1 == 0L).get._2
+    val exact = rows.filter(_._3 == lbl)
+      .map { case (id, v, _) => (id, TestSpark.cos6(v, q0)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).toSeq
+    assert(got === exact, "filtered full-knob ivfadc != filtered exact")
+    // every returned vector carries the label (no post-filter leak)
+    val ids = got.map(_._1).toSet
+    assert(rows.filter(r => ids(r._1)).forall(_._3 == lbl))
+    // the predicate PRE-filters the pruned code scan: the plan shows
+    // the label pushed into the SAME scan that partition-prunes —
+    // no id-set join, no post-filter starvation at the candidate
+    // stage (the filtered-ANN failure mode)
+    val plan = PqQueries.ivfadcKnn(spark, sf, 0L, 1, 10, Some(lbl))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
+      s"label filter not pushed into the pruned code scan:\n$plan")
+  }
 }

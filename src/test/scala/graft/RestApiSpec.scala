@@ -768,12 +768,35 @@ class RestApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // BOTH knobs are legal on this arm (it composes the two indexes)
     assert(http("GET", "/search?like=7&index=ivfadc&nprobe=2")._1 === 200)
     assert(http("GET", "/search?like=7&index=ivfadc&rerank=20")._1 === 200)
+    // the metadata filter: full knobs + label == driver-side exact
+    // over that label's vectors only (x153's serving twin)
+    val lbl = graft.operators.PqQueries.FilterLabel
+    val (cl, tl) = http("GET",
+      s"/search?like=7&k=10&index=ivfadc&nprobe=8&rerank=1000&label=$lbl")
+    assert(cl === 200)
+    val gotl = jsonRows(tl).map(m => (m("vec_id").toLong, m("cos")))
+    val lrows = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val exactl = lrows.filter(_._3 == lbl)
+      .map { case (id, v, _) => (id, TestSpark.cos6(v, q7)) }
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).toSeq
+    assert(gotl === exactl, "filtered endpoint != filtered exact")
     // unknown vector is still a 404; wrong knobs and hybrid are 400s
     assert(http("GET", "/search?like=99999999&index=ivfadc")._1 === 404)
     assert(http("GET", "/search?like=7&index=ivfadc&radius=1")._1 === 400)
     assert(http("GET", "/search?like=7&index=ivfadc&rerank=0")._1 === 400)
     assert(http("GET", "/search?like=7&index=ivfadc&nprobe=0")._1 === 400)
     assert(http("GET", "/search?q=hash&like=7&index=ivfadc")._1 === 400)
+    // label off its arm, malformed labels, label on lexical arms
+    assert(http("GET", "/search?like=7&label=3")._1 === 400)
+    assert(http("GET", "/search?like=7&index=pq&label=3")._1 === 400)
+    assert(http("GET", "/search?like=7&index=srp&label=3")._1 === 400)
+    assert(http("GET", "/search?like=7&index=ivfadc&label=x")._1 === 400)
+    assert(http("GET", "/search?q=hash&label=3")._1 === 400)
+    assert(http("GET", "/search?phrase=a&label=3")._1 === 400)
+    assert(http("GET", "/search?prefix=s&label=3")._1 === 400)
+    assert(http("GET", "/search?near=a+b&label=3")._1 === 400)
   }
 
   test("GET /search?q=&like= fuses both arms with x128's RRF combiner") {
