@@ -341,6 +341,41 @@ object PqQueries {
     * from the measured policies instead). */
   private[graft] val IvfadcRerank = 50
 
+  /** (nprobe, n_hits, avg_recall): the FILTERED probe-width recall
+    * curve — x142's frame with BOTH arms restricted to one metadata
+    * label (x154's engine body). The filtered-ANN coverage question
+    * x153 defers to the curve is a DIFFERENT number than x142's:
+    * inside each probed cell the filter decimates candidates ~10×
+    * here, so a width that clears the unfiltered floor can miss the
+    * filtered one — measured, not assumed, and the per-request
+    * `&nprobe=` override is the consumer. Audit-class cost (the
+    * label restriction rides a semi-join here; the SERVING path
+    * pushes the predicate into the inline-label code scan). */
+  private[graft] def filteredRecallCurve(s: SparkSession, d: String,
+      label: Int = FilterLabel): DataFrame = {
+    import s.implicits._
+    val idx = VectorIndex.forDir(s, d)
+    val qRows = VectorQueries.recallQueries(s, d)
+    val cranks = qRows.flatMap { case (qid, e) =>
+      val qd = VectorIndex.fixedPoint(e)
+      idx.centroids.map { case (c, m) => (VectorIndex.l2(qd, m), c) }
+        .sorted.zipWithIndex.map { case ((_, c), i) => (qid, c, i + 1) }
+    }.toSeq.toDF("qid", "cell", "crank")
+    val q = qRows.toSeq.toDF("qid", "qe")
+    val lblIds = Tables.table(s, d, "embeddings")
+      .filter(col("label") === label).select("vec_id")
+    val scored = idx.corpus
+      .join(broadcast(cranks), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .join(lblIds, Seq("vec_id"), "left_semi")
+      .select(col("qid"), col("vec_id"), col("crank").as("pv"),
+        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
+    VectorQueries.gridRecallFrame(s, d, q, scored,
+      1L to VectorIndex.Cells.toLong, "nprobe",
+      exactBase = Some(Tables.table(s, d, "embeddings")
+        .filter(col("label") === label)))
+  }
+
   // ------------------------------------------- re-rank depth policy
   // ADC ranks by codebook-quantized distance, so its top-10 is an
   // approximation twice over (quantization + L2-vs-cosine); the
@@ -736,6 +771,19 @@ ORDER BY cos DESC, e.vec_id LIMIT 10"""
         ivfadcKnn(s, d, 0L, VectorQueries.NProbe, IvfadcRerank,
             Some(FilterLabel))
           .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    },
+
+    // The coverage question x153 raises, measured: recall@10 of the
+    // probe under the label filter at EVERY width, both arms
+    // restricted to the same filtered universe (oracle = x142's
+    // replay from the same generator, plus the predicate on both
+    // arms). The filtered number is structurally different from
+    // x142's — the filter decimates per-cell candidates — and an
+    // operator serving filtered workloads reads THIS curve when
+    // choosing the &nprobe= override.
+    Query("x154_filtered_recall", VectorQueries.ivfCurveSql(
+        Some(FilterLabel))) {
+      (s, d) => filteredRecallCurve(s, d)
     }
   )
 }

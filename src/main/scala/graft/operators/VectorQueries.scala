@@ -228,7 +228,7 @@ object VectorQueries {
     * tie-break reaches all three ANN families' audits at once. */
   private[operators] def gridRecallFrame(s: SparkSession, d: String,
       q: DataFrame, scored: DataFrame, grid: Seq[Long],
-      outName: String): DataFrame = {
+      outName: String, exactBase: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val gridDf = grid.map(Tuple1(_)).toDF("gp")
     val wnd = org.apache.spark.sql.expressions.Window
@@ -237,7 +237,11 @@ object VectorQueries {
       .withColumn("rn", row_number().over(wnd))
       .filter(col("rn") <= 10)
       .select(col("gp"), col("qid"), col("vec_id"), lit(1).as("hit"))
-    val ex = recallTop10(emb(s, d).crossJoin(broadcast(q))
+    // the exact arm defaults to the whole corpus; a FILTERED audit
+    // (x154) hands in the predicate-restricted base so both arms
+    // rank inside the same candidate universe
+    val ex = recallTop10(exactBase.getOrElse(emb(s, d))
+      .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6)
           .as("cos")))
@@ -582,6 +586,40 @@ object VectorQueries {
   /** The IVF build replay (fixed-point projection → seeds → two Lloyd
     * rounds → final assignment `af`, centroids `c2`) — shared by the
     * x20 probe oracle and the x137 recall-audit oracle. */
+  /** The x142 probe-width recall-curve replay, optionally restricted
+    * to one metadata label on BOTH arms (x154) — ONE generator so the
+    * filtered audit is provably the same frame plus a predicate. */
+  private[operators] def ivfCurveSql(label: Option[Int]): String = {
+    val lj = label.fold("")(l =>
+      s" JOIN embeddings lf ON lf.vec_id = f.vec_id AND lf.label = $l")
+    val lb = label.fold("")(l =>
+      s" JOIN embeddings lb ON lb.vec_id = b.vec_id AND lb.label = $l")
+    s"WITH $ivfBuildSql, " +
+      "q AS (SELECT vec_id AS qid, pd AS qd, embedding AS qe " +
+      s"FROM base WHERE vec_id >= $RecallQLo AND vec_id < $RecallQHi), " +
+      s"ws AS (SELECT unnest(range(1, $Cells + 1)) AS w), " +
+      "crank AS (SELECT qid, cell, rn FROM (SELECT q.qid, c.cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+      s"${Sql.l2sq("q.qd", "c.m")}, c.cell) AS rn FROM c2 c, q)), " +
+      "iv AS (SELECT w, qid, vec_id FROM (SELECT ws.w, cr.qid, " +
+      "f.vec_id, ROW_NUMBER() OVER (PARTITION BY ws.w, cr.qid " +
+      s"ORDER BY round(${Sql.cosine("f.embedding", "q.qe")}, 6) DESC, " +
+      s"f.vec_id) AS rn FROM af f$lj JOIN crank cr ON f.cell = cr.cell " +
+      "JOIN ws ON cr.rn <= ws.w JOIN q ON q.qid = cr.qid) " +
+      "WHERE rn <= 10), " +
+      "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
+      s"round(${Sql.cosine("b.embedding", "q.qe")}, 6) DESC, b.vec_id) " +
+      s"AS rn FROM base b$lb, q) WHERE rn <= 10), " +
+      "exw AS (SELECT ws.w, ex.qid, ex.vec_id FROM ex, ws) " +
+      "SELECT CAST(exw.w AS BIGINT) AS nprobe, " +
+      "CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits, " +
+      "round(COUNT(iv.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) " +
+      "AS avg_recall FROM exw LEFT JOIN iv ON iv.w = exw.w " +
+      "AND iv.qid = exw.qid AND iv.vec_id = exw.vec_id " +
+      "GROUP BY exw.w ORDER BY nprobe"
+  }
+
   private[operators] lazy val ivfBuildSql =
     "b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
       s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
@@ -776,32 +814,7 @@ object VectorQueries {
     // ≤ Cells× the single-width x137, at batch boundaries only.
     // avg_recall is an exact-integer hit sum with one double division
     // — bit-stable across engines.
-    Query("x142_ivf_recall_curve", {
-      s"WITH $ivfBuildSql, " +
-        "q AS (SELECT vec_id AS qid, pd AS qd, embedding AS qe " +
-        s"FROM base WHERE vec_id >= $RecallQLo AND vec_id < $RecallQHi), " +
-        s"ws AS (SELECT unnest(range(1, $Cells + 1)) AS w), " +
-        "crank AS (SELECT qid, cell, rn FROM (SELECT q.qid, c.cell, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
-        s"${Sql.l2sq("q.qd", "c.m")}, c.cell) AS rn FROM c2 c, q)), " +
-        "iv AS (SELECT w, qid, vec_id FROM (SELECT ws.w, cr.qid, " +
-        "f.vec_id, ROW_NUMBER() OVER (PARTITION BY ws.w, cr.qid " +
-        s"ORDER BY round(${Sql.cosine("f.embedding", "q.qe")}, 6) DESC, " +
-        "f.vec_id) AS rn FROM af f JOIN crank cr ON f.cell = cr.cell " +
-        "JOIN ws ON cr.rn <= ws.w JOIN q ON q.qid = cr.qid) " +
-        "WHERE rn <= 10), " +
-        "ex AS (SELECT qid, vec_id FROM (SELECT q.qid, b.vec_id, " +
-        "ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY " +
-        s"round(${Sql.cosine("b.embedding", "q.qe")}, 6) DESC, b.vec_id) " +
-        "AS rn FROM base b, q) WHERE rn <= 10), " +
-        "exw AS (SELECT ws.w, ex.qid, ex.vec_id FROM ex, ws) " +
-        "SELECT CAST(exw.w AS BIGINT) AS nprobe, " +
-        "CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits, " +
-        "round(COUNT(iv.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) " +
-        "AS avg_recall FROM exw LEFT JOIN iv ON iv.w = exw.w " +
-        "AND iv.qid = exw.qid AND iv.vec_id = exw.vec_id " +
-        "GROUP BY exw.w ORDER BY nprobe"
-    }) {
+    Query("x142_ivf_recall_curve", ivfCurveSql(None)) {
       (s, d) => recallCurve(s, d)
     },
 

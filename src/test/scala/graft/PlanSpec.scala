@@ -126,7 +126,9 @@ class PlanSpec extends AnyFunSuite {
       "x151_pq_rerank_curve", // same 8-row query broadcast + the ≤6-row
                               // depth-grid broadcast (rn ≤ depth range join)
       "x152_ivfadc", // 1-row query-vector broadcast in the re-rank arm
-      "x153_filtered_ivfadc") // same 1-row re-rank broadcast
+      "x153_filtered_ivfadc", // same 1-row re-rank broadcast
+      "x154_filtered_recall") // the gridRecallFrame 8-row query +
+                              // grid range-join broadcasts
     // (x108's 1-row max broadcast is NOT exempt: Catalyst converts its
     // cross+equality into an equi BroadcastHashJoin on the decimal sum)
     SparkEntry.declared.filterNot(q => intended(q.name)).foreach { q =>

@@ -225,4 +225,18 @@ class PqProbeSpec extends AnyFunSuite {
       plan.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
       s"label filter not pushed into the pruned code scan:\n$plan")
   }
+
+  test("x154 filtered recall curve: full grid, monotone, anchored at 1.0 inside the filtered universe") {
+    import graft.operators.VectorIndex
+    val c = PqQueries.filteredRecallCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(c.keySet === (1L to VectorIndex.Cells.toLong).toSet)
+    // full probe covers every cell, so the filtered probe arm IS the
+    // filtered exact arm — the structural anchor proving both arms
+    // rank inside the same (label-restricted) universe
+    assert(c(VectorIndex.Cells.toLong) === 1.0, s"anchor broken: $c")
+    (1 until VectorIndex.Cells).foreach { w =>
+      assert(c(w.toLong) <= c(w + 1L), s"curve not monotone at $w: $c")
+    }
+  }
 }
