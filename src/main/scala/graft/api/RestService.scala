@@ -530,6 +530,11 @@ final class RestService(spark: SparkSession, store: TableStore,
           case Some(_) if qparam(ex, "label").exists(
               _.toIntOption.isEmpty) =>
             reply(ex, 400, "label must be an integer")
+          // a filter against a corpus without label metadata is a
+          // client error up front, not a missing-column 500 later
+          case Some(_) if qparam(ex, "label").isDefined &&
+              !graft.operators.PqQueries.hasLabels(spark, dir) =>
+            reply(ex, 400, "corpus has no label metadata")
           // the hybrid combiner fuses the IVF dense arm (x128's
           // definition) — reject rather than silently swap the arm
           case Some(_) if qparam(ex, "index").exists(_ != "ivf") &&

@@ -289,15 +289,28 @@ object PqQueries {
       // metadata-alongside-codes layout): a filtered search pushes
       // the predicate into the SAME pruned scan — partition pruning
       // by cell AND row-group skipping by label on one narrow table,
-      // no id-set join at any corpus size. One build-time join.
-      store.replace("ivfadc_codes",
-        VectorIndex.forDir(s, d).corpus
-          .join(Tables.table(s, d, "embeddings")
-            .select(col("vec_id"), col("label")), Seq("vec_id"))
-          .select(col("cell"), col("vec_id"), col("label"),
+      // no id-set join at any corpus size. One build-time join. The
+      // column is OPTIONAL: a corpus without label metadata (or one
+      // whose post-ingest schema inference dropped it) builds a
+      // label-free sidecar and the serving layer 400s label filters
+      // against it ([[hasLabels]]) instead of 500ing every request;
+      // rows with a NULL label (e.g. ingested deltas that carried no
+      // metadata) never match a filter — standard SQL semantics,
+      // stated here so it is a contract, not a surprise.
+      val embT = Tables.table(s, d, "embeddings")
+      val base = VectorIndex.forDir(s, d).corpus
+      val withLbl =
+        if (embT.columns.contains("label"))
+          base.join(embT.select(col("vec_id"), col("label")),
+            Seq("vec_id"))
+            .select(col("cell"), col("vec_id"), col("label"),
+              codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
+                .as("code"))
+        else
+          base.select(col("cell"), col("vec_id"),
             codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
               .as("code"))
-          .repartition(col("cell")),
+      store.replace("ivfadc_codes", withLbl.repartition(col("cell")),
         partitionBy = Seq("cell"))
       store
     }
@@ -309,9 +322,17 @@ object PqQueries {
     * Negative knobs mean "the measured serving policy" (retuneIvf's
     * width, retunePq's depth). Throws NoSuchElementException for an
     * absent queryId (→ 404). */
+  /** Whether corpus `d` carries label metadata — the /search route
+    * 400s a `&label=` filter against a label-less corpus (loud
+    * validation, not a 500 from a missing column). Schema read only. */
+  private[graft] def hasLabels(s: SparkSession, d: String): Boolean =
+    Tables.table(s, d, "embeddings").columns.contains("label")
+
   private[graft] def ivfadcKnn(s: SparkSession, d: String, queryId: Long,
       nprobe: Int = -1, rerank: Int = -1,
       label: Option[Int] = None): DataFrame = {
+    require(label.isEmpty || hasLabels(s, d),
+      "label filtering requires label metadata in the corpus")
     val ivf = VectorIndex.forDir(s, d)
     val qe = ivf.lookup(queryId).getOrElse(
       throw new NoSuchElementException(s"no such vector: $queryId"))
@@ -352,29 +373,8 @@ object PqQueries {
     * label restriction rides a semi-join here; the SERVING path
     * pushes the predicate into the inline-label code scan). */
   private[graft] def filteredRecallCurve(s: SparkSession, d: String,
-      label: Int = FilterLabel): DataFrame = {
-    import s.implicits._
-    val idx = VectorIndex.forDir(s, d)
-    val qRows = VectorQueries.recallQueries(s, d)
-    val cranks = qRows.flatMap { case (qid, e) =>
-      val qd = VectorIndex.fixedPoint(e)
-      idx.centroids.map { case (c, m) => (VectorIndex.l2(qd, m), c) }
-        .sorted.zipWithIndex.map { case ((_, c), i) => (qid, c, i + 1) }
-    }.toSeq.toDF("qid", "cell", "crank")
-    val q = qRows.toSeq.toDF("qid", "qe")
-    val lblIds = Tables.table(s, d, "embeddings")
-      .filter(col("label") === label).select("vec_id")
-    val scored = idx.corpus
-      .join(broadcast(cranks), Seq("cell"))
-      .join(broadcast(q), Seq("qid"))
-      .join(lblIds, Seq("vec_id"), "left_semi")
-      .select(col("qid"), col("vec_id"), col("crank").as("pv"),
-        round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
-    VectorQueries.gridRecallFrame(s, d, q, scored,
-      1L to VectorIndex.Cells.toLong, "nprobe",
-      exactBase = Some(Tables.table(s, d, "embeddings")
-        .filter(col("label") === label)))
-  }
+      label: Int = FilterLabel): DataFrame =
+    VectorQueries.recallCurve(s, d, label = Some(label))
 
   // ------------------------------------------- re-rank depth policy
   // ADC ranks by codebook-quantized distance, so its top-10 is an
@@ -645,9 +645,8 @@ probe AS (SELECT cell FROM (SELECT c.cell, ROW_NUMBER() OVER
   (ORDER BY ${VectorFns.Sql.l2sq("qd.v", "c.m")}, c.cell) AS rn
   FROM c2 c, qd) WHERE rn <= ${VectorQueries.NProbe}),
 cnd AS MATERIALIZED (SELECT f.vec_id FROM af f
-  JOIN probe p ON f.cell = p.cell
-  JOIN embeddings lf ON lf.vec_id = f.vec_id${
-    label.fold("")(l => s" WHERE lf.label = $l")}),
+  JOIN probe p ON f.cell = p.cell${label.fold("")(l =>
+    s" JOIN embeddings lf ON lf.vec_id = f.vec_id WHERE lf.label = $l")}),
 adc AS MATERIALIZED (SELECT cnd.vec_id,
   CAST(${(0 until M).map(ss => s"l$ss.dd").mkString(" + ")} AS BIGINT) AS adc
   FROM cnd JOIN ${finalA(0)} ON ${finalA(0)}.vec_id = cnd.vec_id

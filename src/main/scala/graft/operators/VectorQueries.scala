@@ -512,7 +512,7 @@ object VectorQueries {
     * bounded by maxW × the single x137 audit — a batch-boundary
     * audit, never a per-request path. */
   private[graft] def recallCurve(s: SparkSession, d: String,
-      maxW: Int = Cells): DataFrame = {
+      maxW: Int = Cells, label: Option[Int] = None): DataFrame = {
     import s.implicits._
     val idx = VectorIndex.forDir(s, d)
     val qRows = recallQueries(s, d)
@@ -522,12 +522,18 @@ object VectorQueries {
         .sorted.zipWithIndex.map { case ((_, c), i) => (qid, c, i + 1) }
     }.toSeq.toDF("qid", "cell", "crank")
     val q = qRows.toSeq.toDF("qid", "qe")
-    val scored = idx.corpus
+    // `label` restricts BOTH arms to one metadata label (x154's
+    // filtered audit) — same cranks, same frame, plus a predicate
+    val scored0 = idx.corpus
       .join(broadcast(cranks), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"), col("crank").as("pv"),
         round(VectorFns.cosine(col("embedding"), col("qe")), 6).as("cos"))
-    gridRecallFrame(s, d, q, scored, (1L to maxW.toLong), "nprobe")
+    val scored = label.fold(scored0)(l => scored0.join(
+      emb(s, d).filter(col("label") === l).select("vec_id"),
+      Seq("vec_id"), "left_semi"))
+    gridRecallFrame(s, d, q, scored, (1L to maxW.toLong), "nprobe",
+      exactBase = label.map(l => emb(s, d).filter(col("label") === l)))
   }
 
   /** Audit-driven IVF retune — the refreshTopics doctrine applied to
@@ -586,6 +592,16 @@ object VectorQueries {
   /** The IVF build replay (fixed-point projection → seeds → two Lloyd
     * rounds → final assignment `af`, centroids `c2`) — shared by the
     * x20 probe oracle and the x137 recall-audit oracle. */
+  private[operators] lazy val ivfBuildSql =
+    "b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
+      s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
+      "base AS (SELECT vec_id, embedding, pfp, " +
+      "list_transform(pfp, f -> CAST(f AS DOUBLE)) AS pd FROM b0), " +
+      s"c0 AS (SELECT vec_id AS cell, pd AS m FROM base WHERE vec_id < $Cells), " +
+      s"a1 AS (${assignSql("c0")}), c1 AS (${centSql("a1")}), " +
+      s"a2 AS (${assignSql("c1")}), c2 AS (${centSql("a2")}), " +
+      s"af AS (${assignSql("c2")})"
+
   /** The x142 probe-width recall-curve replay, optionally restricted
     * to one metadata label on BOTH arms (x154) — ONE generator so the
     * filtered audit is provably the same frame plus a predicate. */
@@ -619,16 +635,6 @@ object VectorQueries {
       "AND iv.qid = exw.qid AND iv.vec_id = exw.vec_id " +
       "GROUP BY exw.w ORDER BY nprobe"
   }
-
-  private[operators] lazy val ivfBuildSql =
-    "b0 AS (SELECT vec_id, embedding, list_transform(embedding, " +
-      s"x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS pfp FROM embeddings), " +
-      "base AS (SELECT vec_id, embedding, pfp, " +
-      "list_transform(pfp, f -> CAST(f AS DOUBLE)) AS pd FROM b0), " +
-      s"c0 AS (SELECT vec_id AS cell, pd AS m FROM base WHERE vec_id < $Cells), " +
-      s"a1 AS (${assignSql("c0")}), c1 AS (${centSql("a1")}), " +
-      s"a2 AS (${assignSql("c1")}), c2 AS (${centSql("a2")}), " +
-      s"af AS (${assignSql("c2")})"
 
   private lazy val x20Sql =
     s"WITH $ivfBuildSql, " +

@@ -226,6 +226,26 @@ class PqProbeSpec extends AnyFunSuite {
       s"label filter not pushed into the pruned code scan:\n$plan")
   }
 
+  test("a label-less corpus still serves unfiltered ivfadc; a label filter fails loudly") {
+    // the label column is OPTIONAL metadata: drop it and the sidecar
+    // builds label-free, unfiltered search is unaffected, and a
+    // filter request is a loud contract violation (the REST layer
+    // turns the same probe into a 400), never a missing-column crash
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nolbl").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    assert(!PqQueries.hasLabels(spark, tmp))
+    val got = PqQueries.ivfadcKnn(spark, tmp, 0L,
+        graft.operators.VectorIndex.Cells, n.toInt)
+      .orderBy(col("cos").desc, col("vec_id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty, "label-less corpus broke the unfiltered arm")
+    intercept[IllegalArgumentException] {
+      PqQueries.ivfadcKnn(spark, tmp, 0L, 1, 10, Some(3))
+    }
+  }
+
   test("x154 filtered recall curve: full grid, monotone, anchored at 1.0 inside the filtered universe") {
     import graft.operators.VectorIndex
     val c = PqQueries.filteredRecallCurve(spark, sf).collect()
