@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -183,6 +183,36 @@ object TextExprUtil {
       while (k < n) { parts(k) = ts.getUTF8String(i + k); k += 1 }
       // concat_ws skips nulls; split() never yields them, but stay exact
       out(i) = UTF8String.concatWs(sep, parts.filter(_ != null).toIndexedSeq: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional n-grams with per-tail sentinels — the
+    * [[graft.operators.SpanDedup]] gram stream's per-position key:
+    * element i is the space-joined gram of tokens i..i+n−1 when they
+    * all exist, else the spaceless `docId#i` sentinel (a real n-gram
+    * always carries exactly n−1 joiner spaces, so sentinels cannot
+    * collide with one). Bit-identical to the lead()-window rebuild it
+    * replaces (concat_ws skips null tokens; split() never yields
+    * them). `docStr` is the already-CAST doc-id string so engine cast
+    * semantics stay the callers'. */
+  def gramsWithSentinel(ts: ArrayData, docStr: UTF8String, n: Int): ArrayData = {
+    val len = ts.numElements()
+    val out = new Array[Any](len)
+    val sep = UTF8String.fromString(" ")
+    val hash = UTF8String.fromString("#")
+    var i = 0
+    while (i < len) {
+      if (i <= len - n) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = ts.getUTF8String(i + k); k += 1 }
+        out(i) = UTF8String.concatWs(sep, parts.filter(_ != null).toIndexedSeq: _*)
+      } else {
+        out(i) = UTF8String.concat(docStr, hash,
+          UTF8String.fromString(String.valueOf(i)))
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -495,6 +525,30 @@ case class ShinglesAll(child: Expression, n: Int) extends TextUnary {
   override def prettyName: String = "shingles_all"
 }
 
+/** (array<string> tokens, string docStr) → array<string> positional
+  * grams with `doc#pos` tail sentinels ([[TextExprUtil.gramsWithSentinel]]).
+  * Codegen is one static call fused into the enclosing stage. */
+case class GramsWithSentinel(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, string), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.gramsWithSentinel(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.gramsWithSentinel($a, $b, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "grams_with_sentinel"
+}
+
 case class RollingHashFp(child: Expression) extends TextUnaryNullableLong {
   override protected def nullSafeEval(a: Any): Any =
     TextExprUtil.rollingFp(a.asInstanceOf[ArrayData])
@@ -617,6 +671,8 @@ object TextExpressions {
     Bridge.column(WinnowFpsExpr(expr(ts), k, w))
   def char_ngrams(s: Column, n: Int = 3): Column =
     Bridge.column(CharNgramsDistinct(expr(s), n))
+  def grams_with_sentinel(ts: Column, docStr: Column, n: Int): Column =
+    Bridge.column(GramsWithSentinel(expr(ts), expr(docStr), n))
   def edit_at_most(a: Column, b: Column, k: Int): Column =
     Bridge.column(EditDistanceAtMost(expr(a), expr(b), k))
 }

@@ -233,6 +233,121 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_count"
 }
 
+/** Per-subspace argmin keys against a literal PQ/k-means codebook —
+  * the codegen form of the `array_min(array(aggregate(zip_with(...))))`
+  * minKey/subKey construction ([[graft.operators.KMeansQueries]],
+  * [[graft.operators.PqQueries]]). For an `array<long>` quantized
+  * vector of M·subDim components and codebooks cbs(ss)(cid)(j), emits
+  * an M-long array whose element ss is
+  * `min over cid of (Σ_j (v[ss·subDim+j] − cbs(ss)(cid)(j))² · K + cid)`
+  * — identical exact integer arithmetic and (dist, cid)-lexicographic
+  * tie-break as the built-in route, but one fused primitive loop per
+  * row instead of M·K interpreted higher-order folds, each of which
+  * allocates a zip_with array and boxes every element (measured ~8×
+  * on the x148 encode pass, ~3× on the PQ/k-means training builds).
+  *
+  * `flat` is the row-major flattened codebook
+  * (((ss·K)+cid)·subDim+j); M, K and subDim ride as constructor
+  * params so equals/serialization stay primitive. Null handling: a
+  * null ELEMENT nulls the whole result (the built-in fold poisons
+  * every cid's key to null, so array_min over all-null is null —
+  * same observable outcome). A vector whose length differs from
+  * M·subDim throws (the built-in route would silently zip-truncate;
+  * no caller feeds mixed dimensions — quantized corpora are uniform
+  * and the trainer derives subDim from the seeds — so loud beats
+  * wrong). */
+case class CodebookArgminKeys(child: Expression, flat: Array[Long],
+    m: Int, k: Int, subDim: Int) extends UnaryExpression {
+  import VecTypeCheck._
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector has ${v.numElements()} components, codebook expects ${m * subDim}")
+    val keys = new Array[Long](m)
+    var ss = 0
+    while (ss < m) {
+      var best = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        var s = 0L
+        val off = (ss * k + c) * subDim
+        val voff = ss * subDim
+        var j = 0
+        while (j < subDim) {
+          if (v.isNullAt(voff + j)) return null
+          val dd = v.getLong(voff + j) - flat(off + j)
+          s += dd * dd
+          j += 1
+        }
+        val key = s * k + c
+        if (key < best) best = key
+        c += 1
+      }
+      keys(ss) = best
+      ss += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fl = ctx.addReferenceObj("cbFlat", flat, "long[]")
+      val keys = ctx.freshName("keys")
+      val ss = ctx.freshName("ss")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val off = ctx.freshName("off")
+      val voff = ctx.freshName("voff")
+      val dd = ctx.freshName("dd")
+      val key = ctx.freshName("key")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector has " + $a.numElements() +
+         |    " components, codebook expects ${m * subDim}");
+         |}
+         |long[] $keys = new long[$m];
+         |boolean ${ev.isNull}_el = false;
+         |for (int $ss = 0; $ss < $m && !${ev.isNull}_el; $ss++) {
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $k && !${ev.isNull}_el; $c++) {
+         |    long $s = 0L;
+         |    int $off = ($ss * $k + $c) * $subDim;
+         |    int $voff = $ss * $subDim;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      if ($a.isNullAt($voff + $j)) { ${ev.isNull}_el = true; break; }
+         |      long $dd = $a.getLong($voff + $j) - $fl[$off + $j];
+         |      $s += $dd * $dd;
+         |    }
+         |    long $key = $s * $k + $c;
+         |    if (!${ev.isNull}_el && $key < $best) $best = $key;
+         |  }
+         |  $keys[$ss] = $best;
+         |}
+         |if (${ev.isNull}_el) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($keys);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "codebook_argmin_keys"
+}
+
 object VectorExpressions {
   private def expr(c: Column): Expression = Bridge.expression(c)
   def vec_dot(a: Column, b: Column): Column =
@@ -243,4 +358,23 @@ object VectorExpressions {
     Bridge.column(NormSquared(expr(a)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(expr(a), expr(b)))
+
+  /** [[CodebookArgminKeys]] over a nested cbs(subspace)(centroid)(component)
+    * codebook (flattened here; all subspaces must share K and subDim). */
+  def codebook_argmin_keys(v: Column,
+      cbs: Array[Array[Array[Long]]]): Column = {
+    require(cbs.nonEmpty && cbs(0).nonEmpty && cbs(0)(0).nonEmpty,
+      "codebook_argmin_keys needs a non-empty codebook")
+    val m = cbs.length
+    val k = cbs(0).length
+    val subDim = cbs(0)(0).length
+    require(cbs.forall(sub => sub.length == k && sub.forall(_.length == subDim)),
+      s"codebook_argmin_keys needs uniform K=$k and subDim=$subDim across subspaces")
+    val flat = new Array[Long](m * k * subDim)
+    var i = 0
+    for (ss <- 0 until m; c <- 0 until k; j <- 0 until subDim) {
+      flat(i) = cbs(ss)(c)(j); i += 1
+    }
+    Bridge.column(CodebookArgminKeys(expr(v), flat, m, k, subDim))
+  }
 }

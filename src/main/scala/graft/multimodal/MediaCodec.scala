@@ -31,6 +31,15 @@ import javax.imageio.ImageIO
  */
 object MediaCodec {
 
+  // ImageIO wraps every read/write in a FILE-cached image stream by
+  // default — one disk temp file created, written, read back and
+  // deleted PER encode/decode call. These rasters are bounded
+  // in-memory byte arrays; the memory-cached stream produces
+  // byte-identical output (the cache is transport, not encoding) and
+  // removes a filesystem round trip from every x59/x98/x116 row
+  // (guide §1.2: fix per-task work once the shape is right).
+  ImageIO.setUseCache(false)
+
   /** Unified media header: images fill width/height/bitDepth/channels,
     * audio fills channels/sampleRate/bitsPerSample/durationMs. */
   final case class MediaHeader(

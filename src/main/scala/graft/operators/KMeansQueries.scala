@@ -93,14 +93,14 @@ object KMeansQueries {
     * min over cid of (squared-L2 dist)·k + cid. dist ≤ 64·4096² ≈ 2³⁰
     * so the ·k shift cannot overflow for any sane k; cid < k makes
     * the key unique and (dist, cid)-lexicographic. `v` is the
-    * quantized vector column. */
+    * quantized vector column. Since r17 the k-fold argmin is ONE
+    * codegen primitive loop ([[graft.functions.expressions
+    * .CodebookArgminKeys]], the M=1 case) instead of k interpreted
+    * `aggregate(zip_with(...))` folds — identical integer arithmetic
+    * and tie-break, ~3× on the assign pass. */
   private def minKey(cents: Array[Array[Long]], v: Column): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      aggregate(
-        zip_with(v, array(c.map(lit).toIndexedSeq: _*),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x) * cents.length + i
-    }.toIndexedSeq: _*))
+    element_at(graft.functions.expressions.VectorExpressions
+      .codebook_argmin_keys(v, Array(cents)), 1)
 
   /** Cluster id of the quantized vector column against trained
     * centroids — the join-free literal argmin, exposed for the

@@ -103,19 +103,20 @@ object PqQueries {
     s
   }
 
-  /** argmin over one subspace's literal codebook, encoded as ONE
-    * value: min over cid of (squared-L2 dist)·K + cid — the
-    * [[KMeansQueries]] minKey trick. dist ≤ subDim·4096² ≈ 2²⁸·subDim
-    * so the ·K shift cannot overflow; cid < K makes the key unique
-    * and (dist, cid)-lexicographic. `sv` is the quantized SUBvector
-    * column. */
-  private def subKey(cents: Array[Array[Long]], sv: Column): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, i) =>
-      aggregate(
-        zip_with(sv, array(c.map(lit).toIndexedSeq: _*),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x) * cents.length + i
-    }.toIndexedSeq: _*))
+  /** All M subspaces' argmin keys in ONE codegen pass over the full
+    * quantized vector: element ss is min over cid of (squared-L2
+    * dist of subvector ss)·K + cid — the [[KMeansQueries]] minKey
+    * trick per subspace. dist ≤ subDim·4096² ≈ 2²⁸·subDim so the ·K
+    * shift cannot overflow; cid < K makes each key unique and
+    * (dist, cid)-lexicographic. Since r17 this is the
+    * [[graft.functions.expressions.CodebookArgminKeys]] primitive
+    * loop — the M·K interpreted `aggregate(zip_with(...))` folds it
+    * replaces dominated both the x148 encode pass and every training
+    * iteration (measured ~8×/~3×); arithmetic and tie-breaks are
+    * bit-identical. */
+  private def argminKeys(cbs: Array[Array[Array[Long]]], v: Column): Column =
+    graft.functions.expressions.VectorExpressions
+      .codebook_argmin_keys(v, cbs)
 
   /** The quantized subvector for subspace `ss` (1-based slice). */
   private def subCol(v: Column, ss: Int, subDim: Int): Column =
@@ -148,11 +149,14 @@ object PqQueries {
       while (it < p.iters) {
         // argmin select and the generators MUST be separate steps (the
         // x111 lesson: a generator's sibling expressions re-evaluate
-        // once per exploded row if they share its Project)
+        // once per exploded row if they share its Project); the M keys
+        // come from ONE codegen pass and the struct Project derives
+        // each cid from its key
         val rows = q
+          .select(col("v"), argminKeys(cbs, col("v")).as("ks"))
           .select(array((0 until p.m).map(ss =>
             struct(lit(ss).as("s"),
-              (subKey(cbs(ss), subCol(col("v"), ss, subDim)) % p.k)
+              (element_at(col("ks"), ss + 1) % p.k)
                 .cast("int").as("cid"),
               subCol(col("v"), ss, subDim).as("sv"))): _*).as("a"))
           .select(explode(col("a")).as("e"))
@@ -185,15 +189,13 @@ object PqQueries {
   private val codesCache = new java.util.concurrent.ConcurrentHashMap[
     String, StoredIndexes.Cached[TableStore]]()
 
-  /** The M-wide PQ code array for a quantized-vector column, given
-    * trained codebooks — ONE projection, each subspace's cid decoded
-    * from its argmin key. */
-  private def codeExpr(cbs: Array[Array[Array[Long]]], v: Column): Column = {
-    val subDim = cbs(0)(0).length
+  /** The M-wide PQ code array for an argmin-KEYS column ([[argminKeys]]
+    * output) — each subspace's cid decoded from its key. Callers
+    * compute the keys in a SEPARATE projection step so the M·K scan
+    * runs once per row, not once per decoded element. */
+  private def codeFromKeys(cbs: Array[Array[Array[Long]]], ks: Column): Column =
     array(cbs.indices.map(ss =>
-      pmod(subKey(cbs(ss), subCol(v, ss, subDim)),
-        lit(cbs(ss).length)).cast("int")): _*)
-  }
+      pmod(element_at(ks, ss + 1), lit(cbs(ss).length)).cast("int")): _*)
 
   /** Build-once stored `pq_codes` (vec_id, code array<int> of M sub-
     * centroid ids) on the fingerprint-versioned lifecycle — the
@@ -215,7 +217,8 @@ object PqQueries {
       val cbs = train(s, d, p)
       store.replace("pq_codes",
         KMeansQueries.quantized(s, d)
-          .select(col("vec_id"), codeExpr(cbs, col("v")).as("code"))
+          .select(col("vec_id"), argminKeys(cbs, col("v")).as("ks"))
+          .select(col("vec_id"), codeFromKeys(cbs, col("ks")).as("code"))
           .repartition(s.sessionState.conf.numShufflePartitions,
             col("vec_id")))
       store
@@ -299,17 +302,17 @@ object PqQueries {
       // stated here so it is a contract, not a surprise.
       val embT = Tables.table(s, d, "embeddings")
       val base = VectorIndex.forDir(s, d).corpus
+        .withColumn("__ks",
+          argminKeys(cbs, KMeansQueries.quantExpr(col("embedding"))))
       val withLbl =
         if (embT.columns.contains("label"))
           base.join(embT.select(col("vec_id"), col("label")),
             Seq("vec_id"))
             .select(col("cell"), col("vec_id"), col("label"),
-              codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
-                .as("code"))
+              codeFromKeys(cbs, col("__ks")).as("code"))
         else
           base.select(col("cell"), col("vec_id"),
-            codeExpr(cbs, KMeansQueries.quantExpr(col("embedding")))
-              .as("code"))
+            codeFromKeys(cbs, col("__ks")).as("code"))
       store.replace("ivfadc_codes", withLbl.repartition(col("cell")),
         partitionBy = Seq("cell"))
       store
@@ -680,10 +683,8 @@ ORDER BY cos DESC, e.vec_id LIMIT 10"""
       (s, d) => {
         import s.implicits._
         val cbs = train(s, d)
-        val subDim = cbs(0)(0).length
         val enc = KMeansQueries.quantized(s, d)
-          .select(array((0 until M).map(ss =>
-            subKey(cbs(ss), subCol(col("v"), ss, subDim))): _*).as("ks"))
+          .select(argminKeys(cbs, col("v")).as("ks"))
           .select(posexplode(col("ks")).as(Seq("sub", "key")))
           .select(col("sub").cast("long").as("sub"),
             pmod(col("key"), lit(K)).cast("long").as("cid"),

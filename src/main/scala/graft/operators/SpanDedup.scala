@@ -53,28 +53,42 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** (doc_id, lang, n_tokens, tp, token, gram) token stream with each
-    * position's n-gram rebuilt from lead() windows over the doc
-    * order — the shared front of every span-dedup form. */
+    * position's n-gram — the shared front of every span-dedup form.
+    *
+    * r17: grams are derived NARROWLY from the token array (slice +
+    * concat_ws per position) and exploded zipped with their tokens,
+    * instead of the r12 lead()-window rebuild over the exploded
+    * stream. Same output bit for bit (position tp carries tokens
+    * tp..tp+n−1 joined by single spaces when they exist, else the
+    * spaceless `doc#tp` sentinel — a real n-gram always carries
+    * exactly n−1 joiner spaces, so sentinels cannot collide with
+    * one), but the doc-ordered exchange + sort + n−1 lead() window
+    * passes over the token-granular stream disappear: gram
+    * construction is now part of the scan stage (guide §2.4 — the
+    * first keyed exchange any span-dedup form pays is the one its
+    * OWNERSHIP step actually needs). */
   private def gramStream(docs: DataFrame, n: Int): DataFrame = {
     // the ingest corpus table carries no lang column; the transform is
     // lang-agnostic, so synthesize a null one rather than requiring it
     val withLang =
       if (docs.columns.contains("lang")) docs
       else docs.withColumn("lang", lit(null).cast("string"))
-    val tok = withLang
+    withLang
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         TextFns.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("lang"),
         size(col("ts")).cast("long").as("n_tokens"),
-        posexplode(col("ts")).as(Seq("tp", "token")))
-    val byDoc = Window.partitionBy("doc_id").orderBy("tp")
-    val gramKey = when(lead(col("token"), n - 1).over(byDoc).isNotNull,
-      concat_ws(" ", col("token") +:
-        (1 until n).map(k => lead(col("token"), k).over(byDoc)): _*))
-      .otherwise(concat(col("doc_id").cast("string"), lit("#"),
-        col("tp").cast("string")))
-    tok.withColumn("gram", gramKey)
+        arrays_zip(
+          col("ts").as("token"),
+          graft.functions.expressions.TextExpressions.grams_with_sentinel(
+            col("ts"), col("doc_id").cast("string"), n).as("gram"))
+          .as("zg"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        posexplode(col("zg")).as(Seq("tp", "z")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tp"),
+        col("z").getField("token").as("token"),
+        col("z").getField("gram").as("gram"))
   }
 
   /** The mined cross-doc duplicated-gram ownership list:

@@ -27,6 +27,39 @@ class SpanDedupSpec extends AnyFunSuite {
       .toMap
   }
 
+  test("grams_with_sentinel equals the lead()-window gram rebuild") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val n = 5
+    val rnd = new scala.util.Random(85)
+    // random token arrays incl. lengths < n (all-sentinel docs) and a
+    // doc with repeated tokens
+    val rows = (0L until 40L).map { id =>
+      val len = rnd.nextInt(12)
+      (id, (0 until len).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+    } :+ (99L, "a a a a a a a")
+    val docs = rows.toDF("doc_id", "text").filter(col("text") =!= "")
+    // the r12 construction the expression replaces, byte for byte
+    val byDoc = Window.partitionBy("doc_id").orderBy("tp")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("tp", "token")))
+    val oldGram = when(lead(col("token"), n - 1).over(byDoc).isNotNull,
+      concat_ws(" ", col("token") +:
+        (1 until n).map(k => lead(col("token"), k).over(byDoc)): _*))
+      .otherwise(concat(col("doc_id").cast("string"), lit("#"),
+        col("tp").cast("string")))
+    val old = tok.withColumn("gram", oldGram)
+      .select(col("doc_id"), col("tp"), col("gram"))
+    val mine = docs.select(col("doc_id"),
+      posexplode(graft.functions.expressions.TextExpressions
+        .grams_with_sentinel(TextFns.tokens(col("text")),
+          col("doc_id").cast("string"), n)).as(Seq("tp", "gram")))
+      .select(col("doc_id"), col("tp").cast("int").as("tp"), col("gram"))
+    assert(mine.exceptAll(old).count() === 0 &&
+      old.exceptAll(mine).count() === 0,
+      "narrow grams differ from the lead()-window rebuild")
+  }
+
   test("owner (min doc_id) keeps all its occurrences; non-owner loses the span") {
     val out = clean(Seq(
       (1L, "a b c d e f"),

@@ -64,6 +64,41 @@ class VectorSpec extends AnyFunSuite {
       "null slot must not count as a 0L match")
   }
 
+  test("codebook_argmin_keys equals the interpreted aggregate(zip_with) fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val M = 4; val K = 5; val subDim = 3
+    val cbs = Array.fill(M, K, subDim)(rnd.nextInt(4096).toLong)
+    val rows = (0 until 300).map(_ =>
+      Tuple1((0 until M * subDim).map(_ => rnd.nextInt(4096).toLong)))
+    val df = rows.toDF("v")
+    // the r16 construction this expression replaces, byte for byte:
+    // per subspace, min over cid of (sq-L2 dist)*K + cid via
+    // interpreted higher-order folds
+    def oldSubKey(cents: Array[Array[Long]], sv: org.apache.spark.sql.Column) =
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        aggregate(
+          zip_with(sv, array(c.map(lit).toIndexedSeq: _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * cents.length + i
+      }.toIndexedSeq: _*))
+    val oldKeys = array((0 until M).map(ss =>
+      oldSubKey(cbs(ss), slice(col("v"), ss * subDim + 1, subDim))): _*)
+    val bad = df.select(
+      graft.functions.expressions.VectorExpressions
+        .codebook_argmin_keys(col("v"), cbs).as("mine"),
+      oldKeys.as("old"))
+      .filter(col("mine") =!= col("old")).count()
+    assert(bad === 0, s"$bad rows differ between codegen and the HOF fold")
+    // wrong-length vectors fail loudly (the HOF route zip-truncated)
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(1L, 2L))).toDF("v").select(
+        graft.functions.expressions.VectorExpressions
+          .codebook_argmin_keys(col("v"), cbs)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = VectorFns.hyperplanes(16, 64)
     val b = VectorFns.hyperplanes(16, 64)
