@@ -345,6 +345,32 @@ object TextExprUtil {
     out
   }
 
+  /** Hashed-unigram bucket counts — the DSIR feature vector
+    * ([[graft.operators.CurationQueries]] x129 family): element bk is
+    * the number of tokens whose md5Bits16 (first two digest bytes,
+    * the [[simhash16]] parity arithmetic) ≡ bk (mod b). One compiled
+    * pass over the token array replaces the per-token explode +
+    * md5-hex arithmetic + (doc, bk) hash aggregate that dominated the
+    * graft-dsir-weights build: the row count entering the aggregation
+    * drops from Σ n_tokens to b per document. A null token poisons
+    * the result to null (md5(null) = null in the relational form —
+    * unreachable for split() output, kept for parity). */
+  def hashedBucketCounts(ts: ArrayData, b: Int): GenericArrayData = {
+    val md = md5Local.get()
+    val counts = new Array[Long](b)
+    val len = ts.numElements()
+    var i = 0
+    while (i < len) {
+      if (ts.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(ts.getUTF8String(i).getBytes)
+      val v16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      counts(v16 % b) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken '03) over a
     * token array: 24-bit md5 hashes of the k-token grams (first 3
     * digest bytes big-endian — md5Bits24), minimum per w-window (one
@@ -549,6 +575,30 @@ case class GramsWithSentinel(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "grams_with_sentinel"
 }
 
+/** array<string> tokens → array<long>(b) of hashed-unigram bucket
+  * counts ([[TextExprUtil.hashedBucketCounts]]). Nullable: a null
+  * token element poisons the whole result, the md5(null) relational
+  * semantics. */
+case class HashedBucketCounts(child: Expression, b: Int)
+    extends TextUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprUtil.hashedBucketCounts(a.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""org.apache.spark.sql.catalyst.util.GenericArrayData $arr =
+         |  graft.functions.expressions.TextExprUtil.hashedBucketCounts($c, $b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $arr; }""".stripMargin
+    })
+  override protected def staticCall(c: String): String =
+    s"graft.functions.expressions.TextExprUtil.hashedBucketCounts($c, $b)"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "hashed_bucket_counts"
+}
+
 case class RollingHashFp(child: Expression) extends TextUnaryNullableLong {
   override protected def nullSafeEval(a: Any): Any =
     TextExprUtil.rollingFp(a.asInstanceOf[ArrayData])
@@ -673,6 +723,8 @@ object TextExpressions {
     Bridge.column(CharNgramsDistinct(expr(s), n))
   def grams_with_sentinel(ts: Column, docStr: Column, n: Int): Column =
     Bridge.column(GramsWithSentinel(expr(ts), expr(docStr), n))
+  def hashed_bucket_counts(ts: Column, b: Int): Column =
+    Bridge.column(HashedBucketCounts(expr(ts), b))
   def edit_at_most(a: Column, b: Column, k: Int): Column =
     Bridge.column(EditDistanceAtMost(expr(a), expr(b), k))
 }

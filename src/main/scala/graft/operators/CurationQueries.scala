@@ -157,17 +157,31 @@ object CurationQueries {
       " SELECT doc_id, round(wt, 4) AS dsir_weight FROM w " +
       "ORDER BY round(wt, 4) DESC, doc_id LIMIT 25"
 
-  /** (doc_id, lang, bk, c): one tokenize scan aggregated to per-doc
-    * hashed-bucket counts — the single corpus pass both x129 stages
-    * hang off. */
+  /** (doc_id, lang, bk, c): one tokenize scan to per-doc hashed-bucket
+    * counts — the single corpus pass both x129 stages hang off.
+    *
+    * r17: the per-TOKEN explode + md5-hex arithmetic + (doc, lang, bk)
+    * hash aggregate is now ONE codegen pass per document
+    * ([[graft.functions.expressions.HashedBucketCounts]] — the
+    * simhash-family md5 parity: first two digest bytes ==
+    * md5Bits16's 4-hex-digit arithmetic), exploded at B=64 rows per
+    * doc instead of one row per token. Rows entering the aggregation
+    * machinery drop from Σ n_tokens to 64·docs; the c>0 filter
+    * reproduces the old groupBy's support exactly (absent buckets
+    * never had a row). The trailing groupBy folds rows that are
+    * already unique — it exists so dc still ENDS in an exchange, the
+    * reuse point CurationSpec pins (lr and the weight join must share
+    * ONE md5 pass, not recompute it per reference). */
   private def dsirDocBuckets(s: SparkSession, d: String): DataFrame =
     TextQueries.spreadScan(s, table(s, d, "documents"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
-        explode(TextFns.tokens(col("text"))).as("tk"))
-      .withColumn("bk", TextFns.md5Bits16(col("tk")) % DsirB)
+        posexplode(graft.functions.expressions.TextExpressions
+          .hashed_bucket_counts(TextFns.tokens(col("text")), DsirB))
+          .as(Seq("bk", "c")))
+      .filter(col("c") > 0)
       .groupBy("doc_id", "lang", "bk")
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("c"))
 
   /** The full (doc_id, dsir_weight) frame before top-k, served from
     * the STORED weight table ([[DsirIndex]] — what x129/x134 probe) —

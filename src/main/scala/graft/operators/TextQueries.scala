@@ -1803,7 +1803,7 @@ object TextQueries {
         "COALESCE(md5(ct), md5('')) AS clean_md5 FROM k " +
         "WHERE n_removed > 0 ORDER BY doc_id") {
       (s, d) => {
-        SpanDedup.cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5)
+        SpanDedup.cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5, 1, skewSafe = true)
           .filter(col("n_removed") > 0)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("n_removed"), md5(col("clean_text")).as("clean_md5"))
@@ -1853,7 +1853,7 @@ object TextQueries {
         "WHERE n_removed > 0 ORDER BY doc_id") {
       (s, d) => {
         SpanDedup
-          .cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5, 20)
+          .cleanedCorpus(spreadScan(s, table(s, d, "documents")), 5, 20, skewSafe = true)
           .filter(col("n_removed") > 0)
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("n_removed"), md5(col("clean_text")).as("clean_md5"))

@@ -328,8 +328,14 @@ class PlanSpec extends AnyFunSuite {
       bucketBy = Seq("l_orderkey"), numBuckets = 8,
       sortBy = Seq("l_orderkey"))
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAq = spark.conf.get(
-      "spark.sql.adaptive.autoBroadcastJoinThreshold", prevBc)
+    // restore-by-unset when the conf was never set: the old restore
+    // turned an UNSET adaptive threshold into an explicit 10MB, which
+    // leaked into later suites in the shared session and flipped
+    // SkewWindowSpec's forced-SMJ plan to a runtime BHJ (suite-order
+    // flake)
+    val prevAq = util.Try(spark.conf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .flatMap(Option(_)) // unset optional confs read back as null
     // disable broadcast so the test exercises the co-located merge
     // path (a broadcast join would trivially have no exchange)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -349,7 +355,9 @@ class PlanSpec extends AnyFunSuite {
         s"bucketed join/agg still shuffles:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAq)
+      prevAq.fold(
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("graft_")).foreach(t =>
           spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
@@ -426,22 +434,29 @@ class PlanSpec extends AnyFunSuite {
       s"exchange slipped between explode and the (doc,gram) agg:\n$p")
   }
 
-  test("x85: span removal is one corpus pass — one scan, one explode, no join, bounded exchanges") {
-    // the whole transform must ride a single token posexplode: grams
-    // are rebuilt from the token stream with lead() windows (the first
-    // window reuses the scan's doc_id partitioning — no exchange),
-    // ownership is one gram-keyed window, coverage one doc-keyed
-    // window, and the per-doc rebuild aggregate rides the coverage
-    // window's exchange. 4 exchanges total incl. the output sort.
+  test("x85: ownership is a map-combined aggregate joined back — no per-gram window buffer") {
+    // r17: x85/x95 ride cleanedCorpus's skewSafe form. The r12 pin
+    // here was the one-pass window form (ownership = min/max over
+    // partitionBy(gram)), whose WindowExec buffers a hot gram's WHOLE
+    // partition in one task — the boilerplate-gram skew hazard the
+    // x72 threshold doctrine already names. The aggregate form mines
+    // (gram → owner) with a map-side-combined groupBy (never a
+    // buffered partition) and joins the bounded owners list back to
+    // the token stream; measured FASTER at sf0.1 as well (x85 min
+    // 2.13 → 1.75 s, x95 2.05 → 1.55 s, BenchFocus min-of-5), and
+    // SkewWindowSpec pins the two forms row-identical. The shape
+    // bounds that matter stay pinned: no gram-keyed WINDOW anywhere,
+    // ≤ 2 corpus scans (owners mining + probe side), and the join may
+    // only be the owners attach.
     val p = plan("x85_span_removal")
-    assert(!p.contains("Join"), s"x85 joins:\n$p")
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      s"x85 scans the corpus more than once:\n$p")
-    assert(p.linesIterator.count(_.contains("Generate")) == 1,
-      s"x85 explodes more than once:\n$p")
+    assert(!p.contains("Window [min(doc_id") && !p.contains("windowspecdefinition(gram"),
+      s"x85 regrew the per-gram window buffer:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      s"x85 scans the corpus more than twice:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2,
+      s"x85 explodes more than twice:\n$p")
     assert(p.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("ReusedExchange")) <= 4,
-      s"x85 shuffles beyond doc/gram/doc/sort:\n$p")
+      l.contains("Join")) <= 1, s"x85 joins beyond the owners attach:\n$p")
   }
 
   test("x73: mined list is cached metadata — probe is one scan, one explode, no join") {

@@ -112,14 +112,19 @@ class SkewWindowSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> util.Try(conf.get(k)).toOption)
+      "spark.sql.autoBroadcastJoinThreshold",
+      // AQE's runtime SMJ→BHJ rewrite reads its OWN threshold — pin
+      // both or a session that has it set elsewhere broadcasts the
+      // owners side and the skew-split shape never forms
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption.flatMap(Option(_)))
     try {
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // a fixture where the hot gram's partition truly dominates the
       // median (5000 docs carrying ONLY the hot gram vs 100 cold docs)
       val heavySkew = ((0 until 5000).map(i =>

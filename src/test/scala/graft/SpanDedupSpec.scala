@@ -60,6 +60,26 @@ class SpanDedupSpec extends AnyFunSuite {
       "narrow grams differ from the lead()-window rebuild")
   }
 
+  test("hashed_bucket_counts equals the md5Bits16 explode+count pipeline") {
+    import spark.implicits._
+    val B = 64
+    val docs = Tables.table(spark, TestSpark.sf, "documents")
+      .filter(col("text").isNotNull).limit(200)
+    // the per-token relational pipeline the expression replaces
+    val old = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("tk"))
+      .withColumn("bk", TextFns.md5Bits16(col("tk")) % B)
+      .groupBy("doc_id", "bk").agg(count(lit(1)).as("c"))
+    val mine = docs.select(col("doc_id"),
+      posexplode(graft.functions.expressions.TextExpressions
+        .hashed_bucket_counts(TextFns.tokens(col("text")), B))
+        .as(Seq("bk", "c")))
+      .filter(col("c") > 0)
+    assert(mine.exceptAll(old).count() === 0 &&
+      old.exceptAll(mine).count() === 0,
+      "fused bucket counts differ from the md5Bits16 pipeline")
+  }
+
   test("owner (min doc_id) keeps all its occurrences; non-owner loses the span") {
     val out = clean(Seq(
       (1L, "a b c d e f"),
