@@ -141,9 +141,16 @@ object GraphQueries {
         "SELECT n.n_name, round(r3.r, 6) AS rank " +
         "FROM n JOIN r3 ON r3.id = n.id ORDER BY n.n_name") {
       (s, d) =>
-        // edge list: one fact pass, dims broadcast, one (src,dst) shuffle
+        // edge list: one fact pass, dims broadcast, one (src,dst) shuffle.
+        // orders rides the broadcastIfSmall guard too (r17): the bench
+        // census showed the lineitem⋈orders strategy FLIPPING between
+        // SMJ and a runtime BHJ across runs — the guard pins the
+        // broadcast locally (the projection is 2 narrow columns) while
+        // corpus growth past the threshold falls back to the shuffle
+        // join, same as the dim sides
         val e = table(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-          .join(table(s, d, "orders").select("o_orderkey", "o_custkey"),
+          .join(broadcastIfSmall(table(s, d, "orders")
+            .select("o_orderkey", "o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcastIfSmall(table(s, d, "customer")
             .select("c_custkey", "c_nationkey")),
