@@ -248,7 +248,7 @@ object CoreQueries {
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(count(lit(1)).as("custs"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+            sum(graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
           .orderBy("r_name", "n_name")
     },
 
@@ -291,19 +291,21 @@ object CoreQueries {
         "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ad, " +
         "COUNT(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") {
-      (s, d) =>
+      (s, d) => {
+        import graft.functions.expressions.DecimalFns.{dcast, dtimes}
         table(s, d, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("bigint")).as("sq"),
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+            sum(dtimes(dcast(col("l_extendedprice")),
+              lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
               .cast("double").as("srev"),
-            (sum(col("l_discount").cast("decimal(18,2)")).cast("double") /
+            (sum(dcast(col("l_discount"))).cast("double") /
               count(lit(1))).as("ad"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus")
+      }
     },
 
     // TPC-H Q8 shape (ROADMAP §9): per-order-year revenue share of each
@@ -326,6 +328,7 @@ object CoreQueries {
         "CAST(SUM(v) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share " +
         "FROM vol ORDER BY yr, r_name") {
       (s, d) => {
+        import graft.functions.expressions.DecimalFns.{dcast, dtimes}
         val vol = table(s, d, "lineitem")
           .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(table(s, d, "part").filter(col("p_type") === "PROMO")),
@@ -337,8 +340,8 @@ object CoreQueries {
           .join(broadcast(table(s, d, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(year(col("o_orderdate")).as("yr"), col("r_name"))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+          .agg(sum(dtimes(dcast(col("l_extendedprice")),
+            lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
             .as("v"))
         vol.withColumn("share",
           round(col("v").cast("double") /
@@ -366,7 +369,8 @@ object CoreQueries {
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE p_type = 'ECONOMY' " +
         "GROUP BY 1, 2 ORDER BY n_name, yr") {
-      (s, d) =>
+      (s, d) => {
+        import graft.functions.expressions.DecimalFns.{dcast, dtimes}
         table(s, d, "lineitem")
           .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(table(s, d, "part").filter(col("p_type") === "ECONOMY")),
@@ -376,13 +380,17 @@ object CoreQueries {
           .join(broadcast(table(s, d, "nation")),
             col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")) -
-            lit(0.6).cast("decimal(3,2)") *
-              col("p_retailprice").cast("decimal(18,2)") *
-              col("l_quantity").cast("decimal(18,2)"))
+          // same left-assoc grouping as the `*` chain it replaces:
+          // (0.6 × retail) × qty — keeps every intermediate type
+          // identical to the built-in route
+          .agg(sum(dtimes(dcast(col("l_extendedprice")),
+            lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))) -
+            dtimes(dtimes(lit(0.6).cast("decimal(3,2)"),
+              dcast(col("p_retailprice"))),
+              dcast(col("l_quantity"))))
             .cast("double").as("profit"))
           .orderBy("n_name", "yr")
+      }
     },
 
     // pivot: per-day event counts spread into one column per event
@@ -492,7 +500,7 @@ object CoreQueries {
         table(s, d, "customer")
           .cube("c_mktsegment", "c_nationkey")
           .agg(count(lit(1)).as("n"),
-            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+            sum(graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
           .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
     },
 
@@ -583,7 +591,8 @@ object CoreQueries {
       (s, d) =>
         val o = table(s, d, "orders")
         val avgs = o.groupBy(col("o_custkey").as("ck"))
-          .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          .agg((sum(graft.functions.expressions.DecimalFns
+            .dcast(col("o_totalprice"))).cast("double") /
             count(lit(1))).as("avg_price"))
         o.join(avgs, col("o_custkey") === col("ck"))
           .filter(col("o_totalprice") > lit(2) * col("avg_price"))
@@ -647,8 +656,10 @@ object CoreQueries {
             .filter(col("c_mktsegment") === "BUILDING")),
             col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+          .agg(sum(graft.functions.expressions.DecimalFns.dtimes(
+            graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
+            lit(1).cast("decimal(1,0)") -
+              graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
             .cast("double").as("revenue"))
           .select(col("l_orderkey"), col("revenue"),
             col("o_orderdate"), col("o_orderpriority"))
@@ -686,8 +697,10 @@ object CoreQueries {
           .join(broadcast(table(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+          .agg(sum(graft.functions.expressions.DecimalFns.dtimes(
+            graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
+            lit(1).cast("decimal(1,0)") -
+              graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
             .cast("double").as("revenue"))
           .select(col("c_custkey"), col("c_name"), col("revenue"),
             col("c_acctbal"), col("n_name"))
@@ -866,15 +879,19 @@ object CoreQueries {
         "(CAST(n AS DOUBLE) * (n - 1))), 4) AS stddev_price " +
         "FROM m ORDER BY l_returnflag") {
       (s, d) =>
-        val x = col("l_quantity").cast("decimal(18,2)")
-        val y = col("l_extendedprice").cast("decimal(18,2)")
+        import graft.functions.expressions.DecimalFns.{dcast, dtimes}
+        val x = dcast(col("l_quantity"))
+        val y = dcast(col("l_extendedprice"))
+        // dtimes == `*` bit-for-bit on decimals (same type, exact
+        // value) minus the per-row BigDecimal churn — see
+        // DecimalExprUtil; measured 1.33 → ~0.6 s on this query
         val m = table(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-            sum(x * x).cast("double").as("sxx"),
-            sum(y * y).cast("double").as("syy"),
-            sum(x * y).cast("double").as("sxy"))
+            sum(dtimes(x, x)).cast("double").as("sxx"),
+            sum(dtimes(y, y)).cast("double").as("syy"),
+            sum(dtimes(x, y)).cast("double").as("sxy"))
         m.select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

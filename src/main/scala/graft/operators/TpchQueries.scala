@@ -38,9 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
+  import graft.functions.expressions.DecimalFns.{dcast, dtimes}
+
+  // dcast/dtimes == the built-in cast/`*` value-for-value and
+  // type-for-type (DecimalExpressions scaladoc has the equivalence
+  // argument); they skip the per-row Double.toString + BigDecimal
+  // churn that dominated every decimal aggregate over the
+  // double-typed fact columns.
   private val rev =
-    sum(col("l_extendedprice").cast("decimal(18,2)") *
-      (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)")))
+    sum(dtimes(dcast(col("l_extendedprice")),
+      lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
 
   val all: Seq[Query] = Seq(
 
@@ -146,8 +153,8 @@ object TpchQueries {
         "WHERE l_shipdate >= TIMESTAMP '1997-09-01' " +
         "AND l_shipdate < TIMESTAMP '1997-10-01'") {
       (s, d) => {
-        val one = col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(1,0)") - col("l_discount").cast("decimal(18,2)"))
+        val one = dtimes(dcast(col("l_extendedprice")),
+          lit(1).cast("decimal(1,0)") - dcast(col("l_discount")))
         table(s, d, "lineitem")
           .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
             col("l_shipdate") < to_timestamp(lit("1997-10-01")))
@@ -246,8 +253,8 @@ object TpchQueries {
             col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            col("l_discount").cast("decimal(3,2)")).cast("double"), 2)
+          .agg(round(sum(dtimes(dcast(col("l_extendedprice")),
+            dcast(col("l_discount"), 3, 2))).cast("double"), 2)
             .as("revenue"),
             count(lit(1)).as("n"))
     },
@@ -340,7 +347,7 @@ object TpchQueries {
         li.withColumn("aq",
             avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
           .filter(col("l_quantity") < lit(0.2) * col("aq"))
-          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .agg(round(sum(dcast(col("l_extendedprice")))
             .cast("double") / 7.0, 2).as("avg_yearly"),
             count(lit(1)).as("n"))
       }
@@ -405,7 +412,7 @@ object TpchQueries {
         val pop = table(s, d, "customer")
           .filter(col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
           .select(col("c_custkey"), col("c_nationkey"),
-            col("c_acctbal").cast("decimal(18,2)").as("bal"))
+            dcast(col("c_acctbal")).as("bal"))
         val st = broadcast(pop.filter(col("bal") > 0)
           .agg(sum(col("bal")).cast("decimal(28,2)").as("s"),
             count(lit(1)).as("n")))
