@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract requires the ONE JSON line printed by
+// graft.Bench to be the LAST stdout line of `sbt "runMain graft.Bench"`.
+// sbt's default `[success] Total time: ...` epilogue lands AFTER the
+// forked JVM's output and broke the driver's last-line parse two rounds
+// running (BENCH_r16/BENCH_r17 `parsed: null`). Suppressing the success
+// banner makes the bench's own println the final line; failures still
+// print `[error]` lines and a nonzero exit code.
+Global / showSuccess := false
+// (showSuccess is consumed by sbt's command engine, not by another
+// setting — exclude it from the false-positive unused-key lint)
+Global / excludeLintKeys += showSuccess
+// ... and the forked run's stdout must pass through UNWRAPPED: the
+// default output strategy routes it through sbt's logger, which stamps
+// every line with an `[info] ` prefix that would equally defeat a
+// strict JSON parse of the last line.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

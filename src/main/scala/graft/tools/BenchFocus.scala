@@ -16,13 +16,19 @@ object BenchFocus {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_FOCUS_ROUNDS", "5").toInt
     val names = if (args.nonEmpty) args.toSeq
       else Seq("x7_ngram_jaccard", "x8_minhash_lsh", "x36_contamination")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "60s")
-      .getOrCreate()
+    // ad-hoc conf experiments (A/B a planner rule or threshold without
+    // editing this tool): SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
