@@ -66,6 +66,14 @@ object DecimalExprUtil {
       val u = if (x >= 0) Math.round(x) else -Math.round(-x) // HALF_UP
       if (u / pow == d) return Decimal.createUnsafe(u, p, s)
     }
+    // non-finite: BigDecimal.valueOf would throw NumberFormatException;
+    // fail with the decimal-domain error instead (the ANSI cast's
+    // behavior class; Spark's non-ANSI cast would return null, but
+    // nullSafeEval/nullSafeCodeGen cannot surface a null from here).
+    // Unreachable for the wired TPC-H money/quantity columns.
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new ArithmeticException(
+        s"non-finite double $d cannot be cast to DECIMAL($p,$s)")
     // slow path: Spark's own cast semantics, exactly
     val dec = Decimal(scala.math.BigDecimal.valueOf(d))
     if (!dec.changePrecision(p, s))
@@ -112,9 +120,13 @@ object DecimalExprUtil {
   * yields exactly `D` — the fast result. Any double whose shortest
   * representation needs more than s fraction digits fails the
   * round-trip compare and takes the exact slow path, so the
-  * expression is value-identical to the built-in cast for EVERY
-  * input, not just the clean ones. (|d·10^s| ≥ 2^52 also falls back —
-  * past integer precision the round trip could alias.) */
+  * expression is value-identical to the built-in cast for every
+  * FINITE input, not just the clean ones. (|d·10^s| ≥ 2^52 also falls
+  * back — past integer precision the round trip could alias.)
+  * NaN/±Infinity throw an ArithmeticException (the ANSI cast's error
+  * class) where the non-ANSI built-in would yield null — deliberate:
+  * unreachable for the wired columns, and loud beats a silent
+  * behavior fork if dcast is ever reused on unclean doubles. */
 case class DoubleToDecimalExact(child: Expression, p: Int, s: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(p <= 18 && s >= 0 && s < p,

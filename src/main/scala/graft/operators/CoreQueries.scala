@@ -248,7 +248,8 @@ object CoreQueries {
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(count(lit(1)).as("custs"),
-            sum(graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
+            graft.functions.expressions.DecimalSumFns.dsum(
+              graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
           .orderBy("r_name", "n_name")
     },
 
@@ -293,15 +294,16 @@ object CoreQueries {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") {
       (s, d) => {
         import graft.functions.expressions.DecimalFns.{dcast, dtimes}
+        import graft.functions.expressions.DecimalSumFns.dsum
         table(s, d, "lineitem")
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             sum(col("l_quantity").cast("bigint")).as("sq"),
-            sum(dtimes(dcast(col("l_extendedprice")),
+            dsum(dtimes(dcast(col("l_extendedprice")),
               lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
               .cast("double").as("srev"),
-            (sum(dcast(col("l_discount"))).cast("double") /
+            (dsum(dcast(col("l_discount"))).cast("double") /
               count(lit(1))).as("ad"),
             count(lit(1)).as("n"))
           .orderBy("l_returnflag", "l_linestatus")
@@ -340,8 +342,9 @@ object CoreQueries {
           .join(broadcast(table(s, d, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(year(col("o_orderdate")).as("yr"), col("r_name"))
-          .agg(sum(dtimes(dcast(col("l_extendedprice")),
-            lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
+          .agg(graft.functions.expressions.DecimalSumFns.dsum(
+            dtimes(dcast(col("l_extendedprice")),
+              lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
             .as("v"))
         vol.withColumn("share",
           round(col("v").cast("double") /
@@ -383,8 +386,9 @@ object CoreQueries {
           // same left-assoc grouping as the `*` chain it replaces:
           // (0.6 × retail) × qty — keeps every intermediate type
           // identical to the built-in route
-          .agg(sum(dtimes(dcast(col("l_extendedprice")),
-            lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))) -
+          .agg(graft.functions.expressions.DecimalSumFns.dsum(
+            dtimes(dcast(col("l_extendedprice")),
+              lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))) -
             dtimes(dtimes(lit(0.6).cast("decimal(3,2)"),
               dcast(col("p_retailprice"))),
               dcast(col("l_quantity"))))
@@ -500,7 +504,8 @@ object CoreQueries {
         table(s, d, "customer")
           .cube("c_mktsegment", "c_nationkey")
           .agg(count(lit(1)).as("n"),
-            sum(graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
+            graft.functions.expressions.DecimalSumFns.dsum(
+              graft.functions.expressions.DecimalFns.dcast(col("c_acctbal"))).cast("double").as("bal"))
           .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
     },
 
@@ -656,10 +661,11 @@ object CoreQueries {
             .filter(col("c_mktsegment") === "BUILDING")),
             col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(sum(graft.functions.expressions.DecimalFns.dtimes(
-            graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
-            lit(1).cast("decimal(1,0)") -
-              graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
+          .agg(graft.functions.expressions.DecimalSumFns.dsum(
+            graft.functions.expressions.DecimalFns.dtimes(
+              graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
+              lit(1).cast("decimal(1,0)") -
+                graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
             .cast("double").as("revenue"))
           .select(col("l_orderkey"), col("revenue"),
             col("o_orderdate"), col("o_orderpriority"))
@@ -697,10 +703,11 @@ object CoreQueries {
           .join(broadcast(table(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-          .agg(sum(graft.functions.expressions.DecimalFns.dtimes(
-            graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
-            lit(1).cast("decimal(1,0)") -
-              graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
+          .agg(graft.functions.expressions.DecimalSumFns.dsum(
+            graft.functions.expressions.DecimalFns.dtimes(
+              graft.functions.expressions.DecimalFns.dcast(col("l_extendedprice")),
+              lit(1).cast("decimal(1,0)") -
+                graft.functions.expressions.DecimalFns.dcast(col("l_discount"))))
             .cast("double").as("revenue"))
           .select(col("c_custkey"), col("c_name"), col("revenue"),
             col("c_acctbal"), col("n_name"))
@@ -880,6 +887,7 @@ object CoreQueries {
         "FROM m ORDER BY l_returnflag") {
       (s, d) =>
         import graft.functions.expressions.DecimalFns.{dcast, dtimes}
+        import graft.functions.expressions.DecimalSumFns.dsum
         val x = dcast(col("l_quantity"))
         val y = dcast(col("l_extendedprice"))
         // dtimes == `*` bit-for-bit on decimals (same type, exact
@@ -888,10 +896,10 @@ object CoreQueries {
         val m = table(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-            sum(dtimes(x, x)).cast("double").as("sxx"),
-            sum(dtimes(y, y)).cast("double").as("syy"),
-            sum(dtimes(x, y)).cast("double").as("sxy"))
+            dsum(x).cast("double").as("sx"), dsum(y).cast("double").as("sy"),
+            dsum(dtimes(x, x)).cast("double").as("sxx"),
+            dsum(dtimes(y, y)).cast("double").as("syy"),
+            dsum(dtimes(x, y)).cast("double").as("sxy"))
         m.select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

@@ -46,8 +46,9 @@ object TpchQueries {
   // churn that dominated every decimal aggregate over the
   // double-typed fact columns.
   private val rev =
-    sum(dtimes(dcast(col("l_extendedprice")),
-      lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
+    graft.functions.expressions.DecimalSumFns.dsum(
+      dtimes(dcast(col("l_extendedprice")),
+        lit(1).cast("decimal(1,0)") - dcast(col("l_discount"))))
 
   val all: Seq[Query] = Seq(
 
@@ -162,9 +163,11 @@ object TpchQueries {
             .select(col("p_partkey"), col("p_type"))),
             col("l_partkey") === col("p_partkey"))
           .agg(round(lit(100.0) *
-            sum(when(col("p_type") === "PROMO", one)
-              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
-            sum(one).cast("double"), 6).as("promo_share"))
+            graft.functions.expressions.DecimalSumFns.dsum(
+              when(col("p_type") === "PROMO", one)
+                .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            graft.functions.expressions.DecimalSumFns.dsum(one)
+              .cast("double"), 6).as("promo_share"))
       }
     },
 
@@ -253,8 +256,9 @@ object TpchQueries {
             col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
-          .agg(round(sum(dtimes(dcast(col("l_extendedprice")),
-            dcast(col("l_discount"), 3, 2))).cast("double"), 2)
+          .agg(round(graft.functions.expressions.DecimalSumFns.dsum(
+            dtimes(dcast(col("l_extendedprice")),
+              dcast(col("l_discount"), 3, 2))).cast("double"), 2)
             .as("revenue"),
             count(lit(1)).as("n"))
     },
@@ -347,7 +351,8 @@ object TpchQueries {
         li.withColumn("aq",
             avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
           .filter(col("l_quantity") < lit(0.2) * col("aq"))
-          .agg(round(sum(dcast(col("l_extendedprice")))
+          .agg(round(graft.functions.expressions.DecimalSumFns.dsum(
+            dcast(col("l_extendedprice")))
             .cast("double") / 7.0, 2).as("avg_yearly"),
             count(lit(1)).as("n"))
       }
@@ -414,7 +419,8 @@ object TpchQueries {
           .select(col("c_custkey"), col("c_nationkey"),
             dcast(col("c_acctbal")).as("bal"))
         val st = broadcast(pop.filter(col("bal") > 0)
-          .agg(sum(col("bal")).cast("decimal(28,2)").as("s"),
+          .agg(graft.functions.expressions.DecimalSumFns.dsum(col("bal"))
+            .cast("decimal(28,2)").as("s"),
             count(lit(1)).as("n")))
         pop
           .join(table(s, d, "orders")
@@ -425,7 +431,8 @@ object TpchQueries {
           .filter(col("bal") * col("n") > col("s"))
           .groupBy("c_nationkey")
           .agg(count(lit(1)).as("numcust"),
-            round(sum(col("bal")).cast("double"), 2).as("totacctbal"))
+            round(graft.functions.expressions.DecimalSumFns.dsum(col("bal"))
+              .cast("double"), 2).as("totacctbal"))
           .orderBy("c_nationkey")
       }
     },

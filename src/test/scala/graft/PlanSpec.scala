@@ -146,7 +146,11 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), s"$n: dims not broadcast:\n$p")
       assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,.*"),
         s"$n: part filter not pushed to the scan:\n$p")
-      assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
+      // r18: the revenue aggregate is dsum128 (two-long exact buffer);
+      // the pinned property is unchanged — a partial_* combine runs
+      // map-side before the exchange
+      assert(p.contains("partial_sum") || p.contains("partial_dsum128"),
+        s"$n: no map-side combine:\n$p")
     }
   }
 
@@ -207,7 +211,10 @@ class PlanSpec extends AnyFunSuite {
           s"$n: $filtered filter not pushed to the scan:\n$p")
         assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*Than\\(o_orderdate,.*"),
           s"$n: order-date range not pushed to the scan:\n$p")
-        assert(p.contains("partial_sum"), s"$n: no map-side combine:\n$p")
+        // r18: revenue is dsum128 — the pinned map-side-combine
+        // property is aggregate-name-agnostic
+        assert(p.contains("partial_sum") || p.contains("partial_dsum128"),
+          s"$n: no map-side combine:\n$p")
         assert(p.contains("TakeOrderedAndProject"), s"$n: top-k does a full sort:\n$p")
       }
   }
