@@ -218,6 +218,57 @@ object TextExprUtil {
     new GenericArrayData(out)
   }
 
+  /** Per-position 64-bit gram KEYS — the string-free twin of
+    * [[gramsWithSentinel]] for [[graft.operators.SpanDedup]]'s
+    * candidate-mining pass (guide §2.3: shuffle keys, not payloads).
+    * Element i is a structural hash of the gram at position i:
+    * xxhash64 of each token's bytes computed ONCE per token, then a
+    * 64-bit polynomial mix over the window — never the concatenated
+    * gram string, so the pass allocates nothing per position. Tail
+    * positions mix the doc hash with the position (the sentinel's
+    * uniqueness class). Contract: EQUAL GRAMS ⇒ EQUAL KEYS (tokens
+    * carry no spaces — split() output — so the token sequence
+    * determines the gram string; null tokens are skipped exactly like
+    * concat_ws does). Unequal grams may collide — every consumer must
+    * treat matches as CANDIDATES and recheck on the strings
+    * (SpanDedup's bounded recheck stage), which is why these keys
+    * deliberately do NOT need to equal xxhash64(gram string). */
+  def gramKeyHashes(ts: ArrayData, docStr: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val len = ts.numElements()
+    val tk = new Array[Long](len)
+    val tNull = new Array[Boolean](len)
+    var i = 0
+    while (i < len) {
+      val t = ts.getUTF8String(i)
+      if (t == null) tNull(i) = true
+      else tk(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, 42L)
+      i += 1
+    }
+    val docH = XXH64.hashUnsafeBytes(docStr.getBaseObject,
+      docStr.getBaseOffset, docStr.numBytes, 42L)
+    val out = new Array[Long](len)
+    val P = -7046029254386353131L // 0x9E3779B185EBCA85, golden-ratio odd
+    i = 0
+    while (i < len) {
+      if (i <= len - n) {
+        var h = 2862933555777941757L // seed != any single-token hash class
+        var k = 0
+        while (k < n) {
+          if (!tNull(i + k)) h = h * P + tk(i + k)
+          k += 1
+        }
+        out(i) = h
+      } else {
+        out(i) = XXH64.hashLong(i.toLong, docH)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Distinct character n-grams, first-occurrence order — the set
     * DuckDB's list_distinct(list_transform(range(1, len-n+2), i ->
     * substr(s, i, n))) produces. Returns EMPTY for strings shorter
@@ -352,9 +403,14 @@ object TextExprUtil {
     * pass over the token array replaces the per-token explode +
     * md5-hex arithmetic + (doc, bk) hash aggregate that dominated the
     * graft-dsir-weights build: the row count entering the aggregation
-    * drops from Σ n_tokens to b per document. A null token poisons
-    * the result to null (md5(null) = null in the relational form —
-    * unreachable for split() output, kept for parity). */
+    * drops from Σ n_tokens to b per document. NULL TOKENS ARE
+    * UNSUPPORTED: a null element nulls the whole document's vector
+    * (the doc disappears from the counts), where the replaced
+    * explode+md5 pipeline would have kept the doc and emitted its
+    * null tokens under a bk=null row. Unreachable for the only wired
+    * producer (split() output is never null-elemented) and pinned
+    * only on that domain — any new caller must guarantee
+    * null-free token arrays. */
   def hashedBucketCounts(ts: ArrayData, b: Int): GenericArrayData = {
     val md = md5Local.get()
     val counts = new Array[Long](b)
@@ -575,6 +631,30 @@ case class GramsWithSentinel(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "grams_with_sentinel"
 }
 
+/** (array<string> tokens, string docStr) → array<long> positional
+  * gram KEYS ([[TextExprUtil.gramKeyHashes]] — equal grams ⇒ equal
+  * keys; collisions possible, consumers must string-recheck). */
+case class GramKeyHashes(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, string), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprUtil.gramKeyHashes(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.TextExprUtil.gramKeyHashes($a, $b, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "gram_key_hashes"
+}
+
 /** array<string> tokens → array<long>(b) of hashed-unigram bucket
   * counts ([[TextExprUtil.hashedBucketCounts]]). Nullable: a null
   * token element poisons the whole result, the md5(null) relational
@@ -723,6 +803,8 @@ object TextExpressions {
     Bridge.column(CharNgramsDistinct(expr(s), n))
   def grams_with_sentinel(ts: Column, docStr: Column, n: Int): Column =
     Bridge.column(GramsWithSentinel(expr(ts), expr(docStr), n))
+  def gram_key_hashes(ts: Column, docStr: Column, n: Int): Column =
+    Bridge.column(GramKeyHashes(expr(ts), expr(docStr), n))
   def hashed_bucket_counts(ts: Column, b: Int): Column =
     Bridge.column(HashedBucketCounts(expr(ts), b))
   def edit_at_most(a: Column, b: Column, k: Int): Column =

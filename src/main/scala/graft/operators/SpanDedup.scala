@@ -95,16 +95,69 @@ object SpanDedup {
     * (gram, owner) for every n-gram present in ≥ 2 documents, owner =
     * min doc_id. This is the corpus METADATA a standing pipeline
     * persists per corpus version and probes per shard
-    * ([[cleanedCorpusWithOwners]]). Map-side-combined aggregate: a
+    * ([[cleanedCorpusWithOwners]]). Map-side-combined aggregates: a
     * boilerplate-scale hot gram reaches its reduce task as O(map
     * tasks) partial rows and folds into one accumulator — never a
-    * buffered window partition. */
-  def dupGramOwners(docs: DataFrame, n: Int = 5): DataFrame =
-    gramStream(docs, n)
+    * buffered window partition.
+    *
+    * r18 (guide §2.3 — shuffle keys, not payloads): the CANDIDATE
+    * mining pass is STRING-FREE — [[GramKeyHashes]] per-position
+    * 64-bit keys (equal grams ⇒ equal keys) explode as bare longs, so
+    * the dominant exchange of the whole span family carries 8-byte
+    * keys instead of ~n·8-char gram strings, and the mine pass never
+    * allocates a gram string at all. Bare hashed keys alone would be
+    * WRONG here: excision has no verify stage, so a collision that
+    * makes a unique gram look duplicated (or elects the wrong owner)
+    * would silently excise a non-duplicated span. The BOUNDED
+    * STRING-RECHECK stage (the x36/ex8h probe pattern) restores
+    * exactness: rows whose key is a duplicate CANDIDATE — a superset
+    * of the truly duplicated grams — re-aggregate by the gram string
+    * itself, so min≠max and the owner are decided on strings alone.
+    * A collision can only ADD rows to the recheck (a few extra string
+    * rows shuffled), never flip a verdict. Cost: one extra narrow
+    * derivation (scan-stage work that scales out) in exchange for the
+    * string exchange shrinking to the duplicated-vocabulary slice
+    * (~5% of the vocabulary in the fixtures); SkewWindowSpec pins
+    * row-identity against the single-pass string aggregate. */
+  def dupGramOwners(docs: DataFrame, n: Int = 5): DataFrame = {
+    val withLang =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit(null).cast("string"))
+    val base = withLang
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+    // candidate mine: STRING-FREE — per-position 64-bit gram keys
+    // (tokens hashed once, polynomial window mix, zero allocation per
+    // position; see GramKeyHashes) explode as bare longs and
+    // aggregate map-side, so neither the per-task work nor the
+    // exchange ever touches a gram string
+    val cand = base
+      .select(col("doc_id"), explode(
+        graft.functions.expressions.TextExpressions.gram_key_hashes(
+          col("ts"), col("doc_id").cast("string"), n)).as("gk"))
+      .groupBy("gk")
+      .agg(min("doc_id").as("o"), max("doc_id").as("mx"))
+      .filter(col("o") =!= col("mx"))
+      .select("gk")
+    // string recheck: only rows whose KEY is a duplicate candidate —
+    // a superset of the truly duplicated grams (equal grams share a
+    // key by construction) — re-aggregate by the gram STRING, so
+    // min≠max and the owner are decided on strings alone and a key
+    // collision can only add a few rows here, never excise wrongly
+    base
+      .select(col("doc_id"), explode(arrays_zip(
+        graft.functions.expressions.TextExpressions.grams_with_sentinel(
+          col("ts"), col("doc_id").cast("string"), n).as("gram"),
+        graft.functions.expressions.TextExpressions.gram_key_hashes(
+          col("ts"), col("doc_id").cast("string"), n).as("gk"))).as("z"))
+      .select(col("doc_id"), col("z").getField("gram").as("gram"),
+        col("z").getField("gk").as("gk"))
+      .join(cand, Seq("gk"), "left_semi")
       .groupBy("gram")
       .agg(min("doc_id").as("owner"), max("doc_id").as("mx"))
       .filter(col("owner") =!= col("mx"))
       .select("gram", "owner")
+  }
 
   /** Cleaned corpus view over (doc_id, lang, text) rows: one output
     * row per input doc with non-null text — doc_id, lang, n_tokens,

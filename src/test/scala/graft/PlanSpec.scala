@@ -442,28 +442,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x85: ownership is a map-combined aggregate joined back — no per-gram window buffer") {
-    // r17: x85/x95 ride cleanedCorpus's skewSafe form. The r12 pin
-    // here was the one-pass window form (ownership = min/max over
-    // partitionBy(gram)), whose WindowExec buffers a hot gram's WHOLE
-    // partition in one task — the boilerplate-gram skew hazard the
-    // x72 threshold doctrine already names. The aggregate form mines
-    // (gram → owner) with a map-side-combined groupBy (never a
-    // buffered partition) and joins the bounded owners list back to
-    // the token stream; measured FASTER at sf0.1 as well (x85 min
-    // 2.13 → 1.75 s, x95 2.05 → 1.55 s, BenchFocus min-of-5), and
-    // SkewWindowSpec pins the two forms row-identical. The shape
-    // bounds that matter stay pinned: no gram-keyed WINDOW anywhere,
-    // ≤ 2 corpus scans (owners mining + probe side), and the join may
-    // only be the owners attach.
+    // r17: x85/x95 ride cleanedCorpus's skewSafe form (no gram-keyed
+    // WindowExec anywhere — the boilerplate-gram skew hazard).
+    // r18 (guide §2.3): the ownership CANDIDATE mine is string-free —
+    // gram_key_hashes longs explode and aggregate, so the family's
+    // dominant exchange carries 8-byte keys instead of gram strings;
+    // exactness is restored by a bounded string-recheck aggregate
+    // over the duplicate-candidate slice (see SpanDedup.dupGramOwners
+    // — bare hashed keys would silently excise on collision, because
+    // excision has no verify stage). SkewWindowSpec pins the hashed
+    // form row-identical to the window form. Pinned shape bounds:
+    // no gram-keyed window; ≤ 3 corpus scans (candidate mine +
+    // string recheck + probe side — the third pass is the price of
+    // the long-key exchange, deliberate); the candidate mine keys on
+    // gram_key_hashes; joins are only the candidate semi-prune and
+    // the owners attach.
     val p = plan("x85_span_removal")
     assert(!p.contains("Window [min(doc_id") && !p.contains("windowspecdefinition(gram"),
       s"x85 regrew the per-gram window buffer:\n$p")
-    assert("Scan parquet".r.findAllIn(p).length <= 2,
-      s"x85 scans the corpus more than twice:\n$p")
-    assert(p.linesIterator.count(_.contains("Generate")) <= 2,
-      s"x85 explodes more than twice:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 3,
+      s"x85 scans the corpus more than three times:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) <= 3,
+      s"x85 explodes more than three times:\n$p")
+    assert(p.contains("gram_key_hashes"),
+      s"x85 candidate mine lost its string-free gram keys:\n$p")
     assert(p.linesIterator.count(l =>
-      l.contains("Join")) <= 1, s"x85 joins beyond the owners attach:\n$p")
+      l.contains("Join") && !l.contains("LeftSemi")) <= 1,
+      s"x85 joins beyond the owners attach + semi prune:\n$p")
   }
 
   test("x73: mined list is cached metadata — probe is one scan, one explode, no join") {
