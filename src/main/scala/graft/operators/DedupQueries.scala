@@ -366,58 +366,63 @@ object DedupQueries {
   /** Distributed connected components over an undirected pair graph
     * (x34; exposed for DedupHotPathSpec's chain/star cases): min-label
     * propagation with pointer jumping (path doubling → O(log diameter)
-    * supersteps) and per-superstep parquet materialization — the pair
-    * graph is written once and every superstep reads the previous
-    * labels back, keeping lineage flat (the Pregel pattern). Labels
-    * only ever DECREASE, so the label sum is a strictly decreasing
-    * convergence witness — one tiny aggregate per superstep instead of
-    * a change-detection join. Returns (doc_id, cluster) for every node
-    * appearing in `pairs`, cluster = min doc_id of the component. */
+    * supersteps). Labels only ever DECREASE, so the label sum is a
+    * strictly decreasing convergence witness — one tiny aggregate per
+    * superstep instead of a change-detection join. Returns
+    * (doc_id, cluster) for every node appearing in `pairs`, cluster =
+    * min doc_id of the component.
+    *
+    * r18 (guide §5): the pair graph and each superstep's labels are
+    * `localCheckpoint`ed (block-manager-resident, lineage cut) instead
+    * of the r12 parquet write/read-back per superstep — same flat
+    * lineage, minus one parquet encode + FS round trip + re-scan per
+    * iteration (the graft-simhash-index build wrote a label TABLE per
+    * superstep through this path). Labels are (long, long) rows —
+    * storage-light at any corpus scale; dead label RDDs unpin on GC
+    * (the bench's periodic-GC tick). localCheckpoint trades executor-
+    * loss recovery for speed — the standard Pregel-loop trade; a
+    * deployment with preemptible executors would swap in a reliable
+    * checkpoint every K supersteps, which only changes THIS method. */
   def connectedComponents(s: SparkSession, pairsIn: DataFrame): DataFrame = {
-    val tmp = graft.tables.TempDirs.scratch("graft-cc")
-    pairsIn.write.parquet(s"$tmp/pairs")
-    val pairs = s.read.parquet(s"$tmp/pairs")
+    // freshLeaf: strip the checkpoint leaf's inherited constraints —
+    // the superstep self-joins/unions these frames, and Spark 4.1.2's
+    // DeduplicateRelations + Union.rewriteConstraints throws
+    // `key not found: <attr>` on a re-instanced LogicalRDD whose
+    // copied constraints mention pre-checkpoint attribute ids
+    // (reproduced by DedupHotPathSpec's chain/star case).
+    def pin(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.Bridge.freshLeaf(df.localCheckpoint())
+    val pairs = pin(pairsIn)
     val Seq(a, b) = pairs.columns.toSeq
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-    var labPath = s"$tmp/lab0"
     // seed with the first propagation folded in: label₀ =
     // min(self, min direct neighbor) — one whole superstep round-trip
-    // cheaper than seeding with self and iterating. Label tables are
-    // written at natural shuffle parallelism (the groupBy's post-AQE
+    // cheaper than seeding with self and iterating. Labels keep their
+    // natural shuffle parallelism (the groupBy's post-AQE
     // partitioning): a fixed-width coalesce here would propagate up
     // the plan and cap the reduce stage of every superstep — the one
     // constant that must NOT appear in an iterative operator's
-    // scaling law. AQE already collapses small post-shuffle outputs,
-    // so the small-files concern is handled without touching the plan.
-    edges.groupBy(col("dst").as("doc_id"))
+    // scaling law.
+    var lab = edges.groupBy(col("dst").as("doc_id"))
       .agg(min(col("src")).as("__nmin"))
       .select(col("doc_id"),
         least(col("doc_id"), col("__nmin")).as("cluster"))
-      .write.parquet(labPath)
-    def labSum(path: String): Long = {
-      val r = s.read.parquet(path).agg(sum(col("cluster"))).collect().head
+      .transform(pin)
+    def labSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("cluster"))).collect().head
       if (r.isNullAt(0)) 0L else r.getLong(0) // sum of an empty graph
     }
-    var prevSum = labSum(labPath)
-    var converged = edges.isEmpty
-    var i = 0
+    var prevSum = labSum(lab)
+    var converged = prevSum == 0L && lab.isEmpty
     while (!converged) {
-      val lab = s.read.parquet(labPath)
-      val nextPath = s"$tmp/lab${i + 1}"
-      superstep(edges, lab).write.parquet(nextPath)
-      val sum2 = labSum(nextPath)
+      val next = pin(superstep(edges, lab))
+      val sum2 = labSum(next)
       converged = sum2 == prevSum
       prevSum = sum2
-      // the previous superstep's labels are dead once the next is
-      // durable — delete eagerly so a long iteration holds at most
-      // two label tables on disk (the scratch root itself is removed
-      // at JVM exit, after the returned frame has been consumed)
-      graft.tables.TempDirs.delete(labPath)
-      labPath = nextPath
-      i += 1
+      lab = next
     }
-    s.read.parquet(labPath)
+    lab
   }
 
   /** One CC superstep: neighbor-min propagation + pointer jumping
