@@ -31,12 +31,16 @@ object BucketedQueries {
     StoredIndexes.versioned(cache, d, "lineitem.parquet",
       "graft-bucketed-facts") { root =>
       val store = new TableStore(s, root)
-      store.replaceBucketed("orders_b", table(s, d, "orders"),
-        bucketBy = Seq("o_orderkey"), numBuckets = 8,
-        sortBy = Seq("o_orderkey"))
-      store.replaceBucketed("lineitem_b", table(s, d, "lineitem"),
-        bucketBy = Seq("l_orderkey"), numBuckets = 8,
-        sortBy = Seq("l_orderkey"))
+      // independent tables — bucket them as concurrent jobs
+      // (StoredIndexes.inParallel, guide §2.6): each write is a
+      // narrow 8-task shuffle whose tail otherwise idles the box
+      StoredIndexes.inParallel(
+        () => store.replaceBucketed("orders_b", table(s, d, "orders"),
+          bucketBy = Seq("o_orderkey"), numBuckets = 8,
+          sortBy = Seq("o_orderkey")),
+        () => store.replaceBucketed("lineitem_b", table(s, d, "lineitem"),
+          bucketBy = Seq("l_orderkey"), numBuckets = 8,
+          sortBy = Seq("l_orderkey")))
       store
     }
 

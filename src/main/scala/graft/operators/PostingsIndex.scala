@@ -169,20 +169,30 @@ object PostingsIndex {
       docs: DataFrame, nCorpus: Long): TableStore = {
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    store.replace("postings", docPostingsOf(docs)
-      .repartition(n, col("token")).sortWithinPartitions("token"))
-    store.replace("cpostings", CurationQueries.chunkPostingsOf(docs)
-      .repartition(n, col("token")).sortWithinPartitions("token"))
-    val p = store.load("postings")
-      .agg(coalesce(sum(col("tf")), lit(0.0)).cast("long"),
-        countDistinct(col("doc_id"))).head
-    store.replace("stats", Seq((p.getLong(0), p.getLong(1), nCorpus))
-      .toDF("n_tokens", "n_docs", "n_rows"))
-    val c = store.load("cpostings")
-      .select("doc_id", "chunk_id", "dl").distinct()
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    store.replace("cstats", Seq((c.getLong(0), c.getLong(1), nCorpus))
-      .toDF("nch", "sum_dl", "n_rows"))
+    // the doc-level and chunk-level chains are INDEPENDENT (each
+    // tokenizes the corpus itself and stats derive from the chain's
+    // own written table) — run them as concurrent jobs so the two
+    // corpus passes and the two stats aggregates overlap
+    // (StoredIndexes.inParallel, guide §2.6)
+    StoredIndexes.inParallel(
+      () => {
+        store.replace("postings", docPostingsOf(docs)
+          .repartition(n, col("token")).sortWithinPartitions("token"))
+        val p = store.load("postings")
+          .agg(coalesce(sum(col("tf")), lit(0.0)).cast("long"),
+            countDistinct(col("doc_id"))).head
+        store.replace("stats", Seq((p.getLong(0), p.getLong(1), nCorpus))
+          .toDF("n_tokens", "n_docs", "n_rows"))
+      },
+      () => {
+        store.replace("cpostings", CurationQueries.chunkPostingsOf(docs)
+          .repartition(n, col("token")).sortWithinPartitions("token"))
+        val c = store.load("cpostings")
+          .select("doc_id", "chunk_id", "dl").distinct()
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+        store.replace("cstats", Seq((c.getLong(0), c.getLong(1), nCorpus))
+          .toDF("nch", "sum_dl", "n_rows"))
+      })
     store
   }
 

@@ -94,39 +94,44 @@ object ShingleIndex {
       // few-file index tables whose probe stages run on 1-2 tasks —
       // the scan parallelism of the INDEX, not the corpus, bounds
       // every probe (observed: single-task distincts costing seconds)
-      store.replace("pfx3",
-        DedupQueries.prefixIndex(sh).repartition(col("h")))
-      store.replace("bands3", sh.select(col("doc_id"),
-        explode(TextExpressions.minhash_bands(col("s"))).as("bv"))
-        .repartition(col("bv")))
-      // the x35 split is a pure hash of doc_id: computing it once per
-      // INDEX ROW here (and storing it) keeps the probe free of md5 —
-      // the r8 first cut recomputed it per shingle row at probe time,
-      // ~50× more md5 than the per-document formulation it replaced
+      // r18: the four tables are INDEPENDENT derivations of the corpus
+      // — write them as concurrent jobs (StoredIndexes.inParallel,
+      // guide §2.6) so each write's straggler tail back-fills with the
+      // next table's scan instead of idling the whole build
       val bkt = TextFns.md5Bits16(col("doc_id").cast("string")) % 100
-      store.replace("ex8h", docs
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 8)
-        .select(col("doc_id"),
-          explode(TextFns.shingles(col("ts"), 8)).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("h"),
-          when(bkt < 80, "train").when(bkt < 90, "val")
-            .otherwise("test").as("split"))
-        .repartition(col("h")))
-      // `wfp` (doc_id, fps, n): each doc's winnowing fingerprint SET
-      // (x65's 24-bit window minima, the ONE winnowSetsOf definition
-      // CurationSpec's fixture drives also pin) — x130's probe/verify
-      // unit. The array-storage rule above is about SHINGLE STRINGS
-      // (several times the source text); winnow fps are ~n/2 bigints
-      // per doc — SMALLER than the text — while the recompute they
-      // replace is an md5 per 4-gram, so here the stored form wins
-      // (measured: x130 1.86 → 1.0 s at sf0.1). Per-document rows,
-      // but the corpus fingerprint transition rebuilds the whole
-      // index anyway (see the pfx3 note), so wfp rides the same
-      // lifecycle.
-      store.replace("wfp",
-        DedupQueries.winnowSetsOf(docs).repartition(col("doc_id")))
+      StoredIndexes.inParallel(
+        () => store.replace("pfx3",
+          DedupQueries.prefixIndex(sh).repartition(col("h"))),
+        () => store.replace("bands3", sh.select(col("doc_id"),
+          explode(TextExpressions.minhash_bands(col("s"))).as("bv"))
+          .repartition(col("bv"))),
+        // the x35 split is a pure hash of doc_id: computing it once per
+        // INDEX ROW here (and storing it) keeps the probe free of md5 —
+        // the r8 first cut recomputed it per shingle row at probe time,
+        // ~50× more md5 than the per-document formulation it replaced
+        () => store.replace("ex8h", docs
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("ts"), 8)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("h"),
+            when(bkt < 80, "train").when(bkt < 90, "val")
+              .otherwise("test").as("split"))
+          .repartition(col("h"))),
+        // `wfp` (doc_id, fps, n): each doc's winnowing fingerprint SET
+        // (x65's 24-bit window minima, the ONE winnowSetsOf definition
+        // CurationSpec's fixture drives also pin) — x130's probe/verify
+        // unit. The array-storage rule above is about SHINGLE STRINGS
+        // (several times the source text); winnow fps are ~n/2 bigints
+        // per doc — SMALLER than the text — while the recompute they
+        // replace is an md5 per 4-gram, so here the stored form wins
+        // (measured: x130 1.86 → 1.0 s at sf0.1). Per-document rows,
+        // but the corpus fingerprint transition rebuilds the whole
+        // index anyway (see the pfx3 note), so wfp rides the same
+        // lifecycle.
+        () => store.replace("wfp",
+          DedupQueries.winnowSetsOf(docs).repartition(col("doc_id"))))
       store
     }
 }

@@ -29,6 +29,28 @@ private[graft] object StoredIndexes {
   val buildLog =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
+  /** Run INDEPENDENT build steps as concurrent Spark jobs (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially — submitting from a small pool lets the next write's
+    * tasks back-fill executors freed by the current write's tail,
+    * instead of every build paying its stages' straggler tails
+    * end-to-end). Safe here because TableStore serializes transitions
+    * per table and each step writes a DISTINCT table. Any step failure
+    * propagates (unwrapped) after the others finish — same all-or-
+    * nothing surface the sequential form had. */
+  def inParallel(steps: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(steps.size)
+    try {
+      val futs = steps.map(st => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = st()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally { pool.shutdownNow(); () }
+  }
+
   /** Fingerprint of the files backing `dir/file`: stable while the
     * corpus is untouched, changes on any append/rewrite UNDER THE
     * ASSUMPTION that writers emit fresh (UUID-named) part files —
