@@ -143,11 +143,85 @@ object MergeOps {
     Integer.compare(aCant, bCant)
   }
 
-  private object AdmitReqOrder
+  private[tables] object AdmitReqOrder
       extends java.util.Comparator[AdmitReq] with Serializable {
     override def compare(x: AdmitReq, y: AdmitReq): Int =
       admissionCompare(x.seq, x.id, x.email, x.cantidad,
         y.seq, y.id, y.email, y.cantidad)
+  }
+
+  /** One row of the tagged-union cogroup input: side 0 = inventario
+    * (capacidad/estado live), side 1 = request (id/email/cantidad/seq
+    * live). Top-level case class so the product encoder codegens. */
+  final case class AdmitMerge(k: String, side: Int, capacidad: Int,
+      estado: String, id: String, email: String, cantidad: Int, seq: Long)
+
+  /** The per-partition admission fold over key-clustered, side-ordered
+    * [[AdmitMerge]] rows (inv rows of a key first, then its requests —
+    * the upstream sort guarantees it). Semantics are EXACTLY the r9
+    * cogroup fold's: requests of a key sort by [[AdmitReqOrder]] (the
+    * ONE admission ordering — deliberately NOT the Catalyst sort,
+    * whose UTF8String binary order diverges from String.compareTo on
+    * non-ASCII ids, and cross-engine order agreement with
+    * StatefulAdmission matters more than one in-fold sort); each
+    * inventario row of the key replays the whole request sequence
+    * against its own capacity; keys missing either side emit nothing
+    * (unknownEventRequests surfaces the no-inventario ones). */
+  private[tables] def foldAdmitPartition(
+      rows: Iterator[AdmitMerge]): Iterator[AdmitOut] = {
+    val it = rows.buffered
+    new Iterator[Array[AdmitOut]] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Array[AdmitOut] = {
+        val k = it.head.k
+        @inline def same(r: AdmitMerge): Boolean =
+          if (k == null) r.k == null else k == r.k
+        // inventario states of this key (side 0 sorts first; almost
+        // always exactly one row — keep the >1 path allocation-lazy)
+        var nInv = 0
+        var invHead: InvKeyState = null
+        var invMore: scala.collection.mutable.ArrayBuffer[InvKeyState] = null
+        while (it.hasNext && same(it.head) && it.head.side == 0) {
+          val r = it.next()
+          val st = InvKeyState(r.k, r.capacidad, r.estado)
+          if (nInv == 0) invHead = st
+          else {
+            if (invMore == null)
+              invMore = new scala.collection.mutable.ArrayBuffer[InvKeyState](2)
+            invMore += st
+          }
+          nInv += 1
+        }
+        val reqB = new scala.collection.mutable.ArrayBuffer[AdmitReq](8)
+        while (it.hasNext && same(it.head)) {
+          val r = it.next()
+          reqB += AdmitReq(r.id, k, r.email, r.cantidad, r.seq)
+        }
+        if (nInv == 0 || reqB.isEmpty) Array.empty
+        else {
+          val arr = reqB.toArray
+          if (arr.length > 1) java.util.Arrays.sort(arr, AdmitReqOrder)
+          val out = new Array[AdmitOut](arr.length * nInv)
+          var v = 0
+          while (v < nInv) {
+            val st = if (v == 0) invHead else invMore(v - 1)
+            var cap = st.capacidad.toLong
+            val active = st.estado == "A"
+            val base = v * arr.length
+            var i = 0
+            while (i < arr.length) {
+              val r = arr(i)
+              val ok = active && (r.cantidad <= 0 || cap >= r.cantidad)
+              if (ok) cap -= r.cantidad
+              out(base + i) = AdmitOut(r.id, k, r.email, r.cantidad, ok, r.seq)
+              i += 1
+            }
+            v += 1
+          }
+          out
+        }
+      }
+    }.flatMap(_.iterator)
   }
 
   def admitReservations(inventario: DataFrame, requests: DataFrame)
@@ -158,38 +232,35 @@ object MergeOps {
     // project to the typed fold inputs: only (nombre, capacidad,
     // estado) ride the shuffle for the target side — the rest of the
     // inventario row rejoins AFTER the fold, so wide target schemas
-    // never pay the cogroup encoder cost
-    val invT = inventario
-      .select(col("nombre").cast("string"), col("capacidad").cast("int"),
-        col("estado").cast("string"))
-      .as[InvKeyState]
-    val reqT = requests
-      .select(col("id").cast("string"), col("evento").cast("string"),
-        col("email").cast("string"), col("cantidad").cast("int"),
-        col("seq").cast("long"))
-      .as[AdmitReq]
-
-    val log = invT.groupByKey(_.nombre).cogroup(reqT.groupByKey(_.evento)) {
-      (key, invs, reqs) =>
-        // unknown-event requests never reach here (no inventario row);
-        // unknownEventRequests surfaces them to callers
-        invs.flatMap { st =>
-          val arr = reqs.toArray
-          if (arr.length > 1) java.util.Arrays.sort(arr, AdmitReqOrder)
-          var cap = st.capacidad.toLong
-          val active = st.estado == "A"
-          val out = new Array[AdmitOut](arr.length)
-          var i = 0
-          while (i < arr.length) {
-            val r = arr(i)
-            val ok = active && (r.cantidad <= 0 || cap >= r.cantidad)
-            if (ok) cap -= r.cantidad
-            out(i) = AdmitOut(r.id, key, r.email, r.cantidad, ok, r.seq)
-            i += 1
-          }
-          out
-        }
-    }.toDF()
+    // never pay the fold's encoder cost.
+    //
+    // r18 (guide §4 — objects only where the fold itself runs): the r9
+    // form was groupByKey(lambda).cogroup(groupByKey(lambda)), which
+    // pays a WHOLE object-deserialization pass per side just to
+    // extract the grouping key (AppendColumns) before CoGroupExec
+    // deserializes both sides again for the fold. The tagged union
+    // keys relationally (no objects), shuffles ONCE, clusters with the
+    // Tungsten radix sort on (k, side), and deserializes each row
+    // exactly once — inside the fold that needs the object.
+    val invM = inventario.select(
+      col("nombre").cast("string").as("k"), lit(0).as("side"),
+      col("capacidad").cast("int").as("capacidad"),
+      col("estado").cast("string").as("estado"),
+      lit(null).cast("string").as("id"), lit(null).cast("string").as("email"),
+      lit(0).as("cantidad"), lit(0L).as("seq"))
+    val reqM = requests.select(
+      col("evento").cast("string").as("k"), lit(1).as("side"),
+      lit(0).as("capacidad"), lit(null).cast("string").as("estado"),
+      col("id").cast("string").as("id"),
+      col("email").cast("string").as("email"),
+      col("cantidad").cast("int").as("cantidad"),
+      col("seq").cast("long").as("seq"))
+    val log = invM.unionByName(reqM)
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("side"))
+      .as[AdmitMerge]
+      .mapPartitions(foldAdmitPartition _)
+      .toDF()
 
     // the updated snapshot is DERIVED FROM THE LOG (cap' = cap − Σ
     // admitted deltas per key — exactly the fold's final capacity), so
