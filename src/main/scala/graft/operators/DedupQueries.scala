@@ -1243,24 +1243,30 @@ object DedupQueries {
           .filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id"), lit(true).as("dropped"))
         val ts = graft.functions.TextFns.tokens(col("text"))
-        val qKeep = docs.filter(col("text").isNotNull)
-          .filter(col("n_chars") >= 50 &&
-            size(array_distinct(ts)).cast("double") / size(ts) >= 0.3)
-          .select(col("doc_id"), lit(true).as("qk"))
+        // r18 (guide §2.1 — remove the shuffle outright): the quality
+        // gate is a PER-ROW predicate of the documents row, so it
+        // rides the probe-side scan as a column instead of a fifth
+        // doc_id-keyed join (the r14 form derived a (doc_id, qk)
+        // frame from a second documents scan and joined it back).
+        // Null parity with filter+left_outer+coalesce: null text /
+        // null n_chars make the conjunction null, coalesced to false
+        // below — exactly the rows the old filter dropped.
+        val qkRaw = col("text").isNotNull && col("n_chars") >= 50 &&
+          size(array_distinct(ts)).cast("double") / size(ts) >= 0.3
         val contam = TextQueries.contaminatedTrainDocs(s, d)
           .select(col("doc_id"), lit(true).as("contam"))
         val capKeep = TextQueries.sourceCapScoresFor(s, d)
           .select(col("doc_id"), col("kept").as("ck"))
-        val flags = docs.select(col("doc_id"), col("n_chars"))
+        val flags = docs.select(col("doc_id"), col("n_chars"),
+            qkRaw.as("qkRaw"))
           .join(exKeep, Seq("doc_id"), "left_outer")
           .join(dropped, Seq("doc_id"), "left_outer")
-          .join(qKeep, Seq("doc_id"), "left_outer")
           .join(contam, Seq("doc_id"), "left_outer")
           .join(capKeep, Seq("doc_id"))
           .select(col("n_chars"),
             coalesce(col("ek"), lit(false)).as("ek"),
             not(coalesce(col("dropped"), lit(false))).as("nk"),
-            coalesce(col("qk"), lit(false)).as("qk"),
+            coalesce(col("qkRaw"), lit(false)).as("qk"),
             not(coalesce(col("contam"), lit(false))).as("dk"),
             col("ck"))
         def stage(cond: org.apache.spark.sql.Column) = struct(
