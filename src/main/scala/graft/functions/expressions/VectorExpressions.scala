@@ -249,9 +249,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * `flat` is the row-major flattened codebook
   * (((ss·K)+cid)·subDim+j); M, K and subDim ride as constructor
   * params so equals/serialization stay primitive. Null handling: a
-  * null ELEMENT nulls the whole result (the built-in fold poisons
-  * every cid's key to null, so array_min over all-null is null —
-  * same observable outcome). A vector whose length differs from
+  * null ELEMENT nulls the WHOLE result array. For M=1 that is exactly
+  * the built-in outcome (the fold poisons every cid's key to null and
+  * array_min over all-null is null); for M>1 the built-in would null
+  * only the affected subspace's slot — a deliberate difference, taken
+  * because it keeps containsNull=false on the result, and unreachable
+  * in practice: quantized corpora carry no null components (the
+  * trainer and every wired caller build the arrays themselves).
+  * A vector whose length differs from
   * M·subDim throws (the built-in route would silently zip-truncate;
   * no caller feeds mixed dimensions — quantized corpora are uniform
   * and the trainer derives subDim from the seeds — so loud beats
@@ -346,6 +351,21 @@ case class CodebookArgminKeys(child: Expression, flat: Array[Long],
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "codebook_argmin_keys"
+
+  // Array[Long] fields get reference equality from the synthesized
+  // case-class equals, which silently defeats semanticEquals-driven
+  // optimizations (common-subexpression elimination, exchange reuse)
+  // whenever two instances are built from the same codebook — compare
+  // the flattened codebook by CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: CodebookArgminKeys =>
+      child == that.child && m == that.m && k == that.k &&
+        subDim == that.subDim && java.util.Arrays.equals(flat, that.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(k),
+      Integer.valueOf(subDim), Integer.valueOf(java.util.Arrays.hashCode(flat)))
 }
 
 object VectorExpressions {

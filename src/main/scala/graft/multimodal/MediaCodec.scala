@@ -38,6 +38,14 @@ object MediaCodec {
   // byte-identical output (the cache is transport, not encoding) and
   // removes a filesystem round trip from every x59/x98/x116 row
   // (guide §1.2: fix per-task work once the shape is right).
+  // NB: setUseCache mutates PROCESS-GLOBAL ImageIO state, first
+  // applied when this object initializes — any other ImageIO user in
+  // the executor JVM also gets memory-cached streams (output stays
+  // byte-identical either way; only peak memory vs temp-file I/O
+  // differ). Scoped per-call wrappers (MemoryCacheImageInputStream)
+  // would avoid the global toggle at the cost of one wrapper
+  // allocation per row; the engine owns its executors, so the global
+  // form is the deliberate choice.
   ImageIO.setUseCache(false)
 
   /** Unified media header: images fill width/height/bitDepth/channels,
