@@ -1187,17 +1187,17 @@ FROM j ORDER BY vec_id""") {
           .withColumn("cos",
             VectorFns.dot(col("ea"), col("eb")) / col("na") / col("nb"))
           .select(col("vec_a"), col("vec_b"), col("cos"))
-        val pos = c.filter(col("cos") >= 0.45)
-          .select(col("vec_a"), col("vec_b"), lit("pos").as("label"),
-            col("cos"))
-        val neg = c.filter(col("cos") < 0.45)
+        // r18 one-pass experiment: label in-row, ONE window over
+        // (vec_a, label) with rk<=3 enforced only on neg rows.
+        // Row-identical: pos rows pass unconditionally; neg rows rank
+        // within (vec_a, 'neg') by the same (cos desc, vec_b) order.
+        c.withColumn("label",
+            when(col("cos") >= 0.45, "pos").otherwise("neg"))
           .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("vec_a")
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_a", "label")
               .orderBy(col("cos").desc, col("vec_b"))))
-          .filter(col("rk") <= 3)
-          .select(col("vec_a"), col("vec_b"), lit("neg").as("label"),
-            col("cos"))
-        pos.unionByName(neg)
+          .filter(col("label") === "pos" || col("rk") <= 3)
           .select(col("vec_a"), col("vec_b"), col("label"),
             round(col("cos"), 6).as("cos"))
           .orderBy("label", "vec_a", "vec_b")
